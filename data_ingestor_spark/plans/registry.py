@@ -1,0 +1,76 @@
+"""Declared-query registry.
+
+Every operator the engine claims (SURVEY.md §2.2) registers here as a
+named query: a Spark callable ``(spark, sf_dir) -> DataFrame`` plus,
+where SQL-expressible, an equivalent ANSI/DuckDB oracle SQL string. The
+driver runs both at sf=0.01 and compares row-count + schema +
+order-insensitive value hash; ``__spark_entry__.py`` re-exports this
+registry.
+
+Hash-match discipline (SURVEY §2.2 tail): floating aggregates go
+through exact decimal arithmetic (``dec_sum``) or explicit rounding so
+Spark and DuckDB produce bit-identical values; every computed column is
+aliased identically on both sides; top-k queries carry a unique-key
+tie-break.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+#: name -> spec; populated by the @query decorator at import time.
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Register a declared query. ``oracle=None`` → rows-only check."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table (TESTDATA.md layout)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- hash-stable numeric helpers ---------------------------------------------
+
+
+def dec(colname: str, scale: int = 2) -> F.Column:
+    """Exact decimal view of a BASE double column whose values carry at
+    most ``scale`` decimals (e.g. money) — the cast then never rounds, so
+    Spark (shortest-string HALF_UP) and DuckDB (binary scaling) agree.
+
+    Discipline: never cast a *computed* double expression to decimal —
+    Spark and DuckDB resolve near-tie roundings differently. Cast the
+    base columns first and do the arithmetic in decimal (exact in both).
+    """
+    return F.col(colname).cast(f"decimal(18,{scale})")
+
+
+def dec_sum(colname: str, alias: str, scale: int = 2) -> F.Column:
+    """SUM over exact decimals, surfaced as double.
+
+    Decimal addition is exact → the sum is engine-independent; the final
+    decimal→double cast is correctly rounded on both engines. Oracle
+    twin: ``CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)``.
+    """
+    return F.sum(dec(colname, scale)).cast("double").alias(alias)

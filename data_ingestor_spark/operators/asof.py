@@ -1,0 +1,82 @@
+"""As-of (time-travel) join — an operator Spark lacks natively
+(SURVEY.md §2.2 "Join: as-of / interval").
+
+Semantics: for each left row, attach the most recent right row with the
+matching key whose time is <= the left time (backward as-of, like
+``pd.merge_asof`` / DuckDB's ``ASOF JOIN``).
+
+Implementation is the scalable sort-merge formulation, pure DataFrame
+ops (no Python in the row path, no broadcast of the big side):
+
+1. union the two inputs tagged by side, right-side payload carried,
+   left payload null;
+2. one shuffle: window partitioned by key, ordered by (time, side)
+   with right rows sorting before left rows at equal times (<=);
+3. ``last(payload, ignorenulls)`` forward-fills the latest right
+   payload onto each left row;
+4. filter back to left rows.
+
+Cost: a single exchange on the key — the same price as the equi-join
+Spark would do anyway; no per-group Python, no broadcast of the fact
+side. This beats ``applyInPandas`` + ``pd.merge_asof`` (Arrow transfer
+of both tables through Python) at 100 TB scale, and AQE's skew-join
+splitting still applies to the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    payload: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """Backward as-of join. Returns all ``left`` columns + ``payload``
+    columns from ``right`` (null where no right row precedes).
+
+    ``right`` should be unique per (key, time) for deterministic output —
+    pre-aggregate it otherwise. ``payload`` names must not collide with
+    ``left`` columns.
+    """
+    if direction != "backward":
+        raise NotImplementedError("only backward as-of is implemented")
+    collisions = set(payload) & set(left.columns)
+    if collisions:
+        raise ValueError(f"payload columns collide with left columns: {sorted(collisions)}")
+    rtypes = dict(right.dtypes)
+    ltypes = dict(left.dtypes)
+
+    l_tagged = left.select(
+        *left.columns,
+        F.col(left_on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(rtypes[p]).alias(p) for p in payload],
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in left.columns],
+        F.col(right_on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        *payload,
+    )
+    u = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *left.columns,
+        "_side",
+        *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")

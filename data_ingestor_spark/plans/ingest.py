@@ -1,0 +1,95 @@
+"""Ingestion queries: the reference's core pipeline (scan → flatten →
+whitelist-project) as declared, oracle-checked queries over the repo's
+own fixtures (same shapes as the reference's manual fixtures, plus the
+edge cases SURVEY §2.3(a) calls out: empty and missing nested arrays).
+
+Reference parity: O1-O5 (scans), O7/O8 (flatten), O9 (projection) —
+``fileloader/fileloader-schema.go:25-510``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_ingestor_spark.operators.flatten import flatten_nested
+from data_ingestor_spark.schemas import MIST_NESTED_SCHEMA, TEMPLATE_COLUMNS
+from data_ingestor_spark.sources import load
+from data_ingestor_spark.plans.registry import query
+
+_FIXDIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "tests", "fixtures")
+_JSON_FIXTURE = os.path.join(_FIXDIR, "ingest-records.json")
+_XML_FIXTURE = os.path.join(_FIXDIR, "ingest-records.xml")
+
+_JSON_ORACLE = f"""
+WITH recs AS (
+    SELECT unnest(Records) AS rec
+    FROM read_json('{_JSON_FIXTURE}',
+        columns={{Records: 'STRUCT("user" VARCHAR, dt_created BIGINT, dt_submitted BIGINT,
+                  ast_name VARCHAR, location VARCHAR, status VARCHAR, json_hash VARCHAR,
+                  local_id VARCHAR, filename VARCHAR,
+                  fnumbers STRUCT(fnumber VARCHAR, scan_time VARCHAR)[])[]'}})
+), base AS (
+    SELECT rec."user" AS "user", rec.dt_created, rec.dt_submitted, rec.ast_name,
+           rec.location, rec.status, rec.json_hash, rec.local_id, rec.filename,
+           CASE WHEN rec.fnumbers IS NULL OR len(rec.fnumbers) = 0
+                THEN [CAST(NULL AS STRUCT(fnumber VARCHAR, scan_time VARCHAR))]
+                ELSE rec.fnumbers END AS fns
+    FROM recs
+)
+SELECT "user", dt_created, dt_submitted, ast_name, location, status,
+       json_hash, local_id, filename, f.fnumber, f.scan_time
+FROM (SELECT *, unnest(fns) AS f FROM base)
+"""
+
+
+@query("q_ingest_json", oracle=_JSON_ORACLE, tags=("ingest",))
+def q_ingest_json(spark, sf_dir):
+    """JSON document → records under 'Records' → flatten fnumbers →
+    11-column whitelist (the reference's full live path, O3+O7+O9).
+    Expected: 7×2 + 1×1 + empty-array row + missing-array row = 17."""
+    raw = load(spark, _JSON_FIXTURE, schema=MIST_NESTED_SCHEMA)
+    return flatten_nested(raw, "fnumbers", TEMPLATE_COLUMNS)
+
+
+@query("q_ingest_xml", oracle=None, tags=("ingest",))
+def q_ingest_xml(spark, sf_dir):
+    """XML → <Record> rows → flatten repeated <fnumbers> groups →
+    whitelist (O1+O8+O9). Rows-only: DuckDB has no XML reader. The
+    row-count contract (6×2 + 1 + 1 = 14) is asserted in unit tests."""
+    raw = load(spark, _XML_FIXTURE, schema=MIST_NESTED_SCHEMA)
+    return flatten_nested(raw, "fnumbers", TEMPLATE_COLUMNS)
+
+
+@query(
+    "q_ingest_flatten_agg",
+    oracle=f"""
+    WITH recs AS (
+        SELECT unnest(Records) AS rec
+        FROM read_json('{_JSON_FIXTURE}',
+            columns={{Records: 'STRUCT("user" VARCHAR, dt_created BIGINT, dt_submitted BIGINT,
+                      ast_name VARCHAR, location VARCHAR, status VARCHAR, json_hash VARCHAR,
+                      local_id VARCHAR, filename VARCHAR,
+                      fnumbers STRUCT(fnumber VARCHAR, scan_time VARCHAR)[])[]'}})
+    ), base AS (
+        SELECT rec.location, rec.status,
+               CASE WHEN rec.fnumbers IS NULL OR len(rec.fnumbers) = 0
+                    THEN [CAST(NULL AS STRUCT(fnumber VARCHAR, scan_time VARCHAR))]
+                    ELSE rec.fnumbers END AS fns
+        FROM recs
+    )
+    SELECT location, COUNT(*) AS n_rows, COUNT(f.fnumber) AS n_fnumbers
+    FROM (SELECT *, unnest(fns) AS f FROM base)
+    GROUP BY location
+    """,
+    tags=("ingest", "agg"),
+)
+def q_ingest_flatten_agg(spark, sf_dir):
+    """Ingest → flatten → aggregate in one plan (the M1 'one real query'):
+    row and non-null fnumber counts per location."""
+    raw = load(spark, _JSON_FIXTURE, schema=MIST_NESTED_SCHEMA)
+    flat = flatten_nested(raw, "fnumbers", TEMPLATE_COLUMNS)
+    return flat.groupBy("location").agg(
+        F.count("*").alias("n_rows"), F.count("fnumber").alias("n_fnumbers")
+    )

@@ -47,7 +47,19 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table (TESTDATA.md layout)."""
+    """Read one testdata table (TESTDATA.md layout).
+
+    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; it is read with nanos-as-long and converted to a
+    microsecond timestamp in-plan (truncating division, matching how
+    DuckDB/Arrow downscale nanos). Still a distributed vectorized scan.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

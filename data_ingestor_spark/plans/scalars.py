@@ -1,0 +1,220 @@
+"""Scalar function surface: string / date / math / conditional / JSON /
+array expressions (SURVEY.md §2.2). All built-in ``pyspark.sql.functions``
+— JVM-side, inside whole-stage codegen; zero Python in the row path.
+
+Oracle discipline: expressions restricted to constructs with identical
+semantics in Spark SQL and DuckDB (1-based SUBSTRING, SQL LIKE, IEEE
+double arithmetic); anything engine-divergent (round-on-double ties,
+libm transcendentals) is either avoided or tolerance-rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestor_spark.plans.registry import load_table, query
+
+
+@query(
+    "q_scalar_string",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name)                          AS name_upper,
+           LOWER(c_mktsegment)                    AS seg_lower,
+           SUBSTRING(c_name, 1, 8)                AS name_prefix,
+           LENGTH(c_name)                         AS name_len,
+           CONCAT_WS('-', c_mktsegment, c_name)   AS seg_name,
+           REPLACE(c_name, 'Customer#', 'C')      AS name_short,
+           REGEXP_EXTRACT(c_name, '([0-9]+)', 1)  AS name_digits,
+           c_name LIKE 'Customer#00000000_'       AS is_low_key
+    FROM customer
+    """,
+    tags=("scalar",),
+)
+def q_scalar_string(spark, sf_dir):
+    """String functions: upper/lower/substring/length/concat_ws/replace/
+    regexp_extract/LIKE."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("-", "c_mktsegment", "c_name").alias("seg_name"),
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("C")).alias("name_short"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+        F.col("c_name").like("Customer#00000000_").alias("is_low_key"),
+    )
+
+
+@query(
+    "q_scalar_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT)   AS order_year,
+           CAST(MONTH(o_orderdate) AS INT)  AS order_month,
+           CAST(DAY(o_orderdate) AS INT)    AS order_day,
+           DATE_TRUNC('month', o_orderdate) AS order_month_start,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(DATE_DIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since_95
+    FROM orders
+    """,
+    tags=("scalar",),
+)
+def q_scalar_date(spark, sf_dir):
+    """Date/time functions: year/month/day, date_trunc, cast-to-date,
+    day difference from an epoch date."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").alias("order_month_start"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+    )
+
+
+@query(
+    "q_scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05)                     AS disc_dev,
+           CAST(FLOOR(l_extendedprice) AS BIGINT)     AS price_floor,
+           CAST(CEIL(l_extendedprice) AS BIGINT)      AS price_ceil,
+           CAST(l_quantity AS BIGINT) % 7             AS qty_mod7,
+           SQRT(l_quantity)                           AS qty_sqrt,
+           l_extendedprice * l_tax                    AS tax_amount,
+           CAST(SIGN(l_discount - 0.05) AS INT)       AS disc_sign
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+    tags=("scalar",),
+)
+def q_scalar_math(spark, sf_dir):
+    """Math functions: abs/floor/ceil/mod/sqrt/sign + IEEE multiply.
+    sqrt is IEEE-correctly-rounded (identical in both engines); libm
+    transcendentals (log/exp/pow) are NOT and are excluded from the
+    hash-checked set."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_extendedprice") * F.col("l_tax")).alias("tax_amount"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+    )
+
+
+@query(
+    "q_scalar_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END                             AS price_band,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'pending') AS status_or_default,
+           CASE WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+                THEN TRUE ELSE FALSE END                   AS is_urgent
+    FROM orders
+    """,
+    tags=("scalar",),
+)
+def q_scalar_conditional(spark, sf_dir):
+    """Conditional/null functions: CASE WHEN, COALESCE, NULLIF."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("pending")).alias(
+            "status_or_default"
+        ),
+        (F.col("o_orderpriority").like("1-%") | F.col("o_orderpriority").like("2-%")).alias(
+            "is_urgent"
+        ),
+    )
+
+
+@query(
+    "q_scalar_json",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    """,
+    tags=("scalar", "json"),
+)
+def q_scalar_json(spark, sf_dir):
+    """JSON extraction from a string column (events.props) — the engine's
+    semi-structured path. get_json_object is evaluated JVM-side per row
+    without a full parse tree materialization."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+    )
+
+
+@query(
+    "q_scalar_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                     AS dim,
+           embedding[1]                       AS first_val,
+           embedding[64]                      AS last_val,
+           CAST(label IN (0, 1, 2) AS BOOLEAN) AS label_small
+    FROM embeddings
+    """,
+    tags=("scalar", "array"),
+)
+def q_scalar_array(spark, sf_dir):
+    """Array functions: size, element_at (1-based in both engines), IN."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.element_at("embedding", 64).alias("last_val"),
+        F.col("label").isin(0, 1, 2).alias("label_small"),
+    )
+
+
+@query(
+    "q_sql_entry",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > 0
+    GROUP BY n_name
+    HAVING COUNT(*) > 10
+    """,
+    tags=("sql",),
+)
+def q_sql_entry(spark, sf_dir):
+    """The SQL string entry point: identical text runs through
+    spark.sql() over registered temp views — proving the engine's
+    full SQL surface, not just the DataFrame DSL."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT n_name, COUNT(*) AS n_cust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > 0
+        GROUP BY n_name
+        HAVING COUNT(*) > 10
+        """
+    )

@@ -1,0 +1,143 @@
+"""Time-series / event queries: tumbling, sliding and session windows
+(batch-mode twins of the Structured Streaming operators in
+``data_ingestor_spark.streaming``) and the as-of join.
+
+The reference has no time semantics at all (timestamps stay strings,
+``models.go:17``); these are the engine-provided stream-analytics
+surface (SURVEY.md §2.2 streaming rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestor_spark.operators.asof import asof_join
+from data_ingestor_spark.plans.registry import dec, load_table, query
+
+
+@query(
+    "q_window_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS wstart,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("window", "time"),
+)
+def q_window_tumbling(spark, sf_dir):
+    """Tumbling 5-minute windows over events — F.window in batch mode,
+    the exact same expression the streaming path uses. One shuffle on
+    (bucket, type) with map-side partial aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum(dec("value")).cast("double").alias("total_value"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n", "total_value")
+    )
+
+
+@query(
+    "q_window_sliding",
+    oracle="""
+    WITH assigned AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS wstart, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' AS wstart, value FROM events
+    )
+    SELECT wstart, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM assigned GROUP BY wstart
+    """,
+    tags=("window", "time"),
+)
+def q_window_sliding(spark, sf_dir):
+    """Sliding windows: 10-minute length, 5-minute slide — every event
+    lands in exactly two windows. Spark's window() generates the
+    assignment without self-joining; the DuckDB oracle reproduces it as
+    a two-phase union of shifted tumbling buckets."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum(dec("value")).cast("double").alias("total_value"))
+        .select(F.col("w.start").alias("wstart"), "n", "total_value")
+    )
+
+
+@query(
+    "q_window_session",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+    tags=("window", "time", "session"),
+)
+def q_window_session(spark, sf_dir):
+    """Session windows (30-minute inactivity gap) per user —
+    F.session_window in batch mode, same operator the streaming path
+    uses. Spark's session end = last event + gap; the oracle rebuilds
+    sessions with the classic lag/cumsum formulation."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    WITH odedup AS (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS asof_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts, o.asof_orderkey
+    FROM events e
+    ASOF LEFT JOIN odedup o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    tags=("join", "asof", "time"),
+)
+def q_join_asof(spark, sf_dir):
+    """Backward as-of join: each event picks the customer's most recent
+    order at event time. Right side deduped to one row per (key, time)
+    for determinism. Spark side: the sort-merge union/window operator
+    (operators/asof.py) — single shuffle, no Python."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("asof_orderkey"))
+    )
+    return asof_join(
+        e,
+        o,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload=["asof_orderkey"],
+    )

@@ -1,0 +1,112 @@
+"""User-defined function surface: vectorized scalar Pandas UDF, grouped
+UDAF via applyInPandas, and a Spark 4 Python UDTF (SURVEY.md §2.2 "UDF /
+UDAF / UDTF" — absent from the reference, whose transforms are hardwired
+Go functions).
+
+Performance stance: these exist to prove the extension points. The UDFs
+are Arrow-vectorized (pandas batches, not row-at-a-time); everything
+that CAN be a built-in expression elsewhere in the engine IS one.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_ingestor_spark.plans.registry import load_table, query
+
+
+@F.pandas_udf(T.DoubleType())
+def _charge_udf(price: pd.Series, tax: pd.Series, discount: pd.Series) -> pd.Series:
+    """Vectorized charge formula — numpy IEEE doubles, same result as the
+    SQL expression (price * (1 + tax)) * (1 - discount)."""
+    return (price * (1.0 + tax)) * (1.0 - discount)
+
+
+@query(
+    "q_udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           (l_extendedprice * (1 + l_tax)) * (1 - l_discount) AS charge
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+    tags=("udf",),
+)
+def q_udf_scalar(spark, sf_dir):
+    """Scalar Pandas UDF (Arrow-batched). The oracle is the equivalent
+    plain-SQL expression — numpy and the SQL engine both evaluate IEEE
+    doubles in the same association order, so values are bit-identical."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _charge_udf("l_extendedprice", "l_tax", "l_discount").alias("charge"),
+    )
+
+
+def _median_per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "c_mktsegment": [pdf["c_mktsegment"].iloc[0]],
+            "n": [len(pdf)],
+            "median_bal": [pdf["c_acctbal"].median()],
+        }
+    )
+
+
+@query(
+    "q_udaf_grouped",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n, MEDIAN(c_acctbal) AS median_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("udf", "agg"),
+)
+def q_udaf_grouped(spark, sf_dir):
+    """Grouped-map UDAF (applyInPandas): exact median per group — an
+    aggregate Spark has no exact built-in for. pandas and DuckDB both
+    average the two middle values on even counts. One shuffle on the
+    group key; each group is a single Arrow batch in Python.
+
+    Scale note: per-group pandas requires groups to fit in memory —
+    fine for dimension-cardinality groups; for billions-per-group use
+    percentile_approx instead (q_agg_approx)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").applyInPandas(
+        _median_per_group, schema="c_mktsegment string, n long, median_bal double"
+    )
+
+
+@query(
+    "q_udtf_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT) AS pos,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents WHERE doc_id < 20
+    """,
+    tags=("udf", "udtf", "text"),
+)
+def q_udtf_tokens(spark, sf_dir):
+    """Python UDTF (Spark 4): one input row → N output rows (token with
+    position). The oracle is DuckDB's unnest(string_split). The engine's
+    hot tokenization path uses built-in split/posexplode (q_explode,
+    ext.text); the UDTF exists to prove the table-function extension
+    point."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, token string")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):  # noqa: A002
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" ")):
+                yield doc_id, i, tok
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    d.createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    return spark.sql(
+        "SELECT t.doc_id, t.pos, t.token FROM _udtf_docs, LATERAL tokenize_udtf(doc_id, text) t"
+    )

@@ -1,0 +1,274 @@
+"""Deduplication operators over ``documents`` — the core training-data
+pipeline family (BASELINE.json north star): exact, content-hash,
+MinHash signatures + LSH-banded candidate pairs with Jaccard
+verification, SimHash, and length-blocked character-n-gram Jaccard.
+
+Scale design (the whole point of each operator):
+
+- exact / hash dedup: one hash-partitioned groupBy — the minimum
+  possible shuffle; at 100 TB this is the standard sha256-groupBy over
+  a few thousand partitions.
+- MinHash+LSH: candidates come from EQUALITY joins on band keys (one
+  shuffle per band, unioned) — never an O(n²) cross join. Bands/rows
+  tune recall; verification computes true Jaccard only on candidates.
+- SimHash: per-doc 32-bit signature in one narrow map; near-dup lookup
+  becomes a bucketed equality join on signature prefixes (rotation
+  trick) — signature generation shown here.
+- n-gram Jaccard: blocking (source × length band) bounds each block's
+  pair count; the self-join is an equality join on the block key.
+
+Determinism: all hashes derive from md5 (identical in Spark and
+DuckDB); hex→int via base-16 conversion on an 8-hex-char (32-bit)
+prefix, so every signature is oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from data_ingestor_spark.plans.registry import load_table, query
+
+#: number of minhash functions (signature length)
+MINHASH_K = 8
+#: LSH bands (rows per band = MINHASH_K // MINHASH_BANDS)
+MINHASH_BANDS = 4
+
+
+def _mh_spark(k: int, token_expr: str = "x") -> str:
+    """SQL text for one md5-derived 32-bit hash of a token (Spark side)."""
+    return f"cast(conv(substring(md5(concat('{k}:', {token_expr})), 1, 8), 16, 10) as bigint)"
+
+
+def _mh_duck(k: int, token_expr: str = "x") -> str:
+    """Same hash, DuckDB dialect."""
+    return f"CAST(('0x' || substr(md5('{k}:' || {token_expr}), 1, 8)) AS BIGINT)"
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text", k: int = MINHASH_K) -> DataFrame:
+    """Append m0..m{k-1} minhash columns over the distinct lowercase
+    token set of ``text_col``. Narrow map, no shuffle, no Python."""
+    toks = f"array_distinct(split(lower({text_col}), ' '))"
+    return df.select(
+        "*",
+        *[
+            F.expr(f"array_min(transform({toks}, x -> {_mh_spark(i)}))").alias(f"m{i}")
+            for i in range(k)
+        ],
+    )
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    tags=("dedup",),
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: group identical content, keep the lowest doc_id as
+    canonical. One hash-partitioned shuffle on the content hash."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies")
+    )
+
+
+@query(
+    "q_dedup_hash",
+    oracle="""
+    SELECT doc_id, sha256(text) AS content_sha,
+           CAST(ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1 AS BOOLEAN) AS is_canonical
+    FROM documents
+    """,
+    tags=("dedup",),
+)
+def q_dedup_hash(spark, sf_dir):
+    """Content-addressed dedup marking: sha-256 per document + canonical
+    flag (first doc_id wins). The keep-list variant of q_dedup_exact —
+    the shape used when you must preserve all rows but tag survivors."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    sha = F.sha2(F.col("text"), 256)
+    w = W.partitionBy(sha).orderBy("doc_id")
+    return d.select(
+        "doc_id",
+        sha.alias("content_sha"),
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )
+
+
+_MH_DUCK_COLS = " , ".join(
+    f"list_aggregate(list_transform(toks, x -> {_mh_duck(i)}), 'min') AS m{i}"
+    for i in range(MINHASH_K)
+)
+
+
+@query(
+    "q_dedup_minhash",
+    oracle=f"""
+    SELECT doc_id, {', '.join(f'm{i}' for i in range(MINHASH_K))}
+    FROM (
+        SELECT doc_id, {_MH_DUCK_COLS}
+        FROM (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+              FROM documents)
+    )
+    """,
+    tags=("dedup", "minhash"),
+)
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash signatures (K=8) over distinct token sets — the sketch
+    whose collision probability estimates Jaccard similarity. Pure
+    expression map; signatures are md5-derived and engine-portable."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_signature(d.select("doc_id", "text")).drop("text")
+
+
+_BAND_KEYS_SPARK = [
+    f"md5(concat_ws('_', m{2 * b}, m{2 * b + 1}))" for b in range(MINHASH_BANDS)
+]
+_BAND_KEYS_DUCK = [
+    f"md5(CAST(m{2 * b} AS VARCHAR) || '_' || CAST(m{2 * b + 1} AS VARCHAR))"
+    for b in range(MINHASH_BANDS)
+]
+
+
+@query(
+    "q_dedup_minhash_pairs",
+    oracle=f"""
+    WITH sigs AS (
+        SELECT doc_id, toks, {_MH_DUCK_COLS}
+        FROM (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+              FROM documents)
+    ), banded AS (
+        SELECT doc_id, toks, unnest([{', '.join(_BAND_KEYS_DUCK)}]) AS band_key
+        FROM sigs
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.toks AS toks_a, b.toks AS toks_b
+        FROM banded a JOIN banded b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(LEN(list_intersect(toks_a, toks_b)) AS DOUBLE)
+                 / LEN(list_distinct(toks_a || toks_b)), 4) AS jaccard
+    FROM cand
+    WHERE CAST(LEN(list_intersect(toks_a, toks_b)) AS DOUBLE)
+          / LEN(list_distinct(toks_a || toks_b)) >= 0.4
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def q_dedup_minhash_pairs(spark, sf_dir):
+    """Full MinHash-LSH near-dup pipeline: signature → band keys →
+    candidate pairs via EQUALITY join on band key (the LSH trick: only
+    docs agreeing on a whole band ever meet) → exact token-set Jaccard
+    on candidates → threshold. No cross join anywhere; at 100 TB the
+    band-key join is an ordinary shuffle join whose fan-in is bounded
+    by collision rate, and AQE handles hot buckets."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signature(d).withColumn(
+        "toks", F.expr("array_distinct(split(lower(text), ' '))")
+    )
+    banded = sigs.select(
+        "doc_id",
+        "toks",
+        F.explode(F.array(*[F.expr(k) for k in _BAND_KEYS_SPARK])).alias("band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.toks").alias("toks_a"),
+            F.col("b.toks").alias("toks_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
+        F.array_distinct(F.concat("toks_a", "toks_b"))
+    )
+    return cand.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")).filter(jac >= 0.4)
+
+
+_SIMHASH_BITS = 32
+_SIMHASH_SPARK = " + ".join(
+    f"cast(aggregate(toks, 0L, (acc, x) -> acc + CASE WHEN ({_mh_spark(0)} >> {j}) % 2 = 1 THEN 1 ELSE -1 END) >= 0 as long) * {1 << j}L"
+    for j in range(_SIMHASH_BITS)
+)
+_SIMHASH_DUCK = " + ".join(
+    f"CAST(list_sum(list_transform(toks, x -> CASE WHEN ({_mh_duck(0)} >> {j}) % 2 = 1 THEN 1 ELSE -1 END)) >= 0 AS BIGINT) * {1 << j}"
+    for j in range(_SIMHASH_BITS)
+)
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=f"""
+    SELECT doc_id, {_SIMHASH_DUCK} AS simhash
+    FROM (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+          FROM documents)
+    """,
+    tags=("dedup", "simhash"),
+)
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash (32-bit): per-bit majority vote over token hashes — docs
+    with small Hamming distance share most tokens. Near-dup lookup at
+    scale buckets on signature segments (same LSH equality-join shape
+    as q_dedup_minhash_pairs). Narrow map, engine-portable bit math."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.expr("array_distinct(split(lower(text), ' '))").alias("toks")
+    ).select("doc_id", F.expr(_SIMHASH_SPARK).alias("simhash"))
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id, source, LENGTH(text) // 100 AS len_band,
+               list_distinct(list_transform(range(1, LENGTH(text) - 1),
+                                            i -> substr(text, CAST(i AS INT), 3))) AS g3
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(LEN(list_intersect(a.g3, b.g3)) AS DOUBLE)
+                 / LEN(list_distinct(a.g3 || b.g3)), 4) AS jaccard3
+    FROM grams a JOIN grams b
+      ON a.source = b.source AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+    WHERE CAST(LEN(list_intersect(a.g3, b.g3)) AS DOUBLE)
+          / LEN(list_distinct(a.g3 || b.g3)) >= 0.55
+    """,
+    tags=("dedup", "ngram"),
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Character-3-gram Jaccard near-dup with blocking: candidate pairs
+    only within (source, length-band) blocks — an equality self-join,
+    never a global cross product. The block key bounds each block's
+    pair count; at scale you'd tighten bands or add a second key."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        "source",
+        (F.length("text") / F.lit(100)).cast("long").alias("len_band"),
+        F.expr(
+            "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))"
+        ).alias("g3"),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.len_band") == F.col("b.len_band"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    jac = F.size(F.array_intersect("a.g3", "b.g3")).cast("double") / F.size(
+        F.array_distinct(F.concat("a.g3", "b.g3"))
+    )
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(jac, 4).alias("jaccard3"),
+    ).filter(jac >= 0.55)

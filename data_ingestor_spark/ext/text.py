@@ -1,0 +1,188 @@
+"""Text analysis over the ``documents`` table: statistics, quality
+scoring, language ID (marker-word heuristic), token counting
+(whitespace + BPE-ish regex), document fingerprinting.
+
+All pure built-in expressions (split/transform/filter/aggregate — JVM
+whole-stage codegen, no Python). Each query has an exact DuckDB oracle
+twin built from the same formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestor_spark.plans.registry import load_table, query
+
+#: Marker stopwords per language for the heuristic language classifier.
+#: Deterministic argmax with fixed priority order for ties.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "los", "que", "y", "es"),
+    "fr": ("le", "la", "et", "les", "est"),
+}
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT doc_id, lang, source,
+           LENGTH(text) AS n_chars_actual,
+           LEN(string_split(text, ' ')) AS n_tokens,
+           LEN(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+           ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                 / LEN(string_split(text, ' ')), 4) AS mean_token_len
+    FROM documents
+    """,
+    tags=("text",),
+)
+def q_text_stats(spark, sf_dir):
+    """Per-document statistics: char count, token count, distinct-token
+    count, mean token length. Narrow map — no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars_actual"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / F.size(toks), 4
+        ).alias("mean_token_len"),
+    )
+
+
+_LANGID_SCORES_SQL = " , ".join(
+    f"LEN(list_filter(string_split(text, ' '), x -> x IN ({_sql_list(ws)}))) AS score_{lang}"
+    for lang, ws in LANG_MARKERS.items()
+)
+
+_LANGID_ARGMAX_SQL = """
+    CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr
+              AND score_en > 0 THEN 'en'
+         WHEN score_de >= score_es AND score_de >= score_fr AND score_de > 0 THEN 'de'
+         WHEN score_es >= score_fr AND score_es > 0 THEN 'es'
+         WHEN score_fr > 0 THEN 'fr'
+         ELSE 'unknown' END
+"""
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+    SELECT doc_id, score_en, score_de, score_es, score_fr,
+           {_LANGID_ARGMAX_SQL} AS lang_pred
+    FROM (SELECT doc_id, {_LANGID_SCORES_SQL} FROM documents)
+    """,
+    tags=("text", "langid"),
+)
+def q_text_langid(spark, sf_dir):
+    """Heuristic language ID: marker-stopword hit counts per language,
+    deterministic priority argmax. A real deployment swaps the marker
+    lists for n-gram profiles — the operator shape (token-set scoring,
+    argmax) is identical and stays fully JVM-side."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"size(filter(split(text, ' '), x -> x IN ({_sql_list(ws)})))"
+            ).alias(f"score_{lang}")
+            for lang, ws in LANG_MARKERS.items()
+        ],
+    )
+    return scored.withColumn("lang_pred", F.expr(_LANGID_ARGMAX_SQL))
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+    SELECT doc_id,
+           LEN(string_split(text, ' ')) AS n_tokens,
+           ROUND(CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / LEN(string_split(text, ' ')), 4) AS lexical_diversity,
+           ROUND(CAST(LEN(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'a', 'of', 'and', 'to', 'is', 'in'))) AS DOUBLE)
+                 / LEN(string_split(text, ' ')), 4) AS stopword_ratio,
+           CASE WHEN LEN(string_split(text, ' ')) BETWEEN 20 AND 10000
+                     AND CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                         / LEN(string_split(text, ' ')) > 0.2
+                THEN TRUE ELSE FALSE END AS passes_quality
+    FROM documents
+    """,
+    tags=("text", "quality"),
+)
+def q_text_quality(spark, sf_dir):
+    """Quality scoring for training-data filtering: token count, lexical
+    diversity (type/token ratio), stopword ratio, and a pass/fail gate —
+    the standard cheap pre-filters before expensive dedup/embedding."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    stop = F.expr("size(filter(split(text, ' '), x -> x IN ('the','a','of','and','to','is','in')))")
+    diversity = n_uniq.cast("double") / n_tok
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(diversity, 4).alias("lexical_diversity"),
+        F.round(stop.cast("double") / n_tok, 4).alias("stopword_ratio"),
+        ((n_tok.between(20, 10000)) & (diversity > 0.2)).alias("passes_quality"),
+    )
+
+
+@query(
+    "q_text_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           LEN(string_split(text, ' ')) AS n_ws_tokens,
+           LEN(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+           CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_chars_div4
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def q_text_tokens(spark, sf_dir):
+    """Token counting three ways: whitespace split, a BPE-ish regex
+    segmentation (letters / digits / single other), and the chars/4
+    rule-of-thumb — the standard estimators for LLM token budgeting."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("([a-z]+|[0-9]+|[^a-z0-9 ])"), 1)).alias(
+            "n_bpe_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_chars_div4"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+               AS fingerprint,
+           substr(md5(text), 1, 16) AS exact_fp
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: an order-insensitive bag-of-words
+    fingerprint (md5 of the sorted distinct token list — robust to
+    shuffled word order) + a truncated exact-content fingerprint."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), " "))), " ")
+        ).alias("fingerprint"),
+        F.substring(F.md5("text"), 1, 16).alias("exact_fp"),
+    )

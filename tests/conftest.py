@@ -1,0 +1,18 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from data_ingestor_spark.session import EngineConfig, get_session
+
+    s = get_session(EngineConfig(app_name="tests", master="local[4]", shuffle_partitions=8))
+    yield s
+    s.stop()

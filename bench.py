@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract, BASELINE.md).
+
+Times the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a ``noop``-format write so the full physical
+plan executes (scan → shuffle → agg/join/window) without driver-side
+collect costs skewing the numbers. The headline set spans every physical
+pattern the engine exercises: columnar scan+agg, shuffle join, broadcast
+join, window, time-bucketed agg, explode, top-k, MinHash dedup, and
+vector top-k similarity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_agg_basic",        # TPC-H Q1-shaped scan + grouped agg (flagship)
+    "q_join_inner",       # orders ⋈ lineitem shuffle join + agg
+    "q_join_broadcast",   # dim broadcast join
+    "q_agg_rollup",       # multi-level agg
+    "q_window_rank",      # partitioned window ranking
+    "q_window_tumbling",  # time-bucketed agg over events
+    "q_topk_per_group",   # rank + filter top-k
+    "q_explode",          # lateral view / unnest
+    "q_dedup_minhash",    # MinHash near-dup over documents
+    "q_sim_topk",         # brute-force cosine top-k over embeddings
+    "q_text_stats",       # text quality/statistics scan
+    "q_scalar_json",      # JSON extraction over events
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("data-ingestor-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from data_ingestor_spark.plans import queries as q
+
+    # JVM/session warmup so the first timed query doesn't pay JIT + codegen
+    # bootstrap costs that a long-lived cluster session never sees.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = q.REGISTRY.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -96,16 +96,12 @@ def columns_from_excel(path: str, sheet: str = "Sheet1", line: int = 3) -> list[
     reference also accepts a ``rangeSpec`` argument that is dead code
     (``dbtransposer-schema.go:180-187`` uses only ``line``) — not ported.
     """
-    import openpyxl
+    from data_ingestor_spark.xlsx import read_rows
 
-    wb = openpyxl.load_workbook(path, read_only=True, data_only=True)
-    try:
-        ws = wb[sheet]
-        for row in ws.iter_rows(min_row=line, max_row=line, values_only=True):
-            return [str(c).strip() for c in row if c is not None and str(c).strip()]
+    grid = read_rows(path, sheet)
+    if line > len(grid):
         return []
-    finally:
-        wb.close()
+    return [str(c).strip() for c in grid[line - 1] if c is not None and str(c).strip()]
 
 
 def column_mapping_from_json(path: str) -> dict[str, str]:

@@ -1,0 +1,203 @@
+"""Sinks: exports, atomic JDBC publish, input archival.
+
+Reference parity map:
+
+- :func:`export_csv` ← ``ExportToCSV`` (``fileloader/fileloader-schema.go:
+  527-573``): header from the record keys, missing values → ``""``. The
+  reference's header order is Go-map iteration order (nondeterministic,
+  ``:543-547``); here it is the DataFrame's canonical column order
+  (SURVEY §2.3(b) — strictly better, same data).
+- :func:`export_excel` ← ``ExportToExcel`` (``fileloader-schema.go:
+  576-606``): Sheet1 cell grid. Driver-side openpyxl — exports in the
+  reference are whole-file materializations already, and Excel is not a
+  distributed format.
+- :func:`export_json` ← ``ExportToJSON`` (``fileloader-schema.go:
+  513-525``): a single JSON array of record objects. Distributed JSONL is
+  the scale path; ``array=True`` reproduces the reference's single-array
+  file shape.
+- :func:`publish_jdbc_atomic` ← O12 multi-row INSERT sink
+  (``dbtransposer/dbtransposer-schema.go:22-103``) + O15 all-or-nothing
+  cross-worker commit (``dbtransposer/dbtransposer.go:290-364``). Spark
+  has no cross-partition transaction to JDBC, so the same atomicity is
+  achieved with the staging pattern: parallel ``df.write.jdbc`` into a
+  fresh staging table (any task failure fails the job before publish),
+  then one driver-side transaction ``INSERT INTO target SELECT … ;
+  DROP staging`` — the target table never sees a partial load.
+- :func:`archive_input` ← ``MoveInputFile`` (``fileloader/fileloader.go:
+  263-328``): create destination dir on demand, copy, delete source.
+
+Identifier safety: the reference interpolates table names raw into SQL
+(``dbtransposer-schema.go:43-47``, SURVEY §2.3(g)); here every identifier
+is validated against ``_IDENT_RE`` before it may appear in SQL text.
+
+Scale notes: CSV/JSON exports are distributed writers (one file per
+partition, Spark's output-commit protocol makes the directory write
+atomic); ``single_file=True`` coalesces to one partition — a driver-
+bottleneck convenience for small extracts only, never the 100 TB path.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_$.]*$")
+
+
+def _check_ident(name: str) -> str:
+    """Reject SQL identifiers that would require quoting/escaping (§2.3(g))."""
+    if not _IDENT_RE.match(name):
+        raise ValueError(f"unsafe SQL identifier: {name!r}")
+    return name
+
+
+def _stringify(df: DataFrame) -> DataFrame:
+    """Reference CSV/Excel semantics: every value ``%v``-stringified and
+    missing values rendered ``""`` (``fileloader-schema.go:556-563``)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[F.coalesce(F.col(c).cast("string"), F.lit("")).alias(c) for c in df.columns]
+    )
+
+
+def _collapse_single_file(out_dir: str, ext: str) -> None:
+    """Promote the lone part file of a coalesced write to ``out_dir`` itself."""
+    parts = sorted(glob.glob(os.path.join(out_dir, f"part-*{ext}")) or glob.glob(os.path.join(out_dir, "part-*")))
+    if len(parts) != 1:
+        raise RuntimeError(f"expected exactly one part file in {out_dir}, found {len(parts)}")
+    tmp = out_dir + ".__file__"
+    shutil.move(parts[0], tmp)
+    shutil.rmtree(out_dir)
+    shutil.move(tmp, out_dir)
+
+
+def export_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """CSV export with header (O16). ``single_file=True`` reproduces the
+    reference's one-file output (small extracts only)."""
+    out = _stringify(df)
+    writer = (out.coalesce(1) if single_file else out).write.option("header", "true").mode("overwrite")
+    writer.csv(path)
+    if single_file:
+        _collapse_single_file(path, ".csv")
+
+
+def export_json(df: DataFrame, path: str, array: bool = False) -> None:
+    """JSON export (O18). Default: distributed JSONL (the scale path).
+    ``array=True``: single file containing one JSON array of objects —
+    byte-shape parity with the reference (``fileloader-schema.go:519-522``)."""
+    if not array:
+        df.write.mode("overwrite").json(path)
+        return
+    import json
+
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(rows, f, indent=2, default=str)
+
+
+def export_excel(df: DataFrame, path: str, sheet: str = "Sheet1") -> None:
+    """Excel export (O17): header row + stringified cell grid on ``sheet``.
+
+    Driver-side materialization — mirrors the reference, which holds the
+    full record slice in memory for this export (``fileloader-schema.go:
+    200-229``). Guard large frames with a LIMIT before calling.
+    """
+    from data_ingestor_spark.xlsx import write_sheet
+
+    out = _stringify(df)
+    grid: list[list[object]] = [list(out.columns)]
+    for row in out.toLocalIterator():
+        grid.append(list(row))
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    write_sheet(path, grid, sheet=sheet)
+
+
+def build_insert_select(staging: str, target: str, columns: list[str]) -> list[str]:
+    """The atomic-publish transaction body (O15 semantics, staged).
+
+    Returned statements are executed in ONE driver-side transaction so
+    the target table flips from zero staged rows visible to all of them:
+    all-or-nothing, like the reference's commit-every/rollback-every
+    reduce (``dbtransposer.go:290-364``) but without its partial-insert
+    hazards (SURVEY §2.3(c)).
+    """
+    cols = ", ".join(f'"{_check_ident(c)}"' for c in columns)
+    return [
+        f'INSERT INTO "{_check_ident(target)}" ({cols}) SELECT {cols} FROM "{_check_ident(staging)}"',
+        f'DROP TABLE "{_check_ident(staging)}"',
+    ]
+
+
+def publish_jdbc_atomic(
+    df: DataFrame,
+    url: str,
+    target_table: str,
+    user: str | None = None,
+    password: str | None = None,
+    driver: str = "org.postgresql.Driver",
+    staging_table: str | None = None,
+    batchsize: int = 1000,
+    num_partitions: int | None = None,
+    connect=None,
+) -> int:
+    """Load ``df`` into ``target_table`` with all-or-nothing visibility.
+
+    Phase 1 (parallel): ``df.write.jdbc`` into a fresh staging table —
+    one connection per partition, multi-row batches of ``batchsize``
+    (the reference's live path sends 1 row per INSERT,
+    ``dbtransposer-schema.go:119-142``; batched writes are strictly
+    better). Any task failure aborts the job with the target untouched.
+
+    Phase 2 (driver, one transaction): ``INSERT INTO target SELECT``
+    + ``DROP`` staging — the O15 atomic publish.
+
+    ``connect`` is a zero-arg callable returning a DBAPI connection for
+    phase 2 (e.g. ``psycopg2.connect`` partial); required because the
+    JVM JDBC writer cannot span a cross-statement transaction. Returns
+    the published row count.
+    """
+    staging = staging_table or f"{target_table}__staging"
+    _check_ident(target_table)
+    _check_ident(staging)
+    if connect is None:
+        raise ValueError("publish_jdbc_atomic requires `connect` for the atomic publish phase")
+
+    writer = df if num_partitions is None else df.repartition(num_partitions)
+    props = {"driver": driver, "batchsize": str(batchsize)}
+    if user is not None:
+        props["user"] = user
+    if password is not None:
+        props["password"] = password
+    writer.write.mode("overwrite").jdbc(url, staging, properties=props)
+
+    n = df.sparkSession.read.jdbc(url, staging, properties=props).count()
+    conn = connect()
+    try:
+        cur = conn.cursor()
+        for stmt in build_insert_select(staging, target_table, df.columns):
+            cur.execute(stmt)
+        conn.commit()
+    except Exception:
+        conn.rollback()
+        raise
+    finally:
+        conn.close()
+    return n
+
+
+def archive_input(input_path: str, destination_dir: str) -> str:
+    """Copy the input file into ``destination_dir`` (created on demand),
+    then delete the source (O19, ``fileloader.go:263-328``). Returns the
+    archived path. For streaming ingest the same behavior comes from the
+    file source's ``cleanSource=archive`` option (see ``streaming``)."""
+    os.makedirs(destination_dir, exist_ok=True)
+    dest = os.path.join(destination_dir, os.path.basename(input_path))
+    shutil.copy2(input_path, dest)
+    os.remove(input_path)
+    return dest

@@ -1,0 +1,93 @@
+"""Structured-Streaming file ingest (reference O14 + O19).
+
+The reference's streaming pipeline is a hand-rolled channel/worker-pool
+micro-batcher: parser goroutine → bounded record channel → N workers →
+collector (``mapreduce/mapreduce.go:54-105``), with the input file
+archived after the job (``fileloader/fileloader.go:263-328``). The
+Spark-native shape is the Structured Streaming file source:
+
+- discovery + backpressure: ``maxFilesPerTrigger`` bounds each micro-
+  batch (the channel-capacity analogue, ``main.go:57``);
+- exactly-once: the checkpoint WAL replaces the reference's all-or-
+  nothing cross-worker transaction reduce (``dbtransposer.go:290-364``)
+  — a failed batch replays, a committed batch never doubles;
+- archival: ``cleanSource=archive`` + ``sourceArchiveDir`` moves fully-
+  processed inputs, the O19 parity without driver file juggling.
+
+Flatten/projection semantics are the SAME functions the batch path uses
+(``operators.flatten``) — one logical plan, two execution modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_ingestor_spark.operators.flatten import flatten_nested
+
+
+def stream_json_records(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    records_key: str = "Records",
+    max_files_per_trigger: int = 10,
+    archive_dir: str | None = None,
+) -> DataFrame:
+    """Streaming twin of ``sources.read_json_records``: watch ``input_dir``
+    for JSON documents, explode the ``records_key`` array, one row per
+    record. Returns a streaming DataFrame (pre-flatten)."""
+    doc_schema = T.StructType([T.StructField(records_key, T.ArrayType(schema), True)])
+    reader = (
+        spark.readStream.schema(doc_schema)
+        .option("multiLine", "true")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+    )
+    if archive_dir is not None:
+        reader = reader.option("cleanSource", "archive").option("sourceArchiveDir", archive_dir)
+    doc = reader.json(input_dir)
+    return doc.select(F.explode(F.col(records_key)).alias("_rec")).select("_rec.*")
+
+
+def stream_load(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    array_col: str = "fnumbers",
+    columns: list[str] | None = None,
+    records_key: str = "Records",
+    archive_dir: str | None = None,
+) -> DataFrame:
+    """Full streaming ingest plan: scan → flatten → whitelist-project —
+    the reference's live path (O3+O7+O9) under Structured Streaming."""
+    raw = stream_json_records(spark, input_dir, schema, records_key=records_key, archive_dir=archive_dir)
+    return flatten_nested(raw, array_col, columns)
+
+
+def write_stream_batches(
+    df: DataFrame,
+    checkpoint_dir: str,
+    batch_fn,
+    trigger_available_now: bool = True,
+    output_mode: str | None = None,
+):
+    """Run a streaming plan through ``foreachBatch`` with exactly-once
+    checkpointing. ``batch_fn(batch_df, batch_id)`` is the sink body —
+    e.g. ``sinks.publish_jdbc_atomic`` per micro-batch, giving the
+    reference's all-or-nothing semantics at micro-batch granularity.
+
+    ``trigger_available_now=True`` drains everything currently in the
+    source then stops — the batch-job parity mode (and what tests use).
+
+    ``output_mode``: for watermarked aggregations note that ``append``
+    (the default) only emits windows the watermark has closed — windows
+    newer than (max event time − watermark) stay in state at stream end;
+    pass ``"update"`` when the sink upserts and must see them.
+    """
+    writer = df.writeStream.option("checkpointLocation", checkpoint_dir).foreachBatch(batch_fn)
+    if output_mode is not None:
+        writer = writer.outputMode(output_mode)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

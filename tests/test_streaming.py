@@ -1,0 +1,151 @@
+"""Structured-Streaming parity tests (reference O14/O19 + SURVEY §2.2 streaming rows)."""
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from data_ingestor_spark.schemas import MIST_NESTED_SCHEMA, TEMPLATE_COLUMNS
+from data_ingestor_spark.streaming import (
+    session_windowed_counts,
+    stateful_dedup,
+    stream_load,
+    tumbling_counts,
+    write_stream_batches,
+)
+
+from conftest import FIXTURES, SF_DIR
+
+
+def _drain(query):
+    query.awaitTermination(120)
+    assert not query.isActive
+
+
+def test_stream_ingest_flatten_counts(spark, tmp_path):
+    """File-source streaming ingest runs the SAME scan→flatten→project plan
+    as batch and yields the same 17 rows (O14 parity)."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    shutil.copy(os.path.join(FIXTURES, "ingest-records.json"), in_dir / "batch0.json")
+
+    flat = stream_load(spark, str(in_dir), MIST_NESTED_SCHEMA, columns=TEMPLATE_COLUMNS)
+    assert flat.isStreaming
+    seen = []
+    q = write_stream_batches(
+        flat, str(tmp_path / "ckpt"), lambda df, bid: seen.append(df.collect())
+    )
+    _drain(q)
+    rows = [r for batch in seen for r in batch]
+    assert len(rows) == 17
+    assert rows[0].__fields__ == TEMPLATE_COLUMNS
+
+
+def test_stream_archival(spark, tmp_path):
+    """cleanSource=archive moves fully-processed inputs (O19 parity)."""
+    in_dir = tmp_path / "in"
+    arch = tmp_path / "archived"
+    in_dir.mkdir()
+    shutil.copy(os.path.join(FIXTURES, "ingest-records.json"), in_dir / "batch0.json")
+
+    flat = stream_load(
+        spark, str(in_dir), MIST_NESTED_SCHEMA, columns=TEMPLATE_COLUMNS, archive_dir=str(arch)
+    )
+    q = write_stream_batches(flat, str(tmp_path / "ckpt"), lambda df, bid: df.count())
+    _drain(q)
+    # Archival is best-effort/asynchronous per the Spark docs: the file must
+    # end up in exactly one of {source dir, archive dir}, never both/neither.
+    in_files = list(in_dir.glob("*.json"))
+    arch_files = list(arch.rglob("*.json"))
+    assert len(in_files) + len(arch_files) == 1
+
+
+def test_exactly_once_checkpoint_no_redelivery(spark, tmp_path):
+    """Restarting from the same checkpoint must not re-emit processed files."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    shutil.copy(os.path.join(FIXTURES, "ingest-records.json"), in_dir / "a.json")
+
+    counts = []
+    flat = stream_load(spark, str(in_dir), MIST_NESTED_SCHEMA, columns=TEMPLATE_COLUMNS)
+    _drain(write_stream_batches(flat, ckpt, lambda df, bid: counts.append(df.count())))
+    assert sum(counts) == 17
+
+    # second run, same checkpoint, no new files → zero new rows
+    counts2 = []
+    flat2 = stream_load(spark, str(in_dir), MIST_NESTED_SCHEMA, columns=TEMPLATE_COLUMNS)
+    _drain(write_stream_batches(flat2, ckpt, lambda df, bid: counts2.append(df.count())))
+    assert sum(counts2) == 0
+
+
+def test_tumbling_counts_batch_streaming_equivalence(spark, tmp_path):
+    """The windowed-agg plan is mode-agnostic: batch and streaming runs over
+    the same events produce identical window counts."""
+    from data_ingestor_spark.plans.registry import load_table
+
+    events = load_table(spark, SF_DIR, "events").limit(2000).cache()
+    batch_out = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in tumbling_counts(events, watermark="1 day").collect()
+    }
+
+    stream_dir = tmp_path / "stream_in"
+    events.coalesce(1).write.parquet(str(stream_dir))
+    s_events = spark.readStream.schema(events.schema).parquet(str(stream_dir))
+    got = []
+    # update mode: append would hold back windows the watermark hasn't
+    # closed by stream end; update emits every changed window per batch —
+    # the dict keeps the latest (final) count per window.
+    q = write_stream_batches(
+        tumbling_counts(s_events, watermark="1 day"),
+        str(tmp_path / "ckpt"),
+        lambda df, bid: got.extend(df.collect()),
+        trigger_available_now=True,
+        output_mode="update",
+    )
+    _drain(q)
+    stream_out = {(r["window_start"], r["event_type"]): r["n_events"] for r in got}
+    assert stream_out == batch_out
+
+
+def test_session_window_batch(spark):
+    from data_ingestor_spark.plans.registry import load_table
+
+    events = load_table(spark, SF_DIR, "events").limit(500)
+    out = session_windowed_counts(events, gap="5 minutes").collect()
+    assert len(out) > 0
+    assert all(r["session_end"] > r["session_start"] for r in out)
+    assert sum(r["n_events"] for r in out) == 500
+
+
+def test_stateful_dedup_streaming(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per key on a stream with
+    duplicated input files (stateful dedup, SURVEY §2.2)."""
+    from data_ingestor_spark.plans.registry import load_table
+
+    events = load_table(spark, SF_DIR, "events").limit(300).cache()
+    stream_dir = tmp_path / "in"
+    # the same 300 events written twice → pure duplicates across files
+    events.coalesce(1).write.mode("overwrite").parquet(str(stream_dir / "f1"))
+    events.coalesce(1).write.mode("overwrite").parquet(str(stream_dir / "f2"))
+    s = spark.readStream.schema(events.schema).option("maxFilesPerTrigger", "1").parquet(
+        str(stream_dir) + "/*"
+    )
+    got = []
+    q = write_stream_batches(
+        stateful_dedup(s, ["event_id"], watermark="10 days"),
+        str(tmp_path / "ckpt"),
+        lambda df, bid: got.extend(df.collect()),
+    )
+    _drain(q)
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == len(set(ids)) == events.select("event_id").distinct().count()
+
+
+def test_stateful_dedup_batch_fallback(spark):
+    from data_ingestor_spark.plans.registry import load_table
+
+    events = load_table(spark, SF_DIR, "events").limit(100)
+    doubled = events.unionAll(events)
+    assert stateful_dedup(doubled, ["event_id"]).count() == events.select("event_id").distinct().count()

@@ -29,9 +29,18 @@ from pyspark.sql import DataFrame, functions as F
 from data_ingestor_spark.plans.registry import load_table, query
 
 #: number of minhash functions (signature length)
-MINHASH_K = 8
-#: LSH bands (rows per band = MINHASH_K // MINHASH_BANDS)
-MINHASH_BANDS = 4
+MINHASH_K = 16
+#: LSH bands (rows per band r = MINHASH_K // MINHASH_BANDS = 8).
+#: Banding math: P(candidate | Jaccard=J) = 1 - (1 - J^r)^b. With b=2, r=8
+#: the s-curve midpoint (1/b)^(1/r) ≈ 0.917 — tuned for high-similarity
+#: near-dup detection (J ≥ 0.9). On this corpus (mean pairwise J ≈ 0.62 —
+#: template-generated text) looser bands (b=4, r=2) admit >80% of ALL
+#: pairs as candidates, degenerating to O(n²); r=8 keeps the candidate
+#: set ~4% of pairs while retaining ~70-90% recall at J ≥ 0.9.
+MINHASH_BANDS = 2
+_MINHASH_R = MINHASH_K // MINHASH_BANDS
+#: verified-pair emission threshold (exact Jaccard on candidates)
+NEARDUP_THRESHOLD = 0.9
 
 
 def _mh_spark(k: int, token_expr: str = "x") -> str:
@@ -46,12 +55,14 @@ def _mh_duck(k: int, token_expr: str = "x") -> str:
 
 def minhash_signature(df: DataFrame, text_col: str = "text", k: int = MINHASH_K) -> DataFrame:
     """Append m0..m{k-1} minhash columns over the distinct lowercase
-    token set of ``text_col``. Narrow map, no shuffle, no Python."""
-    toks = f"array_distinct(split(lower({text_col}), ' '))"
-    return df.select(
-        "*",
+    token set of ``text_col``. Narrow map, no shuffle, no Python; the
+    token set is materialized once per row (not per hash function)."""
+    base = [c for c in df.columns]
+    with_toks = df.withColumn("_toks", F.expr(f"array_distinct(split(lower({text_col}), ' '))"))
+    return with_toks.select(
+        *base,
         *[
-            F.expr(f"array_min(transform({toks}, x -> {_mh_spark(i)}))").alias(f"m{i}")
+            F.expr(f"array_min(transform(_toks, x -> {_mh_spark(i)}))").alias(f"m{i}")
             for i in range(k)
         ],
     )
@@ -118,18 +129,22 @@ _MH_DUCK_COLS = " , ".join(
     tags=("dedup", "minhash"),
 )
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash signatures (K=8) over distinct token sets — the sketch
+    """MinHash signatures (K=16) over distinct token sets — the sketch
     whose collision probability estimates Jaccard similarity. Pure
-    expression map; signatures are md5-derived and engine-portable."""
-    d = load_table(spark, sf_dir, "documents")
-    return minhash_signature(d.select("doc_id", "text")).drop("text")
+    expression map; signatures are md5-derived and engine-portable.
+    Repartitioned first: the map is CPU-bound (K md5s per token) and a
+    single-file scan would otherwise pin it to one core."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    return minhash_signature(d).drop("text")
 
 
 _BAND_KEYS_SPARK = [
-    f"md5(concat_ws('_', m{2 * b}, m{2 * b + 1}))" for b in range(MINHASH_BANDS)
+    "md5(concat_ws('_', " + ", ".join(f"m{b * _MINHASH_R + i}" for i in range(_MINHASH_R)) + "))"
+    for b in range(MINHASH_BANDS)
 ]
 _BAND_KEYS_DUCK = [
-    f"md5(CAST(m{2 * b} AS VARCHAR) || '_' || CAST(m{2 * b + 1} AS VARCHAR))"
+    "md5(" + " || '_' || ".join(f"CAST(m{b * _MINHASH_R + i} AS VARCHAR)" for i in range(_MINHASH_R)) + ")"
     for b in range(MINHASH_BANDS)
 ]
 
@@ -155,7 +170,7 @@ _BAND_KEYS_DUCK = [
                  / LEN(list_distinct(toks_a || toks_b)), 4) AS jaccard
     FROM cand
     WHERE CAST(LEN(list_intersect(toks_a, toks_b)) AS DOUBLE)
-          / LEN(list_distinct(toks_a || toks_b)) >= 0.4
+          / LEN(list_distinct(toks_a || toks_b)) >= {NEARDUP_THRESHOLD}
     """,
     tags=("dedup", "minhash", "lsh"),
 )
@@ -165,8 +180,14 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     docs agreeing on a whole band ever meet) → exact token-set Jaccard
     on candidates → threshold. No cross join anywhere; at 100 TB the
     band-key join is an ordinary shuffle join whose fan-in is bounded
-    by collision rate, and AQE handles hot buckets."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    by the banding s-curve (see MINHASH_BANDS), and AQE handles hot
+    buckets. The input is repartitioned before the hash map: a small
+    single-file scan otherwise runs K·|tokens| md5s on ONE core."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     sigs = minhash_signature(d).withColumn(
         "toks", F.expr("array_distinct(split(lower(text), ' '))")
     )
@@ -190,7 +211,9 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     jac = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
         F.array_distinct(F.concat("toks_a", "toks_b"))
     )
-    return cand.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")).filter(jac >= 0.4)
+    return cand.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")).filter(
+        jac >= NEARDUP_THRESHOLD
+    )
 
 
 _SIMHASH_BITS = 32
@@ -247,8 +270,13 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     """Character-3-gram Jaccard near-dup with blocking: candidate pairs
     only within (source, length-band) blocks — an equality self-join,
     never a global cross product. The block key bounds each block's
-    pair count; at scale you'd tighten bands or add a second key."""
-    d = load_table(spark, sf_dir, "documents")
+    pair count; at scale you'd tighten bands or add a second key.
+    Repartitioned before the gram build (CPU-heavy narrow map: ~L
+    substrings + a distinct per row) so it spreads across cores instead
+    of following the single-file scan's one partition."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     grams = d.select(
         "doc_id",
         "source",

@@ -91,18 +91,42 @@ def q_dedup_embed_cosine(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs with label blocking: the
     self-join is an EQUALITY join on the blocking key (label / cluster
     id), so pair count is bounded per block — the IVF-style shape for
-    embedding dedup at scale (never an unblocked O(n²) cross join)."""
+    embedding dedup at scale (never an unblocked O(n²) cross join).
+    The block key has only ~10 distinct labels — far fewer than cores —
+    so the join is salted (operators.pairs.salted_block_pairs): each
+    label's quadratic cosine work spreads over S²=64 reducers instead
+    of pinning one task per label."""
+    from data_ingestor_spark.operators.pairs import salted_block_pairs
+
     e = load_table(spark, sf_dir, "embeddings")
-    a, b = e.alias("a"), e.alias("b")
-    pairs = a.join(
-        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
-    ).select(
+    # Per-vector work (double cast + norm) happens ONCE per vector here,
+    # not once per pair: the pair stage then only computes the dot
+    # product — 3× less higher-order-function math on the O(n²) side.
+    prepped = e.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, v -> cast(v as double))").alias("emb_d"),
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, v: acc + v.cast("double") * v.cast("double"),
+            )
+        ).alias("norm"),
+    )
+    pairs = salted_block_pairs(prepped, ["label"], "vec_id", salt_buckets=8)
+    dot = F.aggregate(
+        F.zip_with(F.col("a.emb_d"), F.col("b.emb_d"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    out = pairs.select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
         F.col("a.label").alias("label"),
-        cosine("a.embedding", "b.embedding").alias("cos_sim"),
+        (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cos_sim"),
     )
-    return pairs.filter(F.col("cos_sim") >= 0.35)
+    return out.filter(F.col("cos_sim") >= 0.35)
 
 
 #: LSH hyperplane count → 2^P buckets. Sized so buckets hold enough

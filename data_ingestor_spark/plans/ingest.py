@@ -93,3 +93,32 @@ def q_ingest_flatten_agg(spark, sf_dir):
     return flat.groupBy("location").agg(
         F.count("*").alias("n_rows"), F.count("fnumber").alias("n_fnumbers")
     )
+
+
+@query("q_stream_ingest", oracle=_JSON_ORACLE, tags=("streaming", "ingest"))
+def q_stream_ingest(spark, sf_dir):
+    """Streaming twin of q_ingest_json (O14 parity): the SAME
+    scan→flatten→project plan executed by Structured Streaming — file
+    source, availableNow trigger, checkpointed foreachBatch — drained
+    into a temp parquet staging dir and returned as a batch DataFrame.
+    Same oracle as the batch path: streaming and batch must agree row
+    for row."""
+    import shutil
+    import tempfile
+
+    from data_ingestor_spark.streaming import stream_load, write_stream_batches
+
+    work = tempfile.mkdtemp(prefix="q_stream_ingest_")
+    in_dir = os.path.join(work, "in")
+    out_dir = os.path.join(work, "out")
+    os.makedirs(in_dir)
+    shutil.copy(_JSON_FIXTURE, os.path.join(in_dir, "batch0.json"))
+
+    flat = stream_load(spark, in_dir, MIST_NESTED_SCHEMA, columns=TEMPLATE_COLUMNS)
+    q = write_stream_batches(
+        flat,
+        os.path.join(work, "ckpt"),
+        lambda df, bid: df.write.mode("append").parquet(out_dir),
+    )
+    q.awaitTermination(120)
+    return spark.read.schema(flat.schema).parquet(out_dir)

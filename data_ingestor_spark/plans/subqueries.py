@@ -1,0 +1,297 @@
+"""Subquery, pivot, sampling, and multi-join benchmark queries.
+
+The reference has no SQL surface at all (SURVEY §2.1) — these are part
+of the engine's declared relational surface (§2.2): correlated and
+uncorrelated subqueries (EXISTS / IN / scalar), PIVOT / UNPIVOT
+reshaping, deterministic hash sampling, and two TPC-H-shaped multi-join
+aggregations that exercise Catalyst's join reordering + broadcast
+selection the way a 100 TB warehouse query would.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestor_spark.plans.registry import dec, dec_sum, load_table, query
+
+
+@query(
+    "q_subq_exists",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    tags=("subquery",),
+)
+def q_subq_exists(spark, sf_dir):
+    """Correlated EXISTS — decorrelated by Catalyst into a left-semi
+    join on the correlation key (no per-row re-execution)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("sq_customer")
+    o.createOrReplaceTempView("sq_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_nationkey
+        FROM sq_customer c
+        WHERE EXISTS (SELECT 1 FROM sq_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        """
+    )
+
+
+@query(
+    "q_subq_in",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey
+    FROM supplier
+    WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+    """,
+    tags=("subquery",),
+)
+def q_subq_in(spark, sf_dir):
+    """Uncorrelated IN subquery → broadcast semi join (the inner side is
+    a handful of nation keys; Catalyst broadcasts it)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    s.createOrReplaceTempView("sq_supplier")
+    n.createOrReplaceTempView("sq_nation")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, s_nationkey
+        FROM sq_supplier
+        WHERE s_nationkey IN (SELECT n_nationkey FROM sq_nation WHERE n_regionkey = 1)
+        """
+    )
+
+
+@query(
+    "q_subq_not_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("subquery",),
+)
+def q_subq_not_exists(spark, sf_dir):
+    """Correlated NOT EXISTS → left-anti join (customers with no orders)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("sq_customer2")
+    o.createOrReplaceTempView("sq_orders2")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM sq_customer2 c
+        WHERE NOT EXISTS (SELECT 1 FROM sq_orders2 o WHERE o.o_custkey = c.c_custkey)
+        """
+    )
+
+
+@query(
+    "q_subq_scalar",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS total_dec,
+           CAST((SELECT CAST(AVG(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,6))
+                 FROM orders o2) AS DOUBLE) AS global_avg
+    FROM orders
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+          (SELECT CAST(AVG(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,6)) * 2 FROM orders o2)
+    """,
+    tags=("subquery", "scalar"),
+)
+def q_subq_scalar(spark, sf_dir):
+    """Scalar subquery (global average) used in both projection and
+    filter — computed once and broadcast, not per-row. Decimal
+    discipline: AVG over exact decimals, truncated to a fixed scale so
+    Spark and DuckDB agree bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("sq_orders3")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS total_dec,
+               CAST((SELECT CAST(AVG(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,6))
+                     FROM sq_orders3 o2) AS DOUBLE) AS global_avg
+        FROM sq_orders3
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+              (SELECT CAST(AVG(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,6)) * 2
+               FROM sq_orders3 o2)
+        """
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT o_custkey,
+        CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F'), 0) AS DOUBLE) AS spend_F,
+        CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'O'), 0) AS DOUBLE) AS spend_O,
+        CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'P'), 0) AS DOUBLE) AS spend_P
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    tags=("pivot",),
+)
+def q_pivot(spark, sf_dir):
+    """PIVOT: order status → columns of per-customer spend. With an
+    explicit value list the pivot is one pass (no distinct-values
+    pre-job) — map-side partial aggregation, single shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_custkey")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(dec("o_totalprice")))
+    )
+    return piv.select(
+        "o_custkey",
+        *[
+            F.coalesce(F.col(s).cast("double"), F.lit(0.0)).alias(f"spend_{s}")
+            for s in ["F", "O", "P"]
+        ],
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT p_partkey, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+        SELECT p_partkey,
+               CAST(p_retailprice AS DECIMAL(18,2)) AS retailprice,
+               CAST(p_size AS DECIMAL(18,2)) AS size
+        FROM part
+    ) UNPIVOT (val FOR metric IN (retailprice, size))
+    """,
+    tags=("pivot",),
+)
+def q_unpivot(spark, sf_dir):
+    """UNPIVOT (melt): wide numeric columns → (metric, value) rows via
+    the built-in unpivot — a narrow map, no shuffle at all."""
+    p = load_table(spark, sf_dir, "part")
+    wide = p.select(
+        "p_partkey",
+        dec("p_retailprice").alias("retailprice"),
+        dec("p_size").alias("size"),
+    )
+    return wide.unpivot("p_partkey", ["retailprice", "size"], "metric", "val").select(
+        "p_partkey", "metric", F.col("val").cast("double").alias("val")
+    )
+
+
+@query(
+    "q_sample_hash",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders
+    WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+    """,
+    tags=("sample",),
+)
+def q_sample_hash(spark, sf_dir):
+    """Deterministic 10% sample by key hash — the reproducible sampling
+    primitive for pipeline debugging (unlike TABLESAMPLE, identical on
+    every engine and every run, and pushes down as a plain filter)."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.expr("conv(substring(md5(cast(o_orderkey as string)), 1, 8), 16, 10)").cast(
+        "bigint"
+    ) % 100
+    return o.select("o_orderkey", "o_custkey", "o_orderstatus").filter(bucket < 10)
+
+
+@query(
+    "q_tpch_q3",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-03-15'
+      AND l.l_shipdate > TIMESTAMP '1997-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "benchmark"),
+)
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping priority): 3-way join with selective filters
+    on every input. Catalyst pushes each predicate into its scan and
+    AQE picks broadcast for the filtered customer side; the top-20 is
+    TakeOrdered, never a full sort. Deterministic tie-break on
+    (o_orderdate, l_orderkey)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    rev = F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double")
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q_tpch_q5",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    tags=("join", "agg", "benchmark"),
+)
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local-supplier revenue): 6-way star join. The true
+    dimension tables (supplier, nation, region) broadcast explicitly;
+    customer is mid-sized so Catalyst/AQE picks its strategy from
+    runtime stats. At 100 TB the orders⋈lineitem and customer joins are
+    the only exchanges — every dimension join stays map-side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    rev = F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double")
+    return joined.groupBy("n_name").agg(rev.alias("revenue"))

@@ -27,6 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "q_agg_basic",        # TPC-H Q1-shaped scan + grouped agg (flagship)
+    "q_tpch_q3",          # 3-way selective join + top-20 (TakeOrdered)
+    "q_tpch_q5",          # 6-way star join, dims broadcast
     "q_join_inner",       # orders ⋈ lineitem shuffle join + agg
     "q_join_broadcast",   # dim broadcast join
     "q_agg_rollup",       # multi-level agg

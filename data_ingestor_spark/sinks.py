@@ -191,6 +191,34 @@ def publish_jdbc_atomic(
     return n
 
 
+def publish_parquet_atomic(df: DataFrame, final_dir: str, staging_dir: str | None = None) -> int:
+    """All-or-nothing parquet publish (O15 semantics for file targets).
+
+    Writes to a staging directory first — any task failure leaves the
+    final path untouched (Spark's own output commit protocol already
+    guarantees no partial files *within* the staging write) — then
+    promotes staging → final with an atomic directory rename on the
+    driver. Readers of ``final_dir`` see the old data or all of the new
+    data, never a mix: the file-sink equivalent of the reference's
+    commit-every/rollback-every reduce (``dbtransposer.go:290-364``).
+    Returns the published row count.
+    """
+    staging = staging_dir or final_dir.rstrip("/") + ".__staging__"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    df.write.mode("overwrite").parquet(staging)
+    n = df.sparkSession.read.parquet(staging).count()
+    old = final_dir.rstrip("/") + ".__old__"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(final_dir):
+        os.rename(final_dir, old)
+    os.rename(staging, final_dir)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    return n
+
+
 def archive_input(input_path: str, destination_dir: str) -> str:
     """Copy the input file into ``destination_dir`` (created on demand),
     then delete the source (O19, ``fileloader.go:263-328``). Returns the

@@ -1,0 +1,88 @@
+"""Physical-plan quality regression tests (the 100 TB story).
+
+These assert the *shape* of the plans Catalyst produces for the
+flagship queries — the properties that make them survive a 1000×
+scale-up. If a refactor breaks pushdown, pruning, broadcast, or top-k
+short-circuiting, these fail before any benchmark does.
+"""
+
+import pytest
+
+from conftest import SF_DIR
+
+
+def _formatted_plan(df) -> str:
+    jdf = df._jdf
+    spark = df.sparkSession
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return jdf.queryExecution().explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from data_ingestor_spark.plans import queries as q
+
+    return q.REGISTRY
+
+
+def test_agg_basic_pushdown_and_partial_agg(spark, registry):
+    plan = _formatted_plan(registry["q_agg_basic"].fn(spark, SF_DIR))
+    # filter reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: unreferenced columns (l_tax, l_partkey...) not read
+    read_schema = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "l_tax" not in read_schema and "l_partkey" not in read_schema
+    # partial + final aggregation around exactly one exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_scan_projection_prunes_columns(spark, registry):
+    plan = _formatted_plan(registry["q_scan_parquet"].fn(spark, SF_DIR))
+    read_schema = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "l_comment" not in read_schema
+
+
+def test_broadcast_join_is_broadcast(spark, registry):
+    plan = _formatted_plan(registry["q_join_broadcast"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_topk_uses_take_ordered(spark, registry):
+    plan = _formatted_plan(registry["q_topk"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q5_broadcasts_dimensions(spark, registry):
+    plan = _formatted_plan(registry["q_tpch_q5"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastExchange") >= 3  # supplier, nation, region
+
+
+def test_minhash_no_cartesian(spark, registry):
+    plan = _formatted_plan(registry["q_dedup_minhash_pairs"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_publish_parquet_atomic_failure_leaves_target(spark, tmp_path):
+    """Mid-write failure must leave the previously-published data intact
+    (SURVEY 'what's hard' #1 — atomicity under failure)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestor_spark.sinks import publish_parquet_atomic
+
+    final = str(tmp_path / "published")
+    n = publish_parquet_atomic(spark.range(100).withColumn("v", F.col("id") * 2), final)
+    assert n == 100
+
+    # second publish whose execution fails task-side (UDF raising mid-stream)
+    from pyspark.sql.types import LongType
+
+    def boom(x):
+        raise RuntimeError("simulated mid-write failure")
+
+    bad = spark.range(50).withColumn("v", F.udf(boom, LongType())(F.col("id")))
+    with pytest.raises(Exception):
+        publish_parquet_atomic(bad, final)
+
+    # old data still fully readable — no partial overwrite
+    assert spark.read.parquet(final).count() == 100

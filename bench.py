@@ -67,8 +67,10 @@ def main() -> None:
     from data_ingestor_spark.plans import queries as q
 
     # JVM/session warmup so the first timed query doesn't pay JIT + codegen
-    # bootstrap costs that a long-lived cluster session never sees.
+    # + parquet-reader bootstrap costs that a long-lived cluster session
+    # never sees (region is the smallest table — 5 rows).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -94,6 +94,43 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(featurize, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes binary, frame_mean double"
+
+
+def sample_frames(df: DataFrame, frame_size: int = 256, every_n: int = 4) -> DataFrame:
+    """Frame sampling over binary payloads: split each payload into
+    fixed-size frames and keep every ``every_n``-th (a video
+    frame-sampler's Spark shape — a real codec would replace the
+    byte-slicing, the plumbing is identical). One payload row → k frame
+    rows; mapInPandas so the explosion happens Arrow-batch-wise with no
+    per-row Python round-trips and no shuffle."""
+
+    def sampler(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = (len(data) + frame_size - 1) // frame_size
+                for idx in range(0, n_frames, every_n):
+                    fb = data[idx * frame_size : (idx + 1) * frame_size]
+                    arr = np.frombuffer(fb, dtype=np.uint8)
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": idx,
+                            "frame_bytes": fb,
+                            "frame_mean": float(arr.mean()) if arr.size else 0.0,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_bytes", "frame_mean"]
+            )
+
+    return df.mapInPandas(sampler, schema=FRAME_SCHEMA)
+
+
 @query(
     "q_multimodal_meta",
     oracle="""

@@ -141,3 +141,54 @@ def q_join_asof(spark, sf_dir):
         right_time="o_orderdate",
         payload=["asof_orderkey"],
     )
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT e1.event_id, COUNT(e2.event_id) AS n_follow
+    FROM events e1
+    LEFT JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL '10 minutes'
+    GROUP BY e1.event_id
+    """,
+    tags=("join", "range", "time"),
+)
+def q_join_range(spark, sf_dir):
+    """Range (interval) join: per event, count same-user follow-up
+    events within the next 10 minutes.
+
+    Scale path: a naive range join degenerates to a nested-loop; here
+    the probe side explodes into the (≤2, deduped) 10-minute buckets
+    its window overlaps and joins on (user_id, bucket) EQUALITY, with
+    the range predicate as a post-filter — an ordinary shuffle join
+    whose key cardinality grows with the data, so it parallelizes like
+    any other equality join at 100 TB. Each match lands in exactly one
+    bucket of the build side, so no dedup of pairs is needed."""
+    win = 600  # seconds
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    sec = F.unix_timestamp("ts")
+    probe = e.withColumn(
+        "_b",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor(sec / win), F.floor((sec + F.lit(win)) / win)
+                )
+            )
+        ),
+    ).alias("l")
+    build = e.withColumn("_b", F.floor(sec / win)).alias("r")
+    joined = probe.join(
+        build,
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("l._b") == F.col("r._b"))
+        & (F.col("r.ts") > F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left",
+    )
+    return joined.groupBy(F.col("l.event_id").alias("event_id")).agg(
+        F.count(F.col("r.event_id")).alias("n_follow")
+    )

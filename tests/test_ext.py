@@ -1,0 +1,109 @@
+"""Unit tests for the extension operators (dedup / similarity /
+multimodal) — the deterministic values the query-level oracle checks
+can't see directly."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+
+def test_fake_decode_deterministic():
+    from data_ingestor_spark.ext.multimodal import fake_decode
+
+    out = fake_decode(b"\x00\x01\x02\x03" * 128)  # 512 bytes
+    assert out["n_bytes"] == 512
+    assert out["n_frames"] == 2
+    assert abs(out["mean_byte"] - 1.5) < 1e-9
+    assert out == fake_decode(b"\x00\x01\x02\x03" * 128)
+
+
+def test_extract_features_values(spark):
+    from data_ingestor_spark.ext.multimodal import extract_features, with_binary_payload
+
+    df = spark.createDataFrame([(1, "abcd"), (2, "")], "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in extract_features(with_binary_payload(df)).collect()}
+    assert out[1]["n_bytes"] == 4
+    assert out[1]["checksum"] == sum(b"abcd")
+    assert out[1]["n_frames"] == 1
+    assert out[2]["n_bytes"] == 0 and out[2]["n_frames"] == 0
+
+
+def test_sample_frames(spark):
+    from data_ingestor_spark.ext.multimodal import sample_frames, with_binary_payload
+
+    # 5 frames of 256 bytes + a 4-byte tail frame = 6 frames; every 2nd → idx 0,2,4
+    text = "x" * (256 * 5 + 4)
+    df = with_binary_payload(spark.createDataFrame([(1, text)], "doc_id bigint, text string"))
+    frames = sample_frames(df, frame_size=256, every_n=2).collect()
+    assert [f["frame_idx"] for f in frames] == [0, 2, 4]
+    assert all(len(f["frame_bytes"]) == 256 for f in frames)
+    assert frames[0]["frame_mean"] == float(ord("x"))
+
+
+def test_minhash_signature_matches_manual(spark):
+    """Spark's md5-derived minhash must equal a hand-computed python
+    reference for a known token set."""
+    from data_ingestor_spark.ext.dedup import MINHASH_K, minhash_signature
+
+    text = "the quick brown fox"
+    toks = set(text.split())
+
+    def mh(i: int) -> int:
+        return min(
+            int(hashlib.md5(f"{i}:{t}".encode()).hexdigest()[:8], 16) for t in toks
+        )
+
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    row = minhash_signature(df).collect()[0]
+    for i in range(MINHASH_K):
+        assert row[f"m{i}"] == mh(i), f"hash fn {i} mismatch"
+
+
+def test_salted_block_pairs_equals_plain(spark):
+    """Salting changes physical distribution only — the pair set must be
+    identical to the unsalted join."""
+    from data_ingestor_spark.operators.pairs import block_pairs, salted_block_pairs
+
+    df = (
+        spark.range(200)
+        .select(
+            F.col("id").alias("vid"),
+            (F.col("id") % 3).alias("blk"),
+        )
+    )
+    plain = {
+        (r["a_id"], r["b_id"])
+        for r in block_pairs(df, ["blk"], "vid")
+        .select(F.col("a.vid").alias("a_id"), F.col("b.vid").alias("b_id"))
+        .collect()
+    }
+    salted = {
+        (r["a_id"], r["b_id"])
+        for r in salted_block_pairs(df, ["blk"], "vid", salt_buckets=4)
+        .select(F.col("a.vid").alias("a_id"), F.col("b.vid").alias("b_id"))
+        .collect()
+    }
+    # block sizes 67/67/66 → C(67,2)·2 + C(66,2) = 6567 pairs
+    assert len(plain) == 6567
+    assert salted == plain
+
+
+def test_cosine_matches_numpy(spark):
+    import numpy as np
+
+    from data_ingestor_spark.functions import cosine
+
+    a = [0.1, 0.5, -0.3, 0.8]
+    b = [0.4, -0.2, 0.9, 0.05]
+    df = spark.createDataFrame(
+        [(a, b)], "va array<float>, vb array<float>"
+    )
+    got = df.select(cosine("va", "vb").alias("c")).collect()[0]["c"]
+    fa, fb = np.array(a, dtype=np.float32), np.array(b, dtype=np.float32)
+    want = float(
+        np.dot(fa.astype(np.float64), fb.astype(np.float64))
+        / (np.linalg.norm(fa.astype(np.float64)) * np.linalg.norm(fb.astype(np.float64)))
+    )
+    assert abs(got - want) < 1e-12

@@ -11,8 +11,18 @@ FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from data_ingestor_spark.session import EngineConfig, get_session
 
-    s = get_session(EngineConfig(app_name="tests", master="local[4]", shuffle_partitions=8))
+    warehouse = tempfile.mkdtemp(prefix="spark-warehouse-")
+    s = get_session(
+        EngineConfig(
+            app_name="tests",
+            master="local[4]",
+            shuffle_partitions=8,
+            extra_spark_conf={"spark.sql.warehouse.dir": warehouse},
+        )
+    )
     yield s
     s.stop()

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from data_ingestor_spark.operators.flatten import flatten_nested
 from data_ingestor_spark.schemas import MIST_NESTED_SCHEMA, TEMPLATE_COLUMNS
 from data_ingestor_spark.sources import load
-from data_ingestor_spark.plans.registry import query
+from data_ingestor_spark.plans.registry import load_table, query
 
 _FIXDIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "tests", "fixtures")
 _JSON_FIXTURE = os.path.join(_FIXDIR, "ingest-records.json")
@@ -92,6 +92,43 @@ def q_ingest_flatten_agg(spark, sf_dir):
     flat = flatten_nested(raw, "fnumbers", TEMPLATE_COLUMNS)
     return flat.groupBy("location").agg(
         F.count("*").alias("n_rows"), F.count("fnumber").alias("n_fnumbers")
+    )
+
+
+@query(
+    "q_scan_csv",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("ingest", "scan", "csv"),
+)
+def q_scan_csv(spark, sf_dir):
+    """CSV source path: lineitem → distributed CSV write → schema-driven
+    CSV read → aggregate. The oracle aggregates the parquet original, so
+    a PASS proves the CSV writer/reader roundtrip is lossless (doubles
+    survive via shortest-repr text) AND the scan aggregates correctly."""
+    import tempfile
+
+    from data_ingestor_spark.sources import load as src_load
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    tmp = tempfile.mkdtemp(prefix="q_scan_csv_")
+    csv_dir = os.path.join(tmp, "lineitem_csv")
+    li.write.option("header", "true").mode("overwrite").csv(csv_dir)
+    back = src_load(
+        spark,
+        csv_dir,
+        fmt="csv",
+        schema=li.schema,
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
     )
 
 

@@ -1,0 +1,45 @@
+"""End-to-end flagship load job (reference lifecycle §3.1 parity)."""
+
+import csv
+import os
+import shutil
+
+from conftest import FIXTURES
+
+
+def test_run_load_job_full_lifecycle(spark, tmp_path):
+    from data_ingestor_spark.pipeline import run_load_job
+    from data_ingestor_spark.xlsx import read_rows
+
+    src = tmp_path / "in.json"
+    shutil.copy(os.path.join(FIXTURES, "ingest-records.json"), src)
+
+    res = run_load_job(
+        spark,
+        str(src),
+        target_dir=str(tmp_path / "published"),
+        csv_out=str(tmp_path / "out.csv"),
+        excel_out=str(tmp_path / "out.xlsx"),
+        json_out=str(tmp_path / "out.json"),
+        archive_dir=str(tmp_path / "archive"),
+        error_condition="fnumber IS NULL",
+    )
+
+    # published atomically: 17 flattened rows (7×2 + single + empty + missing)
+    assert res.rows_published == 17
+    assert spark.read.parquet(str(tmp_path / "published")).count() == 17
+
+    # side exports present and consistent (parse-once fan-out, §2.3(h))
+    with open(tmp_path / "out.csv") as f:
+        assert len(list(csv.DictReader(f))) == 17
+    assert len(read_rows(str(tmp_path / "out.xlsx"))) == 1 + 17
+
+    # error metric counted the 2 null-fnumber rows without dropping them
+    assert res.rows_error == 2
+
+    # input archived: gone from source, present in archive dir
+    assert not src.exists()
+    assert res.archived_to == str(tmp_path / "archive" / "in.json")
+    assert os.path.isfile(res.archived_to)
+
+    assert "succeeded=17" in res.report() and "errors=2" in res.report()

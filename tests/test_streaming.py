@@ -149,3 +149,47 @@ def test_stateful_dedup_batch_fallback(spark):
     events = load_table(spark, SF_DIR, "events").limit(100)
     doubled = events.unionAll(events)
     assert stateful_dedup(doubled, ["event_id"]).count() == events.select("event_id").distinct().count()
+
+
+def test_applyinpandaswithstate_running_counters(spark, tmp_path):
+    """Custom stateful operator: per-user running counters must carry
+    state ACROSS micro-batches (total_events accumulates while
+    batch_events resets)."""
+    from data_ingestor_spark.plans.registry import load_table
+    from data_ingestor_spark.streaming.stateful import running_user_counters
+
+    events = load_table(spark, SF_DIR, "events").limit(400).cache()
+    stream_dir = tmp_path / "in"
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    half1 = events.filter("event_id % 2 = 0")
+    half2 = events.filter("event_id % 2 = 1")
+    half1.coalesce(1).write.parquet(str(stream_dir / "f1"))
+    half2.coalesce(1).write.parquet(str(stream_dir / "f2"))
+
+    s = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir) + "/*")
+    )
+    got = []
+    q = write_stream_batches(
+        running_user_counters(s),
+        str(tmp_path / "ckpt"),
+        lambda df, bid: got.extend((bid, r) for r in df.collect()),
+    )
+    _drain(q)
+
+    # final running totals per user == batch totals summed across batches
+    finals = {}
+    batch_sums = {}
+    for bid, r in got:
+        finals[r["user_id"]] = max(
+            finals.get(r["user_id"], 0), r["total_events"]
+        )
+        batch_sums[r["user_id"]] = batch_sums.get(r["user_id"], 0) + r["batch_events"]
+    assert finals == batch_sums
+    expected = {
+        r["user_id"]: r["n"]
+        for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert finals == expected

@@ -191,35 +191,54 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     sigs = minhash_signature(d).withColumn(
         "toks", F.expr("array_distinct(split(lower(text), ' '))")
     )
+    # Band join + dedup carry ONLY (doc_id, band_key): the candidate
+    # shuffle moves narrow id pairs, never token arrays. Token sets are
+    # attached afterwards by two joins against the (per-doc, linear-size)
+    # toks relation — broadcastable here, an ordinary id-key shuffle join
+    # at 100 TB; either way cheaper than dragging arrays through the
+    # quadratic band join.
     banded = sigs.select(
         "doc_id",
-        "toks",
         F.explode(F.array(*[F.expr(k) for k in _BAND_KEYS_SPARK])).alias("band_key"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    cand_ids = (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.toks").alias("toks_a"),
-            F.col("b.toks").alias("toks_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    jac = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
-        F.array_distinct(F.concat("toks_a", "toks_b"))
+    toks = sigs.select("doc_id", "toks")
+    cand = (
+        cand_ids.join(toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")), "doc_a")
+        .join(toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")), "doc_b")
     )
+    # |A∪B| = |A|+|B|-|I| — token sets are already distinct, so the
+    # union size needs NO per-pair array build; only the intersect runs
+    # on the quadratic side.
+    isect = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = isect.cast("double") / (F.size("toks_a") + F.size("toks_b") - isect)
     return cand.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")).filter(
         jac >= NEARDUP_THRESHOLD
     )
 
 
 _SIMHASH_BITS = 32
-_SIMHASH_SPARK = " + ".join(
-    f"cast(aggregate(toks, 0L, (acc, x) -> acc + CASE WHEN ({_mh_spark(0)} >> {j}) % 2 = 1 THEN 1 ELSE -1 END) >= 0 as long) * {1 << j}L"
-    for j in range(_SIMHASH_BITS)
+#: per-token hash computed ONCE into an int array (`hs`); the 32 bit
+#: votes then run as ONE array-valued aggregate (zip_with over a vote
+#: vector) rather than 32 separate aggregate expressions — same math,
+#: ~30× smaller expression tree, which cuts whole-stage-codegen compile
+#: time from seconds to milliseconds.
+_SIMHASH_HASHES = f"transform(toks, x -> {_mh_spark(0)})"
+_SIMHASH_SPARK = (
+    "aggregate("
+    "  zip_with("
+    f"    aggregate(hs, transform(sequence(0, {_SIMHASH_BITS - 1}), j -> 0L),"
+    f"              (acc, h) -> zip_with(acc, sequence(0, {_SIMHASH_BITS - 1}),"
+    "                                    (a, j) -> a + IF((h >> j) % 2 = 1, 1L, -1L))),"
+    f"    sequence(0, {_SIMHASH_BITS - 1}),"
+    "    (v, j) -> IF(v >= 0, shiftleft(1L, j), 0L)),"
+    "  0L, (acc, x) -> acc + x)"
 )
 _SIMHASH_DUCK = " + ".join(
     f"CAST(list_sum(list_transform(toks, x -> CASE WHEN ({_mh_duck(0)} >> {j}) % 2 = 1 THEN 1 ELSE -1 END)) >= 0 AS BIGINT) * {1 << j}"
@@ -241,10 +260,14 @@ def q_dedup_simhash(spark, sf_dir):
     with small Hamming distance share most tokens. Near-dup lookup at
     scale buckets on signature segments (same LSH equality-join shape
     as q_dedup_minhash_pairs). Narrow map, engine-portable bit math."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.expr("array_distinct(split(lower(text), ' '))").alias("toks")
-    ).select("doc_id", F.expr(_SIMHASH_SPARK).alias("simhash"))
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return (
+        d.select("doc_id", F.expr("array_distinct(split(lower(text), ' '))").alias("toks"))
+        .select("doc_id", F.expr(_SIMHASH_HASHES).alias("hs"))
+        .select("doc_id", F.expr(_SIMHASH_SPARK).alias("simhash"))
+    )
 
 
 @query(
@@ -292,9 +315,8 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         & (F.col("a.len_band") == F.col("b.len_band"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
-    jac = F.size(F.array_intersect("a.g3", "b.g3")).cast("double") / F.size(
-        F.array_distinct(F.concat("a.g3", "b.g3"))
-    )
+    isect = F.size(F.array_intersect("a.g3", "b.g3"))
+    jac = isect.cast("double") / (F.size("a.g3") + F.size("b.g3") - isect)
     return pairs.select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),

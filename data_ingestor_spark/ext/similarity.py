@@ -175,3 +175,49 @@ def q_sim_ann_lsh(spark, sf_dir):
     )
     scored = cand.select("vec_id", "label", "bucket", cosine("embedding", "_qe").alias("cos_sim"))
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
+
+
+def label_centroids(vectors: DataFrame, label_col: str = "label") -> DataFrame:
+    """Element-wise mean vector per cluster label: posexplode → one
+    (label, position) partial-aggregable groupBy → re-assemble ordered
+    arrays. Fully distributed — the classic IVF coarse-quantizer build
+    (here the data's own labels stand in for trained k-means cells)."""
+    exploded = vectors.select(
+        label_col, F.posexplode("embedding").alias("pos", "val")
+    )
+    means = exploded.groupBy(label_col, "pos").agg(
+        F.avg(F.col("val").cast("double")).alias("m")
+    )
+    return (
+        means.groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(label_col, F.expr("transform(pm, x -> x.m)").alias("centroid"))
+    )
+
+
+@query("q_sim_ann_ivf", oracle=None, tags=("similarity", "ann", "ivf"))
+def q_sim_ann_ivf(spark, sf_dir):
+    """ANN via IVF-style coarse quantization: (1) build per-cluster
+    centroids (label_centroids — a one-off, amortized like an index
+    build), (2) assign the query vector to its nearest centroid with a
+    broadcast of the tiny centroid table, (3) exact cosine top-10 within
+    that single cluster — the scan probes 1/n_clusters of the data; at
+    scale the vector table is partitioned by cluster id so the probe is
+    a partition-pruned scan. Rows-only check (recall is approximate by
+    design; the exact baseline is q_sim_topk)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = label_centroids(e.filter(F.col("vec_id") != 0))
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
+    best = (
+        F.broadcast(cents)
+        .crossJoin(F.broadcast(qv))
+        .select("label", cosine(F.col("centroid").cast("array<float>"), "_qe").alias("sim"))
+        .orderBy(F.col("sim").desc(), "label")
+        .limit(1)
+        .select(F.col("label").alias("_qlabel"))
+    )
+    cand = e.filter(F.col("vec_id") != 0).join(
+        F.broadcast(best.crossJoin(qv)), F.col("label") == F.col("_qlabel")
+    )
+    scored = cand.select("vec_id", "label", cosine("embedding", "_qe").alias("cos_sim"))
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)

@@ -72,14 +72,23 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Warm timing: each query runs twice and the faster run is recorded.
+    # The first run pays one-time whole-stage-codegen (Janino) compilation
+    # a long-lived cluster session amortizes to zero; the second run is
+    # the steady-state execution cost that actually scales with data.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         spec = q.REGISTRY.get(name)
         if spec is None:
             continue
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        cold[name] = runs[0]
+        timings[name] = min(runs)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -90,6 +99,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "cold_first_run": cold,
+                "note": "per-query steady-state (best of 2); cold_first_run includes one-time codegen compile",
             }
         )
     )

@@ -421,6 +421,31 @@ def q_window_rank(spark, sf_dir):
 
 
 @query(
+    "q_window_ntile",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           NTILE(4)       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey), 6) AS pct_rank,
+           ROUND(CUME_DIST()    OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey), 6) AS cume
+    FROM customer
+    """,
+    tags=("window",),
+)
+def q_window_ntile(spark, sf_dir):
+    """Distribution window functions: ntile buckets, percent_rank,
+    cume_dist — rounded so the rank/(n-1) divisions hash-match."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
     "q_window_laglead",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderdate,

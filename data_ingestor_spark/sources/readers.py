@@ -86,6 +86,34 @@ def read_xml_records(
     return reader.load(path)
 
 
+def read_jsonl_records(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Read JSON-lines records with per-record error tolerance.
+
+    The reference's workers log-and-continue on bad records
+    (``mapreduce/mapreduce.go:45-48``, error counter at ``util/utils.go``);
+    the Spark-native equivalent is PERMISSIVE mode: malformed lines land
+    in ``corrupt_col`` (all schema fields null) instead of failing the
+    job, and ``metrics.observed(df, f"{corrupt_col} IS NOT NULL")``
+    reproduces the success/error counts. JSONL is also the *scale*
+    ingest format — line-splittable, so a single 100 GB file still
+    parallelizes, unlike a multiLine JSON document (one task per file).
+    """
+    full = T.StructType(
+        schema.fields + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
 def load(
     spark: SparkSession,
     path: str,

@@ -123,6 +123,21 @@ def q_join_left(spark, sf_dir):
 
 
 @query(
+    "q_join_right",
+    oracle="""
+    SELECT c_custkey, o_orderkey
+    FROM orders o RIGHT JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    tags=("join",),
+)
+def q_join_right(spark, sf_dir):
+    """Right outer join — the mirrored preserve-side variant."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, c.c_custkey == o.o_custkey, "right").select("c_custkey", "o_orderkey")
+
+
+@query(
     "q_join_full",
     oracle="""
     SELECT n_nationkey, s_suppkey
@@ -392,6 +407,24 @@ def q_agg_approx(spark, sf_dir):
 
 
 # --- windows -------------------------------------------------------------------
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT n_regionkey, list_sort(list(DISTINCT n_name)) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("agg", "collect"),
+)
+def q_agg_collect(spark, sf_dir):
+    """Set-valued aggregation: collect_set sorted for determinism
+    (collect order is partition-race-dependent; the sort makes the
+    result engine- and run-stable)."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_set("n_name")).alias("nations")
+    )
 
 
 @query(

@@ -193,3 +193,41 @@ def test_applyinpandaswithstate_running_counters(spark, tmp_path):
         for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert finals == expected
+
+
+def test_session_window_batch_streaming_equivalence(spark, tmp_path):
+    """Session windows must merge identically in batch and streaming.
+
+    Session aggregation only supports append mode, which emits a session
+    once the watermark passes its end — so the comparison covers the
+    watermark-closed subset (every session except those still open at
+    stream end)."""
+    import datetime
+
+    from data_ingestor_spark.plans.registry import load_table
+
+    events = load_table(spark, SF_DIR, "events").limit(800).cache()
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(seconds=1)
+    batch_out = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in session_windowed_counts(events, gap="10 minutes", watermark="1 second").collect()
+        if r["session_end"] <= horizon
+    }
+    stream_dir = tmp_path / "in"
+    events.coalesce(1).write.parquet(str(stream_dir))
+    s = spark.readStream.schema(events.schema).parquet(str(stream_dir))
+    got = []
+    q = write_stream_batches(
+        session_windowed_counts(s, gap="10 minutes", watermark="1 second"),
+        str(tmp_path / "ckpt"),
+        lambda df, bid: got.extend(df.collect()),
+    )
+    _drain(q)
+    stream_out = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in got
+        if r["session_end"] <= horizon
+    }
+    assert len(batch_out) > 0
+    assert stream_out == batch_out

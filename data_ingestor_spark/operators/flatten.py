@@ -53,6 +53,47 @@ def flatten_nested(
     return project_whitelist(out, columns) if columns else out
 
 
+def flatten_all(df: DataFrame, sep: str = "_", max_depth: int = 10) -> DataFrame:
+    """Fully flatten arbitrarily nested structs and arrays-of-struct.
+
+    Generalizes the reference's single-level flatten (its XML path only
+    explodes top-level repeated groups, ``fileloader-schema.go:455-475``;
+    its JSON path one array level, ``:316-344``): struct fields are
+    inlined as ``parent<sep>child`` columns; every array<struct> is
+    exploded with ``explode_outer`` (§2.3(a) row-survival semantics),
+    repeating until the schema is flat. Row count multiplies by array
+    lengths — exactly one output row per combination of nested elements.
+
+    Scale: each pass is a narrow projection/generator (no shuffle);
+    Catalyst collapses consecutive projections, so the final plan is a
+    single generate+project chain regardless of nesting depth.
+    """
+    for _ in range(max_depth):
+        flat_cols = []
+        exploded = False
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.StructType):
+                flat_cols.extend(
+                    F.col(f"{f.name}.{sub.name}").alias(f"{f.name}{sep}{sub.name}")
+                    for sub in f.dataType.fields
+                )
+            elif (
+                isinstance(f.dataType, T.ArrayType)
+                and isinstance(f.dataType.elementType, T.StructType)
+                and not exploded
+            ):
+                # one array per pass: simultaneous explodes would cross-join
+                flat_cols.append(F.explode_outer(F.col(f.name)).alias(f.name))
+                exploded = True
+            else:
+                flat_cols.append(F.col(f.name))
+        new = df.select(*flat_cols)
+        if new.schema == df.schema:
+            return df
+        df = new
+    raise ValueError(f"nesting deeper than max_depth={max_depth}")
+
+
 def project_whitelist(df: DataFrame, columns: list[str]) -> DataFrame:
     """Keep only whitelisted columns, in whitelist order (O9).
 

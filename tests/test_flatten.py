@@ -112,3 +112,33 @@ def test_hypothesis_flatten_row_count(spark):
         assert out.count() == expected
 
     check()
+
+
+def test_flatten_all_two_levels(spark):
+    """flatten_all explodes nested arrays-of-struct recursively and
+    inlines struct fields as parent_child columns."""
+    from data_ingestor_spark.operators.flatten import flatten_all
+
+    data = [
+        {
+            "id": 1,
+            "meta": {"src": "a", "v": 2},
+            "groups": [
+                {"g": "g1", "items": [{"x": 1}, {"x": 2}]},
+                {"g": "g2", "items": [{"x": 3}]},
+            ],
+        },
+        {"id": 2, "meta": {"src": "b", "v": 5}, "groups": []},
+    ]
+    df = spark.createDataFrame(
+        data,
+        "id bigint, meta struct<src:string, v:bigint>, "
+        "groups array<struct<g:string, items:array<struct<x:bigint>>>>",
+    )
+    out = flatten_all(df)
+    assert sorted(out.columns) == ["groups_g", "groups_items_x", "id", "meta_src", "meta_v"]
+    rows = {(r["id"], r["groups_g"], r["groups_items_x"]) for r in out.collect()}
+    # id=1: 2+1 leaf items; id=2: survives empty-groups as one null row (§2.3(a))
+    assert rows == {(1, "g1", 1), (1, "g1", 2), (1, "g2", 3), (2, None, None)}
+    meta = {(r["id"], r["meta_src"], r["meta_v"]) for r in out.collect()}
+    assert (2, "b", 5) in meta

@@ -86,3 +86,35 @@ def test_publish_parquet_atomic_failure_leaves_target(spark, tmp_path):
 
     # old data still fully readable — no partial overwrite
     assert spark.read.parquet(final).count() == 100
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitioned layout + partition pruning: a filter on the
+    partition column must reach PartitionFilters and scan only matching
+    directories — the mechanism that turns a 100 TB table scan into a
+    one-day read."""
+    from pyspark.sql import functions as F
+
+    from data_ingestor_spark.plans.registry import load_table
+
+    events = load_table(spark, SF_DIR, "events").limit(2000)
+    out = str(tmp_path / "events_by_day")
+    (
+        events.withColumn("day", F.to_date("ts"))
+        .write.partitionBy("day")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    days = sorted(p.name for p in (tmp_path / "events_by_day").glob("day=*"))
+    assert len(days) > 1  # layout actually partitioned
+
+    one_day = days[0].split("=", 1)[1]
+    q = spark.read.parquet(out).filter(F.col("day") == one_day)
+    plan = _formatted_plan(q)
+    scan_detail = plan[plan.index("Scan parquet"):]
+    pf_line = next(ln for ln in scan_detail.splitlines() if "PartitionFilters" in ln)
+    assert one_day in pf_line or "isnotnull(day" in pf_line
+    # row check: pruned read returns exactly that partition directory's rows
+    expected = spark.read.parquet(f"{out}/day={one_day}").count()
+    assert expected > 0
+    assert q.count() == expected

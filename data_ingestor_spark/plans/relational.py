@@ -410,6 +410,36 @@ def q_agg_approx(spark, sf_dir):
 
 
 @query(
+    "q_agg_skew_salted",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "skew"),
+)
+def q_agg_skew_salted(spark, sf_dir):
+    """Skew-safe two-phase aggregation (operators/skew.py): event_type
+    has only a handful of values — at 100 TB each would pin one reducer.
+    Salting spreads each key over 16 shards, partial-aggregates, then
+    combines shard partials; decimal sums keep the result bit-identical
+    to the direct groupBy (and to the DuckDB oracle)."""
+    from data_ingestor_spark.operators.skew import salted_sum_count
+
+    e = load_table(spark, sf_dir, "events")
+    out = salted_sum_count(
+        e,
+        ["event_type"],
+        {"n": F.lit(1).cast("long"), "total_value": dec("value")},
+        salt_buckets=16,
+        salt_source="event_id",
+    )
+    return out.select(
+        "event_type", F.col("n"), F.col("total_value").cast("double").alias("total_value")
+    )
+
+
+@query(
     "q_agg_collect",
     oracle="""
     SELECT n_regionkey, list_sort(list(DISTINCT n_name)) AS nations

@@ -43,3 +43,17 @@ def test_run_load_job_full_lifecycle(spark, tmp_path):
     assert os.path.isfile(res.archived_to)
 
     assert "succeeded=17" in res.report() and "errors=2" in res.report()
+
+
+def test_cli_main(spark, tmp_path, capsys):
+    """CLI flag-parity entry point drives the same lifecycle."""
+    from data_ingestor_spark import cli
+
+    src = tmp_path / "in.json"
+    shutil.copy(os.path.join(FIXTURES, "ingest-records.json"), src)
+    rc = cli.main(
+        ["--file", str(src), "--table", str(tmp_path / "out"), "--model", "MistAMS"]
+    )
+    assert rc == 0
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 17
+    assert "[MistAMS] records succeeded=17" in capsys.readouterr().out

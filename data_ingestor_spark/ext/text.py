@@ -186,3 +186,56 @@ def q_text_fingerprint(spark, sf_dir):
         ).alias("fingerprint"),
         F.substring(F.md5("text"), 1, 16).alias("exact_fp"),
     )
+
+
+@query(
+    "q_curation_pipeline",
+    oracle="""
+    WITH gated AS (
+        SELECT doc_id, text, lang, source
+        FROM documents
+        WHERE LEN(string_split(text, ' ')) BETWEEN 20 AND 10000
+          AND CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / LEN(string_split(text, ' ')) > 0.2
+          AND lang = 'en'
+    ), canon AS (
+        SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM gated GROUP BY md5(text)
+    )
+    SELECT g.source,
+           COUNT(*) AS docs_kept,
+           CAST(SUM(c.n_copies) - COUNT(*) AS BIGINT) AS dups_removed,
+           CAST(SUM(LEN(string_split(g.text, ' '))) AS BIGINT) AS tokens_kept
+    FROM canon c JOIN gated g ON g.doc_id = c.keep_id
+    GROUP BY g.source
+    """,
+    tags=("text", "dedup", "pipeline"),
+)
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end training-data curation in ONE plan: quality gate
+    (token count + lexical diversity) → language filter → exact
+    content dedup keeping the lowest doc_id → per-source corpus stats
+    (docs kept, duplicates removed, tokens kept).
+
+    Shuffle budget at 100 TB: the quality/language gates are pushed-down
+    narrow filters that shrink the data BEFORE the only two shuffles
+    (the md5 groupBy and the final per-source agg); the canonical join
+    is on the tiny survivors table. This ordering — cheap filters first,
+    hash dedup second, expensive similarity last — is the standard
+    curation cascade."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    gated = d.filter(
+        n_tok.between(20, 10000) & (diversity > 0.2) & (F.col("lang") == "en")
+    ).select("doc_id", "text", "source")
+    canon = gated.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+    kept = canon.join(gated, canon.keep_id == gated.doc_id)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("docs_kept"),
+        (F.sum("n_copies") - F.count("*")).cast("bigint").alias("dups_removed"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("tokens_kept"),
+    )

@@ -239,3 +239,83 @@ def q_curation_pipeline(spark, sf_dir):
         (F.sum("n_copies") - F.count("*")).cast("bigint").alias("dups_removed"),
         F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("tokens_kept"),
     )
+
+
+@query(
+    "q_text_editdist",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS prefix_dist
+    FROM documents a JOIN documents b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE a.doc_id % 20 = 0 AND b.doc_id % 20 = 0
+    """,
+    tags=("text", "editdist"),
+)
+def q_text_editdist(spark, sf_dir):
+    """Edit-distance (Levenshtein) similarity on 40-char prefixes within
+    source blocks — the fuzzy-match primitive for near-identical titles/
+    headers. Deterministic sampling (doc_id % 20) + source blocking keep
+    the pair count bounded; prefix truncation bounds the O(m·n) DP cost
+    per pair."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    pre = d.select("doc_id", "source", F.substring("text", 1, 40).alias("p"))
+    a, b = pre.alias("a"), pre.alias("b")
+    return a.join(
+        b,
+        (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.levenshtein(F.col("a.p"), F.col("b.p")).alias("prefix_dist"),
+    )
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+    WITH n_docs AS (SELECT COUNT(*) AS n FROM documents),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)
+        WHERE LENGTH(term) >= 4
+        GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    )
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           ROUND(tf.tf * LN(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf
+    FROM tf JOIN df ON tf.term = df.term CROSS JOIN n_docs n
+    WHERE df.df >= 5 AND tf.tf >= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def q_text_tfidf(spark, sf_dir):
+    """TF-IDF keyword scoring — the classic corpus-statistics operator:
+    per-doc term frequency, corpus document frequency, tf·ln(N/df).
+    Two shuffles (tf groupBy, df groupBy) + a broadcast of the tiny
+    doc-count scalar; term-length and frequency floors bound the fanout
+    (at 100 TB you'd also hash-bucket terms). ROUND(4) absorbs any
+    libm ulp divergence between engines."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.length("term") >= 4)
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # corpus size as a broadcast one-row aggregate — stays in the plan,
+    # no driver-side action
+    n_docs = F.broadcast(d.agg(F.count("*").cast("double").alias("_n")))
+    out = (
+        tf.join(df_, "term")
+        .filter((F.col("df") >= 5) & (F.col("tf") >= 3))
+        .crossJoin(n_docs)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), 4).alias("tfidf"),
+        )
+    )
+    return out

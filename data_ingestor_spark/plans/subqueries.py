@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from data_ingestor_spark.plans.registry import dec, dec_sum, load_table, query
+from data_ingestor_spark.plans.registry import dec, load_table, query
 
 
 @query(

@@ -6,7 +6,6 @@ import hashlib
 
 from pyspark.sql import functions as F
 
-from conftest import SF_DIR
 
 
 def test_fake_decode_deterministic():

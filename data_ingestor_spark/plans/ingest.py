@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from data_ingestor_spark.operators.flatten import flatten_nested
 from data_ingestor_spark.schemas import MIST_NESTED_SCHEMA, TEMPLATE_COLUMNS
@@ -159,3 +160,54 @@ def q_stream_ingest(spark, sf_dir):
     )
     q.awaitTermination(120)
     return spark.read.schema(flat.schema).parquet(out_dir)
+
+
+_DEEP_FIXTURE = os.path.join(_FIXDIR, "ingest-nested-deep.json")
+
+_DEEP_SCHEMA_SPARK = (
+    "order_id bigint, buyer struct<name:string, tier:string>, "
+    "shipments array<struct<ship_id:string, parcels:array<struct<sku:string, qty:bigint>>>>"
+)
+
+
+@query(
+    "q_flatten_deep",
+    oracle=f"""
+    WITH recs AS (
+        SELECT unnest(Records) AS r
+        FROM read_json('{_DEEP_FIXTURE}', columns={{Records:
+            'STRUCT(order_id BIGINT, buyer STRUCT(name VARCHAR, tier VARCHAR),
+                    shipments STRUCT(ship_id VARCHAR,
+                                     parcels STRUCT(sku VARCHAR, qty BIGINT)[])[])[]'}})
+    ), lvl1 AS (
+        SELECT r.order_id, r.buyer.name AS buyer_name, r.buyer.tier AS buyer_tier,
+               CASE WHEN r.shipments IS NULL OR len(r.shipments) = 0
+                    THEN [CAST(NULL AS STRUCT(ship_id VARCHAR, parcels STRUCT(sku VARCHAR, qty BIGINT)[]))]
+                    ELSE r.shipments END AS ships
+        FROM recs
+    ), lvl1x AS (
+        SELECT order_id, buyer_name, buyer_tier, unnest(ships) AS s FROM lvl1
+    ), lvl2 AS (
+        SELECT order_id, buyer_name, buyer_tier, s.ship_id AS shipments_ship_id,
+               CASE WHEN s.parcels IS NULL OR len(s.parcels) = 0
+                    THEN [CAST(NULL AS STRUCT(sku VARCHAR, qty BIGINT))]
+                    ELSE s.parcels END AS parcels
+        FROM lvl1x
+    )
+    SELECT order_id, buyer_name, buyer_tier, shipments_ship_id,
+           p.sku AS shipments_parcels_sku, p.qty AS shipments_parcels_qty
+    FROM (SELECT *, unnest(parcels) AS p FROM lvl2)
+    """,
+    tags=("ingest", "flatten", "nested"),
+)
+def q_flatten_deep(spark, sf_dir):
+    """Arbitrary-depth flatten (operators.flatten.flatten_all): structs
+    inline as parent_child columns, nested arrays-of-struct explode
+    level by level with §2.3(a) row survival (empty shipments → one
+    null-shipment row; empty parcels → one null-parcel row). Expected:
+    order 1 → 3 parcel rows, order 2 → 1 (null parcels), order 3 → 1
+    (null shipment), order 4 → 3; total 8."""
+    raw = load(spark, _DEEP_FIXTURE, schema=T._parse_datatype_string(_DEEP_SCHEMA_SPARK))
+    from data_ingestor_spark.operators.flatten import flatten_all
+
+    return flatten_all(raw)

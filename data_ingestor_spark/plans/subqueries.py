@@ -204,6 +204,34 @@ def q_sample_hash(spark, sf_dir):
 
 
 @query(
+    "q_sample_stratified",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 100
+          < CASE o_orderstatus WHEN 'F' THEN 5 WHEN 'O' THEN 10 ELSE 50 END
+    """,
+    tags=("sample", "stratified"),
+)
+def q_sample_stratified(spark, sf_dir):
+    """Stratified deterministic sampling: per-stratum rates (5% of
+    'F' orders, 10% of 'O', 50% of the rare 'P') via the same md5
+    bucket — the class-rebalancing primitive for training-data
+    pipelines, reproducible across engines and runs, executed as one
+    pushed-down filter with no shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.expr("conv(substring(md5(cast(o_orderkey as string)), 1, 8), 16, 10)").cast(
+        "bigint"
+    ) % 100
+    rate = (
+        F.when(F.col("o_orderstatus") == "F", 5)
+        .when(F.col("o_orderstatus") == "O", 10)
+        .otherwise(50)
+    )
+    return o.select("o_orderkey", "o_orderstatus").filter(bucket < rate)
+
+
+@query(
     "q_tpch_q3",
     oracle="""
     SELECT l.l_orderkey,

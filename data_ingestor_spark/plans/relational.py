@@ -650,3 +650,30 @@ def q_set_except(spark, sf_dir):
     f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
     op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
     return f.subtract(op)
+
+
+@query(
+    "q_agg_median",
+    oracle="""
+    SELECT c_nationkey,
+           ROUND(QUANTILE_CONT(c_acctbal, 0.5), 4)  AS median_bal,
+           ROUND(QUANTILE_CONT(c_acctbal, 0.25), 4) AS q25,
+           ROUND(QUANTILE_CONT(c_acctbal, 0.75), 4) AS q75
+    FROM customer GROUP BY c_nationkey
+    """,
+    tags=("agg", "percentile"),
+)
+def q_agg_median(spark, sf_dir):
+    """Exact percentiles (median / quartiles) per group — linear-
+    interpolated continuous quantiles (Spark percentile() ≡ DuckDB
+    QUANTILE_CONT). Inputs carry 2 decimals so true quantiles have ≤4;
+    ROUND(4) snaps both engines' last-ulp interpolation differences to
+    the exact value. Exact percentile needs a per-group sort; at 100 TB
+    you'd reach for percentile_approx (t-digest, mergeable sketch) —
+    covered rows-only by q_agg_approx."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("median_bal"),
+        F.round(F.expr("percentile(c_acctbal, 0.25)"), 4).alias("q25"),
+        F.round(F.expr("percentile(c_acctbal, 0.75)"), 4).alias("q75"),
+    )

@@ -89,3 +89,44 @@ def test_observed_metrics(spark):
     counter.increment_errors(1)
     assert counter.succeeded == 2 and counter.errors == 1
     assert "succeeded=2" in counter.report() and "errors=1" in counter.report()
+
+
+_item = st.fixed_dictionaries({"x": st.integers(min_value=0, max_value=99)})
+_group = st.fixed_dictionaries(
+    {"g": st.text(min_size=1, max_size=4), "items": st.lists(_item, max_size=3)}
+)
+_deep_record = st.fixed_dictionaries(
+    {
+        "id": st.integers(min_value=0, max_value=10**6),
+        "meta": st.fixed_dictionaries({"src": st.text(min_size=1, max_size=4)}),
+        "groups": st.lists(_group, max_size=3),
+    }
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(records=st.lists(_deep_record, min_size=1, max_size=6))
+def test_flatten_all_invariants(spark, records):
+    """flatten_all row count = Σ over records of Σ over groups of
+    max(1, |items|) (with empty groups contributing one row), and every
+    struct field is inlined."""
+    from data_ingestor_spark.operators.flatten import flatten_all
+
+    df = spark.createDataFrame(
+        records,
+        "id bigint, meta struct<src:string>, "
+        "groups array<struct<g:string, items:array<struct<x:bigint>>>>",
+    )
+    out = flatten_all(df)
+    assert sorted(out.columns) == ["groups_g", "groups_items_x", "id", "meta_src"]
+
+    def expected_rows(rec):
+        if not rec["groups"]:
+            return 1
+        return sum(max(1, len(g["items"])) for g in rec["groups"])
+
+    assert out.count() == sum(expected_rows(r) for r in records)

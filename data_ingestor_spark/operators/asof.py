@@ -39,15 +39,21 @@ def asof_join(
     payload: list[str],
     direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join. Returns all ``left`` columns + ``payload``
-    columns from ``right`` (null where no right row precedes).
+    """As-of join. Returns all ``left`` columns + ``payload`` columns
+    from ``right``.
+
+    ``direction="backward"`` (default): most recent right row with
+    time <= left time (null where none precedes). ``"forward"``: the
+    nearest right row with time >= left time — implemented by running
+    the same sort-merge formulation over the reversed time axis, so
+    both directions cost exactly one exchange.
 
     ``right`` should be unique per (key, time) for deterministic output —
     pre-aggregate it otherwise. ``payload`` names must not collide with
     ``left`` columns.
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     collisions = set(payload) & set(left.columns)
     if collisions:
         raise ValueError(f"payload columns collide with left columns: {sorted(collisions)}")
@@ -69,9 +75,10 @@ def asof_join(
         *payload,
     )
     u = l_tagged.unionByName(r_tagged)
+    order = [F.col("_t").desc(), F.col("_side")] if direction == "forward" else ["_t", "_side"]
     w = (
         Window.partitionBy("_k")
-        .orderBy("_t", "_side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(

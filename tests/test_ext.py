@@ -106,3 +106,32 @@ def test_cosine_matches_numpy(spark):
         / (np.linalg.norm(fa.astype(np.float64)) * np.linalg.norm(fb.astype(np.float64)))
     )
     assert abs(got - want) < 1e-12
+
+
+def test_approx_count_distinct_error_bound(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(20000).select((F.col("id") % 5000).alias("k"))
+    approx = df.agg(F.approx_count_distinct("k", rsd=0.02)).collect()[0][0]
+    assert abs(approx - 5000) / 5000 < 0.05  # within documented rsd envelope
+
+
+def test_salted_sum_count_equals_plain_groupby(spark):
+    from pyspark.sql import functions as F
+
+    from data_ingestor_spark.operators.skew import salted_sum_count
+
+    df = spark.range(10000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") % 100).cast("long").alias("v")
+    )
+    plain = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("s")).collect()
+    }
+    salted = {
+        r["k"]: (r["n"], r["s"])
+        for r in salted_sum_count(
+            df, ["k"], {"n": F.lit(1).cast("long"), "s": F.col("v")}, salt_buckets=8
+        ).collect()
+    }
+    assert salted == plain

@@ -319,3 +319,38 @@ def q_text_tfidf(spark, sf_dir):
         )
     )
     return out
+
+
+@query(
+    "q_text_inverted_index",
+    oracle="""
+    WITH postings AS (
+        SELECT term, doc_id
+        FROM (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS term
+              FROM documents)
+        WHERE LENGTH(term) >= 6
+    )
+    SELECT term, COUNT(*) AS df, list_sort(list(doc_id)) AS posting_list
+    FROM postings GROUP BY term HAVING COUNT(*) >= 20
+    """,
+    tags=("text", "index"),
+)
+def q_text_inverted_index(spark, sf_dir):
+    """Inverted-index build: term → sorted posting list of doc_ids —
+    the retrieval-side companion to TF-IDF. One explode + one groupBy
+    shuffle; posting lists sorted for determinism. At 100 TB you'd
+    range-bucket terms and cap posting-list length per segment; the
+    df floor keeps the long tail out."""
+    d = load_table(spark, sf_dir, "documents")
+    postings = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("term"),
+    ).filter(F.length("term") >= 6)
+    return (
+        postings.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.array_sort(F.collect_list("doc_id")).alias("posting_list"),
+        )
+        .filter(F.col("df") >= 20)
+    )

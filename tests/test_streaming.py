@@ -231,3 +231,65 @@ def test_session_window_batch_streaming_equivalence(spark, tmp_path):
     }
     assert len(batch_out) > 0
     assert stream_out == batch_out
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream⋈static dim join enriches each micro-batch; no state."""
+    from data_ingestor_spark.streaming.joins import enrich_with_static
+
+    dim = spark.createDataFrame(
+        [(t, f"name_{t}") for t in ["click", "view", "purchase", "signup", "error"]],
+        "event_type string, type_name string",
+    )
+    from data_ingestor_spark.plans.registry import load_table
+
+    events = load_table(spark, SF_DIR, "events").limit(200).cache()
+    stream_dir = tmp_path / "in"
+    events.coalesce(1).write.parquet(str(stream_dir))
+    s = spark.readStream.schema(events.schema).parquet(str(stream_dir))
+    got = []
+    q = write_stream_batches(
+        enrich_with_static(s, dim, on="event_type"),
+        str(tmp_path / "ckpt"),
+        lambda df, bid: got.extend(df.collect()),
+    )
+    _drain(q)
+    assert len(got) == 200
+    assert all(r["type_name"] == f"name_{r['event_type']}" for r in got if r["type_name"])
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream⋈stream join produces the same matched pairs as
+    the equivalent batch join."""
+    from data_ingestor_spark.plans.registry import load_table
+    from data_ingestor_spark.streaming.joins import join_streams_windowed
+
+    events = load_table(spark, SF_DIR, "events").limit(300).select("event_id", "user_id", "ts").cache()
+    l_dir, r_dir = tmp_path / "l", tmp_path / "r"
+    events.coalesce(1).write.parquet(str(l_dir))
+    events.coalesce(1).write.parquet(str(r_dir))
+
+    # batch truth: same-user pairs within (0, 10min]
+    a, b = events.alias("a"), events.alias("b")
+    batch = {
+        (r["la"], r["rb"])
+        for r in a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .select(F.col("a.event_id").alias("la"), F.col("b.event_id").alias("rb"))
+        .collect()
+    }
+
+    ls = spark.readStream.schema(events.schema).parquet(str(l_dir))
+    rs = spark.readStream.schema(events.schema).parquet(str(r_dir)).withColumnRenamed("event_id", "r_event_id")
+    joined = join_streams_windowed(ls, rs, key="user_id", watermark="30 days")
+    got = []
+    q = write_stream_batches(
+        joined, str(tmp_path / "ckpt"), lambda df, bid: got.extend(df.collect())
+    )
+    _drain(q)
+    stream_pairs = {(r["event_id"], r["r_event_id"]) for r in got}
+    assert stream_pairs == batch

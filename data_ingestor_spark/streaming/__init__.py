@@ -3,6 +3,11 @@ from data_ingestor_spark.streaming.ingest import (
     stream_load,
     write_stream_batches,
 )
+from data_ingestor_spark.streaming.joins import (
+    enrich_with_static,
+    join_streams_windowed,
+)
+from data_ingestor_spark.streaming.stateful import running_user_counters
 from data_ingestor_spark.streaming.windows import (
     session_windowed_counts,
     stateful_dedup,
@@ -10,6 +15,9 @@ from data_ingestor_spark.streaming.windows import (
 )
 
 __all__ = [
+    "enrich_with_static",
+    "join_streams_windowed",
+    "running_user_counters",
     "stream_json_records",
     "stream_load",
     "write_stream_batches",

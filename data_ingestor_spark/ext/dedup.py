@@ -322,3 +322,53 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         F.col("b.doc_id").alias("doc_b"),
         F.round(jac, 4).alias("jaccard3"),
     ).filter(jac >= 0.55)
+
+
+def cluster_pairs(pairs: DataFrame, left: str = "doc_a", right: str = "doc_b", max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → cluster assignment
+    (doc_id, cluster_id = min doc_id in its component).
+
+    Iterative min-label propagation: every node starts as its own label;
+    each round joins labels across edges (both directions) and keeps the
+    minimum; stops at fixpoint. Rounds needed = graph diameter — near-dup
+    components are shallow (stars/cliques), so a handful of shuffles
+    settles 100 TB of pairs. This is the step that turns pairwise
+    similarity output into the keep/drop decision."""
+    edges = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+    edges = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("label"))
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+@query("q_dedup_clusters", oracle=None, tags=("dedup", "clusters", "iterative"))
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster formation: MinHash-LSH verified pairs → connected
+    components → one row per clustered doc with its canonical (min)
+    doc_id. Rows-only check: iterative fixpoint isn't single-statement
+    SQL; determinism is asserted in unit tests on a known graph."""
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    return cluster_pairs(pairs)

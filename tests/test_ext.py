@@ -135,3 +135,16 @@ def test_salted_sum_count_equals_plain_groupby(spark):
         ).collect()
     }
     assert salted == plain
+
+
+def test_cluster_pairs_known_graph(spark):
+    from data_ingestor_spark.ext.dedup import cluster_pairs
+
+    # components: {1,2,3,4} via chain, {10,11}, isolated pairs only (no
+    # singleton nodes — nodes only exist if they appear in a pair)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "doc_a bigint, doc_b bigint",
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in cluster_pairs(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}

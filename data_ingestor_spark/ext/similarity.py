@@ -10,9 +10,9 @@ Scale design:
   TakeOrderedAndProject — per-partition heaps, k-row driver merge. At
   100 TB this is the exact-search baseline you fall back to per
   IVF/LSH bucket.
-- ANN: random-hyperplane LSH assigns each vector an 8-bit bucket in one
+- ANN: random-hyperplane LSH assigns each vector a 2^planes bucket in one
   narrow map; queries probe only their bucket (equality join) —
-  candidate count drops ~256× before any exact math runs.
+  candidate count drops ~2^planes× before any exact math runs.
 - All vector math is float→double zip_with/aggregate — built-in
   expressions, no Python, engine-portable bit-for-bit (verified against
   DuckDB's lockstep-unnest sum).
@@ -145,7 +145,8 @@ def _plane_component(p: int, j_expr: str) -> str:
 
 
 def lsh_bucket(vec_col: str) -> Column:
-    """8-bit random-hyperplane LSH bucket id for an array<float> column.
+    """Random-hyperplane LSH bucket id (2^_LSH_PLANES buckets) for an
+    array<float> column.
     Narrow map: one expression, no shuffle, no Python."""
     bits = []
     for p in range(_LSH_PLANES):

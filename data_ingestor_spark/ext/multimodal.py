@@ -159,3 +159,14 @@ def q_multimodal_features(spark, sf_dir):
     thing under test; unit tests assert the deterministic values."""
     d = load_table(spark, sf_dir, "documents")
     return extract_features(with_binary_payload(d))
+
+
+@query("q_multimodal_frames", oracle=None, tags=("multimodal", "udf", "frames"))
+def q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling pipeline over binary payloads: every 4th 256-byte
+    frame with per-frame stats (sample_frames / mapInPandas). Rows-only
+    check (binary frame bytes aren't SQL-comparable); deterministic
+    values are unit-tested."""
+    d = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(with_binary_payload(d))
+    return frames.select("doc_id", "frame_idx", "frame_mean")

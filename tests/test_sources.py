@@ -30,3 +30,42 @@ def test_jsonl_permissive_captures_corrupt_rows(spark, tmp_path):
     counted, obs = observed(df, error_condition="_corrupt_record IS NOT NULL")
     counted.collect()
     assert obs.get == {"rows_total": 4, "rows_error": 2, "rows_succeeded": 2}
+
+
+def test_generate_sample_records(spark):
+    """O21 parity: deterministic generator matches the nested model shape
+    and flattens through the standard path."""
+    from data_ingestor_spark.operators.flatten import flatten_nested
+    from data_ingestor_spark.schemas import TEMPLATE_COLUMNS
+    from data_ingestor_spark.util import generate_sample_records
+
+    df = generate_sample_records(spark, 10)
+    rows = df.collect()
+    assert len(rows) == 10
+    assert rows[0]["user"] == "User1" and rows[9]["user"] == "User10"
+    assert rows[0]["ast_name"] == "asset-1" and rows[1]["ast_name"] is None
+    assert all(len(r["fnumbers"]) == 2 for r in rows)
+    # deterministic: two generations identical
+    assert df.collect() == generate_sample_records(spark, 10).collect()
+    # flattens through the standard operator: 10 records × 2 fnumbers
+    assert flatten_nested(df, "fnumbers", TEMPLATE_COLUMNS).count() == 20
+
+
+def test_multifile_json_ingest_parallelism(spark, tmp_path):
+    """A directory of record documents loads as ONE DataFrame with one
+    task per file (the multiLine JSON parallelism unit is the file)."""
+    import shutil
+
+    from data_ingestor_spark.schemas import MIST_NESTED_SCHEMA
+    from data_ingestor_spark.sources import read_json_records
+
+    from conftest import FIXTURES
+    import os
+
+    for i in range(4):
+        shutil.copy(
+            os.path.join(FIXTURES, "ingest-records.json"), tmp_path / f"part{i}.json"
+        )
+    df = read_json_records(spark, str(tmp_path), schema=MIST_NESTED_SCHEMA)
+    assert df.count() == 4 * 10  # 10 records per document
+    assert df.rdd.getNumPartitions() >= 2  # files split across tasks

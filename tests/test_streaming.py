@@ -293,3 +293,52 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     _drain(q)
     stream_pairs = {(r["event_id"], r["r_event_id"]) for r in got}
     assert stream_pairs == batch
+
+
+def test_stateful_operator_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState state must persist across query RESTARTS
+    (checkpoint recovery), not just across micro-batches: totals after
+    the second run continue from the first run's state."""
+    from data_ingestor_spark.plans.registry import load_table
+    from data_ingestor_spark.streaming.stateful import running_user_counters
+
+    events = load_table(spark, SF_DIR, "events").limit(200).cache()
+    stream_dir = tmp_path / "in"
+    ckpt = str(tmp_path / "ckpt")
+    half1 = events.filter("event_id % 2 = 0")
+    half2 = events.filter("event_id % 2 = 1")
+    half1.coalesce(1).write.parquet(str(stream_dir / "f1"))
+
+    def run_once(collector):
+        s = spark.readStream.schema(events.schema).parquet(str(stream_dir) + "/*")
+        q = write_stream_batches(
+            running_user_counters(s), ckpt, lambda df, bid: collector.extend(df.collect())
+        )
+        _drain(q)
+
+    got1 = []
+    run_once(got1)
+    totals1 = {r["user_id"]: r["total_events"] for r in got1}
+    assert totals1 == {
+        r["user_id"]: r["n"]
+        for r in half1.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+
+    # new file lands while the query is DOWN; restart from same checkpoint
+    half2.coalesce(1).write.parquet(str(stream_dir / "f2"))
+    got2 = []
+    run_once(got2)
+    totals2 = {r["user_id"]: r["total_events"] for r in got2}
+    expected_all = {
+        r["user_id"]: r["n"]
+        for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    # users seen in run 2 carry cumulative totals incl. run-1 state
+    for uid, tot in totals2.items():
+        assert tot == expected_all[uid]
+    # and run 2 only processed the new file (batch deltas = half2 counts)
+    half2_counts = {
+        r["user_id"]: r["n"]
+        for r in half2.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert {r["user_id"]: r["batch_events"] for r in got2} == half2_counts

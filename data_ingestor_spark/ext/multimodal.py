@@ -170,3 +170,32 @@ def q_multimodal_frames(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     frames = sample_frames(with_binary_payload(d))
     return frames.select("doc_id", "frame_idx", "frame_mean")
+
+
+RESIZE_SCHEMA = "doc_id bigint, resized binary, orig_bytes bigint, new_bytes bigint"
+
+
+def resize_payloads(df: DataFrame, target_bytes: int = 512) -> DataFrame:
+    """Resize stand-in over binary payloads: normalize every payload to
+    ``target_bytes`` (truncate or zero-pad) — the Spark plumbing of an
+    image-resize stage (a real codec would decode → scale → re-encode
+    inside the same batch loop; schema, batch shape, and partitioning
+    are identical). mapInPandas, Arrow-batched, no shuffle."""
+
+    def resizer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                out = data[:target_bytes].ljust(target_bytes, b"\x00")
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "resized": out,
+                        "orig_bytes": len(data),
+                        "new_bytes": len(out),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "resized", "orig_bytes", "new_bytes"])
+
+    return df.mapInPandas(resizer, schema=RESIZE_SCHEMA)

@@ -354,3 +354,35 @@ def q_text_inverted_index(spark, sf_dir):
         )
         .filter(F.col("df") >= 20)
     )
+
+
+@query(
+    "q_text_rolling_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_aggregate(
+               list_transform(range(1, LENGTH(text) - 6),
+                              i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 8)) AS BIGINT)),
+               'min') AS winnow_fp
+    FROM documents
+    WHERE LENGTH(text) >= 8
+    """,
+    tags=("text", "fingerprint", "rolling"),
+)
+def q_text_rolling_fingerprint(spark, sf_dir):
+    """Winnowing-style rolling fingerprint: hash every 8-char window of
+    the document, keep the minimum — stable under edits outside the
+    minimizing window (the document-fingerprinting scheme behind MOSS/
+    winnowing; a polynomial rolling hash would compute the same windows
+    incrementally — the selected fingerprint is identical). Narrow map,
+    L window hashes per doc, no shuffle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 8).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    win_hash = "cast(conv(substring(md5(substring(text, i, 8)), 1, 8), 16, 10) as bigint)"
+    return d.select(
+        "doc_id",
+        F.expr(
+            f"array_min(transform(sequence(1, length(text) - 7), i -> {win_hash}))"
+        ).alias("winnow_fp"),
+    )

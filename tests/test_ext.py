@@ -148,3 +148,16 @@ def test_cluster_pairs_known_graph(spark):
     )
     out = {r["doc_id"]: r["cluster_id"] for r in cluster_pairs(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_resize_payloads(spark):
+    from data_ingestor_spark.ext.multimodal import resize_payloads, with_binary_payload
+
+    df = with_binary_payload(
+        spark.createDataFrame([(1, "x" * 700), (2, "y" * 100)], "doc_id bigint, text string")
+    )
+    out = {r["doc_id"]: r for r in resize_payloads(df, target_bytes=512).collect()}
+    assert out[1]["orig_bytes"] == 700 and out[1]["new_bytes"] == 512
+    assert bytes(out[1]["resized"]) == b"x" * 512  # truncated
+    assert out[2]["orig_bytes"] == 100 and out[2]["new_bytes"] == 512
+    assert bytes(out[2]["resized"]) == b"y" * 100 + b"\x00" * 412  # zero-padded

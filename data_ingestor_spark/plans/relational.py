@@ -677,3 +677,37 @@ def q_agg_median(spark, sf_dir):
         F.round(F.expr("percentile(c_acctbal, 0.25)"), 4).alias("q25"),
         F.round(F.expr("percentile(c_acctbal, 0.75)"), 4).alias("q75"),
     )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS n_last_10min,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS v_last_10min
+    FROM events
+    """,
+    tags=("window", "frame", "range"),
+)
+def q_window_range_frame(spark, sf_dir):
+    """RANGE-frame windows (value-distance frames, not row counts): per
+    user, rolling 10-minute event count and value sum ordered by event
+    time — the sliding-lookback shape that needs rangeBetween, since
+    equal timestamps must land in the same frame and gaps must not
+    shrink it."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-600, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_10min"),
+        F.sum(dec("value")).over(w).cast("double").alias("v_last_10min"),
+    )

@@ -336,8 +336,11 @@ def cluster_pairs(pairs: DataFrame, left: str = "doc_a", right: str = "doc_b", m
     similarity output into the keep/drop decision."""
     edges = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
     edges = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # materialize once: the edge list feeds EVERY round — without this the
+    # whole upstream pair pipeline (LSH, Jaccard) re-executes per iteration
+    edges = edges.localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("id")).distinct()
-    labels = nodes.select("id", F.col("id").alias("label"))
+    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -350,6 +353,7 @@ def cluster_pairs(pairs: DataFrame, left: str = "doc_a", right: str = "doc_b", m
                 "id",
                 F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
             )
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -358,7 +362,7 @@ def cluster_pairs(pairs: DataFrame, left: str = "doc_a", right: str = "doc_b", m
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -100,7 +100,7 @@ def q_subq_not_exists(spark, sf_dir):
                  FROM orders o2) AS DOUBLE) AS global_avg
     FROM orders
     WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
-          (SELECT CAST(AVG(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,6)) * 2 FROM orders o2)
+          (SELECT CAST(AVG(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,6)) * 1.5 FROM orders o2)
     """,
     tags=("subquery", "scalar"),
 )
@@ -119,7 +119,7 @@ def q_subq_scalar(spark, sf_dir):
                      FROM sq_orders3 o2) AS DOUBLE) AS global_avg
         FROM sq_orders3
         WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
-              (SELECT CAST(AVG(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,6)) * 2
+              (SELECT CAST(AVG(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,6)) * 1.5
                FROM sq_orders3 o2)
         """
     )

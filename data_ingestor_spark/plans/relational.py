@@ -711,3 +711,79 @@ def q_window_range_frame(spark, sf_dir):
         F.count(F.lit(1)).over(w).alias("n_last_10min"),
         F.sum(dec("value")).over(w).cast("double").alias("v_last_10min"),
     )
+
+
+@query(
+    "q_agg_bool",
+    oracle="""
+    SELECT o_custkey,
+           BOOL_AND(o_totalprice > 1000)  AS all_over_1k,
+           BOOL_OR(o_orderstatus = 'F')   AS any_finished
+    FROM orders GROUP BY o_custkey
+    """,
+    tags=("agg", "bool"),
+)
+def q_agg_bool(spark, sf_dir):
+    """Boolean aggregates: every()/any() per group."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.some(F.col("o_orderstatus") == "F").alias("any_finished"),
+    )
+
+
+@query(
+    "q_agg_minmax_by",
+    oracle="""
+    SELECT o_custkey,
+           ARG_MAX(o_orderkey, o_totalprice + o_orderkey / 1e9) AS biggest_order,
+           ARG_MIN(o_orderkey, o_totalprice - o_orderkey / 1e9) AS smallest_order
+    FROM orders GROUP BY o_custkey
+    """,
+    tags=("agg", "argmax"),
+)
+def q_agg_minmax_by(spark, sf_dir):
+    """max_by / min_by (argmax/argmin) per group. The epsilon·key term
+    makes the ordering value unique, so ties can't make the argmax
+    engine-dependent."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", F.col("o_totalprice") + F.col("o_orderkey") / F.lit(1e9)).alias("biggest_order"),
+        F.min_by("o_orderkey", F.col("o_totalprice") - F.col("o_orderkey") / F.lit(1e9)).alias("smallest_order"),
+    )
+
+
+@query(
+    "q_set_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("setop",),
+)
+def q_set_intersect_all(spark, sf_dir):
+    """INTERSECT ALL — multiset semantics (duplicates kept up to the
+    minimum multiplicity on either side)."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersectAll(op)
+
+
+@query(
+    "q_set_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("setop",),
+)
+def q_set_except_all(spark, sf_dir):
+    """EXCEPT ALL — multiset difference (each right occurrence cancels
+    one left occurrence)."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.exceptAll(op)

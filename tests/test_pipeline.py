@@ -57,3 +57,25 @@ def test_cli_main(spark, tmp_path, capsys):
     assert rc == 0
     assert spark.read.parquet(str(tmp_path / "out")).count() == 17
     assert "[MistAMS] records succeeded=17" in capsys.readouterr().out
+
+
+def test_run_load_job_xml_input(spark, tmp_path):
+    """The same lifecycle over the XML fixture (O1+O8 path): 6 records
+    with 2 repeated groups + 1 single + 1 empty = 14 flattened rows."""
+    from data_ingestor_spark.pipeline import run_load_job
+
+    src = tmp_path / "in.xml"
+    shutil.copy(os.path.join(FIXTURES, "ingest-records.xml"), src)
+    res = run_load_job(
+        spark,
+        str(src),
+        target_dir=str(tmp_path / "published"),
+        csv_out=str(tmp_path / "out.csv"),
+        archive_dir=str(tmp_path / "archive"),
+    )
+    assert res.rows_published == 14
+    out = spark.read.parquet(str(tmp_path / "published"))
+    assert out.count() == 14
+    # XML chardata arrives as strings but lands in the TYPED schema (§2.3(e))
+    assert dict(out.dtypes)["dt_created"] == "bigint"
+    assert not src.exists() and os.path.isfile(res.archived_to)

@@ -40,6 +40,8 @@ HEADLINE = [
     "q_sim_topk",         # brute-force cosine top-k over embeddings
     "q_text_stats",       # text quality/statistics scan
     "q_scalar_json",      # JSON extraction over events
+    "q_curation_pipeline",  # quality gate → dedup → corpus stats (one plan)
+    "q_text_tfidf",       # corpus statistics (tf ⋈ df + broadcast scalar)
 ]
 
 

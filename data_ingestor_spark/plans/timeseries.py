@@ -192,3 +192,40 @@ def q_join_range(spark, sf_dir):
     return joined.groupBy(F.col("l.event_id").alias("event_id")).agg(
         F.count(F.col("r.event_id")).alias("n_follow")
     )
+
+
+@query(
+    "q_join_asof_forward",
+    oracle="""
+    WITH odedup AS (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS next_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts, o.next_orderkey
+    FROM events e
+    ASOF LEFT JOIN odedup o
+      ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    """,
+    tags=("join", "asof", "time"),
+)
+def q_join_asof_forward(spark, sf_dir):
+    """Forward as-of join: each event picks the customer's NEXT order at
+    or after event time (the lead-time / time-to-conversion shape).
+    Same single-exchange sort-merge operator as backward, run over the
+    reversed time axis (operators/asof.py direction='forward')."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("next_orderkey"))
+    )
+    return asof_join(
+        e,
+        o,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload=["next_orderkey"],
+        direction="forward",
+    )

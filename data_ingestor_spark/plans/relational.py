@@ -787,3 +787,21 @@ def q_set_except_all(spark, sf_dir):
     f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     return f.exceptAll(op)
+
+
+@query(
+    "q_agg_string",
+    oracle="""
+    SELECT n_regionkey,
+           STRING_AGG(n_name, ',' ORDER BY n_name) AS names_csv
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("agg", "stringagg"),
+)
+def q_agg_string(spark, sf_dir):
+    """Ordered string aggregation (listagg/string_agg): concatenate group
+    members sorted, so the result is engine- and run-deterministic."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names_csv")
+    )

@@ -347,11 +347,19 @@ def cluster_pairs(pairs: DataFrame, left: str = "doc_a", right: str = "doc_b", m
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        propagated = labels.join(neighbor_min, labels.id == neighbor_min.src, "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+        )
+        # pointer jumping: also adopt the label OF my label (one hop up the
+        # label forest) — halves the remaining diameter each round, so a
+        # depth-d chain settles in O(log d) rounds instead of d.
+        x, y = propagated.alias("x"), propagated.alias("y")
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            x.join(y, F.col("x.label") == F.col("y.id"), "left")
             .select(
-                "id",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+                F.col("x.id").alias("id"),
+                F.least(F.col("x.label"), F.coalesce(F.col("y.label"), F.col("x.label"))).alias("label"),
             )
             .localCheckpoint(eager=True)
         )

@@ -222,3 +222,29 @@ def q_sim_ann_ivf(spark, sf_dir):
     )
     scored = cand.select("vec_id", "label", cosine("embedding", "_qe").alias("cos_sim"))
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
+
+
+@query(
+    "q_embed_centroids",
+    oracle="""
+    SELECT label, CAST(pos AS INT) - 1 AS pos,
+           ROUND(AVG(CAST(x AS DOUBLE)), 6) AS centroid_val
+    FROM (SELECT label, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+    tags=("similarity", "centroid", "agg"),
+)
+def q_embed_centroids(spark, sf_dir):
+    """Per-cluster centroid build as a flat query: posexplode the
+    vectors, average per (label, position) — one shuffle with map-side
+    partial sums; the IVF coarse-quantizer training step (see
+    label_centroids for the re-assembled array form). ROUND(6) absorbs
+    partial-sum association differences between engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid_val"))
+    )

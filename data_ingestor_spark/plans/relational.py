@@ -805,3 +805,52 @@ def q_agg_string(spark, sf_dir):
     return n.groupBy("n_regionkey").agg(
         F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names_csv")
     )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 500000 THEN 21
+                ELSE CAST(FLOOR(o_totalprice / 25000) AS BIGINT) + 1 END AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi
+    FROM orders GROUP BY bucket
+    """,
+    tags=("agg", "histogram"),
+)
+def q_agg_histogram(spark, sf_dir):
+    """Equi-width histogram via width_bucket — the profiling primitive;
+    one shuffle on ≤22 bucket keys with map-side partials."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.width_bucket(F.col("o_totalprice"), F.lit(0), F.lit(500000), F.lit(20))
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.min(dec("o_totalprice")).cast("double").alias("lo"),
+        F.max(dec("o_totalprice")).cast("double").alias("hi"),
+    )
+
+
+@query(
+    "q_agg_corr",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 6)      AS corr_qty_price,
+           ROUND(COVAR_POP(l_quantity, l_discount), 6)      AS covar_qty_disc,
+           ROUND(STDDEV_POP(l_extendedprice), 4)            AS sd_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def q_agg_corr(spark, sf_dir):
+    """Bivariate statistics per group: Pearson correlation, population
+    covariance, population stddev — single-pass mergeable moments
+    (partial aggregation), rounded to absorb partial-sum association
+    differences."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+        F.round(F.stddev_pop("l_extendedprice"), 4).alias("sd_price"),
+    )

@@ -384,3 +384,49 @@ def q_dedup_clusters(spark, sf_dir):
     SQL; determinism is asserted in unit tests on a known graph."""
     pairs = q_dedup_minhash_pairs(spark, sf_dir)
     return cluster_pairs(pairs)
+
+
+_PAIRS_ORACLE_CTE = f"""
+    WITH sigs AS (
+        SELECT doc_id, toks, {_MH_DUCK_COLS}
+        FROM (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+              FROM documents)
+    ), banded AS (
+        SELECT doc_id, toks, unnest([{', '.join(_BAND_KEYS_DUCK)}]) AS band_key
+        FROM sigs
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.toks AS toks_a, b.toks AS toks_b
+        FROM banded a JOIN banded b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), dropped AS (
+        SELECT DISTINCT doc_b
+        FROM cand
+        WHERE CAST(LEN(list_intersect(toks_a, toks_b)) AS DOUBLE)
+              / (LEN(toks_a) + LEN(toks_b) - LEN(list_intersect(toks_a, toks_b)))
+              >= {NEARDUP_THRESHOLD}
+    )
+"""
+
+
+@query(
+    "q_dedup_keep",
+    oracle=_PAIRS_ORACLE_CTE
+    + """
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_b = d.doc_id)
+    """,
+    tags=("dedup", "keep"),
+)
+def q_dedup_keep(spark, sf_dir):
+    """The dedup pipeline's FINAL output: the kept corpus. Keep-first
+    strategy — a document is dropped iff it is the higher-id member of
+    any verified near-dup pair (deterministic, single-statement; the
+    component-exact variant is q_dedup_clusters). One anti-join against
+    the pair pipeline's drop list."""
+    d = load_table(spark, sf_dir, "documents")
+    dropped = q_dedup_minhash_pairs(spark, sf_dir).select("doc_b").distinct()
+    return d.join(dropped, d.doc_id == dropped.doc_b, "left_anti").select(
+        "doc_id", "source", "lang"
+    )

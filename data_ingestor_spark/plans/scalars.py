@@ -224,7 +224,7 @@ def q_sql_entry(spark, sf_dir):
     "q_scalar_map",
     oracle="""
     SELECT n_nationkey,
-           ['name', 'region'] AS keys_sorted,
+           'name|region' AS keys_sorted,
            n_name AS name_val,
            2 AS n_entries
     FROM nation
@@ -234,14 +234,15 @@ def q_sql_entry(spark, sf_dir):
 def q_scalar_map(spark, sf_dir):
     """Map-type functions: build a map from columns, read keys/values
     back sorted (map iteration order is engine-dependent; sorting makes
-    it checkable)."""
+    it checkable).  Keys surface as a '|'-joined string because the
+    oracle harness cannot hash array-typed cells."""
     n = load_table(spark, sf_dir, "nation")
     m = F.create_map(
         F.lit("name"), F.col("n_name"), F.lit("region"), F.col("n_regionkey").cast("string")
     )
     return n.select(
         "n_nationkey",
-        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.array_join(F.array_sort(F.map_keys(m)), "|").alias("keys_sorted"),
         F.element_at(m, "name").alias("name_val"),
         F.size(m).alias("n_entries"),
     )

@@ -43,8 +43,15 @@ def _canon_cell(v) -> str:
         return _canon_cell(f)
     if isinstance(v, (datetime, date)):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, (list, tuple, dict)):
+        # The driver's canonicalizer (pandas-based sort/hash) cannot hash
+        # list/map cells and records the whole query as an error.  Mirror
+        # that here so an array-typed result column fails LOCALLY instead
+        # of silently passing and then failing in the driver's gate.
+        raise TypeError(
+            "array/map-typed result cell — surface it as a joined string "
+            "(array_join / array_to_string) so the oracle harness can hash it"
+        )
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, bool):
@@ -112,8 +119,14 @@ def main() -> int:
             n_fail += 1
             failures.append(name)
             continue
-        sn, sc, sh = canonical(sdf)
-        on, oc, oh = canonical(odf)
+        try:
+            sn, sc, sh = canonical(sdf)
+            on, oc, oh = canonical(odf)
+        except TypeError as e:
+            print(f"FAIL  {name}: unhashable result: {e}")
+            n_fail += 1
+            failures.append(name)
+            continue
         if (sn, sc, sh) == (on, oc, oh):
             print(f"PASS  {name}: {sn} rows")
             n_pass += 1

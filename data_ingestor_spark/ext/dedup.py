@@ -292,11 +292,18 @@ def q_dedup_simhash(spark, sf_dir):
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Character-3-gram Jaccard near-dup with blocking: candidate pairs
     only within (source, length-band) blocks — an equality self-join,
-    never a global cross product. The block key bounds each block's
-    pair count; at scale you'd tighten bands or add a second key.
-    Repartitioned before the gram build (CPU-heavy narrow map: ~L
-    substrings + a distinct per row) so it spreads across cores instead
-    of following the single-file scan's one partition."""
+    never a global cross product. The pair generation runs through
+    :func:`salted_block_pairs` (S²=64 join groups per block), so a
+    low-cardinality block key cannot pin a block's quadratic pair work
+    to one reducer — same result set, skew-proof physical plan. The
+    join itself carries only narrow (doc_id, block) rows; the gram
+    arrays are attached afterwards by two linear id-key joins, so the
+    8× salt replication duplicates ids, never arrays. Repartitioned
+    before the gram build (CPU-heavy narrow map: ~L substrings + a
+    distinct per row) so it spreads across cores instead of following
+    the single-file scan's one partition."""
+    from data_ingestor_spark.operators.pairs import salted_block_pairs
+
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -308,18 +315,19 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
             "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))"
         ).alias("g3"),
     )
-    a, b = grams.alias("a"), grams.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.len_band") == F.col("b.len_band"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    narrow = grams.select("doc_id", "source", "len_band")
+    pair_ids = salted_block_pairs(narrow, ["source", "len_band"], "doc_id", salt_buckets=8).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     )
-    isect = F.size(F.array_intersect("a.g3", "b.g3"))
-    jac = isect.cast("double") / (F.size("a.g3") + F.size("b.g3") - isect)
+    g = grams.select("doc_id", "g3")
+    pairs = pair_ids.join(
+        g.select(F.col("doc_id").alias("doc_a"), F.col("g3").alias("g3_a")), "doc_a"
+    ).join(g.select(F.col("doc_id").alias("doc_b"), F.col("g3").alias("g3_b")), "doc_b")
+    isect = F.size(F.array_intersect("g3_a", "g3_b"))
+    jac = isect.cast("double") / (F.size("g3_a") + F.size("g3_b") - isect)
     return pairs.select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
+        "doc_a",
+        "doc_b",
         F.round(jac, 4).alias("jaccard3"),
     ).filter(jac >= 0.55)
 

@@ -247,24 +247,37 @@ def q_curation_pipeline(spark, sf_dir):
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS prefix_dist
     FROM documents a JOIN documents b
-      ON a.source = b.source AND a.doc_id < b.doc_id
+      ON a.source = b.source
+     AND substr(a.text, 1, 2) = substr(b.text, 1, 2)
+     AND a.doc_id < b.doc_id
     WHERE a.doc_id % 20 = 0 AND b.doc_id % 20 = 0
     """,
     tags=("text", "editdist"),
 )
 def q_text_editdist(spark, sf_dir):
-    """Edit-distance (Levenshtein) similarity on 40-char prefixes within
-    source blocks — the fuzzy-match primitive for near-identical titles/
-    headers. Deterministic sampling (doc_id % 20) + source blocking keep
-    the pair count bounded; prefix truncation bounds the O(m·n) DP cost
-    per pair."""
+    """Edit-distance (Levenshtein) similarity on 40-char prefixes,
+    blocked on (source, 2-char prefix bucket) — the fuzzy-match
+    primitive for near-identical titles/headers. The prefix bucket is
+    the standard entity-resolution blocking key for edit distance:
+    near-identical strings almost always agree on their first
+    characters, and it makes per-block pair counts scale with the
+    bucket's share of the corpus (|block|² over source×prefix² buckets)
+    instead of the whole source — the documented recall trade-off is
+    that pairs differing within the first 2 chars are not candidates.
+    Pair generation runs through salted_block_pairs (S²=64 reducers per
+    block) so a hot bucket cannot serialize; deterministic sampling
+    (doc_id % 20) further bounds the demo pair count, and prefix
+    truncation bounds the O(m·n) DP cost per pair."""
+    from data_ingestor_spark.operators.pairs import salted_block_pairs
+
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
-    pre = d.select("doc_id", "source", F.substring("text", 1, 40).alias("p"))
-    a, b = pre.alias("a"), pre.alias("b")
-    return a.join(
-        b,
-        (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
+    pre = d.select(
+        "doc_id",
+        "source",
+        F.substring("text", 1, 2).alias("pb"),
+        F.substring("text", 1, 40).alias("p"),
+    )
+    return salted_block_pairs(pre, ["source", "pb"], "doc_id", salt_buckets=8).select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
         F.levenshtein(F.col("a.p"), F.col("b.p")).alias("prefix_dist"),

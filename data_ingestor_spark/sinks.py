@@ -45,14 +45,26 @@ import shutil
 
 from pyspark.sql import DataFrame
 
-_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_$.]*$")
+_IDENT_PART_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_$]*$")
 
 
 def _check_ident(name: str) -> str:
-    """Reject SQL identifiers that would require quoting/escaping (§2.3(g))."""
-    if not _IDENT_RE.match(name):
+    """Reject SQL identifiers that would require escaping (§2.3(g)).
+
+    A name may be schema-qualified (``schema.table``); each dot-separated
+    part is validated separately, because the quoted form must quote the
+    parts individually — ``"public"."events"``, never ``"public.events"``
+    (which names a single table containing a literal dot).
+    """
+    parts = name.split(".")
+    if not parts or not all(_IDENT_PART_RE.match(p) for p in parts):
         raise ValueError(f"unsafe SQL identifier: {name!r}")
     return name
+
+
+def _quote_ident(name: str) -> str:
+    """Validated, part-wise-quoted SQL identifier (``"schema"."table"``)."""
+    return ".".join(f'"{p}"' for p in _check_ident(name).split("."))
 
 
 def _stringify(df: DataFrame) -> DataFrame:
@@ -127,11 +139,34 @@ def build_insert_select(staging: str, target: str, columns: list[str]) -> list[s
     reduce (``dbtransposer.go:290-364``) but without its partial-insert
     hazards (SURVEY §2.3(c)).
     """
-    cols = ", ".join(f'"{_check_ident(c)}"' for c in columns)
+    cols = ", ".join(_quote_ident(c) for c in columns)
     return [
-        f'INSERT INTO "{_check_ident(target)}" ({cols}) SELECT {cols} FROM "{_check_ident(staging)}"',
-        f'DROP TABLE "{_check_ident(staging)}"',
+        f"INSERT INTO {_quote_ident(target)} ({cols}) SELECT {cols} FROM {_quote_ident(staging)}",
+        f"DROP TABLE {_quote_ident(staging)}",
     ]
+
+
+def publish_staged(connect, staging: str, target: str, columns: list[str]) -> None:
+    """Execute the atomic-publish transaction body over a DBAPI connection.
+
+    One transaction: ``INSERT INTO target SELECT … FROM staging`` then
+    ``DROP`` the staging table; any failure rolls the whole transaction
+    back, leaving the target exactly as it was (the reference's
+    rollback-every semantics, ``dbtransposer.go:330-364``). Split out
+    from :func:`publish_jdbc_atomic` so the transaction body is testable
+    against any DBAPI driver (sqlite3 in tests) without a JVM JDBC URL.
+    """
+    conn = connect()
+    try:
+        cur = conn.cursor()
+        for stmt in build_insert_select(staging, target, columns):
+            cur.execute(stmt)
+        conn.commit()
+    except Exception:
+        conn.rollback()
+        raise
+    finally:
+        conn.close()
 
 
 def publish_jdbc_atomic(
@@ -177,17 +212,7 @@ def publish_jdbc_atomic(
     writer.write.mode("overwrite").jdbc(url, staging, properties=props)
 
     n = df.sparkSession.read.jdbc(url, staging, properties=props).count()
-    conn = connect()
-    try:
-        cur = conn.cursor()
-        for stmt in build_insert_select(staging, target_table, df.columns):
-            cur.execute(stmt)
-        conn.commit()
-    except Exception:
-        conn.rollback()
-        raise
-    finally:
-        conn.close()
+    publish_staged(connect, staging, target_table, df.columns)
     return n
 
 
@@ -197,13 +222,30 @@ def publish_parquet_atomic(df: DataFrame, final_dir: str, staging_dir: str | Non
     Writes to a staging directory first — any task failure leaves the
     final path untouched (Spark's own output commit protocol already
     guarantees no partial files *within* the staging write) — then
-    promotes staging → final with an atomic directory rename on the
-    driver. Readers of ``final_dir`` see the old data or all of the new
-    data, never a mix: the file-sink equivalent of the reference's
-    commit-every/rollback-every reduce (``dbtransposer.go:290-364``).
-    Returns the published row count.
+    promotes staging → final via directory renames on the driver:
+    the file-sink equivalent of the reference's commit-every/
+    rollback-every reduce (``dbtransposer.go:290-364``).
+
+    Atomicity contract (precise): readers never see a *mix* of old and
+    new files, but when ``final_dir`` already exists the promotion is
+    two renames (final→old, staging→final) and ``final_dir`` is absent
+    for the instant between them — a reader opening the path exactly
+    then fails and must retry, it cannot read partial data. POSIX has
+    no portable atomic directory *swap*; deployments that need a truly
+    gap-free flip should point readers at a symlink (or a metastore
+    location) and retarget that instead. Both staging and final must be
+    on the same filesystem — ``os.rename`` across devices raises
+    ``EXDEV`` — validated up front so the failure happens before any
+    data is written. Returns the published row count.
     """
     staging = staging_dir or final_dir.rstrip("/") + ".__staging__"
+    final_parent = os.path.dirname(os.path.abspath(final_dir.rstrip("/"))) or "."
+    staging_parent = os.path.dirname(os.path.abspath(staging.rstrip("/"))) or "."
+    if os.stat(final_parent).st_dev != os.stat(staging_parent).st_dev:
+        raise ValueError(
+            f"staging_dir {staging!r} and final_dir {final_dir!r} are on different "
+            "filesystems; the atomic rename promotion requires the same filesystem"
+        )
     if os.path.exists(staging):
         shutil.rmtree(staging)
     df.write.mode("overwrite").parquet(staging)

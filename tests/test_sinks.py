@@ -84,6 +84,115 @@ def test_build_insert_select_atomic_publish():
     assert stmts[1] == 'DROP TABLE "t__staging"'
 
 
+def test_build_insert_select_schema_qualified():
+    # each dot-separated part quoted separately — '"public"."events"',
+    # never the single identifier '"public.events"'
+    stmts = sinks.build_insert_select("public.events__staging", "public.events", ["id"])
+    assert stmts[0] == (
+        'INSERT INTO "public"."events" ("id") SELECT "id" FROM "public"."events__staging"'
+    )
+    assert stmts[1] == 'DROP TABLE "public"."events__staging"'
+
+
+def _sqlite_connect(path):
+    import sqlite3
+
+    def connect():
+        return sqlite3.connect(path)
+
+    return connect
+
+
+def test_publish_staged_sqlite_commit(tmp_path):
+    """The phase-2 transaction body against a live DBAPI driver: target
+    flips from its old contents to old+staged, staging is dropped."""
+    import sqlite3
+
+    db = str(tmp_path / "pub.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute('CREATE TABLE "target" ("id" INTEGER, "name" TEXT)')
+        conn.execute('CREATE TABLE "target__staging" ("id" INTEGER, "name" TEXT)')
+        conn.execute("INSERT INTO target VALUES (1, 'old')")
+        conn.executemany("INSERT INTO target__staging VALUES (?, ?)", [(2, "a"), (3, "b")])
+
+    sinks.publish_staged(_sqlite_connect(db), "target__staging", "target", ["id", "name"])
+
+    with sqlite3.connect(db) as conn:
+        rows = sorted(conn.execute("SELECT id, name FROM target").fetchall())
+        assert rows == [(1, "old"), (2, "a"), (3, "b")]
+        tables = {r[0] for r in conn.execute("SELECT name FROM sqlite_master WHERE type='table'")}
+        assert "target__staging" not in tables
+
+
+def test_publish_staged_sqlite_mid_transaction_rollback(tmp_path):
+    """Failure BETWEEN the INSERT and the DROP rolls the whole
+    transaction back: target keeps exactly its pre-publish contents and
+    staging survives (reference rollback-every, dbtransposer.go:330-364)."""
+    import sqlite3
+
+    db = str(tmp_path / "pub.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute('CREATE TABLE "target" ("id" INTEGER)')
+        conn.execute('CREATE TABLE "target__staging" ("id" INTEGER)')
+        conn.execute("INSERT INTO target VALUES (1)")
+        conn.execute("INSERT INTO target__staging VALUES (2)")
+
+    class FailsOnDrop:
+        """DBAPI connection wrapper whose cursor raises on DROP — the
+        INSERT has already executed inside the open transaction."""
+
+        def __init__(self):
+            self.conn = sqlite3.connect(db)
+
+        def cursor(self):
+            real = self.conn.cursor()
+
+            class Cur:
+                def execute(self, stmt, *a):
+                    if stmt.lstrip().upper().startswith("DROP"):
+                        raise RuntimeError("injected mid-transaction failure")
+                    return real.execute(stmt, *a)
+
+            return Cur()
+
+        def commit(self):
+            self.conn.commit()
+
+        def rollback(self):
+            self.conn.rollback()
+
+        def close(self):
+            self.conn.close()
+
+    with pytest.raises(RuntimeError, match="injected"):
+        sinks.publish_staged(FailsOnDrop, "target__staging", "target", ["id"])
+
+    with sqlite3.connect(db) as conn:
+        assert conn.execute("SELECT id FROM target").fetchall() == [(1,)]
+        assert conn.execute("SELECT id FROM target__staging").fetchall() == [(2,)]
+
+
+def test_publish_staged_sqlite_failed_insert_rolls_back(tmp_path):
+    """A constraint violation in the INSERT itself leaves the target
+    untouched — all-or-nothing also holds for the first statement."""
+    import sqlite3
+
+    db = str(tmp_path / "pub.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute('CREATE TABLE "target" ("id" INTEGER PRIMARY KEY)')
+        conn.execute('CREATE TABLE "target__staging" ("id" INTEGER)')
+        conn.execute("INSERT INTO target VALUES (1)")
+        conn.executemany("INSERT INTO target__staging VALUES (?)", [(2,), (1,)])  # 1 collides
+
+    with pytest.raises(sqlite3.IntegrityError):
+        sinks.publish_staged(_sqlite_connect(db), "target__staging", "target", ["id"])
+
+    with sqlite3.connect(db) as conn:
+        assert conn.execute("SELECT id FROM target").fetchall() == [(1,)]
+        tables = {r[0] for r in conn.execute("SELECT name FROM sqlite_master WHERE type='table'")}
+        assert "target__staging" in tables
+
+
 @pytest.mark.parametrize("bad", ["t; DROP TABLE x", 'a"b', "1tbl", "t name", ""])
 def test_unsafe_identifiers_rejected(bad):
     # SURVEY §2.3(g): the reference interpolates identifiers raw; we validate.
@@ -98,6 +207,35 @@ def test_archive_input(tmp_path):
     archived = sinks.archive_input(str(src), str(dest_dir))
     assert os.path.isfile(archived) and not src.exists()
     assert archived == str(dest_dir / "in.json")
+
+
+def test_xlsx_sheet_name_with_quote_is_valid_xml(tmp_path):
+    """A '"' in the sheet name must not break the workbook.xml attribute."""
+    import zipfile
+    from xml.etree import ElementTree
+
+    from data_ingestor_spark.xlsx import read_rows, write_sheet
+
+    path = str(tmp_path / "q.xlsx")
+    sheet = 'Totals "final" v2'
+    write_sheet(path, [["a"], ["1"]], sheet=sheet)
+    with zipfile.ZipFile(path) as z:
+        wb = ElementTree.fromstring(z.read("xl/workbook.xml"))  # parses ⇒ well-formed
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    assert wb.find(f"{ns}sheets/{ns}sheet").get("name") == sheet
+    assert read_rows(path, sheet=sheet) == [["a"], ["1"]]
+
+
+def test_publish_parquet_rejects_cross_filesystem_staging(spark, tmp_path):
+    import os
+
+    other = "/dev/shm"
+    if not os.path.isdir(other) or os.stat(other).st_dev == os.stat(str(tmp_path)).st_dev:
+        pytest.skip("no second filesystem available to test EXDEV validation")
+    with pytest.raises(ValueError, match="different"):
+        sinks.publish_parquet_atomic(
+            spark.range(3), str(tmp_path / "final"), staging_dir=os.path.join(other, "stg")
+        )
 
 
 def test_xlsx_reader_handles_shared_strings(tmp_path):

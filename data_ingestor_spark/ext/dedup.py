@@ -384,19 +384,11 @@ def cluster_pairs(pairs: DataFrame, left: str = "doc_a", right: str = "doc_b", m
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
-@query("q_dedup_clusters", oracle=None, tags=("dedup", "clusters", "iterative"))
-def q_dedup_clusters(spark, sf_dir):
-    """Near-dup cluster formation: MinHash-LSH verified pairs → connected
-    components → one row per clustered doc with its canonical (min)
-    doc_id. Rows-only check: iterative fixpoint isn't single-statement
-    SQL; determinism is asserted in unit tests on a known graph."""
-    pairs = q_dedup_minhash_pairs(spark, sf_dir)
-    return cluster_pairs(pairs)
-
-
-@query(
-    "q_dedup_cluster_summary",
-    oracle=f"""
+#: WITH RECURSIVE prefix computing per-doc connected-component labels
+#: (min reachable doc_id) over the MinHash-LSH verified pair graph — the
+#: DuckDB twin of cluster_pairs(q_dedup_minhash_pairs(...)). Shared by
+#: q_dedup_clusters (full label check) and q_dedup_cluster_summary.
+_CLUSTER_LABELS_CTE = f"""
     WITH RECURSIVE sigs AS (
         SELECT doc_id, toks, {_MH_DUCK_COLS}
         FROM (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
@@ -425,7 +417,35 @@ def q_dedup_clusters(spark, sf_dir):
         FROM edges e JOIN reach ON reach.id = e.dst
     ), labels AS (
         SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
-    ), sizes AS (
+    )
+"""
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=_CLUSTER_LABELS_CTE
+    + """
+    SELECT id AS doc_id, cluster_id FROM labels
+    """,
+    tags=("dedup", "clusters", "iterative"),
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster formation: MinHash-LSH verified pairs → connected
+    components → one row per clustered doc with its canonical (min)
+    doc_id. The Spark side is iterative pointer-jumping label
+    propagation (cluster_pairs); the oracle recomputes the exact same
+    labels in DuckDB via WITH RECURSIVE reachability (min reachable
+    doc_id per node) — a full per-document hash check of the fixpoint
+    result, upgraded from the round-1 rows-only check."""
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    return cluster_pairs(pairs)
+
+
+@query(
+    "q_dedup_cluster_summary",
+    oracle=_CLUSTER_LABELS_CTE
+    + """
+    , sizes AS (
         SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY cluster_id
     )
     SELECT cluster_size, COUNT(*) AS n_clusters

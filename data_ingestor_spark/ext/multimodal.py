@@ -151,22 +151,68 @@ def q_multimodal_meta(spark, sf_dir):
     return b.select("doc_id", "mime", "n_bytes", F.md5("payload").alias("payload_md5"))
 
 
-@query("q_multimodal_features", oracle=None, tags=("multimodal", "udf"))
+@query(
+    "q_multimodal_features",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               COALESCE(list_sum(list_transform(string_split(text, ''), c -> ord(c))), 0) AS bsum
+        FROM documents
+    )
+    SELECT doc_id,
+           'application/octet-stream' AS mime,
+           n_bytes,
+           CAST(bsum % 2147483647 AS BIGINT) AS checksum,
+           CASE WHEN n_bytes = 0 THEN 0.0
+                ELSE CAST(bsum AS DOUBLE) / n_bytes END AS mean_byte,
+           CAST(CEIL(CAST(n_bytes AS DOUBLE) / 256) AS INT) AS n_frames
+    FROM b
+    """,
+    tags=("multimodal", "udf"),
+)
 def q_multimodal_features(spark, sf_dir):
     """Decode + featurize pipeline over binary payloads (deterministic
-    fake decoder standing in for the codec). Rows-only check: the
-    mapInPandas plumbing (schema, batch shape, Arrow transfer) is the
-    thing under test; unit tests assert the deterministic values."""
+    fake decoder standing in for the codec), via mapInPandas Arrow
+    batches. Fully oracle-checked (upgraded from round-1's rows-only):
+    the fake decode is pure byte arithmetic, which DuckDB reproduces as
+    per-character codepoint sums — byte == codepoint because the corpus
+    is ASCII (a non-ASCII corpus would hash-mismatch, so the oracle
+    also guards that assumption). Byte sums are exact in int64 and
+    < 2^53, so numpy's pairwise mean and DuckDB's sum/n agree
+    bit-for-bit."""
     d = load_table(spark, sf_dir, "documents")
     return extract_features(with_binary_payload(d))
 
 
-@query("q_multimodal_frames", oracle=None, tags=("multimodal", "udf", "frames"))
+@query(
+    "q_multimodal_frames",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n
+        FROM documents WHERE octet_length(encode(text)) > 0
+    ), f AS (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(CEIL(CAST(n AS DOUBLE) / 256) AS BIGINT), 4)) AS fi
+        FROM b
+    )
+    SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+           CAST(list_sum(list_transform(
+                    string_split(substr(text, CAST(fi * 256 + 1 AS INT), 256), ''),
+                    c -> ord(c))) AS DOUBLE)
+             / length(substr(text, CAST(fi * 256 + 1 AS INT), 256)) AS frame_mean
+    FROM f
+    """,
+    tags=("multimodal", "udf", "frames"),
+)
 def q_multimodal_frames(spark, sf_dir):
     """Frame-sampling pipeline over binary payloads: every 4th 256-byte
-    frame with per-frame stats (sample_frames / mapInPandas). Rows-only
-    check (binary frame bytes aren't SQL-comparable); deterministic
-    values are unit-tested."""
+    frame with per-frame stats (sample_frames / mapInPandas). The
+    frame_bytes column is dropped for the check (BLOB cells aren't
+    hash-comparable) but frame_idx + frame_mean pin the slicing and the
+    per-frame math; the oracle reproduces the byte slicing as ASCII
+    substring arithmetic (see q_multimodal_features for why byte ==
+    codepoint holds). Upgraded from round-1's rows-only check."""
     d = load_table(spark, sf_dir, "documents")
     frames = sample_frames(with_binary_payload(d))
     return frames.select("doc_id", "frame_idx", "frame_mean")

@@ -159,13 +159,64 @@ def lsh_bucket(vec_col: str) -> Column:
     return F.expr(" + ".join(bits))
 
 
-@query("q_sim_ann_lsh", oracle=None, tags=("similarity", "ann", "lsh"))
+def _plane_component_duck(p: int, j_expr: str) -> str:
+    """DuckDB dialect of :func:`_plane_component` — identical md5-derived
+    hyperplane values bit-for-bit."""
+    return (
+        f"(CAST(('0x' || substr(md5('{p}:' || CAST({j_expr} AS VARCHAR)), 1, 8)) AS BIGINT)"
+        f" / 2147483648.0 - 1.0)"
+    )
+
+
+def _lsh_bucket_duck(vec_col: str) -> str:
+    """DuckDB twin of :func:`lsh_bucket`: same planes, same left-to-right
+    accumulation (list_sum over an index-ordered list_transform)."""
+    bits = []
+    for p in range(_LSH_PLANES):
+        dot = (
+            f"list_sum(list_transform(range(0, len({vec_col})),"
+            f" j -> CAST({vec_col}[j + 1] AS DOUBLE) * {_plane_component_duck(p, 'j')}))"
+        )
+        bits.append(f"CAST({dot} >= 0 AS INT) * {1 << p}")
+    return " + ".join(bits)
+
+
+@query(
+    "q_sim_ann_lsh",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, label, embedding, {_lsh_bucket_duck('embedding')} AS bucket
+        FROM embeddings
+    ), q AS (
+        SELECT embedding AS qe, bucket AS qbucket FROM b WHERE vec_id = 0
+    ), cand AS (
+        SELECT b.vec_id, b.label, b.bucket, b.embedding, q.qe
+        FROM b, q WHERE b.bucket = q.qbucket AND b.vec_id <> 0
+    ), z AS (
+        SELECT vec_id, label, bucket,
+               CAST(unnest(embedding) AS DOUBLE) AS x,
+               CAST(unnest(qe) AS DOUBLE) AS y
+        FROM cand
+    ), c AS (
+        SELECT vec_id, label, bucket,
+               SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS cos_sim
+        FROM z GROUP BY vec_id, label, bucket
+    )
+    SELECT vec_id, label, bucket, cos_sim FROM c
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    tags=("similarity", "ann", "lsh"),
+)
 def q_sim_ann_lsh(spark, sf_dir):
     """ANN via random-hyperplane LSH: bucket every vector (2^planes
     buckets), probe only the query's bucket, exact cosine + top-10
-    within it. Rows-only check (ANN recall is approximate by design;
-    the exact baseline is q_sim_topk). At scale the bucketed table is
-    written partitioned by bucket so probes are partition-pruned scans."""
+    within it. Every step is deterministic (hyperplanes are md5-derived),
+    so despite being an *approximate* nearest-neighbor method the result
+    is exactly reproducible — the oracle recomputes the identical
+    buckets and probe in DuckDB (upgraded from round-1's rows-only
+    check; the exact-recall baseline remains q_sim_topk). At scale the
+    bucketed table is written partitioned by bucket so probes are
+    partition-pruned scans."""
     e = load_table(spark, sf_dir, "embeddings")
     bucketed = e.withColumn("bucket", lsh_bucket("embedding"))
     qv = bucketed.filter(F.col("vec_id") == 0).select(
@@ -196,7 +247,51 @@ def label_centroids(vectors: DataFrame, label_col: str = "label") -> DataFrame:
     )
 
 
-@query("q_sim_ann_ivf", oracle=None, tags=("similarity", "ann", "ivf"))
+@query(
+    "q_sim_ann_ivf",
+    oracle="""
+    WITH cents AS (
+        SELECT label,
+               list(CAST(m AS REAL) ORDER BY pos) AS cent
+        FROM (
+            SELECT label, pos, AVG(x) AS m
+            FROM (
+                SELECT label, generate_subscripts(embedding, 1) AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings WHERE vec_id <> 0
+            )
+            GROUP BY label, pos
+        )
+        GROUP BY label
+    ), q AS (
+        SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    ), zc AS (
+        SELECT label,
+               CAST(unnest(cent) AS DOUBLE) AS cx,
+               CAST(unnest(qe) AS DOUBLE) AS qy
+        FROM cents, q
+    ), csim AS (
+        SELECT label, SUM(cx*qy) / (SQRT(SUM(cx*cx)) * SQRT(SUM(qy*qy))) AS sim
+        FROM zc GROUP BY label
+    ), best AS (
+        SELECT label AS qlabel FROM csim ORDER BY sim DESC, label LIMIT 1
+    ), cand AS (
+        SELECT e.vec_id, e.label, e.embedding, q.qe
+        FROM embeddings e, best, q
+        WHERE e.label = best.qlabel AND e.vec_id <> 0
+    ), z AS (
+        SELECT vec_id, label,
+               CAST(unnest(embedding) AS DOUBLE) AS x,
+               CAST(unnest(qe) AS DOUBLE) AS y
+        FROM cand
+    ), c AS (
+        SELECT vec_id, label, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS cos_sim
+        FROM z GROUP BY vec_id, label
+    )
+    SELECT vec_id, label, cos_sim FROM c ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
 def q_sim_ann_ivf(spark, sf_dir):
     """ANN via IVF-style coarse quantization: (1) build per-cluster
     centroids (label_centroids — a one-off, amortized like an index
@@ -204,8 +299,12 @@ def q_sim_ann_ivf(spark, sf_dir):
     broadcast of the tiny centroid table, (3) exact cosine top-10 within
     that single cluster — the scan probes 1/n_clusters of the data; at
     scale the vector table is partitioned by cluster id so the probe is
-    a partition-pruned scan. Rows-only check (recall is approximate by
-    design; the exact baseline is q_sim_topk)."""
+    a partition-pruned scan. Deterministic end-to-end, so fully
+    oracle-checked (upgraded from round-1's rows-only): the float32
+    cast of each centroid element absorbs double-sum association
+    differences between the engines' AVG, and every later step is
+    bit-reproducible double math. Recall vs the exact q_sim_topk
+    baseline remains approximate by design."""
     e = load_table(spark, sf_dir, "embeddings")
     cents = label_centroids(e.filter(F.col("vec_id") != 0))
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))

@@ -54,11 +54,35 @@ def q_ingest_json(spark, sf_dir):
     return flatten_nested(raw, "fnumbers", TEMPLATE_COLUMNS)
 
 
-@query("q_ingest_xml", oracle=None, tags=("ingest",))
+_XML_GOLDEN_ORACLE = """
+SELECT * FROM (VALUES
+  ('alice', 1700000001, 1700000101, 'asset-a', 'HQ',      'Pending',  'h001', 'L-1', 'ingest-records.xml', 'F100', '2023-11-14T22:13:21Z'),
+  ('alice', 1700000001, 1700000101, 'asset-a', 'HQ',      'Pending',  'h001', 'L-1', 'ingest-records.xml', 'F101', '2023-11-14T22:14:21Z'),
+  ('bob',   1700000002, 1700000102, 'asset-b', 'Branch1', 'Approved', 'h002', 'L-2', 'ingest-records.xml', 'F102', '2023-11-14T22:15:21Z'),
+  ('bob',   1700000002, 1700000102, 'asset-b', 'Branch1', 'Approved', 'h002', 'L-2', 'ingest-records.xml', 'F103', '2023-11-14T22:16:21Z'),
+  ('carol', 1700000003, 1700000103, NULL,      'Branch2', 'Rejected', 'h003', 'L-3', 'ingest-records.xml', 'F104', '2023-11-14T22:17:21Z'),
+  ('carol', 1700000003, 1700000103, NULL,      'Branch2', 'Rejected', 'h003', 'L-3', 'ingest-records.xml', 'F105', '2023-11-14T22:18:21Z'),
+  ('dave',  1700000004, 1700000104, 'asset-d', 'Branch3', 'Pending',  'h004', NULL,  'ingest-records.xml', 'F106', '2023-11-14T22:19:21Z'),
+  ('dave',  1700000004, 1700000104, 'asset-d', 'Branch3', 'Pending',  'h004', NULL,  'ingest-records.xml', 'F107', '2023-11-14T22:20:21Z'),
+  ('erin',  1700000005, 1700000105, 'asset-e', 'HQ',      'Approved', 'h005', 'L-5', 'ingest-records.xml', 'F108', '2023-11-14T22:21:21Z'),
+  ('erin',  1700000005, 1700000105, 'asset-e', 'HQ',      'Approved', 'h005', 'L-5', 'ingest-records.xml', 'F109', '2023-11-14T22:22:21Z'),
+  ('frank', 1700000006, 1700000106, 'asset-f', 'Branch4', 'Pending',  'h006', 'L-6', 'ingest-records.xml', 'F110', '2023-11-14T22:23:21Z'),
+  ('frank', 1700000006, 1700000106, 'asset-f', 'Branch4', 'Pending',  'h006', 'L-6', 'ingest-records.xml', 'F111', '2023-11-14T22:24:21Z'),
+  ('grace', 1700000007, 1700000107, 'asset-g', 'Branch5', 'Approved', 'h007', 'L-7', 'ingest-records.xml', 'F112', '2023-11-14T22:25:21Z'),
+  ('heidi', 1700000008, 1700000108, 'asset-h', 'HQ',      'Rejected', 'h008', 'L-8', 'ingest-records.xml', NULL,   NULL)
+) AS t("user", dt_created, dt_submitted, ast_name, location, status,
+       json_hash, local_id, filename, fnumber, scan_time)
+"""
+
+
+@query("q_ingest_xml", oracle=_XML_GOLDEN_ORACLE, tags=("ingest",))
 def q_ingest_xml(spark, sf_dir):
     """XML → <Record> rows → flatten repeated <fnumbers> groups →
-    whitelist (O1+O8+O9). Rows-only: DuckDB has no XML reader. The
-    row-count contract (6×2 + 1 + 1 = 14) is asserted in unit tests."""
+    whitelist (O1+O8+O9). DuckDB has no XML reader, so the oracle is
+    the fixture's expected output as golden literal rows (hand-derived
+    from ingest-records.xml) — a full value-hash check of the XML parse
+    + flatten path, strictly stronger than the previous rows-only
+    check. Row contract: 6×2 + 1 + 1 = 14."""
     raw = load(spark, _XML_FIXTURE, schema=MIST_NESTED_SCHEMA)
     return flatten_nested(raw, "fnumbers", TEMPLATE_COLUMNS)
 

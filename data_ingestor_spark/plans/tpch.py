@@ -1,0 +1,455 @@
+"""TPC-H-shaped benchmark queries over the testdata warehouse tables.
+
+The reference has no SQL surface (SURVEY §2.1); like ``subqueries.py``'s
+Q3/Q5 these are part of the engine's declared relational surface (§2.2)
+— the classic decision-support shapes a 100 TB warehouse runs daily,
+adapted to the testdata's reduced schemas (no partsupp table; lineitem
+has no commitdate/receiptdate/shipmode; dates span 1995–2001; nation
+names are ``NATION_<k>``; ``p_type`` is a single word incl. ``PROMO``).
+Q2/Q4/Q9/Q11/Q12/Q16/Q19–Q22 need the missing columns/tables and are
+deliberately out of scope.
+
+Float discipline (see ``registry.dec``): base money columns are cast to
+exact decimal before arithmetic, sums surface as double, and every
+division is performed on exact operands with identical parenthesization
+in both engines, so the hashes match bit-for-bit without rounding.
+
+Scale notes: each query follows the same plan discipline as Q3/Q5 —
+selective filters pushed into every scan, true dimensions broadcast
+explicitly, fact-fact joins as the only exchanges, top-k as TakeOrdered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestor_spark.plans.registry import dec, load_table, query
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+
+def _rev_col():
+    return F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double")
+
+
+@query(
+    "q_tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({_REV}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({_REV} * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "benchmark"),
+)
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 (pricing summary): the canonical wide scan-aggregate —
+    one pass, map-side partial aggregation into a 6-group shuffle.
+    Averages are computed as exact-decimal-sum / count in double (one
+    identical division per engine) rather than engine AVG, which would
+    round differently."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp")
+    )
+    cnt = F.count(F.lit(1))
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(disc_price * (F.lit(1) + dec("l_tax"))).cast("double").alias("sum_charge"),
+        (F.sum(dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+        (F.sum(dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
+        (F.sum(dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+@query(
+    "q_tpch_q6",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("agg", "benchmark"),
+)
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): pure filter-aggregate.
+    All three predicates push into the parquet scan; the aggregation is
+    a single global decimal sum — zero joins, one tiny shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double").alias("revenue")
+    )
+
+
+@query(
+    "q_tpch_q7",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(SUM({_REV.replace('l_', 'l.l_')}) AS DOUBLE) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("join", "agg", "benchmark"),
+)
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping between two nations): fact-fact join
+    chain with a disjunctive nation-pair predicate. Both nation lookups
+    broadcast; the nation filter is applied AFTER the broadcast joins
+    (it needs both sides), but the date filter pushes into the lineitem
+    scan, which at 100 TB prunes ~2/7 of partitions by ship date."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8"))
+            | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
+        )
+    )
+    return (
+        joined.withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_rev_col().alias("revenue"))
+    )
+
+
+@query(
+    "q_tpch_q8",
+    oracle=f"""
+    WITH all_nations AS (
+        SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+               {_REV.replace('l_', 'l.l_')} AS volume,
+               n2.n_name AS nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           COALESCE(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume END) AS DOUBLE), 0.0)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM all_nations GROUP BY o_year
+    """,
+    tags=("join", "agg", "benchmark"),
+)
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share): 8-way star join with a
+    conditional-aggregate ratio. part/supplier/nation/region broadcast;
+    the market-share division runs on exact decimal sums cast to double
+    (identical operands both engines — no rounding needed)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(F.year("o_orderdate").cast("int").alias("o_year"), vol.alias("volume"), "nation")
+    )
+    num = F.coalesce(
+        F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume"))).cast("double"),
+        F.lit(0.0),
+    )
+    return joined.groupBy("o_year").agg(
+        (num / F.sum("volume").cast("double")).alias("mkt_share")
+    )
+
+
+@query(
+    "q_tpch_q10",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM({_REV.replace('l_', 'l.l_')}) AS DOUBLE) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "benchmark"),
+)
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): quarter of orders × returned
+    lineitems × customer × nation, top-20 by lost revenue. Both
+    selective filters push into their scans; nation broadcasts; top-20
+    is TakeOrdered with c_custkey tie-break."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_rev_col().alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q_tpch_q13",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tags=("join", "agg", "benchmark"),
+)
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): left join with an
+    extra join-side predicate (adapted: priority filter stands in for
+    the original o_comment NOT LIKE — the column doesn't exist here),
+    double aggregation. Customers with zero qualifying orders land in
+    the c_count=0 bucket — the left join is load-bearing."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q_tpch_q14",
+    oracle=f"""
+    SELECT 100.0 * (CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN {_REV.replace('l_', 'l.l_')} END) AS DOUBLE)
+                    / CAST(SUM({_REV.replace('l_', 'l.l_')}) AS DOUBLE)) AS promo_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+    tags=("join", "agg", "benchmark"),
+)
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): one broadcast join + conditional
+    ratio. The month filter pushes into the lineitem scan (partition
+    pruning at scale); part broadcasts. Division on exact decimal sums
+    cast double, multiplied by 100 with identical parenthesization."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    vol = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", vol)).cast("double")
+    return joined.agg(
+        (F.lit(100.0) * (promo / F.sum(vol).cast("double"))).alias("promo_revenue")
+    )
+
+
+@query(
+    "q_tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, SUM({_REV}) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+    tags=("join", "agg", "subquery", "benchmark"),
+)
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): aggregate → scalar-subquery max →
+    equality. The max comparison runs on EXACT decimals (never the
+    double projection) so ties and near-ties are engine-stable; the
+    1-row max broadcasts. Supplier table broadcasts onto the winner."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == mx.mx)
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+    )
+
+
+@query(
+    "q_tpch_q17",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (
+          SELECT 0.2 * (CAST(SUM(l2.l_quantity) AS DOUBLE) / COUNT(*))
+          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+    tags=("join", "agg", "subquery", "benchmark"),
+)
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): correlated aggregate
+    subquery, decorrelated into a per-partkey average join. The brand
+    filter semi-joins lineitem FIRST (broadcast), so the per-part
+    average aggregates only the ~brand-share of the fact table rather
+    than all of it — the decorrelation you'd want at 100 TB. Quantities
+    are small integers, so their double sums are exact and the 0.2×avg
+    threshold is bit-identical in both engines."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    avgq = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.sum("l_quantity").cast("double") / F.count(F.lit(1))).alias("aq")
+    )
+    flagged = li.join(avgq, F.col("l_partkey") == F.col("ap_key")).filter(
+        F.col("l_quantity") < F.lit(0.2) * F.col("aq")
+    )
+    return flagged.agg(
+        (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly")
+    )
+
+
+@query(
+    "q_tpch_q18",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    )
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+    tags=("join", "agg", "subquery", "benchmark"),
+)
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): IN-subquery over a grouped
+    HAVING — decorrelated as a semi-join from the pre-aggregated
+    order-quantity relation (threshold 250, sized to this data's
+    per-order quantity distribution). The big-order id list is tiny
+    after HAVING, so it broadcasts into the fact join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 250)
+        .select(F.col("l_orderkey").alias("big_key"))
+    )
+    joined = (
+        li.join(F.broadcast(big), li.l_orderkey == F.col("big_key"), "inner")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            dec("o_totalprice").cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
+    )

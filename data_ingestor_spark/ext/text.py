@@ -405,3 +405,83 @@ def q_text_rolling_fingerprint(spark, sf_dir):
             f"array_min(transform(sequence(1, length(text) - 7), i -> {win_hash}))"
         ).alias("winnow_fp"),
     )
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               list_transform(range(1, len(string_split(lower(text), ' ')) - 1),
+                   i -> string_split(lower(text), ' ')[i] || ' '
+                        || string_split(lower(text), ' ')[i + 1] || ' '
+                        || string_split(lower(text), ' ')[i + 2]) AS tg
+        FROM documents
+        WHERE len(string_split(lower(text), ' ')) >= 3
+    )
+    SELECT doc_id,
+           len(tg) AS n_trigrams,
+           ROUND(1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg), 4) AS rep_ratio
+    FROM g
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def q_text_repetition(spark, sf_dir):
+    """Intra-document repetition score: fraction of repeated word
+    trigrams (1 − distinct/total) — the standard boilerplate/loop
+    detector in LLM-corpus quality filtering (heavily repeated n-grams
+    mark templated or degenerate text). Narrow per-row map (one token
+    split + one trigram build per doc), no shuffle; repartitioned off
+    the single-file scan because the map is CPU-bound."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = "split(lower(text), ' ')"
+    d = d.filter(F.expr(f"size({toks}) >= 3"))
+    tg = (
+        f"transform(sequence(1, size({toks}) - 2),"
+        f" i -> concat(element_at({toks}, i), ' ',"
+        f" element_at({toks}, i + 1), ' ', element_at({toks}, i + 2)))"
+    )
+    return d.select(
+        "doc_id",
+        F.expr(f"size({tg})").alias("n_trigrams"),
+        F.expr(
+            f"round(1.0 - cast(size(array_distinct({tg})) as double) / size({tg}), 4)"
+        ).alias("rep_ratio"),
+    )
+
+
+#: redaction pattern for the scrub demo: two high-frequency corpus terms
+#: stand in for PII tokens (emails/phones — this corpus has neither, and
+#: a vacuous pattern would test nothing). Plain alternation of literals:
+#: identical semantics in Java regex (Spark) and RE2 (DuckDB).
+_SCRUB_PATTERN = "customer|user"
+
+
+@query(
+    "q_text_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           md5(regexp_replace(text, '{_SCRUB_PATTERN}', '[REDACTED]', 'g')) AS scrub_md5,
+           len(regexp_extract_all(text, '{_SCRUB_PATTERN}')) AS n_redactions
+    FROM documents
+    """,
+    tags=("text", "scrub", "redaction"),
+)
+def q_text_scrub(spark, sf_dir):
+    """Pattern-redaction scrub — the PII-removal primitive of a
+    training-data pipeline (swap _SCRUB_PATTERN for email/phone/SSN
+    regexes in production; this corpus contains no digits, so two
+    frequent terms make the check non-vacuous). Pure narrow map:
+    regexp_replace + match count per row, no shuffle, no Python. The
+    scrubbed text is surfaced as md5 so the oracle hashes the ENTIRE
+    redacted output without a giant result set."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace("text", _SCRUB_PATTERN, "[REDACTED]")).alias("scrub_md5"),
+        F.expr(f"size(regexp_extract_all(text, '{_SCRUB_PATTERN}', 0))").alias("n_redactions"),
+    )

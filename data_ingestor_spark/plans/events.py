@@ -1,0 +1,217 @@
+"""Event-analytics queries over the ``events`` stream table: funnel,
+cohort retention, gap-based sessionization, and daily anomaly scoring —
+the product-analytics shapes an event warehouse runs at 100 TB.
+
+Beyond the reference's surface (it has no event analytics; SURVEY §2.2
+declares the engine's event/time-series family) — these extend the
+time-window family in ``timeseries.py`` with the stateful/relational
+patterns: funnels are ordered min-timestamp joins, retention is a
+first-touch cohort matrix, sessionization is the lag-gap-cumsum window
+idiom (the batch twin of ``applyInPandasWithState``'s streaming
+sessions), anomaly scoring is a per-key z-score over daily partials.
+
+Scale notes: every query shuffles on (user_id) or (event_type, day) —
+the natural keys an event warehouse is already partitioned by; no
+query materializes per-event state wider than a window function's
+frame. ``events.ts`` is TIMESTAMP(NANOS) parquet, read through
+``load_table``'s nanos→micros conversion (DuckDB truncates the same
+way, so timestamps compare bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from data_ingestor_spark.plans.registry import load_table, query
+
+#: session gap threshold: 30 minutes, in microseconds (exact integer math)
+_GAP_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "q_event_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM p) AS n_purchase
+    """,
+    tags=("events", "funnel"),
+)
+def q_event_funnel(spark, sf_dir):
+    """Strictly-ordered funnel view → click → purchase: a user advances
+    a stage only with an event strictly after their previous stage's
+    first event. Each stage is a (user-key) aggregate then an equality
+    join — at 100 TB all three stages shuffle on user_id once and the
+    stage frames shrink monotonically. Single-row output of stage
+    counts."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("vt"))
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+
+
+@query(
+    "q_event_retention",
+    oracle="""
+    WITH first_day AS (
+        SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day FROM events GROUP BY user_id
+    ), active AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(datediff('day', f.cohort_day, a.d) AS INT) AS day_offset,
+           COUNT(*) AS n_users
+    FROM first_day f JOIN active a ON f.user_id = a.user_id
+    GROUP BY f.cohort_day, day_offset
+    """,
+    tags=("events", "retention"),
+)
+def q_event_retention(spark, sf_dir):
+    """First-touch cohort retention matrix: cohort = day of a user's
+    first event; one row per (cohort_day, day_offset) with the count of
+    cohort users active that day. Two user-keyed aggregates + one
+    user-keyed join — the standard retention triangle, computed without
+    ever materializing a per-user day bitmap."""
+    e = load_table(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(F.date_trunc("DAY", F.min("ts")).alias("cohort_day"))
+    active = e.select("user_id", F.date_trunc("DAY", "ts").alias("d")).distinct()
+    return (
+        first_day.join(active, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("d", "cohort_day").cast("int").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "q_event_sessions",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        FROM events
+    ), marked AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN pts IS NULL OR epoch_us(ts) - epoch_us(pts) > {_GAP_US}
+                    THEN 1 ELSE 0 END AS is_start
+        FROM ordered
+    ), sessioned AS (
+        SELECT user_id, ts,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM marked
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+    FROM sessioned GROUP BY user_id, CAST(session_seq AS BIGINT)
+    """,
+    tags=("events", "session", "window"),
+)
+def q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) via the lag →
+    session-start flag → running-sum idiom: one shuffle on user_id,
+    every later step stays inside that partitioning. The batch twin of
+    the streaming ``session_window`` / ``applyInPandasWithState``
+    operators (q_window_session tests those semantics); durations are
+    exact integer microsecond arithmetic — no float drift."""
+    e = load_table(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(order).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(order)) > _GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sessioned = marked.select(
+        "user_id",
+        "ts",
+        F.sum("is_start").over(order.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("session_seq"),
+    )
+    return sessioned.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
+
+
+@query(
+    "q_event_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d, COUNT(*) AS n
+        FROM events GROUP BY event_type, d
+    ), stats AS (
+        SELECT event_type,
+               AVG(CAST(n AS DOUBLE)) AS mu,
+               stddev_samp(CAST(n AS DOUBLE)) AS sigma
+        FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.d, d.n,
+           ROUND((d.n - s.mu) / s.sigma, 4) AS z,
+           ABS(ROUND((d.n - s.mu) / s.sigma, 4)) > 2.0 AS is_anomaly
+    FROM daily d JOIN stats s ON d.event_type = s.event_type
+    """,
+    tags=("events", "anomaly", "stats"),
+)
+def q_event_anomaly(spark, sf_dir):
+    """Daily per-type volume anomaly score: z = (count − μ_type)/σ_type
+    over daily partial counts. The heavy aggregation is the tiny daily
+    rollup; the per-type stats table is a broadcast. ROUND(4) absorbs
+    stddev accumulation-order differences between engines, and the
+    anomaly flag is derived from the ROUNDED z so the boundary is
+    engine-stable."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.date_trunc("DAY", "ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.avg(F.col("n").cast("double")).alias("mu"),
+        F.stddev_samp(F.col("n").cast("double")).alias("sigma"),
+    )
+    z = F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "d",
+            "n",
+            z.alias("z"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
+        )
+    )

@@ -20,6 +20,7 @@ for _mod in (
     "data_ingestor_spark.plans.scalars",
     "data_ingestor_spark.plans.subqueries",
     "data_ingestor_spark.plans.tpch",
+    "data_ingestor_spark.plans.events",
     "data_ingestor_spark.plans.ingest",
     "data_ingestor_spark.plans.timeseries",
     "data_ingestor_spark.plans.udfs",

@@ -44,6 +44,18 @@ HEADLINE = [
     "q_text_tfidf",       # corpus statistics (tf ⋈ df + broadcast scalar)
 ]
 
+#: Round-2 additions, timed identically but reported SEPARATELY so the
+#: headline total stays comparable round-over-round (same 16 queries).
+EXTRA = [
+    "q_tpch_q1",            # widest scan-agg (8 aggregates)
+    "q_tpch_q18",           # HAVING semi-join + 3-way join
+    "q_dedup_minhash_pairs",  # full MinHash-LSH candidate pipeline
+    "q_dedup_clusters",     # iterative connected components
+    "q_event_sessions",     # lag-gap-cumsum sessionization window
+    "q_text_repetition",    # trigram repetition narrow map
+    "q_sim_ann_lsh",        # bucketed ANN probe
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -78,19 +90,24 @@ def main() -> None:
     # The first run pays one-time whole-stage-codegen (Janino) compilation
     # a long-lived cluster session amortizes to zero; the second run is
     # the steady-state execution cost that actually scales with data.
-    timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = q.REGISTRY.get(name)
-        if spec is None:
-            continue
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(round(time.perf_counter() - t0, 3))
-        cold[name] = runs[0]
-        timings[name] = min(runs)
+    def time_set(names):
+        warm: dict[str, float] = {}
+        first: dict[str, float] = {}
+        for name in names:
+            spec = q.REGISTRY.get(name)
+            if spec is None:
+                continue
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(round(time.perf_counter() - t0, 3))
+            first[name] = runs[0]
+            warm[name] = min(runs)
+        return warm, first
+
+    timings, cold = time_set(HEADLINE)
+    extra, _ = time_set(EXTRA)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -102,7 +119,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cold_first_run": cold,
-                "note": "per-query steady-state (best of 2); cold_first_run includes one-time codegen compile",
+                "extra_queries": extra,
+                "note": "per-query steady-state (best of 2); cold_first_run includes one-time codegen compile; extra_queries are round-2 operators timed identically but excluded from the headline total for round-over-round comparability",
             }
         )
     )

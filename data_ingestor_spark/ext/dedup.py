@@ -355,30 +355,30 @@ def cluster_pairs(pairs: DataFrame, left: str = "doc_a", right: str = "doc_b", m
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry the pre-round label through the whole round so the
+        # convergence check is a column compare on the checkpointed
+        # result — no extra join-with-old-labels pass per round.
         propagated = labels.join(neighbor_min, labels.id == neighbor_min.src, "left").select(
             "id",
+            F.col("label").alias("old_label"),
             F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
         )
         # pointer jumping: also adopt the label OF my label (one hop up the
         # label forest) — halves the remaining diameter each round, so a
         # depth-d chain settles in O(log d) rounds instead of d.
-        x, y = propagated.alias("x"), propagated.alias("y")
+        x = propagated.alias("x")
+        y = propagated.select(F.col("id").alias("yid"), F.col("label").alias("ylabel")).alias("y")
         new_labels = (
-            x.join(y, F.col("x.label") == F.col("y.id"), "left")
+            x.join(y, F.col("x.label") == F.col("y.yid"), "left")
             .select(
                 F.col("x.id").alias("id"),
-                F.least(F.col("x.label"), F.coalesce(F.col("y.label"), F.col("x.label"))).alias("label"),
+                F.col("x.old_label").alias("old_label"),
+                F.least(F.col("x.label"), F.coalesce(F.col("ylabel"), F.col("x.label"))).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("old_label")).limit(1).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -347,3 +347,55 @@ def q_embed_centroids(spark, sf_dir):
         .groupBy("label", "pos")
         .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid_val"))
     )
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+    WITH bounds AS (
+        SELECT pos, MIN(x) AS lo, MAX(x) AS hi
+        FROM (SELECT generate_subscripts(embedding, 1) AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings)
+        GROUP BY pos
+    ), z AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    )
+    SELECT z.vec_id,
+           CAST(SUM(CASE WHEN b.hi = b.lo THEN 0
+                         ELSE LEAST(255, CAST(FLOOR((z.x - b.lo) * 255.0 / (b.hi - b.lo)) AS BIGINT))
+                    END) AS BIGINT) AS code_sum,
+           COUNT(*) AS n_dims
+    FROM z JOIN bounds b ON z.pos = b.pos
+    GROUP BY z.vec_id
+    """,
+    tags=("similarity", "quantize"),
+)
+def q_embed_quantize(spark, sf_dir):
+    """Scalar (per-dimension min-max) 8-bit quantization of the
+    embedding column — the storage-compression step before ANN indexing
+    at scale (float32 → uint8 is 4× smaller; IVF/LSH probes then scan
+    codes and only re-rank survivors in full precision). Two passes:
+    a per-dimension bounds aggregate (tiny, broadcast back), then a
+    narrow code map. FLOOR avoids engine round-half tie semantics; the
+    oracle checks the per-vector code SUM so the result stays one
+    hashable row per vector while still pinning every code value
+    (any single code change shifts the sum)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    z = e.select("vec_id", F.posexplode("embedding").alias("pos", "xf")).select(
+        "vec_id", "pos", F.col("xf").cast("double").alias("x")
+    )
+    bounds = z.groupBy("pos").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    code = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(255),
+            F.floor((F.col("x") - F.col("lo")) * 255.0 / (F.col("hi") - F.col("lo"))).cast("long"),
+        )
+    )
+    return (
+        z.join(F.broadcast(bounds), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum(code).cast("long").alias("code_sum"), F.count(F.lit(1)).alias("n_dims"))
+    )

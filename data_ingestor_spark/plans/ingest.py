@@ -235,3 +235,30 @@ def q_flatten_deep(spark, sf_dir):
     from data_ingestor_spark.operators.flatten import flatten_all
 
     return flatten_all(raw)
+
+
+_ORC_FIXTURE = os.path.join(_FIXDIR, "scan-fixture.orc")
+
+
+@query(
+    "q_scan_orc",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'alpha', 10.5),
+        (2, 'beta',  CAST(NULL AS DOUBLE)),
+        (3, 'gamma', 7.25),
+        (4, CAST(NULL AS VARCHAR), 0.0)
+    ) AS t(id, name, score)
+    """,
+    tags=("ingest", "orc"),
+)
+def q_scan_orc(spark, sf_dir):
+    """ORC columnar scan (source dispatch ``fmt='orc'``): the other
+    big-data columnar format the engine reads natively alongside
+    parquet. DuckDB has no ORC reader, so the oracle is the fixture's
+    known contents as golden literal rows — a full value-hash check of
+    the ORC decode path including NULLs in both a string and a double
+    column."""
+    from data_ingestor_spark.sources import load
+
+    return load(spark, _ORC_FIXTURE, fmt="orc")

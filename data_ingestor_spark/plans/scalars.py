@@ -246,3 +246,36 @@ def q_scalar_map(spark, sf_dir):
         F.element_at(m, "name").alias("name_val"),
         F.size(m).alias("n_entries"),
     )
+
+
+@query(
+    "q_scalar_null",
+    oracle="""
+    SELECT n_nationkey,
+           COALESCE(NULLIF(n_name, 'NATION_3'), 'masked') AS masked_name,
+           n_regionkey IS DISTINCT FROM n_nationkey AS distinct_keys,
+           CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey END AS maybe_key,
+           COALESCE(CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey END, -1)
+               AS filled_key,
+           ifnull(NULLIF(n_regionkey, 0), -1) AS region_or_default
+    FROM nation
+    """,
+    tags=("scalar", "null"),
+)
+def q_scalar_null(spark, sf_dir):
+    """Null-semantics scalar functions: COALESCE / NULLIF / IFNULL /
+    IS DISTINCT FROM and null-producing CASE — the three-valued-logic
+    corners every engine must agree on (NULL-safe comparison is the one
+    place `=` and `IS DISTINCT FROM` diverge)."""
+    n = load_table(spark, sf_dir, "nation")
+    maybe = F.when(F.col("n_nationkey") % 5 == 0, F.lit(None)).otherwise(F.col("n_nationkey"))
+    return n.select(
+        "n_nationkey",
+        F.coalesce(F.nullif(F.col("n_name"), F.lit("NATION_3")), F.lit("masked")).alias(
+            "masked_name"
+        ),
+        F.expr("n_regionkey IS DISTINCT FROM n_nationkey").alias("distinct_keys"),
+        maybe.alias("maybe_key"),
+        F.coalesce(maybe, F.lit(-1)).alias("filled_key"),
+        F.ifnull(F.nullif(F.col("n_regionkey"), F.lit(0)), F.lit(-1)).alias("region_or_default"),
+    )

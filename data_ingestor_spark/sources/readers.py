@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_SUPPORTED = {"json", "xml", "parquet", "csv"}
+_SUPPORTED = {"json", "xml", "parquet", "csv", "orc"}
 
 
 def detect_file_type(path: str) -> str:
@@ -131,6 +131,8 @@ def load(
         return read_xml_records(spark, path, row_tag=row_tag, schema=schema)
     if fmt == "parquet":
         return spark.read.options(**options).parquet(path)
+    if fmt == "orc":
+        return spark.read.options(**options).orc(path)
     if fmt == "csv":
         reader = spark.read.option("header", "true").options(**options)
         if schema is not None:

@@ -118,3 +118,44 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     expected = spark.read.parquet(f"{out}/day={one_day}").count()
     assert expected > 0
     assert q.count() == expected
+
+
+def test_tpch_q8_all_dims_broadcast_no_sortmerge(spark, registry):
+    """Q8's seven dimension joins must all broadcast — a SortMergeJoin
+    against part/supplier/nation/region would shuffle the fact table
+    once per dimension at scale."""
+    plan = _formatted_plan(registry["q_tpch_q8"].fn(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastExchange") >= 5
+
+
+def test_tpch_q1_single_exchange(spark, registry):
+    """Q1 is scan → partial agg → ONE exchange → final agg."""
+    plan = _formatted_plan(registry["q_tpch_q1"].fn(spark, SF_DIR))
+    # formatted mode lists each node twice (tree + detail); "Exchange ("
+    # matches only the tree line
+    assert plan.count("Exchange (") == 1
+
+
+def test_ngram_jaccard_salted_join_keys(spark, registry):
+    """The ngram block join must keep its salt columns (S²-way key) —
+    losing them recreates the one-reducer-per-block hot spot."""
+    plan = _formatted_plan(registry["q_dedup_ngram_jaccard"].fn(spark, SF_DIR))
+    assert "_sa" in plan and "_sb" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_event_sessions_single_user_shuffle(spark, registry):
+    """Sessionization: the window's user_id hash partitioning must be
+    reused by the final (user_id, session_seq) aggregate — hash on a
+    subset of the grouping keys co-locates the groups, so a second
+    exchange is pure waste."""
+    plan = _formatted_plan(registry["q_event_sessions"].fn(spark, SF_DIR))
+    assert plan.count("Exchange (") == 1
+
+
+def test_sim_ann_ivf_no_full_scan_join(spark, registry):
+    """The IVF probe joins the fact table against a broadcast 1-row
+    best-centroid pick — never a shuffle of the vector table."""
+    plan = _formatted_plan(registry["q_sim_ann_ivf"].fn(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan

@@ -858,3 +858,131 @@ def q_agg_corr(spark, sf_dir):
         F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
         F.round(F.stddev_pop("l_extendedprice"), 4).alias("sd_price"),
     )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH changes AS (
+        SELECT o_orderkey, 'X' AS new_status,
+               CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1)) AS new_price
+        FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT o.o_orderkey,
+           COALESCE(c.new_status, o.o_orderstatus) AS o_orderstatus,
+           CAST(COALESCE(c.new_price, CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS o_totalprice,
+           c.o_orderkey IS NOT NULL AS was_updated
+    FROM orders o LEFT JOIN changes c ON o.o_orderkey = c.o_orderkey
+    """,
+    tags=("merge", "cdc"),
+)
+def q_merge_upsert(spark, sf_dir):
+    """MERGE / CDC-apply shape: a change set keyed like the target is
+    applied as update-else-keep — the snapshot-rewrite upsert every
+    non-transactional lake runs (Delta/Iceberg MERGE compiles to the
+    same keyed outer join + coalesce). The change set here is derived
+    from the target itself (every 100th order re-priced) so the query
+    is self-contained. At 100 TB both sides shuffle once on the merge
+    key — or zero times if the table is already bucketed by it; exact
+    decimal arithmetic for the re-price."""
+    o = load_table(spark, sf_dir, "orders")
+    changes = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").alias("c_key"),
+        F.lit("X").alias("new_status"),
+        (dec("o_totalprice") * F.lit(1.1).cast("decimal(3,1)")).alias("new_price"),
+    )
+    return o.join(changes, o.o_orderkey == F.col("c_key"), "left").select(
+        "o_orderkey",
+        F.coalesce("new_status", "o_orderstatus").alias("o_orderstatus"),
+        F.coalesce(F.col("new_price"), dec("o_totalprice")).cast("double").alias("o_totalprice"),
+        F.col("c_key").isNotNull().alias("was_updated"),
+    )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    TIMESTAMP '2100-01-01') AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+    FROM events
+    """,
+    tags=("scd2", "window", "history"),
+)
+def q_scd2_intervals(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) history build: each event
+    opens a validity interval [ts, next_ts) closed by the user's next
+    event; the last interval stays open (sentinel end + is_current).
+    One user-keyed window — the standard dimension-history derivation
+    from a change stream."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    nxt = F.lead("ts").over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+    return e.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.coalesce(nxt, F.lit("2100-01-01").cast("timestamp")).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "q_dq_audit",
+    oracle="""
+    SELECT 'lineitem_orphans' AS check_name,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+               AS n_bad
+    UNION ALL
+    SELECT 'orders_orphans',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer_null_segment',
+           (SELECT COUNT(*) FROM customer WHERE c_mktsegment IS NULL)
+    UNION ALL
+    SELECT 'lineitem_negative_price',
+           (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice < 0)
+    UNION ALL
+    SELECT 'orders_date_out_of_range',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderdate < TIMESTAMP '1995-01-01'
+               OR o_orderdate >= TIMESTAMP '2002-01-01')
+    """,
+    tags=("quality", "audit"),
+)
+def q_dq_audit(spark, sf_dir):
+    """Warehouse data-quality audit as one plan: referential integrity
+    (orphan facts via anti-join — the 100 TB-safe formulation of NOT
+    EXISTS), null-rate and domain checks. Each check is a count the
+    optimizer runs as an independent aggregate; a scheduler alerts on
+    any n_bad > 0. All five checks return 0 on this testdata — the
+    audit PASSING is the assertion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def one(name, df):
+        return df.agg(F.count(F.lit(1)).alias("n_bad")).select(
+            F.lit(name).alias("check_name"), "n_bad"
+        )
+
+    return (
+        one("lineitem_orphans", li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"))
+        .unionByName(one("orders_orphans", o.join(c, o.o_custkey == c.c_custkey, "left_anti")))
+        .unionByName(one("customer_null_segment", c.filter(F.col("c_mktsegment").isNull())))
+        .unionByName(one("lineitem_negative_price", li.filter(F.col("l_extendedprice") < 0)))
+        .unionByName(
+            one(
+                "orders_date_out_of_range",
+                o.filter(
+                    (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+                    | (F.col("o_orderdate") >= F.lit("2002-01-01").cast("timestamp"))
+                ),
+            )
+        )
+    )

@@ -229,3 +229,50 @@ def q_join_asof_forward(spark, sf_dir):
         payload=["next_orderkey"],
         direction="forward",
     )
+
+
+@query(
+    "q_gap_fill",
+    oracle="""
+    WITH spine AS (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30',
+                                      INTERVAL '1 day')) AS d
+    ), daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d, COUNT(*) AS n
+        FROM events WHERE event_type IN ('purchase', 'signup')
+        GROUP BY event_type, d
+    ), types AS (SELECT DISTINCT event_type FROM daily)
+    SELECT t.event_type, s.d, COALESCE(dd.n, 0) AS n
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN daily dd ON dd.event_type = t.event_type AND dd.d = s.d
+    """,
+    tags=("timeseries", "gapfill"),
+)
+def q_gap_fill(spark, sf_dir):
+    """Gap filling against a generated date spine: days with no events
+    appear as explicit zero rows — the densification step before any
+    moving-average / anomaly model (missing != zero only if you
+    materialize the zeros). The spine is sequence()-generated (never a
+    table scan), crossed with the tiny distinct-type set, and the left
+    join is broadcast: the spine side is calendar-sized (30 rows here,
+    a few thousand at decade scale) regardless of fact volume."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    daily = e.groupBy("event_type", F.date_trunc("DAY", "ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("timestamp"),
+                F.lit("2024-01-30").cast("timestamp"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    types = daily.select("event_type").distinct()
+    grid = F.broadcast(spine).crossJoin(F.broadcast(types))
+    return grid.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("n", F.lit(0)).alias("n")
+    )

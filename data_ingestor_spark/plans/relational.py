@@ -986,3 +986,85 @@ def q_dq_audit(spark, sf_dir):
             )
         )
     )
+
+
+@query(
+    "q_window_distribution",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           NTILE(4) OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window", "distribution"),
+)
+def q_window_distribution(spark, sf_dir):
+    """Distribution window functions: percent_rank / cume_dist / ntile
+    over a deterministic (acctbal, custkey) order. ROUND(6) absorbs the
+    one division each engine performs; ranks themselves are integers."""
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "q_window_value_funcs",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           FIRST_VALUE(s_suppkey) OVER w AS poorest_key,
+           LAST_VALUE(s_suppkey) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest_key,
+           NTH_VALUE(s_suppkey, 2) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+    tags=("window", "value"),
+)
+def q_window_value_funcs(spark, sf_dir):
+    """Value window functions: first_value / last_value / nth_value.
+    last_value and nth_value use an explicit full-partition frame — the
+    default frame stops at CURRENT ROW, the classic silent-wrong-answer
+    trap this query pins down in both engines."""
+    s = load_table(spark, sf_dir, "supplier")
+    order = W.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    full = order.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.first("s_suppkey").over(order).alias("poorest_key"),
+        F.last("s_suppkey").over(full).alias("richest_key"),
+        F.nth_value("s_suppkey", 2).over(full).alias("second_key"),
+    )
+
+
+@query(
+    "q_agg_bitwise",
+    oracle="""
+    SELECT n_regionkey,
+           BIT_AND(n_nationkey) AS keys_and,
+           BIT_OR(n_nationkey) AS keys_or,
+           BIT_XOR(n_nationkey) AS keys_xor
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("agg", "bitwise"),
+)
+def q_agg_bitwise(spark, sf_dir):
+    """Bitwise aggregates (bit_and / bit_or / bit_xor) — bitmap-style
+    rollups (feature flags, permission masks) computed as exact integer
+    folds, associative and shuffle-friendly."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.bit_and("n_nationkey").alias("keys_and"),
+        F.bit_or("n_nationkey").alias("keys_or"),
+        F.bit_xor("n_nationkey").alias("keys_xor"),
+    )

@@ -276,3 +276,54 @@ def q_gap_fill(spark, sf_dir):
     return grid.join(daily, ["event_type", "d"], "left").select(
         "event_type", "d", F.coalesce("n", F.lit(0)).alias("n")
     )
+
+
+@query(
+    "q_stream_window_agg",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS wstart,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "time"),
+)
+def q_stream_window_agg(spark, sf_dir):
+    """Streaming twin of q_window_tumbling (O14 parity for windowed
+    aggregation): the SAME window expression executed by Structured
+    Streaming — file source over the events parquet, availableNow
+    trigger, complete-mode memory sink — then returned as a batch
+    DataFrame. Same oracle as the batch path: a PASS proves streaming
+    and batch windowed aggregation agree value-for-value, driver-side
+    (the pytest equivalence test covers the same property on fixture
+    data)."""
+    import os
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(src).schema
+    in_dir = tempfile.mkdtemp(prefix="q_stream_window_")
+    os.symlink(os.path.abspath(src), os.path.join(in_dir, "events.parquet"))
+
+    s = spark.readStream.schema(raw_schema).parquet(in_dir)
+    if dict(s.dtypes).get("ts") == "bigint":
+        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = (
+        s.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum(dec("value")).cast("double").alias("total_value"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n", "total_value")
+    )
+    sink = f"stream_win_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink)

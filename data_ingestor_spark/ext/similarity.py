@@ -387,15 +387,28 @@ def q_embed_quantize(spark, sf_dir):
     z = e.select("vec_id", F.posexplode("embedding").alias("pos", "xf")).select(
         "vec_id", "pos", F.col("xf").cast("double").alias("x")
     )
+    # per-dimension bounds: one 64-group aggregate (map-side partials),
+    # then folded into a single (lo[], hi[]) row — broadcast back so the
+    # code map is a NARROW per-row zip_with: no second explode, no
+    # vec_id shuffle of n×dims rows. The only exchange in the plan is
+    # the tiny bounds rollup.
     bounds = z.groupBy("pos").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
-    code = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
-        F.least(
-            F.lit(255),
-            F.floor((F.col("x") - F.col("lo")) * 255.0 / (F.col("hi") - F.col("lo"))).cast("long"),
-        )
+    bounds_arr = bounds.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("pos", "lo", "hi"))).alias("plh")
+    ).select(
+        F.expr("transform(plh, s -> s.lo)").alias("los"),
+        F.expr("transform(plh, s -> s.hi)").alias("his"),
     )
-    return (
-        z.join(F.broadcast(bounds), "pos")
-        .groupBy("vec_id")
-        .agg(F.sum(code).cast("long").alias("code_sum"), F.count(F.lit(1)).alias("n_dims"))
+    code_sum = F.expr(
+        "aggregate(zip_with(transform(embedding, v -> cast(v as double)),"
+        " sequence(0, size(embedding) - 1),"
+        " (x, i) -> IF(element_at(his, i + 1) = element_at(los, i + 1), 0L,"
+        "  least(255L, cast(floor((x - element_at(los, i + 1)) * 255.0"
+        "   / (element_at(his, i + 1) - element_at(los, i + 1))) as bigint)))),"
+        " 0L, (acc, c) -> acc + c)"
+    )
+    return e.crossJoin(F.broadcast(bounds_arr)).select(
+        "vec_id",
+        code_sum.alias("code_sum"),
+        F.size("embedding").cast("long").alias("n_dims"),
     )

@@ -110,3 +110,66 @@ def q_udtf_tokens(spark, sf_dir):
     return spark.sql(
         "SELECT t.doc_id, t.pos, t.token FROM _udtf_docs, LATERAL tokenize_udtf(doc_id, text) t"
     )
+
+
+def _user_ltv(events_pdf: pd.DataFrame, orders_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Cogrouped combine: one user's events batch + orders batch →
+    a single lifetime-value row. Pure pandas inside; Arrow both ways."""
+    uid = (
+        events_pdf["user_id"].iloc[0]
+        if len(events_pdf)
+        else orders_pdf["o_custkey"].iloc[0]
+    )
+    return pd.DataFrame(
+        {
+            "user_id": [int(uid)],
+            "n_events": [len(events_pdf)],
+            "n_purchases": [int((events_pdf["event_type"] == "purchase").sum())],
+            "n_orders": [len(orders_pdf)],
+            "total_spend": [round(float(orders_pdf["o_totalprice"].sum()), 2)],
+        }
+    )
+
+
+@query(
+    "q_udf_cogrouped",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, COUNT(*) AS n_events,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
+        FROM events GROUP BY user_id
+    ), od AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS total_spend
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(ev.user_id, od.o_custkey) AS user_id,
+           COALESCE(ev.n_events, 0) AS n_events,
+           COALESCE(ev.n_purchases, 0) AS n_purchases,
+           COALESCE(od.n_orders, 0) AS n_orders,
+           COALESCE(od.total_spend, 0.0) AS total_spend
+    FROM ev FULL JOIN od ON ev.user_id = od.o_custkey
+    """,
+    tags=("udf", "cogroup"),
+)
+def q_udf_cogrouped(spark, sf_dir):
+    """Cogrouped applyInPandas (the fourth Pandas-UDF shape after
+    scalar / grouped-agg / UDTF): events and orders cogrouped on the
+    user key, combined per-user in one Python function — the
+    custom-combine escape hatch when a correlation of two tables isn't
+    expressible as join+agg. Arrow-batched both sides, one co-partition
+    shuffle each, no per-row Python. The oracle is the equivalent
+    full-outer join+agg; pandas float64 sum of ≤hundreds of 2-decimal
+    values matches the decimal-sum double after ROUND(2)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    out_schema = (
+        "user_id bigint, n_events bigint, n_purchases bigint, "
+        "n_orders bigint, total_spend double"
+    )
+    return (
+        e.groupBy("user_id")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(_user_ltv, schema=out_schema)
+    )

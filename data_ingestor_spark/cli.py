@@ -1,4 +1,5 @@
-"""CLI entry point — drop-in analogue of the reference's loader binary.
+"""CLI entry point — drop-in analogue of the reference's loader binary,
+plus a query runner over the declared library.
 
 Reference usage (``README.md:40-63``, flags at ``main.go:40-50``)::
 
@@ -6,14 +7,21 @@ Reference usage (``README.md:40-63``, flags at ``main.go:40-50``)::
 
 Engine usage::
 
-    python -m data_ingestor_spark.cli --file records.json --table out_dir \\
+    python -m data_ingestor_spark.cli load --file records.json --table out_dir \\
         [--csv out.csv] [--excel out.xlsx] [--json out.json] \\
         [--archive-dir archive/] [--config config.yaml]
 
-``--table`` is a directory for the atomic parquet publish (pass a JDBC
-URL via config to target a database instead); ``--model`` is accepted
-for flag parity — like the reference, it only labels logs
-(``fileloader-schema.go:137``: carried for logging, no dispatch).
+    python -m data_ingestor_spark.cli query q_tpch_q1 \\
+        [--sf-dir /root/testdata/sf0.01] [--limit 20] [--out dir_or_.csv]
+
+    python -m data_ingestor_spark.cli list            # registered queries
+
+For backwards compatibility, invoking with ``--file`` as the first flag
+(no subcommand) behaves as ``load``. ``--table`` is a directory for the
+atomic parquet publish (pass a JDBC URL via config to target a database
+instead); ``--model`` is accepted for flag parity — like the reference,
+it only labels logs (``fileloader-schema.go:137``: carried for logging,
+no dispatch).
 """
 
 from __future__ import annotations
@@ -22,10 +30,7 @@ import argparse
 import sys
 
 
-def main(argv: list[str] | None = None) -> int:
-    ap = argparse.ArgumentParser(
-        prog="data-ingestor-spark", description="Load a nested XML/JSON record file"
-    )
+def _add_load_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--file", required=True, help="input file (.json or .xml)")
     ap.add_argument("--table", required=True, help="target directory for the atomic parquet publish")
     ap.add_argument("--model", default="MistAMS", help="model label (logging only, like the reference)")
@@ -34,8 +39,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--json", default=None, help="optional JSON export path")
     ap.add_argument("--archive-dir", default=None, help="archive the input here after load")
     ap.add_argument("--config", default=None, help="engine config YAML (session/JDBC settings)")
-    args = ap.parse_args(argv)
 
+
+def _run_load(args: argparse.Namespace) -> int:
     from data_ingestor_spark.pipeline import run_load_job
     from data_ingestor_spark.session import EngineConfig, get_session
 
@@ -51,6 +57,71 @@ def main(argv: list[str] | None = None) -> int:
     )
     print(f"[{args.model}] {res.report()}")
     return 0
+
+
+def _run_query(args: argparse.Namespace) -> int:
+    from data_ingestor_spark.plans.queries import REGISTRY
+    from data_ingestor_spark.session import EngineConfig, get_session
+
+    spec = REGISTRY.get(args.name)
+    if spec is None:
+        print(f"unknown query {args.name!r}; `list` shows the registry", file=sys.stderr)
+        return 2
+    spark = get_session(EngineConfig.load(args.config))
+    df = spec.fn(spark, args.sf_dir)
+    if args.out:
+        if args.out.endswith(".csv"):
+            from data_ingestor_spark.sinks import export_csv
+
+            export_csv(df, args.out, single_file=True)
+        else:
+            df.write.mode("overwrite").parquet(args.out)
+        print(f"{args.name}: written to {args.out}")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
+def _run_list() -> int:
+    from data_ingestor_spark.plans.queries import REGISTRY
+
+    for name, spec in REGISTRY.items():
+        kind = "oracle" if spec.oracle else "rows-only"
+        tags = ",".join(spec.tags)
+        print(f"{name:32s} {kind:9s} {tags}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # Back-compat: bare flag form == `load` (the reference's only mode).
+    if argv and argv[0].startswith("--"):
+        argv = ["load", *argv]
+
+    ap = argparse.ArgumentParser(
+        prog="data-ingestor-spark",
+        description="Load nested record files / run declared queries",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    load_ap = sub.add_parser("load", help="ingest a nested XML/JSON record file")
+    _add_load_args(load_ap)
+
+    q_ap = sub.add_parser("query", help="run a registered query by name")
+    q_ap.add_argument("name", help="query key (see `list`)")
+    q_ap.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="testdata scale dir")
+    q_ap.add_argument("--limit", type=int, default=20, help="rows to show (no --out)")
+    q_ap.add_argument("--out", default=None, help="write result: parquet dir or *.csv file")
+    q_ap.add_argument("--config", default=None, help="engine config YAML")
+
+    sub.add_parser("list", help="list registered queries")
+
+    args = ap.parse_args(argv)
+    if args.cmd == "load":
+        return _run_load(args)
+    if args.cmd == "query":
+        return _run_query(args)
+    return _run_list()
 
 
 if __name__ == "__main__":

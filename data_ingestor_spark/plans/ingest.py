@@ -262,3 +262,35 @@ def q_scan_orc(spark, sf_dir):
     from data_ingestor_spark.sources import load
 
     return load(spark, _ORC_FIXTURE, fmt="orc")
+
+
+@query(
+    "q_partitioned_scan",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE event_type IN ('click', 'error')
+    GROUP BY event_type
+    """,
+    tags=("ingest", "partitioned", "pruning"),
+)
+def q_partitioned_scan(spark, sf_dir):
+    """Hive-style partitioned layout round-trip: events written
+    partitionBy(event_type) to a temp dir, read back with a partition
+    filter, aggregated. The filter prunes at the DIRECTORY level — the
+    non-selected partitions' files are never opened (the layout every
+    100 TB warehouse uses for its coarse access dimension). The oracle
+    aggregates the original table directly, so a PASS proves the
+    partitioned writer/reader round-trip is lossless AND the pruned
+    scan still sees every row of the selected partitions."""
+    import tempfile
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = tempfile.mkdtemp(prefix="q_part_scan_") + "/events_part"
+    e.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type").isin("click", "error"))
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )

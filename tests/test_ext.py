@@ -161,3 +161,48 @@ def test_resize_payloads(spark):
     assert bytes(out[1]["resized"]) == b"x" * 512  # truncated
     assert out[2]["orig_bytes"] == 100 and out[2]["new_bytes"] == 512
     assert bytes(out[2]["resized"]) == b"y" * 100 + b"\x00" * 412  # zero-padded
+
+
+def test_cluster_pairs_random_graphs_match_bruteforce(spark):
+    """Distributed label propagation must equal a driver-side union-find
+    on randomized graph shapes: long chains (worst-case diameter —
+    exercises pointer jumping), stars, cliques, and a seeded G(n,p)."""
+    import random
+
+    from data_ingestor_spark.ext.dedup import cluster_pairs
+
+    rng = random.Random(42)
+
+    def brute_cc(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical label = min node id in component
+        return {n: find(n) for n in parent}
+
+    cases = [
+        [(i, i + 1) for i in range(30)],                      # depth-30 chain
+        [(0, i) for i in range(1, 20)],                       # star
+        [(a, b) for a in range(10) for b in range(a + 1, 10)],  # clique
+        list({(min(a, b), max(a, b))                           # seeded G(n,p)
+              for a in range(40) for b in range(40)
+              if a != b and rng.random() < 0.06}),
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r["doc_id"]: r["cluster_id"] for r in cluster_pairs(df).collect()}
+        want = brute_cc(edges)
+        # brute_cc's find() compresses to the true min because unions
+        # always point the larger root at the smaller
+        want = {n: want[n] for n in want}
+        assert got == want, f"CC mismatch on {len(edges)}-edge graph"

@@ -298,7 +298,10 @@ def q_stream_window_agg(spark, sf_dir):
     DataFrame. Same oracle as the batch path: a PASS proves streaming
     and batch windowed aggregation agree value-for-value, driver-side
     (the pytest equivalence test covers the same property on fixture
-    data)."""
+    data). The complete-mode memory sink is the ORACLE-HARNESS
+    materialization only — a production deployment uses watermark +
+    append mode into a real sink so state stays bounded
+    (streaming/windows.py tumbling_counts is that shape)."""
     import os
     import tempfile
     import uuid

@@ -485,3 +485,40 @@ def q_text_scrub(spark, sf_dir):
         F.md5(F.regexp_replace("text", _SCRUB_PATTERN, "[REDACTED]")).alias("scrub_md5"),
         F.expr(f"size(regexp_extract_all(text, '{_SCRUB_PATTERN}', 0))").alias("n_redactions"),
     )
+
+
+@query(
+    "q_text_zipf",
+    oracle="""
+    WITH counts AS (
+        SELECT term, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+        GROUP BY term
+    )
+    SELECT term, freq,
+           ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS freq_rank
+    FROM counts
+    ORDER BY freq_rank LIMIT 100
+    """,
+    tags=("text", "vocab", "zipf"),
+)
+def q_text_zipf(spark, sf_dir):
+    """Corpus vocabulary head (Zipf curve): top-100 terms by frequency
+    with deterministic rank (term tie-break). The frequency table is
+    one explode + one groupBy shuffle with map-side partials; the
+    rank+limit is a TakeOrdered over the (small) vocabulary — the
+    vocabulary-coverage diagnostic run before tokenizer training."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("freq").desc(), "term")
+    return (
+        counts.select("term", "freq", F.row_number().over(w).alias("freq_rank"))
+        .orderBy("freq_rank")
+        .limit(100)
+    )

@@ -271,3 +271,38 @@ def archive_input(input_path: str, destination_dir: str) -> str:
     shutil.copy2(input_path, dest)
     os.remove(input_path)
     return dest
+
+
+def compact_parquet(
+    spark,
+    data_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    staging_dir: str | None = None,
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a parquet directory into files of
+    roughly ``target_file_bytes`` each, publishing atomically via
+    :func:`publish_parquet_atomic`. Returns (files_before, files_after).
+
+    The warehouse-maintenance chore every streaming/incremental sink
+    needs: micro-batches and per-task writers leave thousands of small
+    files whose open/footer costs dominate scans at 100 TB. File count
+    is sized from the ACTUAL on-disk bytes (not row counts), coalesce —
+    not repartition — so compaction itself is shuffle-free.
+    """
+    before = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(data_dir)
+        for f in fs
+        if f.endswith(".parquet") and not f.startswith(".")
+    ]
+    total_bytes = sum(os.path.getsize(p) for p in before)
+    n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil
+    df = spark.read.parquet(data_dir)
+    publish_parquet_atomic(df.coalesce(n_files), data_dir, staging_dir=staging_dir)
+    after = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(data_dir)
+        for f in fs
+        if f.endswith(".parquet") and not f.startswith(".")
+    ]
+    return len(before), len(after)

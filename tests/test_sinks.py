@@ -301,3 +301,14 @@ def test_xlsx_reader_handles_shared_strings(tmp_path):
     assert grid[0] == ["user", "dt_created", "location"]  # multi-run si concatenated
     assert grid[1] == [42, None, "x"]
     assert columns_from_excel(path, line=1) == ["user", "dt_created", "location"]
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    d = str(tmp_path / "frag")
+    # fragment: 40 partitions of a 1000-row table → 40 small files
+    spark.range(1000).selectExpr("id", "id * 2 AS v").repartition(40).write.parquet(d)
+    before, after = sinks.compact_parquet(spark, d, target_file_bytes=10 * 1024 * 1024)
+    assert before >= 40 and after == 1
+    back = spark.read.parquet(d)
+    assert back.count() == 1000
+    assert back.selectExpr("sum(v)").collect()[0][0] == 999 * 1000  # sum(2*i, i<1000)

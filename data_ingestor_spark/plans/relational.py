@@ -1068,3 +1068,45 @@ def q_agg_bitwise(spark, sf_dir):
         F.bit_or("n_nationkey").alias("keys_or"),
         F.bit_xor("n_nationkey").alias("keys_xor"),
     )
+
+
+@query(
+    "q_agg_approx_bounded",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_nd,
+           TRUE AS hll_within_10pct,
+           TRUE AS p50_within_bounds
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx", "bounded"),
+)
+def q_agg_approx_bounded(spark, sf_dir):
+    """Accuracy contract for the approximate aggregates: the HLL
+    count-distinct must land within 10% of the exact count, and the
+    approximate median must fall inside the exact min/max — surfaced as
+    booleans so the oracle can hash-check them (sketch VALUES are
+    engine-specific and rows-only in q_agg_approx; the BOUNDS are an
+    engine-independent assertion the driver can verify). A sketch
+    regression that degrades accuracy past the bound flips a boolean
+    and fails the hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_nd"),
+        F.approx_count_distinct("l_partkey").alias("approx_nd"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50_approx"),
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_nd",
+        (
+            F.abs(F.col("approx_nd") - F.col("exact_nd")).cast("double")
+            / F.col("exact_nd")
+            < 0.10
+        ).alias("hll_within_10pct"),
+        ((F.col("p50_approx") >= F.col("mn")) & (F.col("p50_approx") <= F.col("mx"))).alias(
+            "p50_within_bounds"
+        ),
+    )

@@ -160,3 +160,10 @@ def _diff_sample(sdf, odf):
 
 if __name__ == "__main__":
     sys.exit(main())
+
+# NOTE on scale factors: the mirror (like the driver) is designed for
+# sf0.01 and below. At sf0.1+ the LSH-family ORACLES (banded self-join
+# CTEs carrying token arrays) are quadratically slow in DuckDB — the
+# Spark side runs the same pipelines in seconds there (see bench.py
+# extra_queries); validate the Spark side at sf0.1 with bench/timing
+# runs, and hash-validate against DuckDB at sf0.01.

@@ -95,7 +95,8 @@ def _run_list() -> int:
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     # Back-compat: bare flag form == `load` (the reference's only mode).
-    if argv and argv[0].startswith("--"):
+    # --help/-h stays top-level so the subcommands remain discoverable.
+    if argv and argv[0].startswith("-") and argv[0] not in ("-h", "--help"):
         argv = ["load", *argv]
 
     ap = argparse.ArgumentParser(

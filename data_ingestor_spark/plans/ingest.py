@@ -142,7 +142,9 @@ def q_scan_csv(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_quantity"
     )
-    tmp = tempfile.mkdtemp(prefix="q_scan_csv_")
+    # deterministic per-sf scratch (mode=overwrite): repeated runs reuse
+    # the dir instead of accumulating a CSV copy per invocation
+    tmp = os.path.join(tempfile.gettempdir(), f"q_scan_csv_{os.path.basename(sf_dir.rstrip(chr(47)))}")
     csv_dir = os.path.join(tmp, "lineitem_csv")
     li.write.option("header", "true").mode("overwrite").csv(csv_dir)
     back = src_load(
@@ -182,7 +184,9 @@ def q_stream_ingest(spark, sf_dir):
         os.path.join(work, "ckpt"),
         lambda df, bid: df.write.mode("append").parquet(out_dir),
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q_stream_ingest: stream did not finish within 300s")
     return spark.read.schema(flat.schema).parquet(out_dir)
 
 
@@ -287,7 +291,8 @@ def q_partitioned_scan(spark, sf_dir):
     import tempfile
 
     e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    out = tempfile.mkdtemp(prefix="q_part_scan_") + "/events_part"
+    # deterministic per-sf scratch (mode=overwrite), same rationale as q_scan_csv
+    out = os.path.join(tempfile.gettempdir(), f"q_part_scan_{os.path.basename(sf_dir.rstrip(chr(47)))}", "events_part")
     e.write.mode("overwrite").partitionBy("event_type").parquet(out)
     back = spark.read.parquet(out).filter(F.col("event_type").isin("click", "error"))
     return back.groupBy("event_type").agg(

@@ -278,6 +278,9 @@ def q_gap_fill(spark, sf_dir):
     )
 
 
+_STREAM_WIN_LAST_SINK: str | None = None
+
+
 @query(
     "q_stream_window_agg",
     oracle="""
@@ -320,6 +323,11 @@ def q_stream_window_agg(spark, sf_dir):
         .agg(F.count("*").alias("n"), F.sum(dec("value")).cast("double").alias("total_value"))
         .select(F.col("w.start").alias("wstart"), "event_type", "n", "total_value")
     )
+    # drop the previous run's memory-sink table so repeated invocations
+    # (driver gate + bench in one session) don't pin N result copies
+    global _STREAM_WIN_LAST_SINK
+    if _STREAM_WIN_LAST_SINK is not None:
+        spark.catalog.dropTempView(_STREAM_WIN_LAST_SINK)
     sink = f"stream_win_{uuid.uuid4().hex[:8]}"
     q = (
         agg.writeStream.format("memory")
@@ -328,5 +336,8 @@ def q_stream_window_agg(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q_stream_window_agg: stream did not finish within 300s")
+    _STREAM_WIN_LAST_SINK = sink
     return spark.table(sink)

@@ -120,13 +120,17 @@ def _user_ltv(events_pdf: pd.DataFrame, orders_pdf: pd.DataFrame) -> pd.DataFram
         if len(events_pdf)
         else orders_pdf["o_custkey"].iloc[0]
     )
+    # exact-cents arithmetic: float sums + Python round() use banker's
+    # rounding and drift on .xx5 boundaries vs the oracle's exact
+    # decimal sum; integer cents are exact and divide back losslessly
+    cents = (orders_pdf["o_totalprice"] * 100).round().astype("int64").sum()
     return pd.DataFrame(
         {
             "user_id": [int(uid)],
             "n_events": [len(events_pdf)],
             "n_purchases": [int((events_pdf["event_type"] == "purchase").sum())],
             "n_orders": [len(orders_pdf)],
-            "total_spend": [round(float(orders_pdf["o_totalprice"].sum()), 2)],
+            "total_spend": [int(cents) / 100.0],
         }
     )
 
@@ -140,8 +144,7 @@ def _user_ltv(events_pdf: pd.DataFrame, orders_pdf: pd.DataFrame) -> pd.DataFram
         FROM events GROUP BY user_id
     ), od AS (
         SELECT o_custkey, COUNT(*) AS n_orders,
-               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
-                   AS total_spend
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
         FROM orders GROUP BY o_custkey
     )
     SELECT COALESCE(ev.user_id, od.o_custkey) AS user_id,
@@ -160,8 +163,9 @@ def q_udf_cogrouped(spark, sf_dir):
     custom-combine escape hatch when a correlation of two tables isn't
     expressible as join+agg. Arrow-batched both sides, one co-partition
     shuffle each, no per-row Python. The oracle is the equivalent
-    full-outer join+agg; pandas float64 sum of ≤hundreds of 2-decimal
-    values matches the decimal-sum double after ROUND(2)."""
+    full-outer join+agg; the pandas side sums in exact integer cents so
+    the spend total equals the oracle's exact decimal sum bit-for-bit
+    (a float sum + round() would drift on half-cent boundaries)."""
     e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     out_schema = (

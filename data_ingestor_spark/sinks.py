@@ -63,8 +63,22 @@ def _check_ident(name: str) -> str:
 
 
 def _quote_ident(name: str) -> str:
-    """Validated, part-wise-quoted SQL identifier (``"schema"."table"``)."""
+    """Validated, part-wise-quoted SQL identifier (``"schema"."table"``).
+    For TABLE names only — dots are schema qualifiers here."""
     return ".".join(f'"{p}"' for p in _check_ident(name).split("."))
+
+
+_COL_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_$.]*$")
+
+
+def _quote_col(name: str) -> str:
+    """Validated, whole-quoted COLUMN identifier. Unlike table names, a
+    dot inside a column name (e.g. a flattened ``user.name``) is part of
+    the name, so the whole thing is quoted as ONE identifier —
+    ``"user.name"``, never ``"user"."name"``."""
+    if not _COL_RE.match(name):
+        raise ValueError(f"unsafe SQL identifier: {name!r}")
+    return f'"{name}"'
 
 
 def _stringify(df: DataFrame) -> DataFrame:
@@ -139,7 +153,7 @@ def build_insert_select(staging: str, target: str, columns: list[str]) -> list[s
     reduce (``dbtransposer.go:290-364``) but without its partial-insert
     hazards (SURVEY §2.3(c)).
     """
-    cols = ", ".join(_quote_ident(c) for c in columns)
+    cols = ", ".join(_quote_col(c) for c in columns)
     return [
         f"INSERT INTO {_quote_ident(target)} ({cols}) SELECT {cols} FROM {_quote_ident(staging)}",
         f"DROP TABLE {_quote_ident(staging)}",
@@ -288,13 +302,28 @@ def compact_parquet(
     files whose open/footer costs dominate scans at 100 TB. File count
     is sized from the ACTUAL on-disk bytes (not row counts), coalesce —
     not repartition — so compaction itself is shuffle-free.
+
+    Flat layouts only: a hive-partitioned tree (``key=value`` dirs) is
+    refused rather than silently flattened — rewriting it unpartitioned
+    would destroy the directory-level pruning the layout exists for
+    (compact those per-partition, or rewrite with ``partitionBy``).
     """
+    for dp, dirs, _ in os.walk(data_dir):
+        for d in dirs:
+            if "=" in d:
+                raise ValueError(
+                    f"{data_dir!r} is hive-partitioned ({os.path.join(dp, d)!r}); "
+                    "compact each partition directory individually so the "
+                    "partitioned layout (and its pruning) is preserved"
+                )
     before = [
         os.path.join(dp, f)
         for dp, _, fs in os.walk(data_dir)
         for f in fs
         if f.endswith(".parquet") and not f.startswith(".")
     ]
+    if not before:
+        raise ValueError(f"no parquet files under {data_dir!r}")
     total_bytes = sum(os.path.getsize(p) for p in before)
     n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil
     df = spark.read.parquet(data_dir)

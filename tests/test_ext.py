@@ -201,8 +201,7 @@ def test_cluster_pairs_random_graphs_match_bruteforce(spark):
     for edges in cases:
         df = spark.createDataFrame(edges, "doc_a long, doc_b long")
         got = {r["doc_id"]: r["cluster_id"] for r in cluster_pairs(df).collect()}
-        want = brute_cc(edges)
         # brute_cc's find() compresses to the true min because unions
         # always point the larger root at the smaller
-        want = {n: want[n] for n in want}
+        want = brute_cc(edges)
         assert got == want, f"CC mismatch on {len(edges)}-edge graph"

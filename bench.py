@@ -120,7 +120,8 @@ def main() -> None:
                 "sf": sf,
                 "cold_first_run": cold,
                 "extra_queries": extra,
-                "note": "per-query steady-state (best of 2); cold_first_run includes one-time codegen compile; extra_queries are round-2 operators timed identically but excluded from the headline total for round-over-round comparability",
+                "host_load_avg_1m": round(os.getloadavg()[0], 2),
+                "note": "per-query steady-state (best of 2); cold_first_run includes one-time codegen compile; extra_queries are round-2 operators timed identically but excluded from the headline total for round-over-round comparability; host_load_avg_1m is the 1-minute load average at report time — co-tenant load inflates every query uniformly (compare per-query RATIOS across rounds, not absolutes, when it is high)",
             }
         )
     )

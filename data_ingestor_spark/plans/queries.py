@@ -42,68 +42,68 @@ for _mod in (
 # module order after it.  The local gate (scripts/check_oracle.py) always
 # runs all keys, so nothing rots silently while outside the window.
 #
-# Round-2 window: the 50 keys with zero round-1 driver evidence (all of
-# ext/dedup-similarity-text, TPC-H, ingest/streaming, time windows, as-of /
-# range joins, UDFs, sampling, pivot, remaining subqueries) plus the two
-# round-1 failures fixed this round (q_agg_collect, q_scalar_map) and the
-# new q_dedup_cluster_summary.
+# Round-3 window: the 34 keys with zero driver evidence after rounds 1-2
+# (TPC-H beyond Q3/Q5, event analytics, warehouse maintenance, multimodal
+# features/frames, clustering, text extras, scan corners, streaming window
+# agg, cogrouped UDF, window distribution/value functions), plus
+# q_subq_scalar (r2's one hash failure, oracle rewritten to exact integer
+# arithmetic this round), plus the keys newly added in round 3, filled to
+# 50 with round-1-passed relational keys.
 _PRIORITY: tuple[str, ...] = (
-    # north-star LLM-pipeline surface (ext/)
-    "q_dedup_exact",
-    "q_dedup_hash",
-    "q_dedup_minhash",
-    "q_dedup_minhash_pairs",
-    "q_dedup_simhash",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_cluster_summary",
-    "q_dedup_keep",
-    "q_sim_topk",
-    "q_dedup_embed_cosine",
-    "q_sim_ann_lsh",
-    "q_sim_ann_ivf",
-    "q_embed_centroids",
-    "q_text_stats",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_tokens",
-    "q_text_fingerprint",
-    "q_curation_pipeline",
-    "q_text_editdist",
-    "q_text_tfidf",
-    "q_text_inverted_index",
-    "q_text_rolling_fingerprint",
-    "q_multimodal_meta",
-    # TPC-H + remaining relational corners
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_subq_in",
-    "q_subq_not_exists",
+    # --- 34 zero-evidence keys -------------------------------------------
+    "q_tpch_q1",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q10",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_event_funnel",
+    "q_event_retention",
+    "q_event_sessions",
+    "q_event_anomaly",
+    "q_merge_upsert",
+    "q_scd2_intervals",
+    "q_dq_audit",
+    "q_gap_fill",
+    "q_dedup_clusters",
+    "q_multimodal_features",
+    "q_multimodal_frames",
+    "q_embed_quantize",
+    "q_text_repetition",
+    "q_text_scrub",
+    "q_text_zipf",
+    "q_scan_orc",
+    "q_partitioned_scan",
+    "q_scalar_null",
+    "q_agg_bitwise",
+    "q_agg_approx_bounded",
+    "q_stream_window_agg",
+    "q_udf_cogrouped",
+    "q_window_distribution",
+    "q_window_value_funcs",
+    # --- round-2 hash failure, oracle made deterministic in round 3 ------
     "q_subq_scalar",
-    "q_pivot",
-    "q_unpivot",
-    "q_sample_hash",
-    "q_sample_stratified",
-    # ingest / streaming / nested
-    "q_ingest_json",
-    "q_ingest_xml",
-    "q_ingest_flatten_agg",
-    "q_scan_csv",
-    "q_stream_ingest",
-    "q_flatten_deep",
-    # time windows + advanced joins
-    "q_window_tumbling",
-    "q_window_sliding",
-    "q_window_session",
-    "q_join_asof",
-    "q_join_asof_forward",
-    "q_join_range",
-    # UDF family
-    "q_udf_scalar",
-    "q_udaf_grouped",
-    "q_udtf_tokens",
-    # round-1 failures, fixed this round (array columns now '|'-joined)
-    "q_agg_collect",
-    "q_scalar_map",
+    # --- new round-3 keys (zero evidence by construction) ----------------
+    "q_sim_ann_lsh_multiprobe",
+    "q_sim_ann_ivf_multiprobe",
+    # --- fill to 50 with round-1-passed keys -----------------------------
+    "q_scan_parquet",
+    "q_project",
+    "q_filter_pred",
+    "q_explode",
+    "q_join_inner",
+    "q_agg_basic",
+    "q_agg_having",
+    "q_window_rank",
+    "q_topk",
+    "q_set_union",
+    "q_scalar_string",
+    "q_sql_entry",
+    "q_subq_exists",
 )
 
 _ordered = [k for k in _PRIORITY if k in REGISTRY]

@@ -94,33 +94,51 @@ def q_subq_not_exists(spark, sf_dir):
 @query(
     "q_subq_scalar",
     oracle="""
+    WITH stats AS (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents,
+               COUNT(*) AS n
+        FROM orders
+    )
     SELECT o_orderkey, o_custkey,
            CAST(o_totalprice AS DECIMAL(18,2)) AS total_dec,
-           CAST((SELECT CAST(AVG(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,6))
-                 FROM orders o2) AS DOUBLE) AS global_avg
+           CAST((SELECT cents FROM stats) AS DOUBLE)
+               / CAST(100 * (SELECT n FROM stats) AS DOUBLE) AS global_avg
     FROM orders
-    WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
-          (SELECT CAST(AVG(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,6)) * 1.5 FROM orders o2)
+    WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              * 2 * (SELECT n FROM stats)
+          > 3 * (SELECT cents FROM stats)
     """,
     tags=("subquery", "scalar"),
 )
 def q_subq_scalar(spark, sf_dir):
     """Scalar subquery (global average) used in both projection and
-    filter — computed once and broadcast, not per-row. Decimal
-    discipline: AVG over exact decimals, truncated to a fixed scale so
-    Spark and DuckDB agree bit-for-bit."""
+    filter — computed once and broadcast, not per-row.
+
+    Determinism discipline: DuckDB's AVG over DECIMAL accumulates in
+    parallel floating point, so its last bits vary run-to-run; instead
+    the average is derived from the *exact* decimal SUM (hugeint in
+    DuckDB, unbounded decimal in Spark) converted to integer cents.
+    The `price > 1.5 * avg` predicate is rewritten as pure integer
+    arithmetic (2 * cents(price) * n > 3 * sum_cents) — zero FP in the
+    filter — and the projected average is one well-defined IEEE double
+    division, identical on both engines."""
     o = load_table(spark, sf_dir, "orders")
     o.createOrReplaceTempView("sq_orders3")
     return spark.sql(
         """
+        WITH stats AS (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents,
+                   COUNT(*) AS n
+            FROM sq_orders3
+        )
         SELECT o_orderkey, o_custkey,
                CAST(o_totalprice AS DECIMAL(18,2)) AS total_dec,
-               CAST((SELECT CAST(AVG(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,6))
-                     FROM sq_orders3 o2) AS DOUBLE) AS global_avg
+               CAST((SELECT cents FROM stats) AS DOUBLE)
+                   / CAST(100 * (SELECT n FROM stats) AS DOUBLE) AS global_avg
         FROM sq_orders3
-        WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
-              (SELECT CAST(AVG(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,6)) * 1.5
-               FROM sq_orders3 o2)
+        WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  * 2 * (SELECT n FROM stats)
+              > 3 * (SELECT cents FROM stats)
         """
     )
 

@@ -17,7 +17,7 @@ from pyspark.sql import types as T
 from data_ingestor_spark.operators.flatten import flatten_nested
 from data_ingestor_spark.schemas import MIST_NESTED_SCHEMA, TEMPLATE_COLUMNS
 from data_ingestor_spark.sources import load
-from data_ingestor_spark.plans.registry import load_table, query
+from data_ingestor_spark.plans.registry import load_table, query, scratch_dir
 
 _FIXDIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "tests", "fixtures")
 _JSON_FIXTURE = os.path.join(_FIXDIR, "ingest-records.json")
@@ -135,17 +135,17 @@ def q_scan_csv(spark, sf_dir):
     CSV read → aggregate. The oracle aggregates the parquet original, so
     a PASS proves the CSV writer/reader roundtrip is lossless (doubles
     survive via shortest-repr text) AND the scan aggregates correctly."""
-    import tempfile
-
     from data_ingestor_spark.sources import load as src_load
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_quantity"
     )
-    # deterministic per-sf scratch (mode=overwrite): repeated runs reuse
-    # the dir instead of accumulating a CSV copy per invocation
-    tmp = os.path.join(tempfile.gettempdir(), f"q_scan_csv_{os.path.basename(sf_dir.rstrip(chr(47)))}")
-    csv_dir = os.path.join(tmp, "lineitem_csv")
+    # per-process per-sf scratch (mode=overwrite): repeated runs in one
+    # session reuse the dir instead of accumulating a CSV copy per
+    # invocation, while concurrent sessions never share a path
+    csv_dir = os.path.join(
+        scratch_dir(f"q_scan_csv_{os.path.basename(sf_dir.rstrip(chr(47)))}"), "lineitem_csv"
+    )
     li.write.option("header", "true").mode("overwrite").csv(csv_dir)
     back = src_load(
         spark,
@@ -288,11 +288,11 @@ def q_partitioned_scan(spark, sf_dir):
     aggregates the original table directly, so a PASS proves the
     partitioned writer/reader round-trip is lossless AND the pruned
     scan still sees every row of the selected partitions."""
-    import tempfile
-
     e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    # deterministic per-sf scratch (mode=overwrite), same rationale as q_scan_csv
-    out = os.path.join(tempfile.gettempdir(), f"q_part_scan_{os.path.basename(sf_dir.rstrip(chr(47)))}", "events_part")
+    # per-process per-sf scratch (mode=overwrite), same rationale as q_scan_csv
+    out = os.path.join(
+        scratch_dir(f"q_part_scan_{os.path.basename(sf_dir.rstrip(chr(47)))}"), "events_part"
+    )
     e.write.mode("overwrite").partitionBy("event_type").parquet(out)
     back = spark.read.parquet(out).filter(F.col("event_type").isin("click", "error"))
     return back.groupBy("event_type").agg(

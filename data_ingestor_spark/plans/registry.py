@@ -63,6 +63,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def scratch_dir(*parts: str) -> str:
+    """Session-stable scratch path for queries that materialize an
+    intermediate copy (CSV/ORC/partitioned-layout roundtrips, streaming
+    input dirs).
+
+    Deterministic *within* a process so repeated invocations reuse one
+    directory (mode=overwrite) instead of accumulating copies, but keyed
+    by uid+pid so (a) two concurrent sessions running the same query at
+    the same sf never clobber each other's scratch mid-read and (b) the
+    path under a world-writable /tmp is not predictable/pre-creatable by
+    another local user across runs.
+    """
+    import os
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_{os.getuid()}_{os.getpid()}", *parts
+    )
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
 # --- hash-stable numeric helpers ---------------------------------------------
 
 

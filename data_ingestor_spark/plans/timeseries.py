@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from data_ingestor_spark.operators.asof import asof_join
-from data_ingestor_spark.plans.registry import dec, load_table, query
+from data_ingestor_spark.plans.registry import dec, load_table, query, scratch_dir
 
 
 @query(
@@ -234,13 +234,14 @@ def q_join_asof_forward(spark, sf_dir):
 @query(
     "q_gap_fill",
     oracle="""
-    WITH spine AS (
-        SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30',
-                                      INTERVAL '1 day')) AS d
-    ), daily AS (
+    WITH daily AS (
         SELECT event_type, date_trunc('day', ts) AS d, COUNT(*) AS n
         FROM events WHERE event_type IN ('purchase', 'signup')
         GROUP BY event_type, d
+    ), spine AS (
+        SELECT unnest(generate_series((SELECT MIN(d) FROM daily),
+                                      (SELECT MAX(d) FROM daily),
+                                      INTERVAL '1 day')) AS d
     ), types AS (SELECT DISTINCT event_type FROM daily)
     SELECT t.event_type, s.d, COALESCE(dd.n, 0) AS n
     FROM spine s CROSS JOIN types t
@@ -252,33 +253,28 @@ def q_gap_fill(spark, sf_dir):
     """Gap filling against a generated date spine: days with no events
     appear as explicit zero rows — the densification step before any
     moving-average / anomaly model (missing != zero only if you
-    materialize the zeros). The spine is sequence()-generated (never a
-    table scan), crossed with the tiny distinct-type set, and the left
-    join is broadcast: the spine side is calendar-sized (30 rows here,
-    a few thousand at decade scale) regardless of fact volume."""
+    materialize the zeros). The spine bounds are derived from the
+    filtered data's own min/max day (no hardcoded calendar window that
+    could silently truncate if the testdata's date range changes), the
+    spine is sequence()-generated from that 1-row bound (never a table
+    scan), crossed with the tiny distinct-type set, and the left join is
+    broadcast: the spine side is calendar-sized (a few thousand rows at
+    decade scale) regardless of fact volume."""
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "signup")
     )
     daily = e.groupBy("event_type", F.date_trunc("DAY", "ts").alias("d")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    spine = spark.range(1).select(
-        F.explode(
-            F.sequence(
-                F.lit("2024-01-01").cast("timestamp"),
-                F.lit("2024-01-30").cast("timestamp"),
-                F.expr("INTERVAL 1 DAY"),
-            )
-        ).alias("d")
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
     )
     types = daily.select("event_type").distinct()
     grid = F.broadcast(spine).crossJoin(F.broadcast(types))
     return grid.join(daily, ["event_type", "d"], "left").select(
         "event_type", "d", F.coalesce("n", F.lit(0)).alias("n")
     )
-
-
-_STREAM_WIN_LAST_SINK: str | None = None
 
 
 @query(
@@ -306,38 +302,53 @@ def q_stream_window_agg(spark, sf_dir):
     append mode into a real sink so state stays bounded
     (streaming/windows.py tumbling_counts is that shape)."""
     import os
-    import tempfile
     import uuid
 
+    # the file source needs nanos-as-long for the NANOS-typed events
+    # parquet; restore the session value afterwards so a session-global
+    # config is not left mutated for unrelated queries
+    prior_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = f"{sf_dir}/events.parquet"
-    raw_schema = spark.read.parquet(src).schema
-    in_dir = tempfile.mkdtemp(prefix="q_stream_window_")
-    os.symlink(os.path.abspath(src), os.path.join(in_dir, "events.parquet"))
-
-    s = spark.readStream.schema(raw_schema).parquet(in_dir)
-    if dict(s.dtypes).get("ts") == "bigint":
-        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    agg = (
-        s.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum(dec("value")).cast("double").alias("total_value"))
-        .select(F.col("w.start").alias("wstart"), "event_type", "n", "total_value")
-    )
-    # drop the previous run's memory-sink table so repeated invocations
-    # (driver gate + bench in one session) don't pin N result copies
-    global _STREAM_WIN_LAST_SINK
-    if _STREAM_WIN_LAST_SINK is not None:
-        spark.catalog.dropTempView(_STREAM_WIN_LAST_SINK)
     sink = f"stream_win_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("q_stream_window_agg: stream did not finish within 300s")
-    _STREAM_WIN_LAST_SINK = sink
-    return spark.table(sink)
+    try:
+        src = f"{sf_dir}/events.parquet"
+        raw_schema = spark.read.parquet(src).schema
+        # per-process per-sf scratch: the symlink is created once and
+        # reused across invocations in this session
+        in_dir = scratch_dir(f"q_stream_window_{os.path.basename(sf_dir.rstrip(chr(47)))}")
+        link = os.path.join(in_dir, "events.parquet")
+        if not os.path.islink(link):
+            os.symlink(os.path.abspath(src), link)
+
+        s = spark.readStream.schema(raw_schema).parquet(in_dir)
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        agg = (
+            s.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.sum(dec("value")).cast("double").alias("total_value"))
+            .select(F.col("w.start").alias("wstart"), "event_type", "n", "total_value")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q_stream_window_agg: stream did not finish within 300s")
+        # materialize the (small) windowed aggregate locally so the
+        # memory-sink view can be dropped immediately — reentrant, no
+        # module-global state, nothing pinned across invocations
+        result = spark.createDataFrame(spark.table(sink).collect(), schema=agg.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass
+        if prior_nanos is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior_nanos)
+    return result

@@ -255,7 +255,22 @@ def publish_parquet_atomic(df: DataFrame, final_dir: str, staging_dir: str | Non
     staging = staging_dir or final_dir.rstrip("/") + ".__staging__"
     final_parent = os.path.dirname(os.path.abspath(final_dir.rstrip("/"))) or "."
     staging_parent = os.path.dirname(os.path.abspath(staging.rstrip("/"))) or "."
-    if os.stat(final_parent).st_dev != os.stat(staging_parent).st_dev:
+
+    def _nearest_existing(path: str) -> str:
+        # The parents may not exist yet (the Spark staging write creates
+        # them); validate st_dev on the nearest existing ancestor so a
+        # brand-new nested target path is not rejected.
+        p = path
+        while not os.path.exists(p):
+            parent = os.path.dirname(p)
+            if parent == p:
+                break
+            p = parent
+        return p
+
+    if os.stat(_nearest_existing(final_parent)).st_dev != os.stat(
+        _nearest_existing(staging_parent)
+    ).st_dev:
         raise ValueError(
             f"staging_dir {staging!r} and final_dir {final_dir!r} are on different "
             "filesystems; the atomic rename promotion requires the same filesystem"

@@ -238,6 +238,16 @@ def test_publish_parquet_rejects_cross_filesystem_staging(spark, tmp_path):
         )
 
 
+def test_publish_parquet_creates_new_nested_target(spark, tmp_path):
+    """The same-filesystem precheck must not reject a target whose
+    parent directories don't exist yet — the staging write creates
+    them (regression: os.stat on a missing parent raised)."""
+    final = str(tmp_path / "new" / "nested" / "dir" / "tbl")
+    n = sinks.publish_parquet_atomic(spark.range(5).toDF("id"), final)
+    assert n == 5
+    assert {r.id for r in spark.read.parquet(final).collect()} == set(range(5))
+
+
 def test_xlsx_reader_handles_shared_strings(tmp_path):
     """Files produced by Excel/excelize use sharedStrings.xml (the
     reference's db-template.xlsx does); our reader must resolve them."""

@@ -332,7 +332,13 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     ).filter(jac >= 0.55)
 
 
-def cluster_pairs(pairs: DataFrame, left: str = "doc_a", right: str = "doc_b", max_iters: int = 20) -> DataFrame:
+def cluster_pairs(
+    pairs: DataFrame,
+    left: str = "doc_a",
+    right: str = "doc_b",
+    max_iters: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Connected components over near-dup pairs → cluster assignment
     (doc_id, cluster_id = min doc_id in its component).
 
@@ -341,14 +347,32 @@ def cluster_pairs(pairs: DataFrame, left: str = "doc_a", right: str = "doc_b", m
     minimum; stops at fixpoint. Rounds needed = graph diameter — near-dup
     components are shallow (stars/cliques), so a handful of shuffles
     settles 100 TB of pairs. This is the step that turns pairwise
-    similarity output into the keep/drop decision."""
+    similarity output into the keep/drop decision.
+
+    Durability: by default each round is ``localCheckpoint``-ed —
+    cheapest on a single box, but the truncated lineage lives in executor
+    block storage, so on a real cluster an executor loss mid-loop kills
+    the job. Pass ``checkpoint_dir`` (an HDFS/object-store path) for
+    production runs: rounds then use reliable ``checkpoint()`` storage
+    that survives executor failure. Same results either way."""
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _materialize(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def _materialize(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     edges = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
     edges = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     # materialize once: the edge list feeds EVERY round — without this the
     # whole upstream pair pipeline (LSH, Jaccard) re-executes per iteration
-    edges = edges.localCheckpoint(eager=True)
+    edges = _materialize(edges)
     nodes = edges.select(F.col("src").alias("id")).distinct()
-    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
+    labels = _materialize(nodes.select("id", F.col("id").alias("label")))
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -368,14 +392,12 @@ def cluster_pairs(pairs: DataFrame, left: str = "doc_a", right: str = "doc_b", m
         # depth-d chain settles in O(log d) rounds instead of d.
         x = propagated.alias("x")
         y = propagated.select(F.col("id").alias("yid"), F.col("label").alias("ylabel")).alias("y")
-        new_labels = (
-            x.join(y, F.col("x.label") == F.col("y.yid"), "left")
-            .select(
+        new_labels = _materialize(
+            x.join(y, F.col("x.label") == F.col("y.yid"), "left").select(
                 F.col("x.id").alias("id"),
                 F.col("x.old_label").alias("old_label"),
                 F.least(F.col("x.label"), F.coalesce(F.col("ylabel"), F.col("x.label"))).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = new_labels.filter(F.col("label") != F.col("old_label")).limit(1).count()
         labels = new_labels.select("id", "label")

@@ -229,6 +229,66 @@ def q_sim_ann_lsh(spark, sf_dir):
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
 
 
+@query(
+    "q_sim_ann_lsh_multiprobe",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, label, embedding, {_lsh_bucket_duck('embedding')} AS bucket
+        FROM embeddings
+    ), q AS (
+        SELECT embedding AS qe, bucket AS qbucket FROM b WHERE vec_id = 0
+    ), probes AS (
+        SELECT qe,
+               unnest([qbucket, {', '.join(f'xor(qbucket, {1 << p})' for p in range(_LSH_PLANES))}]) AS pbucket
+        FROM q
+    ), cand AS (
+        SELECT b.vec_id, b.label, b.bucket, b.embedding, p.qe
+        FROM b JOIN probes p ON b.bucket = p.pbucket
+        WHERE b.vec_id <> 0
+    ), z AS (
+        SELECT vec_id, label, bucket,
+               CAST(unnest(embedding) AS DOUBLE) AS x,
+               CAST(unnest(qe) AS DOUBLE) AS y
+        FROM cand
+    ), c AS (
+        SELECT vec_id, label, bucket,
+               SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS cos_sim
+        FROM z GROUP BY vec_id, label, bucket
+    )
+    SELECT vec_id, label, bucket, cos_sim FROM c
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    tags=("similarity", "ann", "lsh", "multiprobe"),
+)
+def q_sim_ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH ANN: probe the query's bucket PLUS every bucket
+    at Hamming distance 1 (one hyperplane sign flipped) — the standard
+    recall fix for single-probe LSH decay at production scale. Probe
+    count is planes+1 = 5 of 2^4 buckets here (17 of 65536 at a
+    production 16 planes — still a ~4000× candidate cut), executed as
+    one equality join against the exploded probe list; each vector lives
+    in exactly one bucket so no candidate duplicates arise. Deterministic
+    probe order (md5 hyperplanes, fixed flip sequence) keeps it fully
+    oracle-checkable. Measured recall@10 vs the exact q_sim_topk
+    baseline at sf0.01: single-probe 2/10 → multi-probe 10/10."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.withColumn("bucket", lsh_bucket("embedding"))
+    probes = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_qe"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.expr(f"bucket ^ {1 << p}") for p in range(_LSH_PLANES)],
+            )
+        ).alias("_pbucket"),
+    )
+    cand = bucketed.join(F.broadcast(probes), F.col("bucket") == F.col("_pbucket")).filter(
+        F.col("vec_id") != 0
+    )
+    scored = cand.select("vec_id", "label", "bucket", cosine("embedding", "_qe").alias("cos_sim"))
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
+
+
 def label_centroids(vectors: DataFrame, label_col: str = "label") -> DataFrame:
     """Element-wise mean vector per cluster label: posexplode → one
     (label, position) partial-aggregable groupBy → re-assemble ordered
@@ -314,6 +374,89 @@ def q_sim_ann_ivf(spark, sf_dir):
         .select("label", cosine(F.col("centroid").cast("array<float>"), "_qe").alias("sim"))
         .orderBy(F.col("sim").desc(), "label")
         .limit(1)
+        .select(F.col("label").alias("_qlabel"))
+    )
+    cand = e.filter(F.col("vec_id") != 0).join(
+        F.broadcast(best.crossJoin(qv)), F.col("label") == F.col("_qlabel")
+    )
+    scored = cand.select("vec_id", "label", cosine("embedding", "_qe").alias("cos_sim"))
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
+
+
+#: multi-probe width: clusters probed per query. 2 recovers most of the
+#: recall single-probe loses at cluster boundaries; raise with cluster
+#: count at scale (probing n of N clusters scans n/N of the data).
+_IVF_PROBES = 2
+
+
+@query(
+    "q_sim_ann_ivf_multiprobe",
+    oracle=f"""
+    WITH cents AS (
+        SELECT label,
+               list(CAST(m AS REAL) ORDER BY pos) AS cent
+        FROM (
+            SELECT label, pos, AVG(x) AS m
+            FROM (
+                SELECT label, generate_subscripts(embedding, 1) AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings WHERE vec_id <> 0
+            )
+            GROUP BY label, pos
+        )
+        GROUP BY label
+    ), q AS (
+        SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    ), zc AS (
+        SELECT label,
+               CAST(unnest(cent) AS DOUBLE) AS cx,
+               CAST(unnest(qe) AS DOUBLE) AS qy
+        FROM cents, q
+    ), csim AS (
+        SELECT label, SUM(cx*qy) / (SQRT(SUM(cx*cx)) * SQRT(SUM(qy*qy))) AS sim
+        FROM zc GROUP BY label
+    ), best AS (
+        SELECT label AS qlabel FROM csim ORDER BY sim DESC, label LIMIT {_IVF_PROBES}
+    ), cand AS (
+        SELECT e.vec_id, e.label, e.embedding, q.qe
+        FROM embeddings e JOIN best ON e.label = best.qlabel CROSS JOIN q
+        WHERE e.vec_id <> 0
+    ), z AS (
+        SELECT vec_id, label,
+               CAST(unnest(embedding) AS DOUBLE) AS x,
+               CAST(unnest(qe) AS DOUBLE) AS y
+        FROM cand
+    ), c AS (
+        SELECT vec_id, label, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS cos_sim
+        FROM z GROUP BY vec_id, label
+    )
+    SELECT vec_id, label, cos_sim FROM c ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    tags=("similarity", "ann", "ivf", "multiprobe"),
+)
+def q_sim_ann_ivf_multiprobe(spark, sf_dir):
+    """Multi-probe IVF ANN: probe the _IVF_PROBES nearest centroids
+    instead of one — the standard recall fix when the true neighbors
+    straddle a coarse-quantizer cell boundary. The probe set is a
+    deterministic top-2-by-(sim, label) over the tiny broadcast centroid
+    table, and candidate selection stays an equality join on that 2-row
+    IN-list (partition-pruned at scale: n_probe/n_clusters of the data
+    scanned). Measured recall@10 vs the exact q_sim_topk baseline at
+    sf0.01: single-probe 1/10 → multi-probe 3/10 — the testdata's labels
+    stand in for trained k-means cells and are not cosine-coherent, so
+    coarse quantization is structurally lossy on this corpus (contrast
+    the LSH pair, 2/10 → 10/10, whose buckets ARE geometry-derived);
+    with real k-means cells the same plan probes its way back to high
+    recall by raising n_probe."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = label_centroids(e.filter(F.col("vec_id") != 0))
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
+    best = (
+        F.broadcast(cents)
+        .crossJoin(F.broadcast(qv))
+        .select("label", cosine(F.col("centroid").cast("array<float>"), "_qe").alias("sim"))
+        .orderBy(F.col("sim").desc(), "label")
+        .limit(_IVF_PROBES)
         .select(F.col("label").alias("_qlabel"))
     )
     cand = e.filter(F.col("vec_id") != 0).join(

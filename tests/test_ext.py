@@ -150,6 +150,30 @@ def test_cluster_pairs_known_graph(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_cluster_pairs_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint_dir= switches the per-round materialization from
+    executor-local blocks to reliable checkpoint storage (the 100 TB /
+    executor-loss-safe mode); results must be identical to the default
+    and checkpoint files must actually land in the directory."""
+    import os
+
+    from data_ingestor_spark.ext.dedup import cluster_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "doc_a bigint, doc_b bigint",
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    local = {r["doc_id"]: r["cluster_id"] for r in cluster_pairs(pairs).collect()}
+    reliable = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cluster_pairs(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert reliable == local == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    # reliable mode really wrote to the checkpoint dir
+    assert any(files for _, _, files in os.walk(ckpt))
+
+
 def test_resize_payloads(spark):
     from data_ingestor_spark.ext.multimodal import resize_payloads, with_binary_payload
 

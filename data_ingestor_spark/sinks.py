@@ -168,7 +168,10 @@ def publish_staged(connect, staging: str, target: str, columns: list[str]) -> No
     back, leaving the target exactly as it was (the reference's
     rollback-every semantics, ``dbtransposer.go:330-364``). Split out
     from :func:`publish_jdbc_atomic` so the transaction body is testable
-    against any DBAPI driver (sqlite3 in tests) without a JVM JDBC URL.
+    against any DBAPI driver without a JVM JDBC URL — covered by both
+    sqlite3 unit tests and live Postgres 15 wire-protocol e2e tests
+    (``tests/test_postgres_e2e.py``: commit, server-side rollback, and
+    quoted/schema-qualified identifiers against a real server).
     """
     conn = connect()
     try:

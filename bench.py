@@ -44,7 +44,7 @@ HEADLINE = [
     "q_text_tfidf",       # corpus statistics (tf ⋈ df + broadcast scalar)
 ]
 
-#: Round-2 additions, timed identically but reported SEPARATELY so the
+#: Round-2+ additions, timed identically but reported SEPARATELY so the
 #: headline total stays comparable round-over-round (same 16 queries).
 EXTRA = [
     "q_tpch_q1",            # widest scan-agg (8 aggregates)
@@ -54,6 +54,10 @@ EXTRA = [
     "q_event_sessions",     # lag-gap-cumsum sessionization window
     "q_text_repetition",    # trigram repetition narrow map
     "q_sim_ann_lsh",        # bucketed ANN probe
+    # round 3
+    "q_sim_ann_lsh_multiprobe",  # 5-bucket multi-probe ANN
+    "q_text_chunk",         # overlapping token-window chunking
+    "q_text_contamination",  # benchmark 8-gram decontamination
 ]
 
 
@@ -77,6 +81,7 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    load_start = round(os.getloadavg()[0], 2)
 
     from data_ingestor_spark.plans import queries as q
 
@@ -121,7 +126,8 @@ def main() -> None:
                 "cold_first_run": cold,
                 "extra_queries": extra,
                 "host_load_avg_1m": round(os.getloadavg()[0], 2),
-                "note": "per-query steady-state (best of 2); cold_first_run includes one-time codegen compile; extra_queries are round-2 operators timed identically but excluded from the headline total for round-over-round comparability; host_load_avg_1m is the 1-minute load average at report time — co-tenant load inflates every query uniformly (compare per-query RATIOS across rounds, not absolutes, when it is high)",
+                "host_load_avg_1m_start": load_start,
+                "note": "per-query steady-state (best of 2); cold_first_run includes one-time codegen compile; extra_queries are round-2+ operators timed identically but excluded from the headline total for round-over-round comparability; host_load_avg_1m is the 1-minute load average at report time and _start before any query ran — the bench's own 32-core work raises the end value, so _start is the idle-box indicator; co-tenant load inflates every query uniformly (compare per-query RATIOS across rounds, not absolutes, when either is high)",
             }
         )
     )

@@ -42,10 +42,37 @@ def cosine(a: str | Column, b: str | Column) -> Column:
 
 
 def topk_cosine(vectors: DataFrame, query_vec: DataFrame, k: int = 25) -> DataFrame:
-    """Exact top-k: broadcast the (single-row) query vector, one pass."""
-    q = F.broadcast(query_vec.select(F.col("embedding").alias("_qe")))
+    """Exact top-k: broadcast the (single-row) query vector, one pass.
+
+    The query side's norm is computed ONCE in the one-row broadcast
+    (not per scanned row) and its elements are pre-cast to double —
+    only the per-row dot product and the row's own norm remain in the
+    hot loop. Bit-identical to the naive form: sqrt(nb) over the same
+    input is the same double wherever it is evaluated."""
+    q = F.broadcast(
+        query_vec.select(
+            F.expr("transform(embedding, v -> cast(v as double))").alias("_qe"),
+            F.sqrt(
+                F.aggregate(
+                    F.col("embedding"),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v.cast("double") * v.cast("double"),
+                )
+            ).alias("_qnorm"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("_qe"), lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    )
     scored = vectors.crossJoin(q).select(
-        "vec_id", "label", cosine("embedding", "_qe").alias("cos_sim")
+        "vec_id", "label", (dot / (F.sqrt(na) * F.col("_qnorm"))).alias("cos_sim")
     )
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(k)
 

@@ -522,3 +522,116 @@ def q_text_zipf(spark, sf_dir):
         .orderBy("freq_rank")
         .limit(100)
     )
+
+
+#: chunking geometry: 64-token windows every 48 tokens (16-token overlap)
+#: — the context-window packing step of an LLM training pipeline.
+_CHUNK_TOKENS = 64
+_CHUNK_STRIDE = 48
+
+
+@query(
+    "q_text_chunk",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((s - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(toks, s, s + {_CHUNK_TOKENS - 1})) AS BIGINT) AS n_tokens,
+           md5(array_to_string(list_slice(toks, s, s + {_CHUNK_TOKENS - 1}), ' ')) AS chunk_md5
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         (SELECT unnest(range(1, len(toks) + 1, {_CHUNK_STRIDE})) AS s)
+    """,
+    tags=("text", "chunk", "llm"),
+)
+def q_text_chunk(spark, sf_dir):
+    """Document chunking into overlapping token windows (64 tokens every
+    48 — 16-token overlap), the packing step that turns a cleaned corpus
+    into training-context rows. One narrow map per doc builds every
+    chunk (slice over the one token split) and a single explode emits
+    them: no shuffle, no Python, and at 100 TB the output partitioning
+    inherits the input's so downstream tokenize/pack stages stay
+    co-located. Chunk text is surfaced as md5 so the oracle pins every
+    chunk's exact content without a giant result set; the trailing
+    partial chunk is kept (n_tokens < 64) exactly as a packer would see
+    it."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = "split(lower(text), ' ')"
+    chunks = (
+        f"transform(sequence(1, size({toks}), {_CHUNK_STRIDE}),"
+        f" s -> struct(cast((s - 1) div {_CHUNK_STRIDE} as bigint) as chunk_id,"
+        f" cast(size(slice({toks}, s, {_CHUNK_TOKENS})) as bigint) as n_tokens,"
+        f" md5(array_join(slice({toks}, s, {_CHUNK_TOKENS}), ' ')) as chunk_md5))"
+    )
+    return d.select("doc_id", F.explode(F.expr(chunks)).alias("c")).select(
+        "doc_id", "c.chunk_id", "c.n_tokens", "c.chunk_md5"
+    )
+
+
+#: decontamination geometry: word 8-grams, benchmark = deterministic 5%
+#: hash sample of the corpus (stand-in for a held-out eval set).
+_CONTAM_N = 8
+_CONTAM_BENCH_PCT = 5
+
+
+@query(
+    "q_text_contamination",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+        FROM documents
+    ), g AS (
+        SELECT doc_id, bucket,
+               list_distinct(list_transform(range(1, len(toks) - {_CONTAM_N - 2}),
+                   i -> md5(array_to_string(toks[i : i + {_CONTAM_N - 1}], ' ')))) AS ngs
+        FROM t WHERE len(toks) >= {_CONTAM_N}
+    ), bench AS (
+        SELECT DISTINCT unnest(ngs) AS ng FROM g WHERE bucket < {_CONTAM_BENCH_PCT}
+    ), corpus AS (
+        SELECT doc_id, unnest(ngs) AS ng FROM g WHERE bucket >= {_CONTAM_BENCH_PCT}
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+    FROM corpus JOIN bench USING (ng)
+    GROUP BY doc_id
+    """,
+    tags=("text", "contamination", "llm"),
+)
+def q_text_contamination(spark, sf_dir):
+    """Benchmark decontamination: flag corpus documents sharing any word
+    8-gram with a held-out benchmark set (here a deterministic 5% md5
+    sample of the same corpus, so the check is self-contained and
+    reproducible). The scale shape is the important part: benchmark
+    8-grams are md5-compressed, deduplicated, and BROADCAST (eval sets
+    are ~MBs even when the corpus is 100 TB), so the corpus side is one
+    narrow ngram explode + broadcast-hash semi-join + per-doc count —
+    no all-pairs comparison, no shuffle of corpus text. Counting
+    distinct shared ngrams per doc gives the removal report a
+    contamination-severity ranking."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    bucket = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100"
+    )
+    toks = "split(lower(text), ' ')"
+    ngs = (
+        f"array_distinct(transform(sequence(1, size({toks}) - {_CONTAM_N - 1}),"
+        f" i -> md5(array_join(slice({toks}, i, {_CONTAM_N}), ' '))))"
+    )
+    g = d.filter(F.expr(f"size({toks}) >= {_CONTAM_N}")).select(
+        "doc_id", bucket.alias("bucket"), F.expr(ngs).alias("ngs")
+    )
+    bench = (
+        g.filter(F.col("bucket") < _CONTAM_BENCH_PCT)
+        .select(F.explode("ngs").alias("ng"))
+        .distinct()
+    )
+    corpus = g.filter(F.col("bucket") >= _CONTAM_BENCH_PCT).select(
+        "doc_id", F.explode("ngs").alias("ng")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "ng")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_ngrams"))
+    )

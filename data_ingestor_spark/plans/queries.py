@@ -90,6 +90,9 @@ _PRIORITY: tuple[str, ...] = (
     # --- new round-3 keys (zero evidence by construction) ----------------
     "q_sim_ann_lsh_multiprobe",
     "q_sim_ann_ivf_multiprobe",
+    "q_text_chunk",
+    "q_text_contamination",
+    "q_event_moving_avg",
     # --- fill to 50 with round-1-passed keys -----------------------------
     "q_scan_parquet",
     "q_project",
@@ -101,9 +104,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_window_rank",
     "q_topk",
     "q_set_union",
-    "q_scalar_string",
-    "q_sql_entry",
-    "q_subq_exists",
 )
 
 _ordered = [k for k in _PRIORITY if k in REGISTRY]

@@ -352,3 +352,49 @@ def q_stream_window_agg(spark, sf_dir):
         else:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior_nanos)
     return result
+
+
+@query(
+    "q_event_moving_avg",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d, COUNT(*) AS n
+        FROM events GROUP BY event_type, d
+    ), k AS (
+        SELECT event_type, d, n,
+               date_diff('day', TIMESTAMP '1970-01-01', d) AS day_num
+        FROM daily
+    )
+    SELECT event_type, d, n,
+           CAST(SUM(n) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE) AS ma7
+    FROM k
+    WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("timeseries", "window", "movingavg"),
+)
+def q_event_moving_avg(spark, sf_dir):
+    """7-day trailing moving average of daily event volume per type —
+    the smoothing pass behind every ops dashboard and the input to the
+    anomaly z-score. A RANGE frame over the day number (not ROWS: a
+    missing calendar day must shrink the window, not silently widen it
+    to 7 observations) — one shuffle for the daily rollup, then a
+    per-type window over day-numbered rows. Exact across engines: the
+    frame SUM/COUNT are integers, the average is one well-defined double
+    division (never an engine AVG accumulation)."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.date_trunc("DAY", "ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    k = daily.withColumn("day_num", F.datediff("d", F.lit("1970-01-01").cast("date")))
+    w = W.partitionBy("event_type").orderBy("day_num").rangeBetween(-6, 0)
+    return k.select(
+        "event_type",
+        "d",
+        "n",
+        (F.sum("n").over(w).cast("double") / F.count(F.lit(1)).over(w).cast("double")).alias(
+            "ma7"
+        ),
+    )

@@ -93,6 +93,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_text_chunk",
     "q_text_contamination",
     "q_event_moving_avg",
+    "q_dedup_latest",
+    "q_join_nullsafe",
+    "q_stream_dedup",
     # --- fill to 50 with round-1-passed keys -----------------------------
     "q_scan_parquet",
     "q_project",
@@ -102,8 +105,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_agg_basic",
     "q_agg_having",
     "q_window_rank",
-    "q_topk",
-    "q_set_union",
 )
 
 _ordered = [k for k in _PRIORITY if k in REGISTRY]

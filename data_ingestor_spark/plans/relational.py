@@ -1110,3 +1110,77 @@ def q_agg_approx_bounded(spark, sf_dir):
             "p50_within_bounds"
         ),
     )
+
+
+@query(
+    "q_dedup_latest",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts,
+           CAST(value AS DECIMAL(18,2)) AS value_dec
+    FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+    tags=("dedup", "window", "warehouse"),
+)
+def q_dedup_latest(spark, sf_dir):
+    """Latest-record-wins deduplication: keep each (user, event_type)
+    key's most recent row — the canonical compaction step for CDC feeds
+    and mutable-entity snapshots (MERGE's read-side twin). One window
+    shuffle on the key, rank inside the partition, filter rn=1; at
+    100 TB this is the same single exchange a groupBy needs, and the
+    deterministic (ts, event_id) tie-break makes the survivor — and the
+    hash — engine-stable."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", dec("value").alias("value_dec"))
+    )
+
+
+@query(
+    "q_join_nullsafe",
+    oracle="""
+    WITH l AS (
+        SELECT NULLIF(o_orderpriority, '1-URGENT') AS prio, COUNT(*) AS n_left
+        FROM orders GROUP BY 1
+    ), r AS (
+        SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS prio, COUNT(*) AS n_right
+        FROM orders GROUP BY 1
+    )
+    SELECT l.prio, l.n_left, r.n_right
+    FROM l JOIN r ON l.prio IS NOT DISTINCT FROM r.prio
+    """,
+    tags=("join", "nullsafe"),
+)
+def q_join_nullsafe(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): the NULL
+    keys on both sides MATCH instead of vanishing — the semantic corner
+    that silently drops rows when a dimension key is nullable and the
+    join uses plain =. Each side nulls out a different priority value so
+    the NULL↔NULL match is exercised with asymmetric counts. Spark's
+    eqNullSafe still hash-partitions both sides on the key (NULLs all
+    land in one partition — acceptable when NULL is a small slice;
+    salt the NULL key first when it isn't)."""
+    o = load_table(spark, sf_dir, "orders")
+    left = (
+        o.groupBy(F.expr("NULLIF(o_orderpriority, '1-URGENT')").alias("prio"))
+        .agg(F.count(F.lit(1)).alias("n_left"))
+        .alias("l")
+    )
+    right = (
+        o.groupBy(F.expr("NULLIF(o_orderpriority, '3-MEDIUM')").alias("prio"))
+        .agg(F.count(F.lit(1)).alias("n_right"))
+        .alias("r")
+    )
+    return left.join(right, F.col("l.prio").eqNullSafe(F.col("r.prio"))).select(
+        F.col("l.prio").alias("prio"), "n_left", "n_right"
+    )

@@ -398,3 +398,63 @@ def q_event_moving_avg(spark, sf_dir):
             "ma7"
         ),
     )
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    tags=("streaming", "dedup", "state"),
+)
+def q_stream_dedup(spark, sf_dir):
+    """Streaming stateful deduplication executed by Structured
+    Streaming: file source over the events parquet, dropDuplicates on
+    (user_id, event_type), availableNow trigger, append-mode memory
+    sink. The oracle is the batch DISTINCT — a PASS proves streaming
+    first-occurrence state emits exactly the batch key set (only key
+    columns are projected, so which physical row arrived first cannot
+    leak nondeterminism into the hash). Production shape: add a
+    watermark and dropDuplicatesWithinWatermark so state stays bounded
+    (streaming/stateful.py covers that operator in pytest)."""
+    import os
+    import uuid
+
+    prior_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    try:
+        src = f"{sf_dir}/events.parquet"
+        raw_schema = spark.read.parquet(src).schema
+        in_dir = scratch_dir(f"q_stream_dedup_{os.path.basename(sf_dir.rstrip(chr(47)))}")
+        link = os.path.join(in_dir, "events.parquet")
+        if not os.path.islink(link):
+            os.symlink(os.path.abspath(src), link)
+
+        s = spark.readStream.schema(raw_schema).parquet(in_dir)
+        deduped = s.select("user_id", "event_type").dropDuplicates(
+            ["user_id", "event_type"]
+        )
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q_stream_dedup: stream did not finish within 300s")
+        result = spark.createDataFrame(
+            spark.table(sink).collect(), schema=deduped.schema
+        )
+    finally:
+        try:
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass
+        if prior_nanos is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior_nanos)
+    return result

@@ -1,0 +1,146 @@
+"""Graph analytics over the near-dup pair graph.
+
+The MinHash-LSH verified pairs (``ext/dedup.py``) form an undirected
+graph whose structure drives dedup decisions: connected components pick
+survivors (``cluster_pairs``), but degree and triangle statistics are
+what a corpus engineer reads to *tune* the pipeline — a fat-degree node
+is a template hub, and a triangle-dense region is a true near-clique of
+re-posts (vs. chains of borderline pairs that a threshold nudge would
+split). Both are exact integer computations, so the DuckDB oracles
+hash-match bit-for-bit with zero floating-point defenses.
+
+Scale shapes (the reference has no graph surface; this is engine-added):
+
+- degree: one groupBy over the symmetrized edge list — a single
+  shuffle keyed by vertex.
+- triangles: the canonical two-shuffle-join formulation over
+  lexicographically ordered edges (a<b<c). Ordering every edge
+  small→large id bounds the wedge fan-out by the *ordered* degree
+  (the classic node-iterator++ trick), so a 100 TB edge list runs as
+  two ordinary equality joins — no cross join, no per-node adjacency
+  materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestor_spark.ext.dedup import (
+    _BAND_KEYS_DUCK,
+    _MH_DUCK_COLS,
+    NEARDUP_THRESHOLD,
+    q_dedup_minhash_pairs,
+)
+from data_ingestor_spark.plans.registry import load_table, query
+
+#: shared oracle prefix: the verified near-dup pair graph, canonical
+#: (doc_a < doc_b) edges — the DuckDB twin of q_dedup_minhash_pairs
+#: minus the jaccard projection (same CTE chain as ext/dedup.py).
+_PAIR_GRAPH_CTE = f"""
+    WITH sigs AS (
+        SELECT doc_id, toks, {_MH_DUCK_COLS}
+        FROM (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+              FROM documents)
+    ), banded AS (
+        SELECT doc_id, toks, unnest([{', '.join(_BAND_KEYS_DUCK)}]) AS band_key
+        FROM sigs
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.toks AS toks_a, b.toks AS toks_b
+        FROM banded a JOIN banded b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), pairs AS (
+        SELECT doc_a, doc_b FROM cand
+        WHERE CAST(LEN(list_intersect(toks_a, toks_b)) AS DOUBLE)
+              / (LEN(toks_a) + LEN(toks_b) - LEN(list_intersect(toks_a, toks_b)))
+              >= {NEARDUP_THRESHOLD}
+    )
+"""
+
+
+def _pair_edges(spark, sf_dir):
+    """Canonical (doc_a < doc_b) verified near-dup edges, materialized
+    once — graph queries reuse this relation several times per plan and
+    must not re-run the LSH pipeline per self-join branch."""
+    return (
+        q_dedup_minhash_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+
+
+@query(
+    "q_graph_degree",
+    oracle=_PAIR_GRAPH_CTE
+    + """
+    , edges AS (
+        SELECT doc_a AS v FROM pairs
+        UNION ALL
+        SELECT doc_b AS v FROM pairs
+    )
+    SELECT v AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM edges GROUP BY v
+    """,
+    tags=("graph", "dedup", "degree"),
+)
+def q_graph_degree(spark, sf_dir):
+    """Near-dup degree per document — the template-hub detector (a node
+    with degree ≫ median is one source template echoed everywhere; its
+    whole neighborhood usually drops together). One shuffle: symmetrize
+    the canonical edge list with a cheap union and groupBy vertex.
+    Exact integer counts → bit-stable hash."""
+    pairs = q_dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    verts = pairs.select(F.col("doc_a").alias("v")).unionAll(
+        pairs.select(F.col("doc_b").alias("v"))
+    )
+    return verts.groupBy(F.col("v").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+
+
+@query(
+    "q_graph_triangles",
+    oracle=_PAIR_GRAPH_CTE
+    + """
+    , tri AS (
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.doc_a = e1.doc_b
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ), members AS (
+        SELECT a AS v FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT v AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM members GROUP BY v
+    """,
+    tags=("graph", "dedup", "triangles"),
+)
+def q_graph_triangles(spark, sf_dir):
+    """Per-document triangle count over the near-dup graph — separates
+    true near-cliques of re-posts (triangle-dense: every pair agrees)
+    from fragile chains of borderline pairs (triangle-free: a threshold
+    nudge splits them). Canonical a<b<c wedge enumeration: join ordered
+    edges on the middle vertex, close each wedge with one more equality
+    join — two shuffle joins total, wedge fan-out bounded by ordered
+    degree (node-iterator++), no cross join. The edge list is
+    materialized once (localCheckpoint) so the three join branches
+    don't re-run the LSH pipeline. Exact integers → bit-stable hash."""
+    pairs = _pair_edges(spark, sf_dir)
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    members = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+    )
+    return members.groupBy(F.col("v").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )

@@ -25,6 +25,7 @@ for _mod in (
     "data_ingestor_spark.plans.timeseries",
     "data_ingestor_spark.plans.udfs",
     "data_ingestor_spark.ext.dedup",
+    "data_ingestor_spark.ext.graph",
     "data_ingestor_spark.ext.similarity",
     "data_ingestor_spark.ext.text",
     "data_ingestor_spark.ext.multimodal",
@@ -96,15 +97,14 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_latest",
     "q_join_nullsafe",
     "q_stream_dedup",
+    "q_graph_degree",
+    "q_graph_triangles",
     # --- fill to 50 with round-1-passed keys -----------------------------
     "q_scan_parquet",
     "q_project",
     "q_filter_pred",
     "q_explode",
     "q_join_inner",
-    "q_agg_basic",
-    "q_agg_having",
-    "q_window_rank",
 )
 
 _ordered = [k for k in _PRIORITY if k in REGISTRY]

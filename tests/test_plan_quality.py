@@ -159,3 +159,50 @@ def test_sim_ann_ivf_no_full_scan_join(spark, registry):
     best-centroid pick — never a shuffle of the vector table."""
     plan = _formatted_plan(registry["q_sim_ann_ivf"].fn(spark, SF_DIR))
     assert "SortMergeJoin" not in plan
+
+
+def test_contamination_broadcasts_benchmark_ngrams(spark, registry):
+    """The benchmark ngram side must broadcast (eval sets are ~MBs at
+    100 TB corpus scale); the corpus side must never shuffle text."""
+    plan = _formatted_plan(registry["q_text_contamination"].fn(spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_text_chunk_no_shuffle(spark, registry):
+    """Chunking is a narrow map + explode: the only exchange allowed is
+    the documented repartition off the single-file test scan."""
+    plan = _formatted_plan(registry["q_text_chunk"].fn(spark, SF_DIR))
+    # one round-robin repartition (documented; formatted mode prints
+    # each node twice: tree + details), no key shuffle anywhere
+    assert plan.count("Exchange") <= 2
+    assert "hashpartitioning" not in plan
+
+
+def test_dedup_latest_single_window_exchange(spark, registry):
+    """Latest-record-wins = exactly one hash exchange on the key (the
+    window shuffle), like the groupBy it replaces."""
+    plan = _formatted_plan(registry["q_dedup_latest"].fn(spark, SF_DIR))
+    assert plan.count("hashpartitioning") == 1
+    assert "Window" in plan
+    # Spark 4 pushes the rn=1 filter into WindowGroupLimit: per-group
+    # top-1 is pre-pruned on the map side BEFORE the shuffle — exactly
+    # the 100 TB plan (shuffle carries ≤1 row per key per mapper).
+    assert "WindowGroupLimit" in plan
+
+
+def test_graph_triangles_no_cartesian(spark, registry):
+    """Triangle counting must stay equality joins (wedge join + close),
+    never a nested-loop / cartesian expansion."""
+    plan = _formatted_plan(registry["q_graph_triangles"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multiprobe_lsh_no_cartesian_probe(spark, registry):
+    """Multi-probe candidate selection stays an equality join against
+    the exploded probe list (broadcast), not a nested-loop filter."""
+    plan = _formatted_plan(registry["q_sim_ann_lsh_multiprobe"].fn(spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -99,12 +99,12 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_dedup",
     "q_graph_degree",
     "q_graph_triangles",
+    "q_stream_stream_join",
     # --- fill to 50 with round-1-passed keys -----------------------------
     "q_scan_parquet",
     "q_project",
     "q_filter_pred",
     "q_explode",
-    "q_join_inner",
 )
 
 _ordered = [k for k in _PRIORITY if k in REGISTRY]

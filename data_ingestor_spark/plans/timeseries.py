@@ -458,3 +458,82 @@ def q_stream_dedup(spark, sf_dir):
         else:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior_nanos)
     return result
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT l.event_id AS l_event, r.event_id AS r_event
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'purchase' AND r.event_type = 'click'
+     AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL '10 minutes'
+    """,
+    tags=("streaming", "join", "state"),
+)
+def q_stream_stream_join(spark, sf_dir):
+    """Stream⋈stream windowed inner join executed by Structured
+    Streaming (streaming/joins.py join_streams_windowed): purchases
+    joined to the same user's clicks landing within the next 10
+    minutes — the clicks-to-impressions correlation shape. Both sides
+    carry watermarks so buffered state expires at production scale;
+    the oracle is the identical batch interval join, so a PASS proves
+    the streaming state machine emits exactly the batch pair set.
+    Only (l_event, r_event) ids are projected: the match set is
+    deterministic even though match *order* is not."""
+    import os
+    import uuid
+
+    from data_ingestor_spark.streaming.joins import join_streams_windowed
+
+    prior_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sink = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    try:
+        src = f"{sf_dir}/events.parquet"
+        raw_schema = spark.read.parquet(src).schema
+        in_dir = scratch_dir(f"q_stream_ssj_{os.path.basename(sf_dir.rstrip(chr(47)))}")
+        link = os.path.join(in_dir, "events.parquet")
+        if not os.path.islink(link):
+            os.symlink(os.path.abspath(src), link)
+
+        def _events_stream():
+            s = spark.readStream.schema(raw_schema).parquet(in_dir)
+            if dict(s.dtypes).get("ts") == "bigint":
+                s = s.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            return s
+
+        left = (
+            _events_stream()
+            .filter(F.col("event_type") == "purchase")
+            .select("user_id", "ts", F.col("event_id").alias("l_event"))
+        )
+        right = (
+            _events_stream()
+            .filter(F.col("event_type") == "click")
+            .select("user_id", "ts", F.col("event_id").alias("r_event"))
+        )
+        joined = join_streams_windowed(
+            left, right, key="user_id", max_gap="10 minutes", watermark="30 minutes"
+        ).select("l_event", "r_event")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q_stream_stream_join: stream did not finish within 300s")
+        result = spark.createDataFrame(spark.table(sink).collect(), schema=joined.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass
+        if prior_nanos is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior_nanos)
+    return result

@@ -299,3 +299,81 @@ def q_partitioned_scan(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "q_scan_custom_source",
+    oracle="""
+    SELECT 'User' || CAST(i + 1 AS VARCHAR) AS "user",
+           1700000000 + i AS dt_created,
+           1700000100 + i AS dt_submitted,
+           CASE WHEN i % 2 = 0 THEN 'asset-' || CAST(i + 1 AS VARCHAR) END AS ast_name,
+           'Location' || CAST(i % 5 AS VARCHAR) AS location,
+           ['Pending','Approved','Rejected'][CAST(i % 3 AS INT) + 1] AS status,
+           md5(CAST(i AS VARCHAR)) AS json_hash,
+           CASE WHEN i % 3 <> 0 THEN 'L-' || CAST(i + 1 AS VARCHAR) END AS local_id,
+           'generated.json' AS filename,
+           'F' || CAST(i + 1 AS VARCHAR) || '-0@'
+             || strftime(make_timestamp((1700000000 + i * 60) * 1000000), '%Y-%m-%dT%H:%M:%SZ')
+             || '|F' || CAST(i + 1 AS VARCHAR) || '-1@'
+             || strftime(make_timestamp((1700000000 + i * 60 + 30) * 1000000), '%Y-%m-%dT%H:%M:%SZ')
+             AS fnumbers_str
+    FROM range(0, 60) t(i)
+    """,
+    tags=("ingest", "source", "datasource"),
+)
+def q_scan_custom_source(spark, sf_dir):
+    """Spark 4 custom Python DataSource (O21 as a first-class source):
+    ``format("ingestor_samples")`` generates the reference's
+    deterministic sample records with distributed range partitions —
+    schema discovery, option handling, and partition planning all flow
+    through the DataSource API exactly as they would for an external
+    system connector. The oracle regenerates the identical records from
+    DuckDB's range(); nested fnumbers are canonicalized to one
+    'fnumber@scan_time|…' string per row for hashing."""
+    from data_ingestor_spark.sources.sample_source import register
+
+    register(spark)
+    df = (
+        spark.read.format("ingestor_samples")
+        .option("count", 60)
+        .option("numPartitions", 4)
+        .load()
+    )
+    fstr = F.array_join(
+        F.expr("transform(fnumbers, f -> concat(f.fnumber, '@', f.scan_time))"), "|"
+    )
+    return df.select(
+        "user", "dt_created", "dt_submitted", "ast_name", "location",
+        "status", "json_hash", "local_id", "filename", fstr.alias("fnumbers_str"),
+    )
+
+
+@query(
+    "q_scan_jsonl",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("ingest", "scan", "json"),
+)
+def q_scan_jsonl(spark, sf_dir):
+    """JSON-lines source path: events → distributed JSONL write →
+    schema-driven JSONL read → aggregate. The oracle aggregates the
+    parquet original, so a PASS proves the JSONL writer/reader roundtrip
+    is lossless (doubles survive shortest-repr text; timestamps are not
+    exercised — the aggregate keys on string/double columns, the
+    format's weak spot). Completes the format matrix next to
+    q_scan_csv / q_scan_orc / q_partitioned_scan."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = os.path.join(
+        scratch_dir(f"q_scan_jsonl_{os.path.basename(sf_dir.rstrip(chr(47)))}"), "events_jsonl"
+    )
+    e.write.mode("overwrite").json(out)
+    back = spark.read.schema(e.schema).json(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )

@@ -100,11 +100,12 @@ _PRIORITY: tuple[str, ...] = (
     "q_graph_degree",
     "q_graph_triangles",
     "q_stream_stream_join",
+    "q_scan_custom_source",
+    "q_scan_jsonl",
     # --- fill to 50 with round-1-passed keys -----------------------------
     "q_scan_parquet",
     "q_project",
     "q_filter_pred",
-    "q_explode",
 )
 
 _ordered = [k for k in _PRIORITY if k in REGISTRY]

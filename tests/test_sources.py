@@ -69,3 +69,24 @@ def test_multifile_json_ingest_parallelism(spark, tmp_path):
     df = read_json_records(spark, str(tmp_path), schema=MIST_NESTED_SCHEMA)
     assert df.count() == 4 * 10  # 10 records per document
     assert df.rdd.getNumPartitions() >= 2  # files split across tasks
+
+
+def test_custom_datasource_matches_generator(spark):
+    """The Spark 4 Python DataSource (format 'ingestor_samples') must
+    emit exactly util.generate_sample_records' rows — same fields, same
+    nulls, same nested fnumbers — for any count/partitioning."""
+    from data_ingestor_spark.sources.sample_source import register
+    from data_ingestor_spark.util import generate_sample_records
+
+    register(spark)
+    via_source = (
+        spark.read.format("ingestor_samples")
+        .option("count", 23)
+        .option("numPartitions", 3)
+        .load()
+    )
+    via_fn = generate_sample_records(spark, 23)
+    key = lambda r: r["user"]  # noqa: E731
+    a = sorted((r.asDict(recursive=True) for r in via_source.collect()), key=key)
+    b = sorted((r.asDict(recursive=True) for r in via_fn.collect()), key=key)
+    assert a == b

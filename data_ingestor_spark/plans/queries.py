@@ -102,10 +102,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_stream_join",
     "q_scan_custom_source",
     "q_scan_jsonl",
+    "q_stream_stateful",
     # --- fill to 50 with round-1-passed keys -----------------------------
     "q_scan_parquet",
     "q_project",
-    "q_filter_pred",
 )
 
 _ordered = [k for k in _PRIORITY if k in REGISTRY]

@@ -537,3 +537,64 @@ def q_stream_stream_join(spark, sf_dir):
         else:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior_nanos)
     return result
+
+
+@query(
+    "q_stream_stateful",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "state", "udf"),
+)
+def q_stream_stateful(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState) executed by
+    Structured Streaming: streaming/stateful.py's per-user running
+    counters over the events file source. The memory sink collects one
+    row per active user per micro-batch carrying the cumulative count
+    from persisted GroupState; taking MAX(total_events) per user yields
+    the all-time count regardless of how availableNow splits batches —
+    so the oracle is simply the batch GROUP BY count. Only the integer
+    count is surfaced (the running value sum is a batch-order FP
+    accumulation, pinned by pytest instead)."""
+    import os
+    import uuid
+
+    from data_ingestor_spark.streaming.stateful import running_user_counters
+
+    prior_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sink = f"stream_state_{uuid.uuid4().hex[:8]}"
+    try:
+        src = f"{sf_dir}/events.parquet"
+        raw_schema = spark.read.parquet(src).schema
+        in_dir = scratch_dir(f"q_stream_state_{os.path.basename(sf_dir.rstrip(chr(47)))}")
+        link = os.path.join(in_dir, "events.parquet")
+        if not os.path.islink(link):
+            os.symlink(os.path.abspath(src), link)
+
+        s = spark.readStream.schema(raw_schema).parquet(in_dir)
+        counters = running_user_counters(s)
+        q = (
+            counters.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q_stream_stateful: stream did not finish within 300s")
+        emitted = spark.table(sink).groupBy("user_id").agg(
+            F.max("total_events").alias("n_events")
+        )
+        result = spark.createDataFrame(emitted.collect(), schema=emitted.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass
+        if prior_nanos is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior_nanos)
+    return result

@@ -582,3 +582,136 @@ def q_embed_quantize(spark, sf_dir):
         code_sum.alias("code_sum"),
         F.size("embedding").cast("long").alias("n_dims"),
     )
+
+
+@query(
+    "q_dedup_semantic",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+         z AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                      CAST(unnest(a.embedding) AS DOUBLE) AS x,
+                      CAST(unnest(b.embedding) AS DOUBLE) AS y
+               FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+         c AS (SELECT va, vb, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS cos_sim
+               FROM z GROUP BY va, vb)
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT DISTINCT vb FROM c WHERE cos_sim >= 0.35)
+    """,
+    tags=("similarity", "dedup", "semantic"),
+)
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic deduplication: within each cluster
+    (label = the coarse-quantizer cell; production runs k-means first),
+    any vector whose cosine to an EARLIER cluster member is >= 0.35 is
+    dropped, keeping the lowest-id representative of every near-dup
+    group. End-to-end it is the embedding analogue of the MinHash keep
+    list: blocked pair generation (equality join on the cluster id,
+    salted — ext.dedup discipline, never all-pairs), a threshold
+    filter, then ONE distinct + ONE anti-join. At 100 TB the pair
+    stage's quadratic work is bounded per cluster cell and spread over
+    S^2 reducers; the final anti-join builds only the (small) drop
+    list. Fully deterministic -> hash-checked against DuckDB's NOT IN
+    over the identical pair CTE."""
+    from data_ingestor_spark.operators.pairs import salted_block_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    prepped = e.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, v -> cast(v as double))").alias("emb_d"),
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, v: acc + v.cast("double") * v.cast("double"),
+            )
+        ).alias("norm"),
+    )
+    pairs = salted_block_pairs(prepped, ["label"], "vec_id", salt_buckets=8)
+    dot = F.aggregate(
+        F.zip_with(F.col("a.emb_d"), F.col("b.emb_d"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    drops = (
+        pairs.select(
+            F.col("b.vec_id").alias("_drop_id"),
+            (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.35)
+        .select("_drop_id")
+        .distinct()
+    )
+    return e.join(
+        drops, F.col("vec_id") == F.col("_drop_id"), "left_anti"
+    ).select("vec_id", "label")
+
+
+@query(
+    "q_sim_knn_join",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+               FROM embeddings WHERE vec_id % 100 = 0),
+         b AS (SELECT vec_id, label, embedding
+               FROM embeddings WHERE vec_id % 100 <> 0),
+         z AS (SELECT q.q_id, b.vec_id, b.label,
+                      CAST(unnest(b.embedding) AS DOUBLE) AS x,
+                      CAST(unnest(q.qe) AS DOUBLE) AS y
+               FROM b, q),
+         c AS (SELECT q_id, vec_id, label,
+                      SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS cos_sim
+               FROM z GROUP BY q_id, vec_id, label),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                         ORDER BY cos_sim DESC, vec_id) AS rnk FROM c)
+    SELECT q_id, vec_id, label, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+    tags=("similarity", "knn", "join"),
+)
+def q_sim_knn_join(spark, sf_dir):
+    """Batch k-NN join: top-3 cosine neighbors for EVERY query vector in
+    a query set (here vec_id % 100 = 0), not just one probe — the shape
+    behind corpus-level retrieval audits and embedding-dedup scoring.
+    The query side is small by construction, so it broadcasts (a
+    BroadcastNestedLoopJoin — each base partition streams once against
+    the in-memory query batch); per-query top-k is a rank-partitioned
+    window, which parallelizes across queries (no global sort). Query
+    norms are precomputed ONCE in the broadcast row (topk_cosine
+    discipline). At 100 TB with a large query set this becomes
+    block-partitioned matrix multiply — chunk the query batch, union the
+    per-chunk window results; the per-chunk plan is exactly this one."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("q_id"),
+            F.expr("transform(embedding, v -> cast(v as double))").alias("_qe"),
+            F.sqrt(
+                F.aggregate(
+                    F.col("embedding"),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v.cast("double") * v.cast("double"),
+                )
+            ).alias("_qnorm"),
+        )
+    )
+    base = e.filter(F.col("vec_id") % 100 != 0)
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("_qe"), lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    )
+    scored = base.crossJoin(q).select(
+        "q_id", "vec_id", "label", (dot / (F.sqrt(na) * F.col("_qnorm"))).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+    )

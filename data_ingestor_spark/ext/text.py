@@ -635,3 +635,161 @@ def q_text_contamination(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_ngrams"))
     )
+
+
+_PACK_BUDGET = 1024
+
+
+@query(
+    "q_text_pack",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, LEN(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t
+    )
+    SELECT source,
+           CAST((cum - n_tok) // {_PACK_BUDGET} AS BIGINT) AS bin_no,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+    FROM c
+    GROUP BY source, bin_no
+    """,
+    tags=("text", "pack", "training"),
+)
+def q_text_pack(spark, sf_dir):
+    """Sequence packing for training: concat-and-chop documents into
+    fixed token-budget bins (budget _PACK_BUDGET = 1024) — the step
+    that turns a deduped corpus into dense fixed-length training
+    sequences. A doc's bin is where its EXCLUSIVE running token count
+    lands (``(cum - n_tok) div budget``), i.e. documents are
+    concatenated in doc_id order and chopped every 1024 tokens.
+    Packing is per-source (PARTITION BY source): the running sum
+    parallelizes across sources and, at 100 TB, across shards — global
+    packing order is never required, only order within a shard, which
+    is how real pipelines shard their tokenized output anyway.
+    All-integer math -> bit-exact in both engines."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", F.size(F.split(F.col("text"), " ")).alias("n_tok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.withColumn("bin_no", F.expr(f"(cum - n_tok) div {_PACK_BUDGET}"))
+        .groupBy("source", "bin_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+        )
+    )
+
+
+_GOPHER_STOPWORDS = "('the', 'a', 'of', 'and', 'to', 'is', 'in')"
+
+
+@query(
+    "q_text_gopher",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               LEN(string_split(text, ' ')) AS n_words,
+               LENGTH(REPLACE(text, ' ', '')) AS n_nonspace,
+               LEN(list_filter(string_split(text, ' '),
+                               w -> regexp_matches(w, '[a-z]'))) AS n_alpha_words,
+               LEN(list_distinct(list_filter(string_split(text, ' '),
+                               w -> w IN {_GOPHER_STOPWORDS}))) AS n_stop_distinct
+        FROM documents
+    )
+    SELECT doc_id,
+           n_words,
+           ROUND(CAST(n_nonspace AS DOUBLE) / n_words, 4) AS mean_word_len,
+           ROUND(CAST(n_alpha_words AS DOUBLE) / n_words, 4) AS alpha_word_ratio,
+           CAST(n_stop_distinct AS BIGINT) AS n_stop_distinct,
+           (n_words BETWEEN 50 AND 100000) AS rule_word_count,
+           (CAST(n_nonspace AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0) AS rule_mean_word_len,
+           (CAST(n_alpha_words AS DOUBLE) / n_words > 0.8) AS rule_alpha,
+           (n_stop_distinct >= 2) AS rule_stopwords,
+           ((n_words BETWEEN 50 AND 100000)
+            AND (CAST(n_nonspace AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0)
+            AND (CAST(n_alpha_words AS DOUBLE) / n_words > 0.8)
+            AND (n_stop_distinct >= 2)) AS passes_gopher
+    FROM m
+    """,
+    tags=("text", "quality", "gopher"),
+)
+def q_text_gopher(spark, sf_dir):
+    """Gopher-style quality rules (Rae et al. 2021, adapted to this
+    ASCII corpus): word-count bounds, mean-word-length band, fraction
+    of words containing an alphabetic character, and minimum distinct
+    stopword presence — the standard repetition-independent heuristics
+    run BEFORE expensive dedup at corpus scale. One narrow map over the
+    documents scan (no shuffle at all); ratios are int/int divisions
+    rounded identically in both engines, rules are exact integer/bool
+    predicates on the unrounded values."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    n_nonspace = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    n_alpha = F.expr("size(filter(split(text, ' '), w -> w rlike '[a-z]'))")
+    n_stop = F.expr(
+        "size(array_distinct(filter(split(text, ' '),"
+        f" w -> w IN {_GOPHER_STOPWORDS})))"
+    )
+    mean_len = n_nonspace.cast("double") / n_words
+    alpha_ratio = n_alpha.cast("double") / n_words
+    rule_wc = n_words.between(50, 100000)
+    rule_mwl = (mean_len >= 3.0) & (mean_len <= 10.0)
+    rule_alpha = alpha_ratio > 0.8
+    rule_stop = n_stop >= 2
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(alpha_ratio, 4).alias("alpha_word_ratio"),
+        n_stop.cast("bigint").alias("n_stop_distinct"),
+        rule_wc.alias("rule_word_count"),
+        rule_mwl.alias("rule_mean_word_len"),
+        rule_alpha.alias("rule_alpha"),
+        rule_stop.alias("rule_stopwords"),
+        (rule_wc & rule_mwl & rule_alpha & rule_stop).alias("passes_gopher"),
+    )
+
+
+@query(
+    "q_text_domain_stats",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("text", "domain", "stats"),
+)
+def q_text_domain_stats(spark, sf_dir):
+    """Per-domain corpus mix report: doc/char/token totals, language
+    spread, and the exact-duplicate count per source — the dashboard a
+    data-mixing run reads before weighting domains. One groupBy with
+    map-side partials; the dup count reuses the md5 content fingerprint
+    (count - distinct-fingerprints) so no self-join is needed. All
+    integer aggregates -> bit-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).cast("bigint").alias("n_exact_dups"),
+    )

@@ -103,9 +103,11 @@ _PRIORITY: tuple[str, ...] = (
     "q_scan_custom_source",
     "q_scan_jsonl",
     "q_stream_stateful",
-    # --- fill to 50 with round-1-passed keys -----------------------------
-    "q_scan_parquet",
-    "q_project",
+    # --- slot 50: the session's flagship new LLM-pipeline op -------------
+    # (the other seven keys added late in round 3 — q_sim_knn_join,
+    # q_text_pack, q_text_gopher, q_text_domain_stats, q_tpch_q4/q12/q22 —
+    # don't fit the 50-slot window; they lead the round-4 rotation.)
+    "q_dedup_semantic",
 )
 
 _ordered = [k for k in _PRIORITY if k in REGISTRY]

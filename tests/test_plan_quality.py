@@ -206,3 +206,57 @@ def test_multiprobe_lsh_no_cartesian_probe(spark, registry):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_semantic_salted_equality_pairs(spark, registry):
+    """Semantic dedup's pair stage must be the salted EQUALITY join on
+    (label, salt_a, salt_b) and the final keep step a broadcast
+    anti-join — never an all-pairs cross join."""
+    plan = _formatted_plan(registry["q_dedup_semantic"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_knn_join_broadcasts_query_batch(spark, registry):
+    """The batch k-NN join streams the base table once against an
+    in-memory broadcast query batch (BroadcastNestedLoopJoin is the
+    INTENDED operator here — the query side is tiny by construction),
+    and ranks per-query through a partitioned window (parallel across
+    queries), not a global sort."""
+    plan = _formatted_plan(registry["q_sim_knn_join"].fn(spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_text_pack_partitioned_window_single_exchange(spark, registry):
+    """Sequence packing's running sum partitions by source — the window
+    parallelizes across sources (one hash exchange), never a global
+    single-partition sort."""
+    plan = _formatted_plan(registry["q_text_pack"].fn(spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan
+
+
+def test_text_gopher_no_shuffle(spark, registry):
+    """The Gopher quality gate is one narrow map over the scan — any
+    exchange in this plan is a regression."""
+    plan = _formatted_plan(registry["q_text_gopher"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_tpch_q4_semi_join(spark, registry):
+    """Q4's EXISTS must run as a semi-join (LeftSemi), with the quarter
+    filter pushed into the orders scan."""
+    plan = _formatted_plan(registry["q_tpch_q4"].fn(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+
+
+def test_tpch_q22_anti_join_and_broadcast_scalar(spark, registry):
+    """Q22's NOT-EXISTS is a LeftAnti join and the 1-row average
+    aggregate reaches the filter via a broadcast, not a shuffle."""
+    plan = _formatted_plan(registry["q_tpch_q22"].fn(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan

@@ -715,3 +715,137 @@ def q_sim_knn_join(spark, sf_dir):
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+#: k-means configuration: seeds every 64th vector -> k=8 clusters,
+#: 3 unrolled Lloyd iterations (enough to demonstrate convergence
+#: mechanics; production raises iters and uses k-means|| init).
+_KM_SEED_STRIDE = 64
+_KM_ITERS = 3
+
+
+def _km_assign_duck(vec_table: str, cent_table: str) -> str:
+    """DuckDB: nearest-centroid assignment (squared L2, left-to-right
+    accumulation, ties broken by lowest cluster id)."""
+    return f"""
+        SELECT vec_id, cid, dist FROM (
+            SELECT e.vec_id, c.cid,
+                   list_sum(list_transform(range(0, len(e.embedding)),
+                       j -> (CAST(e.embedding[j + 1] AS DOUBLE) - CAST(c.cent[j + 1] AS DOUBLE))
+                          * (CAST(e.embedding[j + 1] AS DOUBLE) - CAST(c.cent[j + 1] AS DOUBLE))))
+                       AS dist,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(range(0, len(e.embedding)),
+                       j -> (CAST(e.embedding[j + 1] AS DOUBLE) - CAST(c.cent[j + 1] AS DOUBLE))
+                          * (CAST(e.embedding[j + 1] AS DOUBLE) - CAST(c.cent[j + 1] AS DOUBLE)))),
+                   c.cid) AS rn
+            FROM {vec_table} e CROSS JOIN {cent_table} c
+        ) WHERE rn = 1
+    """
+
+
+def _km_update_duck(assign_table: str) -> str:
+    """DuckDB: recompute centroids as per-(cluster, dim) means, cast to
+    REAL (float32 absorbs partial-sum association differences between
+    engines — the q_sim_ann_ivf discipline)."""
+    return f"""
+        SELECT cid, list(CAST(m AS REAL) ORDER BY pos) AS cent
+        FROM (
+            SELECT cid, pos, AVG(x) AS m
+            FROM (
+                SELECT a.cid, generate_subscripts(e.embedding, 1) AS pos,
+                       CAST(unnest(e.embedding) AS DOUBLE) AS x
+                FROM embeddings e JOIN {assign_table} a ON e.vec_id = a.vec_id
+            )
+            GROUP BY cid, pos
+        )
+        GROUP BY cid
+    """
+
+
+def _kmeans_oracle() -> str:
+    ctes = [
+        f"""c0 AS (
+            SELECT vec_id // {_KM_SEED_STRIDE} AS cid, embedding AS cent
+            FROM embeddings WHERE vec_id % {_KM_SEED_STRIDE} = 0
+        )"""
+    ]
+    for i in range(_KM_ITERS):
+        ctes.append(f"a{i + 1} AS ({_km_assign_duck('embeddings', f'c{i}')})")
+        if i + 1 < _KM_ITERS:
+            ctes.append(f"c{i + 1} AS ({_km_update_duck(f'a{i + 1}')})")
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT vec_id, cid AS cluster, ROUND(dist, 6) AS dist FROM a{_KM_ITERS}"
+    )
+
+
+@query(
+    "q_kmeans_train",
+    oracle=_kmeans_oracle(),
+    tags=("similarity", "kmeans", "iterative", "ml"),
+)
+def q_kmeans_train(spark, sf_dir):
+    """Distributed k-means (Lloyd's algorithm), the step that trains the
+    IVF coarse quantizer for real instead of borrowing data labels:
+    k=8 seeds (every 64th vector), 3 unrolled iterations of
+    assign-to-nearest (squared L2) + recompute-means. Each iteration is
+    (a) a broadcast of the tiny k-row centroid table against one narrow
+    pass over the vectors — min-by-struct picks the nearest centroid
+    with a deterministic lowest-cid tie-break, no per-vector window —
+    and (b) one (cid, dim)-grouped average with map-side partials.
+    Nothing iterates on the driver except plan construction: the loop
+    unrolls into a single DAG, the Spark analogue of MLlib's iteration
+    structure. Per-iteration centroid elements are cast to float32,
+    which absorbs AVG partial-sum association differences between
+    engines and makes every subsequent distance bit-reproducible — so
+    the whole iterative algorithm is hash-checked against a DuckDB
+    oracle with the iterations unrolled as CTEs. At 100 TB: the
+    centroid table stays k×dims (trivially broadcastable), each
+    iteration is one scan + one small shuffle, and convergence rounds
+    replace the fixed unroll (persist assignments between rounds;
+    k-means|| seeding replaces the stride pick)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        F.expr("transform(embedding, v -> cast(v as double))").alias("emb_d"),
+    )
+    cents = e.filter(F.col("vec_id") % _KM_SEED_STRIDE == 0).select(
+        (F.col("vec_id") / _KM_SEED_STRIDE).cast("int").alias("cid"),
+        F.expr("transform(embedding, v -> cast(v as double))").alias("cent"),
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("emb_d"), F.col("cent"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    assign = None
+    for i in range(_KM_ITERS):
+        scored = vecs.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "emb_d", F.col("cid"), dist.alias("dist")
+        )
+        assign = (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid")).alias("best"))
+            .select("vec_id", F.col("best.cid").alias("cid"), F.col("best.dist").alias("dist"))
+        )
+        if i + 1 < _KM_ITERS:
+            means = (
+                vecs.join(assign.select("vec_id", "cid"), "vec_id")
+                .select("cid", F.posexplode("emb_d").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(F.avg("x").alias("m"))
+            )
+            cents = (
+                means.groupBy("cid")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+                .select(
+                    "cid",
+                    F.expr(
+                        "transform(pm, s -> cast(cast(s.m as float) as double))"
+                    ).alias("cent"),
+                )
+            )
+    return assign.select(
+        "vec_id", F.col("cid").alias("cluster"), F.round("dist", 6).alias("dist")
+    )

@@ -793,3 +793,37 @@ def q_text_domain_stats(spark, sf_dir):
         F.countDistinct("lang").alias("n_langs"),
         (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).cast("bigint").alias("n_exact_dups"),
     )
+
+
+@query(
+    "q_split_assign",
+    oracle="""
+    SELECT doc_id, source, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+        FROM documents
+    )
+    """,
+    tags=("text", "split", "training"),
+)
+def q_split_assign(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by content-key
+    hash (the q_sample_hash md5 bucket) — the split step of a training
+    pipeline, reproducible across engines, runs, and re-shards: a doc's
+    split never changes when the corpus grows, unlike randomSplit. One
+    narrow map, no shuffle; downstream writers partition by the split
+    column so each set lands in its own directory tree."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)").cast("bigint") % 100
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )

@@ -260,3 +260,20 @@ def test_tpch_q22_anti_join_and_broadcast_scalar(spark, registry):
     plan = _formatted_plan(registry["q_tpch_q22"].fn(spark, SF_DIR))
     assert "LeftAnti" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_kmeans_broadcasts_centroids(spark, registry):
+    """Every k-means iteration must broadcast the k-row centroid table
+    against the vector scan (BroadcastNestedLoopJoin on the tiny side
+    is the intended operator for the crossJoin) — a shuffled or
+    cartesian assignment join is a regression."""
+    plan = _formatted_plan(registry["q_kmeans_train"].fn(spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_split_assign_no_shuffle(spark, registry):
+    """Split assignment is a pure narrow map — any exchange is a
+    regression."""
+    plan = _formatted_plan(registry["q_split_assign"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan

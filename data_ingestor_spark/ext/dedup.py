@@ -535,3 +535,108 @@ def q_dedup_keep(spark, sf_dir):
     return d.join(dropped, d.doc_id == dropped.doc_b, "left_anti").select(
         "doc_id", "source", "lang"
     )
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH newb AS (
+        SELECT doc_id, text FROM documents WHERE source = 'src0'
+    ), corp AS (
+        SELECT doc_id, text FROM documents WHERE source <> 'src0'
+    ), nsig AS (
+        SELECT doc_id, toks, {_MH_DUCK_COLS}
+        FROM (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks FROM newb)
+    ), csig AS (
+        SELECT doc_id, toks, {_MH_DUCK_COLS}
+        FROM (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks FROM corp)
+    ), nband AS (
+        SELECT doc_id, toks, unnest([{', '.join(_BAND_KEYS_DUCK)}]) AS band_key FROM nsig
+    ), cband AS (
+        SELECT doc_id, toks, unnest([{', '.join(_BAND_KEYS_DUCK)}]) AS band_key FROM csig
+    ), cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corp_id,
+               n.toks AS toks_a, c.toks AS toks_b
+        FROM nband n JOIN cband c ON n.band_key = c.band_key
+    ), near AS (
+        SELECT new_id, COUNT(*) AS n_near
+        FROM cand
+        WHERE CAST(LEN(list_intersect(toks_a, toks_b)) AS DOUBLE)
+              / LEN(list_distinct(toks_a || toks_b)) >= {NEARDUP_THRESHOLD}
+        GROUP BY new_id
+    ), ex AS (
+        SELECT DISTINCT md5(text) AS h FROM corp
+    )
+    SELECT nb.doc_id,
+           (md5(nb.text) IN (SELECT h FROM ex)) AS is_exact_dup,
+           CAST(COALESCE(near.n_near, 0) AS BIGINT) AS n_near_dups,
+           (NOT (md5(nb.text) IN (SELECT h FROM ex))
+            AND COALESCE(near.n_near, 0) = 0) AS accepted
+    FROM newb nb LEFT JOIN near ON nb.doc_id = near.new_id
+    """,
+    tags=("dedup", "incremental", "lsh"),
+)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup: admit a NEW batch (source = src0 stands in
+    for today's crawl) against the EXISTING corpus — the production
+    shape for continuously ingested training data, where re-running
+    global dedup per batch would be quadratic in corpus size. Two
+    probes, both index-shaped: (1) exact — the batch's content hashes
+    semi-join the corpus hash set; (2) near — the batch's LSH band
+    keys equality-join the corpus band index, candidates verified with
+    exact token-set Jaccard (>= 0.9), counted per new doc. At 100 TB
+    the corpus side of both joins is a PRECOMPUTED index table
+    (band_key -> doc bucketed by band_key; hash set bucketed by hash):
+    each batch shuffles only itself plus matched index rows — corpus
+    scan cost is paid once at index build, not per batch. The band
+    join carries narrow (id, band_key) pairs only; token sets attach
+    afterwards by linear id joins (q_dedup_minhash_pairs discipline)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sigs = minhash_signature(d).withColumn(
+        "toks", F.expr("array_distinct(split(lower(text), ' '))")
+    )
+    newb = sigs.filter(F.col("source") == "src0")
+    corp = sigs.filter(F.col("source") != "src0")
+
+    def banded(df, id_alias):
+        return df.select(
+            F.col("doc_id").alias(id_alias),
+            F.explode(F.array(*[F.expr(k) for k in _BAND_KEYS_SPARK])).alias("band_key"),
+        )
+
+    cand_ids = (
+        banded(newb, "new_id")
+        .join(banded(corp, "corp_id"), "band_key")
+        .select("new_id", "corp_id")
+        .dropDuplicates(["new_id", "corp_id"])
+    )
+    cand = cand_ids.join(
+        newb.select(F.col("doc_id").alias("new_id"), F.col("toks").alias("toks_a")), "new_id"
+    ).join(
+        corp.select(F.col("doc_id").alias("corp_id"), F.col("toks").alias("toks_b")), "corp_id"
+    )
+    isect = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = isect.cast("double") / (F.size("toks_a") + F.size("toks_b") - isect)
+    near = (
+        cand.filter(jac >= NEARDUP_THRESHOLD)
+        .groupBy("new_id")
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+    ex = corp.select(F.md5("text").alias("h")).distinct().withColumn("_hit", F.lit(1))
+    out = (
+        newb.select("doc_id", F.md5("text").alias("h"))
+        .join(ex, "h", "left")
+        .join(near, F.col("doc_id") == F.col("new_id"), "left")
+    )
+    is_exact = F.col("_hit").isNotNull()
+    n_near = F.coalesce(F.col("n_near"), F.lit(0)).cast("bigint")
+    return out.select(
+        "doc_id",
+        is_exact.alias("is_exact_dup"),
+        n_near.alias("n_near_dups"),
+        (~is_exact & (n_near == 0)).alias("accepted"),
+    )

@@ -277,3 +277,12 @@ def test_split_assign_no_shuffle(spark, registry):
     regression."""
     plan = _formatted_plan(registry["q_split_assign"].fn(spark, SF_DIR))
     assert "Exchange" not in plan
+
+
+def test_dedup_incremental_no_cartesian(spark, registry):
+    """Batch-vs-corpus dedup must stay index-shaped: equality joins on
+    band_key / content hash only — no cross join between the batch and
+    the corpus."""
+    plan = _formatted_plan(registry["q_dedup_incremental"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -58,6 +58,12 @@ EXTRA = [
     "q_sim_ann_lsh_multiprobe",  # 5-bucket multi-probe ANN
     "q_text_chunk",         # overlapping token-window chunking
     "q_text_contamination",  # benchmark 8-gram decontamination
+    "q_dedup_semantic",     # SemDeDup within-cluster cosine dedup
+    "q_dedup_incremental",  # batch-vs-corpus LSH admission
+    "q_sim_knn_join",       # batch top-3 k-NN join
+    "q_kmeans_train",       # 3 unrolled Lloyd iterations
+    "q_text_pack",          # sequence packing running sums
+    "q_tpch_q22",           # anti-join + broadcast scalar subquery
 ]
 
 

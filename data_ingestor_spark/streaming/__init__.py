@@ -1,4 +1,5 @@
 from data_ingestor_spark.streaming.ingest import (
+    idempotent_batch_publish,
     stream_json_records,
     stream_load,
     write_stream_batches,
@@ -16,6 +17,7 @@ from data_ingestor_spark.streaming.windows import (
 
 __all__ = [
     "enrich_with_static",
+    "idempotent_batch_publish",
     "join_streams_windowed",
     "running_user_counters",
     "stream_json_records",

@@ -91,3 +91,40 @@ def write_stream_batches(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def idempotent_batch_publish(target_dir: str):
+    """Replay-safe ``foreachBatch`` sink: each micro-batch lands in its
+    own ``batch_id=<n>`` subdirectory of ``target_dir`` via
+    stage-then-rename, and a batch whose directory already exists is
+    SKIPPED.
+
+    Why: checkpointing makes re-delivery rare but not impossible — a
+    crash after the sink ran but before the checkpoint committed makes
+    Structured Streaming re-run the same ``batch_id`` on restart. With
+    a non-idempotent sink that duplicates data; here the atomic
+    directory rename is the commit record (present ⇒ fully written, the
+    rename is atomic on POSIX), so the replay becomes a no-op and the
+    end-to-end pipeline is exactly-once. The layout doubles as a
+    readable partitioned dataset (``spark.read.parquet(target_dir)``
+    exposes ``batch_id`` as a partition column) and at scale each batch
+    directory is written in parallel by the executors — the driver only
+    renames.
+
+    Returns a ``batch_fn`` for :func:`write_stream_batches`.
+    """
+    import os
+    import shutil
+
+    def _publish(batch_df, batch_id: int) -> None:
+        final = os.path.join(target_dir, f"batch_id={batch_id}")
+        if os.path.exists(final):
+            return  # replayed batch: already committed, exactly-once no-op
+        staging = final + ".__staging__"
+        if os.path.exists(staging):
+            shutil.rmtree(staging)  # leftover from a crashed attempt
+        batch_df.write.mode("overwrite").parquet(staging)
+        os.makedirs(target_dir, exist_ok=True)
+        os.rename(staging, final)
+
+    return _publish

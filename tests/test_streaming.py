@@ -342,3 +342,39 @@ def test_stateful_operator_state_survives_restart(spark, tmp_path):
         for r in half2.groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert {r["user_id"]: r["batch_events"] for r in got2} == half2_counts
+
+
+def test_idempotent_batch_publish_exactly_once(spark, tmp_path):
+    """The batch-dir sink is exactly-once under replay: a re-delivered
+    batch_id is a no-op, new batches append, and the target reads back
+    as one partitioned dataset."""
+    from data_ingestor_spark.streaming import idempotent_batch_publish
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    target = str(tmp_path / "out")
+    shutil.copy(os.path.join(FIXTURES, "ingest-records.json"), in_dir / "a.json")
+
+    sink = idempotent_batch_publish(target)
+    flat = stream_load(spark, str(in_dir), MIST_NESTED_SCHEMA, columns=TEMPLATE_COLUMNS)
+    _drain(write_stream_batches(flat, ckpt, sink))
+    assert spark.read.parquet(target).count() == 17
+
+    # simulate post-sink-pre-checkpoint crash: the SAME batch_id is
+    # re-delivered (here: called directly) — must be a no-op even with
+    # different data attached to the replay
+    replay_df = spark.read.parquet(target).limit(3)
+    committed = sorted(os.listdir(target))
+    sink(replay_df, 0)
+    assert spark.read.parquet(target).count() == 17
+    assert sorted(os.listdir(target)) == committed
+
+    # a genuinely new file becomes a NEW batch dir; totals accumulate
+    shutil.copy(os.path.join(FIXTURES, "ingest-records.json"), in_dir / "b.json")
+    flat2 = stream_load(spark, str(in_dir), MIST_NESTED_SCHEMA, columns=TEMPLATE_COLUMNS)
+    _drain(write_stream_batches(flat2, ckpt, sink))
+    readback = spark.read.parquet(target)
+    assert readback.count() == 34
+    assert "batch_id" in readback.columns
+    assert readback.select("batch_id").distinct().count() == 2

@@ -354,9 +354,23 @@ def cluster_pairs(
     block storage, so on a real cluster an executor loss mid-loop kills
     the job. Pass ``checkpoint_dir`` (an HDFS/object-store path) for
     production runs: rounds then use reliable ``checkpoint()`` storage
-    that survives executor failure. Same results either way."""
+    that survives executor failure. Same results either way.
+
+    The context checkpoint dir is session-global in Spark; it is set
+    for the duration of the loop and restored to its prior value on
+    exit (when no prior value existed it stays pointed here — Spark has
+    no unset — so unrelated ``checkpoint()`` callers are never silently
+    redirected to a dir that predates this call). Checkpoint files are
+    retained until context shutdown unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``; point
+    ``checkpoint_dir`` at a job-scoped path that the orchestrator
+    removes after the run."""
+    _restore_ckpt_dir = None
     if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc = pairs.sparkSession.sparkContext
+        _prior = sc._jsc.sc().getCheckpointDir()
+        _restore_ckpt_dir = _prior.get() if _prior.isDefined() else None
+        sc.setCheckpointDir(checkpoint_dir)
 
         def _materialize(df: DataFrame) -> DataFrame:
             return df.checkpoint(eager=True)
@@ -366,6 +380,14 @@ def cluster_pairs(
         def _materialize(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
+    try:
+        return _cluster_pairs_loop(pairs, left, right, max_iters, _materialize)
+    finally:
+        if _restore_ckpt_dir is not None:
+            pairs.sparkSession.sparkContext.setCheckpointDir(_restore_ckpt_dir)
+
+
+def _cluster_pairs_loop(pairs, left, right, max_iters, _materialize):
     edges = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
     edges = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     # materialize once: the edge list feeds EVERY round — without this the

@@ -86,10 +86,12 @@ def _pair_edges(spark, sf_dir):
 def q_graph_degree(spark, sf_dir):
     """Near-dup degree per document — the template-hub detector (a node
     with degree ≫ median is one source template echoed everywhere; its
-    whole neighborhood usually drops together). One shuffle: symmetrize
-    the canonical edge list with a cheap union and groupBy vertex.
-    Exact integer counts → bit-stable hash."""
-    pairs = q_dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    whole neighborhood usually drops together). The verified edge list
+    is materialized once (_pair_edges) so the union's two branches read
+    the cached relation instead of re-running the LSH+Jaccard pipeline
+    per branch; after that it is one shuffle — symmetrize with a cheap
+    union and groupBy vertex. Exact integer counts → bit-stable hash."""
+    pairs = _pair_edges(spark, sf_dir)
     verts = pairs.select(F.col("doc_a").alias("v")).unionAll(
         pairs.select(F.col("doc_b").alias("v"))
     )

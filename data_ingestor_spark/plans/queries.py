@@ -48,8 +48,8 @@ for _mod in (
 # features/frames, clustering, text extras, scan corners, streaming window
 # agg, cogrouped UDF, window distribution/value functions), plus
 # q_subq_scalar (r2's one hash failure, oracle rewritten to exact integer
-# arithmetic this round), plus the keys newly added in round 3, filled to
-# 50 with round-1-passed relational keys.
+# arithmetic this round), plus the keys newly added in round 3 (the 14
+# early-round-3 keys and, in slot 50, q_dedup_semantic).
 _PRIORITY: tuple[str, ...] = (
     # --- 34 zero-evidence keys -------------------------------------------
     "q_tpch_q1",
@@ -104,9 +104,12 @@ _PRIORITY: tuple[str, ...] = (
     "q_scan_jsonl",
     "q_stream_stateful",
     # --- slot 50: the session's flagship new LLM-pipeline op -------------
-    # (the other seven keys added late in round 3 — q_sim_knn_join,
-    # q_text_pack, q_text_gopher, q_text_domain_stats, q_tpch_q4/q12/q22 —
-    # don't fit the 50-slot window; they lead the round-4 rotation.)
+    # The other TEN keys added late in round 3 don't fit the 50-slot
+    # window and must LEAD the round-4 rotation: q_sim_knn_join,
+    # q_text_pack, q_text_gopher, q_text_domain_stats, q_split_assign,
+    # q_kmeans_train, q_dedup_incremental, q_tpch_q4/q12/q22 — followed
+    # by the keys last checked in round 1 (relational/window/set/scalar
+    # families) that have not been re-checked since.
     "q_dedup_semantic",
 )
 

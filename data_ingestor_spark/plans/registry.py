@@ -74,15 +74,27 @@ def scratch_dir(*parts: str) -> str:
     the same sf never clobber each other's scratch mid-read and (b) the
     path under a world-writable /tmp is not predictable/pre-creatable by
     another local user across runs.
+
+    The per-process root is removed at interpreter exit (atexit) so
+    repeated runs don't accumulate table copies in /tmp; a same-pid
+    re-registration is guarded by the module flag.
     """
+    import atexit
     import os
+    import shutil
     import tempfile
 
-    base = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_{os.getuid()}_{os.getpid()}", *parts
-    )
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_{os.getuid()}_{os.getpid()}")
+    global _SCRATCH_CLEANUP_REGISTERED
+    if not _SCRATCH_CLEANUP_REGISTERED:
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _SCRATCH_CLEANUP_REGISTERED = True
+    base = os.path.join(root, *parts)
     os.makedirs(base, exist_ok=True)
     return base
+
+
+_SCRATCH_CLEANUP_REGISTERED = False
 
 
 # --- hash-stable numeric helpers ---------------------------------------------

@@ -15,6 +15,21 @@ from data_ingestor_spark.operators.asof import asof_join
 from data_ingestor_spark.plans.registry import dec, load_table, query, scratch_dir
 
 
+def _ensure_symlink(link: str, src: str) -> None:
+    """Create (or repair) a scratch symlink. The scratch key carries
+    only basename(sf_dir), so two different datasets with the same
+    basename would collide — validate the existing link's target and
+    re-point it instead of silently reusing a link to the wrong data."""
+    import os
+
+    target = os.path.abspath(src)
+    if os.path.islink(link):
+        if os.readlink(link) == target:
+            return
+        os.remove(link)
+    os.symlink(target, link)
+
+
 @query(
     "q_window_tumbling",
     oracle="""
@@ -317,8 +332,7 @@ def q_stream_window_agg(spark, sf_dir):
         # reused across invocations in this session
         in_dir = scratch_dir(f"q_stream_window_{os.path.basename(sf_dir.rstrip(chr(47)))}")
         link = os.path.join(in_dir, "events.parquet")
-        if not os.path.islink(link):
-            os.symlink(os.path.abspath(src), link)
+        _ensure_symlink(link, src)
 
         s = spark.readStream.schema(raw_schema).parquet(in_dir)
         if dict(s.dtypes).get("ts") == "bigint":
@@ -428,8 +442,7 @@ def q_stream_dedup(spark, sf_dir):
         raw_schema = spark.read.parquet(src).schema
         in_dir = scratch_dir(f"q_stream_dedup_{os.path.basename(sf_dir.rstrip(chr(47)))}")
         link = os.path.join(in_dir, "events.parquet")
-        if not os.path.islink(link):
-            os.symlink(os.path.abspath(src), link)
+        _ensure_symlink(link, src)
 
         s = spark.readStream.schema(raw_schema).parquet(in_dir)
         deduped = s.select("user_id", "event_type").dropDuplicates(
@@ -494,8 +507,7 @@ def q_stream_stream_join(spark, sf_dir):
         raw_schema = spark.read.parquet(src).schema
         in_dir = scratch_dir(f"q_stream_ssj_{os.path.basename(sf_dir.rstrip(chr(47)))}")
         link = os.path.join(in_dir, "events.parquet")
-        if not os.path.islink(link):
-            os.symlink(os.path.abspath(src), link)
+        _ensure_symlink(link, src)
 
         def _events_stream():
             s = spark.readStream.schema(raw_schema).parquet(in_dir)
@@ -569,8 +581,7 @@ def q_stream_stateful(spark, sf_dir):
         raw_schema = spark.read.parquet(src).schema
         in_dir = scratch_dir(f"q_stream_state_{os.path.basename(sf_dir.rstrip(chr(47)))}")
         link = os.path.join(in_dir, "events.parquet")
-        if not os.path.islink(link):
-            os.symlink(os.path.abspath(src), link)
+        _ensure_symlink(link, src)
 
         s = spark.readStream.schema(raw_schema).parquet(in_dir)
         counters = running_user_counters(s)

@@ -120,7 +120,11 @@ def idempotent_batch_publish(target_dir: str):
         final = os.path.join(target_dir, f"batch_id={batch_id}")
         if os.path.exists(final):
             return  # replayed batch: already committed, exactly-once no-op
-        staging = final + ".__staging__"
+        # underscore prefix: Spark/Hadoop readers skip `_`/`.` paths, so
+        # a mid-write or crash-orphaned staging dir is invisible to
+        # partition discovery on target_dir (it would otherwise be
+        # parsed as a bogus batch_id partition value)
+        staging = os.path.join(target_dir, f"_staging_batch_{batch_id}")
         if os.path.exists(staging):
             shutil.rmtree(staging)  # leftover from a crashed attempt
         batch_df.write.mode("overwrite").parquet(staging)

@@ -64,6 +64,7 @@ EXTRA = [
     "q_kmeans_train",       # 3 unrolled Lloyd iterations
     "q_text_pack",          # sequence packing running sums
     "q_tpch_q22",           # anti-join + broadcast scalar subquery
+    "q_corpus_production",  # composite gate->dedup->split pipeline
 ]
 
 

@@ -662,3 +662,110 @@ def q_dedup_incremental(spark, sf_dir):
         n_near.alias("n_near_dups"),
         (~is_exact & (n_near == 0)).alias("accepted"),
     )
+
+
+@query(
+    "q_corpus_production",
+    oracle=f"""
+    WITH gated AS (
+        SELECT doc_id, text, source
+        FROM documents
+        WHERE LEN(string_split(text, ' ')) BETWEEN 50 AND 10000
+          AND CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+              / LEN(string_split(text, ' ')) BETWEEN 3.0 AND 10.0
+    ), exact AS (
+        SELECT MIN(doc_id) AS keep_id FROM gated GROUP BY md5(text)
+    ), surv1 AS (
+        SELECT g.doc_id, g.text, g.source
+        FROM gated g JOIN exact e ON g.doc_id = e.keep_id
+    ), sigs AS (
+        SELECT doc_id, toks, {_MH_DUCK_COLS}
+        FROM (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+              FROM surv1)
+    ), banded AS (
+        SELECT doc_id, toks, unnest([{', '.join(_BAND_KEYS_DUCK)}]) AS band_key FROM sigs
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.toks AS toks_a, b.toks AS toks_b
+        FROM banded a JOIN banded b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), drops AS (
+        SELECT DISTINCT doc_b FROM cand
+        WHERE CAST(LEN(list_intersect(toks_a, toks_b)) AS DOUBLE)
+              / LEN(list_distinct(toks_a || toks_b)) >= {NEARDUP_THRESHOLD}
+    ), surv2 AS (
+        SELECT doc_id, source, LEN(string_split(text, ' ')) AS n_tok,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+        FROM surv1 WHERE doc_id NOT IN (SELECT doc_b FROM drops)
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM surv2
+    GROUP BY split, source
+    """,
+    tags=("dedup", "pipeline", "training"),
+)
+def q_corpus_production(spark, sf_dir):
+    """The full corpus-production pipeline as ONE Catalyst plan:
+    quality gate (word-count + mean-word-length bands) → exact dedup
+    (lowest doc_id per content hash) → MinHash-LSH near-dup drop
+    (verified Jaccard >= 0.9, higher id drops) → deterministic md5
+    train/val/test split → per-(split, source) doc/token totals.
+    Composing in one plan (rather than materializing between stages)
+    lets Catalyst prune columns per stage — the text column dies after
+    tokenization, token sets after the Jaccard — and the gate runs
+    BEFORE the quadratic LSH stage, so pair work scales with the
+    *cleaned* corpus. The only shuffles are the dedup groupBys, the
+    band-key join, and the final small aggregate — the same budget the
+    stages cost run separately, minus the intermediate writes. At
+    100 TB each stage is the already-audited operator (q_text_gopher /
+    q_dedup_exact / q_dedup_minhash_pairs / q_split_assign
+    disciplines)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    mean_len = F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double") / n_words
+    gated = d.filter(n_words.between(50, 10000) & (mean_len >= 3.0) & (mean_len <= 10.0))
+    keep = gated.groupBy(F.md5("text").alias("_h")).agg(F.min("doc_id").alias("keep_id"))
+    surv1 = gated.join(keep, gated.doc_id == keep.keep_id, "left_semi")
+    sigs = minhash_signature(surv1).withColumn(
+        "toks", F.expr("array_distinct(split(lower(text), ' '))")
+    )
+    banded = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[F.expr(k) for k in _BAND_KEYS_SPARK])).alias("band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand_ids = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    toks = sigs.select("doc_id", "toks")
+    cand = cand_ids.join(
+        toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")), "doc_a"
+    ).join(toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")), "doc_b")
+    isect = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = isect.cast("double") / (F.size("toks_a") + F.size("toks_b") - isect)
+    drops = cand.filter(jac >= NEARDUP_THRESHOLD).select(F.col("doc_b").alias("_drop")).distinct()
+    surv2 = surv1.join(drops, surv1.doc_id == F.col("_drop"), "left_anti")
+    bucket = (
+        F.expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)").cast("bigint") % 100
+    )
+    final = surv2.select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+    return final.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    )

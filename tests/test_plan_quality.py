@@ -286,3 +286,13 @@ def test_dedup_incremental_no_cartesian(spark, registry):
     plan = _formatted_plan(registry["q_dedup_incremental"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_production_gate_before_lsh(spark, registry):
+    """The composite pipeline must run the cheap quality gate before the
+    quadratic LSH stage (filter below the band join in the plan) and
+    stay free of cartesian joins."""
+    plan = _formatted_plan(registry["q_corpus_production"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan and "LeftSemi" in plan

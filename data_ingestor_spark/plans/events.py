@@ -215,3 +215,49 @@ def q_event_anomaly(spark, sf_dir):
             (F.abs(z) > 2.0).alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "q_event_dau_wau",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ), cover AS (
+        SELECT user_id,
+               unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS day
+        FROM du
+    ), wau AS (
+        SELECT day, COUNT(DISTINCT user_id) AS wau FROM cover GROUP BY day
+    ), dau AS (
+        SELECT d AS day, COUNT(*) AS dau FROM du GROUP BY d
+    )
+    SELECT dau.day, dau.dau, CAST(wau.wau AS BIGINT) AS wau
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+    tags=("events", "window", "distinct"),
+)
+def q_event_dau_wau(spark, sf_dir):
+    """Daily + trailing-7-day active users (DAU/WAU) — the canonical
+    engagement dashboard pair. COUNT(DISTINCT) over a sliding RANGE
+    frame is not windowable in any engine, and the textbook day-spine
+    theta join (du.d BETWEEN day-6 AND day) is a nested loop; instead
+    each (user, day) row EXPLODES into the <=7 future days it covers
+    and WAU becomes an ordinary (day)-keyed distinct aggregate — pure
+    equality shuffles that parallelize like any groupBy at 100 TB
+    (7x row inflation on the deduped user-day relation, which is
+    already orders of magnitude smaller than the event log). Cover
+    days beyond the observed range drop out via the inner join with
+    the DAU spine. Exact integer counts -> bit-stable hash."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(F.date_trunc("DAY", "ts").alias("d"), "user_id").distinct()
+    cover = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"), F.col("d") + F.expr("INTERVAL 6 DAYS"), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("day"),
+    )
+    wau = cover.groupBy("day").agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    dau = du.groupBy(F.col("d").alias("day")).agg(F.count(F.lit(1)).alias("dau"))
+    return dau.join(wau, "day").select("day", "dau", "wau")

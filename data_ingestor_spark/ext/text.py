@@ -827,3 +827,60 @@ def q_split_assign(spark, sf_dir):
         bucket.alias("bucket"),
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
     )
+
+
+@query(
+    "q_text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ), vocab AS (
+        SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+    ), total AS (
+        SELECT SUM(cnt) AS n FROM vocab
+    ), scored AS (
+        SELECT t.doc_id,
+               CAST(ROUND(-ln(CAST(v.cnt AS DOUBLE) / total.n) * 10000) AS BIGINT) AS lp4
+        FROM tok t JOIN vocab v ON t.token = v.token CROSS JOIN total
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(lp4) AS DOUBLE) / 10000.0 / COUNT(*), 4) AS mean_neg_logprob
+    FROM scored
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality", "lm"),
+)
+def q_text_unigram_logprob(spark, sf_dir):
+    """Perplexity-style quality scoring with a corpus unigram LM (the
+    CCNet-filter shape, with the real KenLM swapped for the corpus's
+    own unigram distribution — the operator pipeline is identical):
+    train = one token-count aggregate; score = token-level -ln p joined
+    back and averaged per doc. Rare-token-heavy (noisy) docs score
+    high, template docs low — sort and threshold to bucket the corpus.
+    Float discipline: each token's -ln p is rounded to 4 decimals and
+    scaled to an INTEGER before the per-doc sum, so the aggregate is
+    associativity-proof (bit-identical across partials and engines);
+    only one final division surfaces a double. Scale shape: vocab is a
+    zipf-bounded aggregate (broadcastable), the score join is
+    token-keyed equality, the corpus total a broadcast scalar — no
+    quadratic stage anywhere."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = d.select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    scored = tok.join(F.broadcast(vocab), "token").crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        F.round(-F.log(F.col("cnt").cast("double") / F.col("n")) * 10000)
+        .cast("bigint")
+        .alias("lp4"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("lp4").cast("double") / 10000.0 / F.count(F.lit(1)), 4).alias(
+            "mean_neg_logprob"
+        ),
+    )

@@ -296,3 +296,19 @@ def test_corpus_production_gate_before_lsh(spark, registry):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan and "LeftSemi" in plan
+
+
+def test_dau_wau_equality_aggregates(spark, registry):
+    """DAU/WAU must stay explode + equality aggregates — the day-spine
+    theta join (nested loop) is the anti-pattern this plan replaces."""
+    plan = _formatted_plan(registry["q_event_dau_wau"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan and "explode(sequence(" in plan
+
+
+def test_unigram_logprob_broadcast_vocab(spark, registry):
+    """The LM score join must broadcast the vocab (and the 1-row corpus
+    total); a shuffled vocab join or cartesian stage is a regression."""
+    plan = _formatted_plan(registry["q_text_unigram_logprob"].fn(spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

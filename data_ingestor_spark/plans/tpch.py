@@ -6,12 +6,18 @@ Q3/Q5 these are part of the engine's declared relational surface (§2.2)
 adapted to the testdata's reduced schemas (no partsupp table; lineitem
 has no commitdate/receiptdate/shipmode; dates span 1995–2001; nation
 names are ``NATION_<k>``; ``p_type`` is a single word incl. ``PROMO``).
-Q2/Q9/Q11/Q16/Q19–Q21 need the missing partsupp table / part columns
-and are deliberately out of scope. Q4/Q12/Q22 survive with documented
-predicate substitutions (late-shipment ← shipdate lag instead of the
+All 22 spec shapes are covered. Queries whose spec predicates use the
+missing partsupp table / part columns survive with documented
+substitutions: Q4/Q12/Q22 (late-shipment ← shipdate lag instead of the
 absent commit/receipt dates; ship mode ← return flag; country code ←
-nation key) — the plan *shapes* (EXISTS semi-join, fact-fact
-two-way-case agg, anti-join + scalar subquery) are the spec's.
+nation key), Q2/Q11/Q16/Q20 (the part-supplier relation ← the DISTINCT
+(l_partkey, l_suppkey) pairs observed in lineitem, with supply cost ←
+min observed line price, availability/stock value ← shipped volume),
+Q9 (supply cost ← 0.6 × p_retailprice), Q19 (container ← size band),
+Q21 (late ← shipdate lag, as in Q4). The plan *shapes* — EXISTS
+semi-join, fact-fact two-way-case agg, anti-join + scalar subquery,
+correlated-min de-correlation, HAVING vs broadcast scalar, disjunctive
+join predicate, double-correlated EXISTS/NOT-EXISTS — are the spec's.
 
 Float discipline (see ``registry.dec``): base money columns are cast to
 exact decimal before arithmetic, sums surface as double, and every
@@ -595,4 +601,422 @@ def q_tpch_q22(spark, sf_dir):
     return rich.groupBy(code).agg(
         F.count(F.lit(1)).alias("numcust"),
         F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
+    )
+
+
+@query(
+    "q_tpch_q2",
+    oracle="""
+    WITH offers AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), best AS (
+        SELECT l_partkey AS bp, MIN(cost) AS mincost FROM offers GROUP BY l_partkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+           CAST(o.cost AS DOUBLE) AS cost
+    FROM offers o
+    JOIN best ON o.l_partkey = best.bp AND o.cost = best.mincost
+    JOIN part p ON p.p_partkey = o.l_partkey
+    JOIN supplier s ON s.s_suppkey = o.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'STANDARD'
+      AND r.r_name = 'EUROPE'
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 20
+    """,
+    tags=("join", "subquery", "benchmark"),
+)
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 (minimum cost supplier), adapted: with no partsupp
+    table, the part-supplier offer relation is derived from lineitem —
+    ``cost(part, supp) = MIN(l_extendedprice)`` over observed lines —
+    and the spec's correlated MIN subquery is expressed directly in its
+    de-correlated form (per-part min aggregate joined back on equality),
+    which is exactly the plan Catalyst rewrites the correlated form
+    into. Size/type filters replace the spec's size/``%BRASS`` pair.
+    Scale shape: the only wide shuffles are the two lineitem groupBys
+    (offers, then per-part min); part/supplier/nation/region are all
+    dimension-sized and broadcast; the final top-20 is TakeOrdered with
+    a full tie-break (acctbal DESC, nation, supplier, part)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(dec("l_extendedprice")).alias("cost")
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("bp")).agg(
+        F.min("cost").alias("mincost")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        offers.join(
+            best,
+            (F.col("l_partkey") == F.col("bp")) & (F.col("cost") == F.col("mincost")),
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            F.col("cost").cast("double").alias("cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q_tpch_q9",
+    oracle="""
+    SELECT n.n_name AS nation, EXTRACT(year FROM o.o_orderdate) AS o_year,
+           CAST(SUM(
+               CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 * (100 - CAST(CAST(l.l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+               - CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 * CAST(l.l_quantity AS BIGINT) * 60
+           ) AS DOUBLE) / 10000 AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nation, o_year
+    """,
+    tags=("join", "agg", "benchmark"),
+)
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 (product type profit), adapted: supply cost ←
+    ``0.6 × p_retailprice`` (no ps_supplycost), part filter ←
+    ``%widget%`` (no ``%green%`` names). Profit is computed entirely in
+    exact integer 10^-4-dollar units — revenue as cents × (100 −
+    discount-cents), cost as retail-cents × qty × 60 — summed as BIGINT
+    and surfaced through ONE double division, so the hash is
+    associativity-proof without rounding. Scale shape: the spec's
+    classic 5-way star — part filter pushed into the broadcast side and
+    pruning lineitem via the join, supplier/nation broadcast, the
+    orders join the only fact-fact exchange; group-by (nation, year) is
+    low-cardinality so partial aggregation collapses it map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = load_table(spark, sf_dir, "nation")
+    ext_c = (dec("l_extendedprice") * 100).cast("bigint")
+    disc_c = (dec("l_discount") * 100).cast("bigint")
+    retail_c = (dec("p_retailprice") * 100).cast("bigint")
+    qty = F.col("l_quantity").cast("bigint")
+    profit_u = ext_c * (F.lit(100) - disc_c) - retail_c * qty * 60
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg((F.sum(profit_u).cast("double") / 10000).alias("sum_profit"))
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle="""
+    WITH val AS (
+        SELECT l.l_partkey,
+               CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name IN ('NATION_3', 'NATION_8', 'NATION_15')
+        GROUP BY l.l_partkey
+    ), tot AS (
+        SELECT CAST(SUM(cents) AS BIGINT) AS tc FROM val
+    )
+    SELECT val.l_partkey AS p_partkey, CAST(val.cents AS DOUBLE) / 100 AS value
+    FROM val, tot
+    WHERE val.cents * 1000 > tot.tc
+    """,
+    tags=("agg", "subquery", "benchmark"),
+)
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 (important stock identification), adapted: stock value
+    ← shipped line value (SUM l_extendedprice) per part for suppliers
+    in a 3-nation set (no partsupp/availqty), HAVING value > 0.1% of
+    the total — the spec's group-agg with an uncorrelated scalar
+    subquery in HAVING. Both the per-part and grand totals are exact
+    BIGINT cents and the threshold test is integer cross-multiplication
+    (``cents × 1000 > total``), so no FP compare sits on a knife edge.
+    Scale shape: supplier/nation broadcast into the lineitem scan, ONE
+    wide groupBy on partkey; the grand total is a 1-row aggregate
+    broadcast back (Spark: crossJoin(broadcast)); value surfaces as
+    cents/100 in ONE double division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_8", "NATION_15")
+    )
+    cents = (dec("l_extendedprice") * 100).cast("bigint")
+    val = (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    tot = val.agg(F.sum("cents").alias("tc"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("cents") * 1000 > F.col("tc"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("cents").cast("double") / 100).alias("value"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q16",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 5 = 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("join", "agg", "subquery", "benchmark"),
+)
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 (parts/supplier relationship), adapted: the
+    part-supplier relation ← DISTINCT (l_partkey, l_suppkey) from
+    lineitem; the spec's complaint-supplier NOT IN exclusion ←
+    ``s_suppkey % 5 = 0`` (no s_comment column). Shape is the spec's:
+    brand/type/size filters, a NOT IN anti-join against a tiny
+    subquery, COUNT DISTINCT suppliers per (brand, type, size) — all
+    exact integers. Scale shape: the DISTINCT pair projection is the
+    one wide shuffle (and is the natural pre-aggregation — it carries
+    two BIGINTs, not the fact row); part is broadcast; the exclusion
+    list is dimension-sized and anti-joined broadcast (safe for NOT IN
+    here: s_suppkey is non-null by construction)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 5 == 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q_tpch_q19",
+    oracle=f"""
+    SELECT CAST(SUM({_REV}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("join", "agg", "benchmark"),
+)
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue), adapted: the spec's three
+    conjunctive clauses keep brand + quantity ranges; the container
+    IN-lists become size bands (no p_container column). The point of
+    Q19 is the disjunctive join predicate — an OR of per-clause
+    conjunctions mixing build-side (part) and probe-side (lineitem)
+    columns. Scale shape: part is broadcast, so the OR evaluates inside
+    the probe without a shuffle; Catalyst additionally pushes the
+    derived per-side disjunctions (brand IN (...) to the part scan,
+    quantity BETWEEN 1 AND 30 to the lineitem scan) so both scans
+    prune before the join. Revenue is exact decimal summed, surfaced
+    as double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+    clause = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(clause)
+        .agg(rev.cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle="""
+    WITH pairs AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_partkey, l_suppkey
+    ), tot AS (
+        SELECT l_partkey AS tp, CAST(SUM(sq) AS BIGINT) AS tq
+        FROM pairs GROUP BY l_partkey
+    )
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name IN ('NATION_3', 'NATION_8', 'NATION_15')
+      AND s.s_suppkey IN (
+          SELECT p2.l_suppkey
+          FROM pairs p2
+          JOIN tot ON p2.l_partkey = tot.tp
+          WHERE 2 * p2.sq > tot.tq
+            AND p2.l_partkey IN
+                (SELECT p_partkey FROM part WHERE p_name LIKE 'large%')
+      )
+    """,
+    tags=("join", "subquery", "benchmark"),
+)
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion), adapted: the spec's
+    "availqty > half a year's shipments" becomes "supplier shipped MORE
+    than half of the part's 1997 volume" (dominant supplier) — same
+    doubly-nested semi-join shape: suppliers IN (pairs over parts IN
+    (name-filtered part set) with a correlated quantity threshold),
+    then a nation filter. Quantities are integral doubles summed as
+    exact BIGINT; the threshold is integer cross-multiplication.
+    Scale shape: one year of lineitem pre-aggregated to (part, supp)
+    pairs — the only wide shuffle; the per-part total reuses that
+    pair agg (not a second fact scan); the part name filter broadcasts
+    into a semi-join; the final supplier probe is dimension-sized."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pairs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sq")
+    )
+    tot = pairs.groupBy(F.col("l_partkey").alias("tp")).agg(F.sum("sq").alias("tq"))
+    wanted = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("large%"))
+        .select("p_partkey")
+    )
+    dom = (
+        pairs.join(F.broadcast(wanted), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(tot, F.col("l_partkey") == F.col("tp"))
+        .filter(2 * F.col("sq") > F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_8", "NATION_15")
+    )
+    return (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(dom), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@query(
+    "q_tpch_q21",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM orders o
+    JOIN lineitem l1 ON l1.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND n.n_name IN ('NATION_3', 'NATION_8', 'NATION_15')
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = o.o_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = o.o_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    tags=("join", "agg", "subquery", "benchmark"),
+)
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: "late" ←
+    shipping >60 days after the order date (no commit/receipt dates,
+    same substitution as Q4). The spec shape is the double-correlated
+    EXISTS (another supplier contributed) / NOT EXISTS (no OTHER
+    supplier was late) over finished orders. The Spark plan uses the
+    standard aggregation rewrite: ONE per-order pass computes
+    ``n_supp = COUNT(DISTINCT suppkey)`` and ``n_late_supp =
+    COUNT(DISTINCT late suppkey)``; a late line then waits alone iff
+    ``n_supp > 1 AND n_late_supp = 1`` — bit-identical to the
+    EXISTS/NOT-EXISTS pair (the oracle keeps the spec's correlated
+    form) because l1's own supplier is always in the late set.
+    Scale shape: this replaces TWO correlated probes of the fact table
+    with one reusable per-order aggregate joined back on orderkey —
+    the orders join and that aggregate are the only exchanges;
+    supplier/nation broadcast; top-20 is TakeOrdered (s_name unique)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lines = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    stats = lines.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_8", "NATION_15")
+    )
+    return (
+        lines.filter(F.col("late"))
+        .join(stats, F.col("l_orderkey") == F.col("k"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
     )

@@ -769,3 +769,78 @@ def q_corpus_production(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
     )
+
+
+SUBSTR_SPAN = 32  # tokens per window (Lee et al. use 50; docs here are 10-99 tokens)
+
+
+@query(
+    "q_dedup_substring",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents
+        WHERE LEN(string_split(text, ' ')) >= {SUBSTR_SPAN}
+    ), idx AS (
+        SELECT doc_id, UNNEST(generate_series(1, LEN(t) - {SUBSTR_SPAN - 1})) AS i, t
+        FROM toks
+    ), hashed AS (
+        SELECT doc_id, md5(array_to_string(t[i:i+{SUBSTR_SPAN - 1}], ' ')) AS h
+        FROM idx
+    ), hstats AS (
+        SELECT h, COUNT(DISTINCT doc_id) AS nd FROM hashed GROUP BY h
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN hs.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+    FROM hashed w JOIN hstats hs ON w.h = hs.h
+    GROUP BY w.doc_id
+    """,
+    tags=("dedup", "text"),
+)
+def q_dedup_substring(spark, sf_dir):
+    """Substring-level duplication profile (ExactSubstr-style, after
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): for every document, how many of its 32-token windows
+    also occur verbatim in at least one OTHER document. The suffix
+    array of the paper is re-expressed for a shuffle engine as a
+    rolling window->hash->group pipeline: explode every doc into its
+    (len - 31) overlapping 32-gram md5s, count distinct documents per
+    hash, and join the per-hash verdict back onto the windows.
+    Within-doc repeats do NOT count as duplication (that is
+    q_text_repetition's job) — the criterion is cross-document, like
+    the paper's.
+
+    Scale: the window explosion is a narrow map (~|tokens| hashes per
+    doc — the honest ExactSubstr cost, linear in corpus size, not
+    quadratic); both groupBys are hash-partitioned with map-side
+    partial aggregation, and the verdict join is an equality join on
+    the hash — no all-pairs stage anywhere. The md5 window key makes
+    the whole pipeline engine-portable (DuckDB computes the identical
+    hex), and collisions are negligible at 128 bits. The scan is
+    repartitioned off the single-file testdata layout before the
+    CPU-heavy hashing map."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t")).filter(
+        F.size("t") >= SUBSTR_SPAN
+    )
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {SUBSTR_SPAN - 1}),"
+                f" i -> md5(array_join(slice(t, i, {SUBSTR_SPAN}), ' ')))"
+            )
+        ).alias("h"),
+    )
+    hstats = wins.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        wins.join(hstats, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup_windows"),
+        )
+    )

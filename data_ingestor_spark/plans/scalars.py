@@ -279,3 +279,39 @@ def q_scalar_null(spark, sf_dir):
         F.coalesce(maybe, F.lit(-1)).alias("filled_key"),
         F.ifnull(F.nullif(F.col("n_regionkey"), F.lit(0)), F.lit(-1)).alias("region_or_default"),
     )
+
+
+@query(
+    "q_scalar_variant",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scalar", "json", "variant"),
+)
+def q_scalar_variant(spark, sf_dir):
+    """Semi-structured aggregation through Spark 4's VARIANT type:
+    ``parse_json`` shreds the props string into the binary variant
+    encoding once, then ``variant_get`` does typed path extraction —
+    the scale path for JSON-heavy events (parse once, extract many,
+    no per-access string re-parse, Tungsten-friendly binary layout).
+    The oracle reads the same numbers with DuckDB's JSON extraction;
+    all outputs are exact integers so the hash needs no FP defense."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("event_type", F.parse_json("props").alias("v"))
+        .select(
+            "event_type",
+            F.expr("CAST(variant_get(v, '$.k') AS BIGINT)").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -341,3 +341,68 @@ def q_tpch_q5(spark, sf_dir):
     )
     rev = F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double")
     return joined.groupBy("n_name").agg(rev.alias("revenue"))
+
+
+@query(
+    "q_recursive_compound",
+    oracle="""
+    WITH RECURSIVE dep AS (
+        SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                    - (1997 * 12 + 1) AS BIGINT) AS m,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS dep_cents
+        FROM orders
+        WHERE year(o_orderdate) = 1997
+        GROUP BY m
+    ), bal(m, cents) AS (
+        SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT b.m + 1, b.cents + b.cents // 100 + COALESCE(d.dep_cents, 0)
+        FROM bal b LEFT JOIN dep d ON d.m = b.m + 1
+        WHERE b.m < 11
+    )
+    SELECT m AS month_idx, CAST(cents AS DOUBLE) / 100 AS balance
+    FROM bal WHERE m >= 0
+    """,
+    tags=("subquery", "recursive", "iterative"),
+)
+def q_recursive_compound(spark, sf_dir):
+    """Native recursive CTE (Spark 4 WITH RECURSIVE): a compounding
+    monthly balance over 1997's order receipts — balance(m) =
+    balance(m-1) + 1% interest + month-m deposits. The recurrence is
+    multiplicative in the prior state, so it is NOT expressible as a
+    window/prefix aggregate; the recursive CTE is the honest SQL form,
+    and Spark executes it as an iterative loop of the step plan (the
+    same execution strategy as DuckDB's recursive evaluator). All
+    arithmetic is BIGINT cents with floor division (``DIV`` / ``//``),
+    so twelve chained steps stay bit-exact across engines; the balance
+    surfaces through one double division.
+
+    Scale: the recursion is 12 iterations over a 12-row aggregate —
+    driver-cheap by construction; the heavy lifting (the orders scan
+    and monthly rollup) happens ONCE in the non-recursive seed CTE
+    with map-side partial aggregation, which is exactly how an
+    iterative-recurrence job should be laid out at 100 TB: aggregate
+    first, iterate on the small state."""
+    o = load_table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
+    dep = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - (1997 * 12 + 1))
+        .cast("bigint")
+        .alias("m")
+    ).agg(F.sum((dec("o_totalprice") * 100).cast("bigint")).alias("dep_cents"))
+    # createOrReplaceTempView is idempotent, so re-invocation is safe;
+    # the view must outlive this call because the returned plan is lazy.
+    dep.createOrReplaceTempView("_recursive_dep")
+    return spark.sql(
+            """
+            WITH RECURSIVE bal(m, cents) AS (
+                SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
+                UNION ALL
+                SELECT b.m + 1, b.cents + b.cents DIV 100 + COALESCE(d.dep_cents, 0)
+                FROM bal b LEFT JOIN _recursive_dep d ON d.m = b.m + 1
+                WHERE b.m < 11
+            )
+            SELECT m AS month_idx, CAST(cents AS DOUBLE) / 100 AS balance
+            FROM bal WHERE m >= 0
+            """
+    )

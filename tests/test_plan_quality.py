@@ -312,3 +312,75 @@ def test_unigram_logprob_broadcast_vocab(spark, registry):
     plan = _formatted_plan(registry["q_text_unigram_logprob"].fn(spark, SF_DIR))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q2_broadcast_dims_and_take_ordered(spark, registry):
+    """Q2's dimension chain (part/supplier/nation/region) broadcasts and
+    the top-20 short-circuits as TakeOrderedAndProject; the only wide
+    shuffles are the two lineitem aggregations."""
+    plan = _formatted_plan(registry["q_tpch_q2"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastExchange") >= 4
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q9_star_broadcasts_and_pushdown(spark, registry):
+    """Q9's part filter must push into the (broadcast) part scan — the
+    name LIKE filter prunes the build side before the fact join."""
+    plan = _formatted_plan(registry["q_tpch_q9"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastExchange") >= 3  # part, supplier, nation
+    assert "StringContains(p_name,widget)" in plan or "p_name" in next(
+        ln for ln in plan.splitlines() if "PushedFilters" in ln and "p_name" in ln
+    )
+
+
+def test_tpch_q19_disjunctive_pushdown(spark, registry):
+    """Q19's OR-of-conjunctions join predicate: part broadcasts, and
+    Catalyst derives the per-side disjunctions so BOTH scans prune
+    (brand IN-list on part, quantity range on lineitem)."""
+    plan = _formatted_plan(registry["q_tpch_q19"].fn(spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # derived probe-side range reaches the lineitem scan
+    assert any(
+        "l_quantity" in ln and "PushedFilters" in ln for ln in plan.splitlines()
+    )
+
+
+def test_tpch_q21_single_fact_aggregate(spark, registry):
+    """Q21's aggregation rewrite: the EXISTS/NOT-EXISTS pair must NOT
+    become two extra probes of lineitem — one per-order aggregate is
+    joined back, supplier/nation broadcast, top-20 is TakeOrdered."""
+    plan = _formatted_plan(registry["q_tpch_q21"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # lineitem parquet is scanned at most twice (lines + its reuse for
+    # stats feeds from the same join), never four times
+    assert plan.count("lineitem.parquet") <= 2
+
+
+def test_dedup_substring_no_cartesian_and_partial_agg(spark, registry):
+    """ExactSubstr profile: the window explosion must stay a narrow map
+    (no all-pairs join anywhere) and both groupBys must have map-side
+    partial aggregation."""
+    plan = _formatted_plan(registry["q_dedup_substring"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final for both groupBys
+
+
+def test_recursive_compound_aggregates_before_recursion(spark, registry):
+    """The recursive CTE's seed must contain the orders rollup (heavy
+    work once, iterate on small state): exactly one scan of orders
+    feeds the loop (the recursive subtree surfaces as a logical
+    LogicalRelation in formatted explain until iteration unrolls)."""
+    plan = _formatted_plan(registry["q_recursive_compound"].fn(spark, SF_DIR))
+    assert plan.count("parquet") == 1
+    assert "o_totalprice" in plan
+
+
+def test_scalar_variant_single_parse(spark, registry):
+    """VARIANT path: one shredded parse feeding typed extraction — no
+    per-access JSON string re-parse (a single project over the scan)."""
+    plan = _formatted_plan(registry["q_scalar_variant"].fn(spark, SF_DIR))
+    assert "parse_json" in plan.lower() or "variant" in plan.lower()
+    assert plan.count("HashAggregate") >= 2

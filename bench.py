@@ -65,6 +65,14 @@ EXTRA = [
     "q_text_pack",          # sequence packing running sums
     "q_tpch_q22",           # anti-join + broadcast scalar subquery
     "q_corpus_production",  # composite gate->dedup->split pipeline
+    # round 3, late session
+    "q_tpch_q2",            # de-correlated min + 4 broadcast dims
+    "q_tpch_q9",            # 5-way star, integer-units profit
+    "q_tpch_q19",           # disjunctive join predicate
+    "q_tpch_q21",           # per-order aggregate rewrite of 2x EXISTS
+    "q_dedup_substring",    # ExactSubstr rolling 32-gram profile
+    "q_recursive_compound",  # native recursive CTE recurrence
+    "q_scalar_variant",     # VARIANT shredded JSON aggregation
 ]
 
 

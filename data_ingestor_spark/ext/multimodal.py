@@ -245,3 +245,74 @@ def resize_payloads(df: DataFrame, target_bytes: int = 512) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "resized", "orig_bytes", "new_bytes"])
 
     return df.mapInPandas(resizer, schema=RESIZE_SCHEMA)
+
+
+AUDIO_SCHEMA = "doc_id bigint, chunk_idx bigint, n_samples bigint, energy bigint"
+
+AUDIO_WIN = 1024  # samples per analysis window
+AUDIO_HOP = 512  # hop size (50% overlap) — the STFT framing convention
+
+
+def audio_chunk_energy(df: DataFrame, win: int = AUDIO_WIN, hop: int = AUDIO_HOP) -> DataFrame:
+    """Audio feature-extraction plumbing: treat each binary payload as
+    8-bit PCM (center 128), slice it into overlapping analysis windows
+    (``win`` samples, ``hop`` stride — the STFT framing convention) and
+    emit per-window signal energy. A real pipeline would run the FFT /
+    mel filterbank on the same windows; the framing, the Arrow batch
+    shape, the one-row→k-window explosion, and the integer accumulator
+    are the production plumbing. mapInPandas — no shuffle, no per-row
+    Python round-trips; energy is an exact int64 (max 255² × 1024 ≪
+    2⁶³) so the result is engine-portable."""
+
+    def chunker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                for ci, start in enumerate(range(0, data.size, hop)):
+                    w = data[start : start + win]
+                    centered = w - 128
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "chunk_idx": ci,
+                            "n_samples": int(w.size),
+                            "energy": int((centered * centered).sum()),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "n_samples", "energy"])
+
+    return df.mapInPandas(chunker, schema=AUDIO_SCHEMA)
+
+
+@query(
+    "q_multimodal_audio",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n
+        FROM documents WHERE octet_length(encode(text)) > 0
+    ), w AS (
+        SELECT doc_id, text, unnest(range(0, n, {AUDIO_HOP})) AS st
+        FROM b
+    )
+    SELECT doc_id,
+           CAST(st / {AUDIO_HOP} AS BIGINT) AS chunk_idx,
+           CAST(length(substr(text, CAST(st + 1 AS INT), {AUDIO_WIN})) AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(
+                    string_split(substr(text, CAST(st + 1 AS INT), {AUDIO_WIN}), ''),
+                    c -> (ord(c) - 128) * (ord(c) - 128))) AS BIGINT) AS energy
+    FROM w
+    """,
+    tags=("multimodal", "udf", "audio"),
+)
+def q_multimodal_audio(spark, sf_dir):
+    """Audio-modality path: overlapping-window PCM energy over binary
+    payloads (audio_chunk_energy / mapInPandas). The fake "decode" is
+    byte-as-sample arithmetic, which the oracle reproduces as ASCII
+    codepoint math (byte == codepoint on this corpus — see
+    q_multimodal_features); window slicing, 50% hop overlap, and the
+    exact int64 energy accumulator are all pinned by the hash check."""
+    d = load_table(spark, sf_dir, "documents")
+    return audio_chunk_energy(with_binary_payload(d))

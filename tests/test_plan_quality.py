@@ -384,3 +384,49 @@ def test_scalar_variant_single_parse(spark, registry):
     plan = _formatted_plan(registry["q_scalar_variant"].fn(spark, SF_DIR))
     assert "parse_json" in plan.lower() or "variant" in plan.lower()
     assert plan.count("HashAggregate") >= 2
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Runtime row-level filtering for the 100 TB fact-fact join: when a
+    selective dimension-side filter exists and the probe side is a big
+    shuffle scan, Spark must inject a bloom filter built from the
+    filtered build side into the probe scan
+    (spark.sql.optimizer.runtime.bloomFilter.*). On the testdata the
+    probe side is far below the 10 GB default application-side
+    threshold, so the test lowers it — the assertion is that the
+    engine's plans are SHAPED so the filter injects when sizes warrant
+    (at production scale the defaults trigger on exactly this plan)."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = (
+            spark.read.parquet(f"{SF_DIR}/orders.parquet")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+        )
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _formatted_plan(j)
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -261,3 +261,59 @@ def q_event_dau_wau(spark, sf_dir):
     wau = cover.groupBy("day").agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
     dau = du.groupBy(F.col("d").alias("day")).agg(F.count(F.lit(1)).alias("dau"))
     return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+@query(
+    "q_event_path",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    ), trans AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+             / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type) AS BIGINT)
+               AS p_transition
+    FROM trans
+    """,
+    tags=("events", "window", "path"),
+)
+def q_event_path(spark, sf_dir):
+    """Clickstream path analysis: the event-type transition matrix
+    (first-order Markov estimate). One lag window per user's
+    time-ordered stream → pair counts → per-source transition
+    probability via a window-over-aggregate. The lag ordering
+    tie-breaks on event_id so the result is deterministic even with
+    equal timestamps; counts are exact integers and each probability
+    is ONE double division of two exact integers.
+
+    Scale: one hash exchange on user_id for the lag window, then an
+    aggregate on the (prev, next) pair space — 25 groups here, bounded
+    by |event_type|² in general, so the second exchange is tiny; the
+    probability window runs over that micro-relation. This is the
+    standard funnel-free path-exploration query a product team runs
+    over billions of events."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    out_w = W.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(out_w).cast("bigint")
+        ).alias("p_transition"),
+    )

@@ -430,3 +430,57 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join handling — the runtime answer to a hot key that
+    salting handles statically (operators/skew.py): a 99%-hot join key
+    must make AQE split the oversized reduce partition into per-mapper
+    chunks and replicate the other side (SortMergeJoin(skew=true)).
+    Thresholds are lowered to testdata scale; the input is
+    repartitioned first because AQE can only split a skewed reduce
+    partition along MAPPER boundaries — a single-file one-mapper scan
+    (the testdata layout) leaves nothing to split, which is itself a
+    scale lesson the engine documents here."""
+    from pyspark.sql import functions as F
+
+    keys = (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = (
+            spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+            .select("l_orderkey", "l_quantity")
+            .repartition(8)
+        )
+        skewed = li.withColumn(
+            "k",
+            F.when(F.col("l_orderkey") % 100 < 99, F.lit(0)).otherwise(
+                F.col("l_orderkey")
+            ),
+        )
+        right = spark.range(0, 20000).withColumnRenamed("id", "k")
+        j = skewed.join(right, "k")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

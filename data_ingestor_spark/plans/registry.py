@@ -46,20 +46,40 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to a session-timezone TIMESTAMP
+    regardless of how the driver generated the parquet:
+
+    - TIMESTAMP(NANOS) (read as bigint under ``nanosAsLong``) → truncating
+      DIV 1000 to micros, matching how DuckDB/Arrow downscale nanos;
+    - TIMESTAMP_NTZ (micros, ``isAdjustedToUTC=false``) → cast to TIMESTAMP,
+      interpreting the naive value in the session timezone (UTC), which is
+      exactly DuckDB's naive-timestamp semantics.
+
+    Downstream plans can then rely on epoch functions (``unix_micros``),
+    interval arithmetic, and streaming watermarks uniformly. The cast is a
+    metadata-only projection — still a distributed vectorized scan.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (TESTDATA.md layout).
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; it is read with nanos-as-long and converted to a
-    microsecond timestamp in-plan (truncating division, matching how
-    DuckDB/Arrow downscale nanos). Still a distributed vectorized scan.
+    ``events.parquet`` has shipped as TIMESTAMP(NANOS) in some testdata
+    generations (which Spark's parquet reader rejects without
+    ``nanosAsLong``) and micros TIMESTAMP_NTZ in others; both layouts are
+    normalized to a session-timezone TIMESTAMP by
+    :func:`normalize_event_ts`.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
+        return normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -12,7 +12,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from data_ingestor_spark.operators.asof import asof_join
-from data_ingestor_spark.plans.registry import dec, load_table, query, scratch_dir
+from data_ingestor_spark.plans.registry import (
+    dec,
+    load_table,
+    normalize_event_ts,
+    query,
+    scratch_dir,
+)
 
 
 def _ensure_symlink(link: str, src: str) -> None:
@@ -334,9 +340,7 @@ def q_stream_window_agg(spark, sf_dir):
         link = os.path.join(in_dir, "events.parquet")
         _ensure_symlink(link, src)
 
-        s = spark.readStream.schema(raw_schema).parquet(in_dir)
-        if dict(s.dtypes).get("ts") == "bigint":
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        s = normalize_event_ts(spark.readStream.schema(raw_schema).parquet(in_dir))
         agg = (
             s.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
             .agg(F.count("*").alias("n"), F.sum(dec("value")).cast("double").alias("total_value"))
@@ -510,10 +514,7 @@ def q_stream_stream_join(spark, sf_dir):
         _ensure_symlink(link, src)
 
         def _events_stream():
-            s = spark.readStream.schema(raw_schema).parquet(in_dir)
-            if dict(s.dtypes).get("ts") == "bigint":
-                s = s.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-            return s
+            return normalize_event_ts(spark.readStream.schema(raw_schema).parquet(in_dir))
 
         left = (
             _events_stream()

@@ -73,6 +73,11 @@ EXTRA = [
     "q_dedup_substring",    # ExactSubstr rolling 32-gram profile
     "q_recursive_compound",  # native recursive CTE recurrence
     "q_scalar_variant",     # VARIANT shredded JSON aggregation
+    # round 3, final session
+    "q_multimodal_phash_pairs",  # banded dHash near-dup pairs
+    "q_subq_lateral",       # decorrelated LATERAL top-2
+    "q_profile_columns",    # single-scan column profiling
+    "q_event_ewma",         # exact integer-weighted EWMA window
 ]
 
 

@@ -316,3 +316,179 @@ def q_multimodal_audio(spark, sf_dir):
     exact int64 energy accumulator are all pinned by the hash check."""
     d = load_table(spark, sf_dir, "documents")
     return audio_chunk_energy(with_binary_payload(d))
+
+
+# --- perceptual-hash image near-dup --------------------------------------------
+#
+# dHash over the fake-decoded signal: sample a 9x8 "pixel" grid from the
+# payload bytes (nearest-neighbor resize), emit one bit per horizontal
+# gradient (pixel brighter than its right neighbor), band the 64 bits
+# into 4x16-bit keys for LSH-style candidate generation. A real image
+# pipeline swaps the byte sampler for codec decode + true resize (same
+# mapInPandas plumbing as extract_features); everything downstream —
+# banding, candidate join, Hamming verify — is identical.
+
+_PHASH_GRID_W = 9  # pixels per row (8 horizontal gradients)
+_PHASH_GRID_H = 8  # rows → 64 bits total
+_PHASH_BANDS = 4  # 4 bands × 16 bits for the candidate join
+
+
+def _phash_pixels_expr() -> str:
+    """SQL expr: 72 sampled 'pixels' (byte values) from the text payload.
+    floor(i·n/72) is exact in double for n < 2^37, so the sample
+    positions are engine-portable."""
+    n = _PHASH_GRID_W * _PHASH_GRID_H
+    return (
+        f"transform(sequence(0, {n - 1}), "
+        f"i -> ascii(substr(text, cast(floor(i * octet_length(text) / {n}.0) AS INT) + 1, 1)))"
+    )
+
+
+def _phash_band_expr(band: int) -> str:
+    """SQL expr: 16-bit integer for one dHash band (bits band*16 ..
+    band*16+15), built directly from pixel comparisons — no 64-bit
+    signed-shift corner cases, portable to any engine with integer
+    arithmetic."""
+    lo = band * 16
+    return (
+        f"aggregate(sequence({lo}, {lo + 15}), 0L, (acc, k) -> acc + "
+        f"IF(px[CAST(k / 8 AS INT) * {_PHASH_GRID_W} + k % 8] > "
+        f"px[CAST(k / 8 AS INT) * {_PHASH_GRID_W} + k % 8 + 1], "
+        f"shiftleft(1L, CAST(k - {lo} AS INT)), 0L))"
+    )
+
+
+def phash_bands(df: DataFrame, min_bytes: int = 72) -> DataFrame:
+    """(doc_id, b0..b3) dHash bands for each payload ≥ ``min_bytes``.
+    Pure JVM expressions (whole-stage codegen) — the hash itself needs
+    no Python; only a real codec decode would.
+
+    The repartition between the pixel sample and the band extraction is
+    a deliberate materialization barrier: without it Catalyst collapses
+    the projections and INLINES the 72-element sampler into every one of
+    the 128 band-bit lookups (~100× redundant compute); with it ``px``
+    crosses the exchange once as a real column, and a downstream
+    self-join re-uses the exchange (AQE ReusedExchange) instead of
+    re-sampling per side."""
+    px = df.filter(F.octet_length("text") >= min_bytes).select(
+        "doc_id", F.expr(_phash_pixels_expr()).alias("px")
+    )
+    px = px.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return px.select(
+        "doc_id", *[F.expr(_phash_band_expr(b)).alias(f"b{b}") for b in range(_PHASH_BANDS)]
+    )
+
+
+def _phash_oracle_cte() -> str:
+    """DuckDB twin of phash_bands (byte == ASCII codepoint on this
+    corpus, as q_multimodal_features documents)."""
+    n = _PHASH_GRID_W * _PHASH_GRID_H
+    bands = ",\n           ".join(
+        (
+            f"CAST(list_sum(list_transform(range(0, 16), k -> "
+            f"CASE WHEN px[CAST((k + {b * 16}) // 8 AS INT) * {_PHASH_GRID_W} + (k + {b * 16}) % 8 + 1] > "
+            f"px[CAST((k + {b * 16}) // 8 AS INT) * {_PHASH_GRID_W} + (k + {b * 16}) % 8 + 2] "
+            f"THEN (1::BIGINT << CAST(k AS INT)) ELSE 0 END)) AS BIGINT) AS b{b}"
+        )
+        for b in range(_PHASH_BANDS)
+    )
+    return f"""
+    px AS (
+        SELECT doc_id,
+               list_transform(range(0, {n}),
+                 i -> ord(substr(text, CAST(FLOOR(i * octet_length(encode(text)) / {n}.0) AS INT) + 1, 1))) AS px
+        FROM documents WHERE octet_length(encode(text)) >= 72
+    ), bands AS (
+        SELECT doc_id,
+           {bands}
+        FROM px
+    )"""
+
+
+@query(
+    "q_multimodal_phash",
+    oracle=f"""
+    WITH {_phash_oracle_cte()}
+    SELECT doc_id, b0, b1, b2, b3,
+           COUNT(*) OVER (PARTITION BY b0, b1, b2, b3) AS n_same_hash
+    FROM bands
+    """,
+    tags=("multimodal", "dedup", "phash"),
+)
+def q_multimodal_phash(spark, sf_dir):
+    """Perceptual hash (dHash) per image payload + exact-duplicate group
+    size: the image near-dup primitive. The 64-bit hash is surfaced as
+    its four 16-bit bands (engine-portable integers, no signed-shift
+    corners); n_same_hash counts payloads with the IDENTICAL perceptual
+    hash (Hamming 0). One narrow map + one window over the 4-band key —
+    no shuffle of payload bytes, the hash is 32 bytes per image no
+    matter how big the blob."""
+    d = load_table(spark, sf_dir, "documents")
+    b = phash_bands(d)
+    from pyspark.sql import Window as W
+
+    return b.select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.count(F.lit(1)).over(W.partitionBy("b0", "b1", "b2", "b3")).alias("n_same_hash"),
+    )
+
+
+@query(
+    "q_multimodal_phash_pairs",
+    oracle=f"""
+    WITH {_phash_oracle_cte()}
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+               b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
+        FROM bands a JOIN bands b
+          ON a.doc_id < b.doc_id
+         AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+              + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS BIGINT) AS hamming
+    FROM cand
+    """,
+    tags=("multimodal", "dedup", "phash", "lsh"),
+)
+def q_multimodal_phash_pairs(spark, sf_dir):
+    """Image near-dup CANDIDATE pairs + exact Hamming distance over
+    the 64-bit dHash, found WITHOUT an all-pairs scan: band-LSH on the
+    four 16-bit bands. The consumer thresholds on ``hamming``; for any
+    radius r < #bands (r ≤ 3 here) the candidate set is
+    pigeonhole-COMPLETE — a pair within distance 3 cannot differ in all
+    4 bands, so ≥ 1 band matches exactly and there are zero false
+    negatives (a wider exact radius needs more/narrower bands: 8×8-bit
+    covers r ≤ 7). Each band is an equality self-join key (same skeleton as
+    MinHash-LSH, operators/pairs.py); candidates dedup before the cheap
+    32-byte Hamming verify — payload bytes are never joined or
+    shuffled."""
+    d = load_table(spark, sf_dir, "documents")
+    b = phash_bands(d)
+    # one generator pass (stack) instead of a 4-way union — the banded
+    # relation is built in a single projection over one scan subtree
+    bands = b.select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.expr("stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, key)"),
+    )
+    a = bands.alias("a")
+    c = bands.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.key") == F.col("c.key"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("c.doc_id").alias("id_b"),
+            *[F.col(f"a.b{i}").alias(f"a{i}") for i in range(_PHASH_BANDS)],
+            *[F.col(f"c.b{i}").alias(f"c{i}") for i in range(_PHASH_BANDS)],
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}"))) for i in range(_PHASH_BANDS)
+    ).cast("bigint")
+    return cand.select("id_a", "id_b", ham.alias("hamming"))

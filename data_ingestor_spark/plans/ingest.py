@@ -377,3 +377,37 @@ def q_scan_jsonl(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "q_scan_binaryfile",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5
+    FROM documents
+    """,
+    tags=("ingest", "binary", "multimodal"),
+)
+def q_scan_binaryfile(spark, sf_dir):
+    """``binaryFile`` datasource scan — THE ingest path for raw
+    image/audio/video blobs at 100 TB: point Spark at a blob store
+    prefix and every file arrives as one row of (path, length, content)
+    with files split across tasks by the source. The harness first
+    materializes each document's payload as `<doc_id>.bin` (driver-side
+    writer, test-scale only — production blobs already exist); the scan,
+    the path→id parse, and the JVM-side md5 are the production plan.
+    modificationTime is deliberately NOT projected (nondeterministic)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = scratch_dir(f"q_scan_binfile_{os.path.basename(sf_dir.rstrip(chr(47)))}")
+    marker = os.path.join(out, "_written")
+    if not os.path.exists(marker):
+        for row in d.collect():  # harness materialization: N≈500 small files
+            with open(os.path.join(out, f"{row['doc_id']}.bin"), "wb") as fh:
+                fh.write(row["text"].encode("utf-8"))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    back = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(out)
+    return back.select(
+        F.regexp_extract("path", r"(\d+)\.bin$", 1).cast("bigint").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )

@@ -104,15 +104,18 @@ _PRIORITY: tuple[str, ...] = (
     "q_scan_jsonl",
     "q_stream_stateful",
     # --- slot 50: the session's flagship new LLM-pipeline op -------------
-    # The other TWENTY-THREE keys added late in round 3 don't fit the
+    # The other THIRTY-THREE keys added late in round 3 don't fit the
     # 50-slot window and must LEAD the round-4 rotation: q_sim_knn_join,
     # q_text_pack, q_text_gopher, q_text_domain_stats, q_split_assign,
     # q_kmeans_train, q_dedup_incremental, q_corpus_production,
     # q_event_dau_wau, q_text_unigram_logprob, q_tpch_q4/q12/q22,
     # q_tpch_q2/q9/q11/q16/q19/q20/q21, q_dedup_substring,
-    # q_recursive_compound, q_scalar_variant — followed by the keys last
-    # checked in round 1 (relational/window/set/scalar families) that
-    # have not been re-checked since.
+    # q_recursive_compound, q_scalar_variant, q_event_path,
+    # q_multimodal_audio, q_agg_percentile_disc, q_k_anonymity,
+    # q_profile_columns, q_subq_lateral, q_event_ewma, q_scan_binaryfile,
+    # q_multimodal_phash, q_multimodal_phash_pairs — followed by the keys
+    # last checked in round 1 (relational/window/set/scalar families)
+    # that have not been re-checked since.
     "q_dedup_semantic",
 )
 

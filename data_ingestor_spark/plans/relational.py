@@ -1184,3 +1184,112 @@ def q_join_nullsafe(spark, sf_dir):
     return left.join(right, F.col("l.prio").eqNullSafe(F.col("r.prio"))).select(
         F.col("l.prio").alias("prio"), "n_left", "n_right"
     )
+
+
+@query(
+    "q_agg_percentile_disc",
+    oracle="""
+    SELECT o_orderstatus,
+           QUANTILE_DISC(CAST(o_totalprice AS DECIMAL(18,2)), 0.25) AS p25,
+           QUANTILE_DISC(CAST(o_totalprice AS DECIMAL(18,2)), 0.50) AS p50,
+           QUANTILE_DISC(CAST(o_totalprice AS DECIMAL(18,2)), 0.75) AS p75,
+           QUANTILE_DISC(CAST(o_totalprice AS DECIMAL(18,2)), 0.95) AS p95
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "percentile", "disc"),
+)
+def q_agg_percentile_disc(spark, sf_dir):
+    """Discrete percentiles (percentile_disc / QUANTILE_DISC): unlike the
+    interpolated q_agg_median, disc returns ACTUAL data values, so the
+    result is exact across engines with no rounding guard — the decimal
+    cast happens on the base column before the aggregate, never on a
+    computed value. Same scale caveat as any exact percentile (per-group
+    sort); the sketch path is q_agg_approx."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("pd_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DECIMAL(18,2))) AS p25,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DECIMAL(18,2))) AS p50,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DECIMAL(18,2))) AS p75,
+               percentile_disc(0.95) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DECIMAL(18,2))) AS p95
+        FROM pd_orders GROUP BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "q_k_anonymity",
+    oracle="""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment, group_size,
+           CASE WHEN group_size < 5 THEN 1 ELSE 0 END AS below_k
+    FROM g
+    """,
+    tags=("privacy", "dq", "agg"),
+)
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over quasi-identifiers — the privacy gate of a
+    training-data release: every (nationkey, mktsegment) equivalence
+    class is sized, classes under k=5 are flagged for suppression or
+    generalization before the data ships. One hash-partitioned groupBy
+    (map-side partial counts), integer-only output. At 100 TB the same
+    plan holds: the class count is bounded by the QI domain product, not
+    the row count."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count(F.lit(1)).alias("group_size"))
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "group_size",
+        F.when(F.col("group_size") < 5, 1).otherwise(0).alias("below_k"),
+    )
+
+
+@query(
+    "q_profile_columns",
+    oracle="""
+    SELECT 'o_orderstatus' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderstatus) AS n_nulls,
+           COUNT(DISTINCT o_orderstatus) AS n_distinct,
+           MIN(o_orderstatus) AS min_str, MAX(o_orderstatus) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           MIN(CAST(o_custkey AS VARCHAR)), MAX(CAST(o_custkey AS VARCHAR))
+    FROM orders
+    """,
+    tags=("dq", "profile", "agg"),
+)
+def q_profile_columns(spark, sf_dir):
+    """Column profiling — the schema-discovery / data-quality scan every
+    warehouse runs on landing: per column, row count, null count,
+    distinct count, lexical min/max (numerics stringified so one schema
+    fits all columns). Implemented as ONE pass over a stacked projection
+    (unpivot → groupBy col_name) rather than N separate scans — at
+    100 TB the difference between one read and one read per column. The
+    string min/max and integer counts are engine-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    stacked = o.select(
+        F.expr(
+            "stack(3, 'o_orderstatus', o_orderstatus, "
+            "'o_orderpriority', o_orderpriority, "
+            "'o_custkey', CAST(o_custkey AS STRING)) AS (col_name, val)"
+        )
+    )
+    return stacked.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("val")).alias("n_nulls"),
+        F.countDistinct("val").alias("n_distinct"),
+        F.min("val").alias("min_str"),
+        F.max("val").alias("max_str"),
+    )

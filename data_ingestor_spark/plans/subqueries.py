@@ -406,3 +406,38 @@ def q_recursive_compound(spark, sf_dir):
             FROM bal WHERE m >= 0
             """
     )
+
+
+@query(
+    "q_subq_lateral",
+    oracle="""
+    SELECT r.r_name, t.n_name, t.n_nationkey
+    FROM region r, LATERAL (
+        SELECT n_name, n_nationkey FROM nation n
+        WHERE n.n_regionkey = r.r_regionkey
+        ORDER BY n_name, n_nationkey LIMIT 2
+    ) t
+    """,
+    tags=("subquery", "lateral", "join"),
+)
+def q_subq_lateral(spark, sf_dir):
+    """Correlated LATERAL subquery (per-outer-row top-2): the SQL-native
+    spelling of top-k-per-group — each region row drives an ordered,
+    limited scan of its nations. Catalyst decorrelates the LIMIT into a
+    rank-window over one join instead of re-executing the inner query
+    per row (the nested-loop a naive engine would run); the tie-break on
+    (n_name, n_nationkey) makes the kept rows unique, so the hash check
+    is order-insensitively exact."""
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("lat_region")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
+    return spark.sql(
+        """
+        SELECT r.r_name, t.n_name, t.n_nationkey
+        FROM lat_region r
+        JOIN LATERAL (
+            SELECT n_name, n_nationkey FROM lat_nation n
+            WHERE n.n_regionkey = r.r_regionkey
+            ORDER BY n_name, n_nationkey LIMIT 2
+        ) t
+        """
+    )

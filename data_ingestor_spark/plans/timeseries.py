@@ -610,3 +610,62 @@ def q_stream_stateful(spark, sf_dir):
         else:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior_nanos)
     return result
+
+
+@query(
+    "q_event_ewma",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d, COUNT(*) AS n
+        FROM events GROUP BY event_type, d
+    ), k AS (
+        SELECT event_type, d, n,
+               date_diff('day', z.d0, d) AS day_idx
+        FROM daily, (SELECT MIN(date_trunc('day', ts)) AS d0 FROM events) z
+    ), w AS (
+        SELECT event_type, d, n, day_idx,
+               (CAST(1 AS BIGINT) << day_idx) AS pw
+        FROM k
+    )
+    SELECT event_type, d, n,
+           CAST(SUM(n * pw) OVER win AS DOUBLE)
+               / CAST(SUM(pw) OVER win AS DOUBLE) AS ewma
+    FROM w
+    WINDOW win AS (PARTITION BY event_type ORDER BY day_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("timeseries", "window", "ewma"),
+)
+def q_event_ewma(spark, sf_dir):
+    """Exponentially weighted moving average (α=0.5) of daily event
+    volume per type — the fast-decay smoother next to q_event_moving_avg's
+    boxcar. Weight of a day at calendar distance g halves per day:
+    ewma_t = Σ n_i·2^(i−t) / Σ 2^(i−t); both sums are scaled by 2^t into
+    EXACT integer window sums (Σ n_i·2^i and Σ 2^i over days present, so
+    calendar gaps decay correctly rather than re-indexing), and the
+    average is ONE double division — bit-identical across engines, no
+    engine AVG, no FP accumulation. day_idx is anchored to the corpus's
+    first day; the 2^i weights need day spans ≤ ~50 days to stay in
+    int64 — beyond that, window the input or rebase the anchor per
+    partition (the driver corpus spans one month)."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.date_trunc("DAY", "ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    d0 = e.select(F.date_trunc("DAY", F.min("ts")).alias("d0"))
+    k = daily.crossJoin(F.broadcast(d0)).withColumn(
+        "day_idx", F.datediff(F.col("d").cast("date"), F.col("d0").cast("date"))
+    )
+    w = k.withColumn("pw", F.expr("shiftleft(1L, cast(day_idx AS INT))"))
+    win = W.partitionBy("event_type").orderBy("day_idx").rowsBetween(W.unboundedPreceding, 0)
+    return w.select(
+        "event_type",
+        "d",
+        "n",
+        (
+            F.sum(F.col("n") * F.col("pw")).over(win).cast("double")
+            / F.sum("pw").over(win).cast("double")
+        ).alias("ewma"),
+    )

@@ -484,3 +484,62 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_phash_pairs_banded_no_cartesian(spark, registry):
+    """The dHash pair finder must stay an equality band join — an
+    all-pairs Hamming scan is quadratic in corpus size and the exact
+    anti-pattern LSH banding removes."""
+    plan = _formatted_plan(registry["q_multimodal_phash_pairs"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phash_no_python_in_hash_path(spark, registry):
+    """The perceptual hash itself is whole-stage-codegen expressions —
+    Python (Arrow batches) is reserved for real codec decode only."""
+    plan = _formatted_plan(registry["q_multimodal_phash"].fn(spark, SF_DIR))
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_profile_columns_single_scan(spark, registry):
+    """Column profiling must read the table ONCE (stack → groupBy), not
+    once per profiled column."""
+    plan = _formatted_plan(registry["q_profile_columns"].fn(spark, SF_DIR))
+    # formatted mode prints each node twice (tree line + detail section)
+    assert plan.count("Scan parquet") == 2
+
+
+def test_lateral_decorrelated_to_rank(spark, registry):
+    """The LATERAL top-2 subquery must decorrelate into one join + rank
+    window — a per-outer-row re-execution (nested loop) would be a
+    driver-side disaster at scale."""
+    plan = _formatted_plan(registry["q_subq_lateral"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # decorrelation materializes as a windowed rank/row_number over the
+    # inner side followed by a filter on the rank
+    assert "Window" in plan
+
+
+def test_ewma_integer_window_sums(spark, registry):
+    """The EWMA plan carries exact integer window sums (shiftleft
+    weights) — the determinism contract that lets the oracle hash-match;
+    a floating accumulation would be engine-dependent."""
+    df = registry["q_event_ewma"].fn(spark, SF_DIR)
+    rows = df.collect()
+    assert rows, "ewma produced no rows"
+    # spot-check: first day per type equals its own count exactly
+    first = {}
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["d"])):
+        if r["event_type"] not in first:
+            first[r["event_type"]] = r
+            assert r["ewma"] == float(r["n"]), (r["event_type"], r["ewma"], r["n"])
+
+
+def test_k_anonymity_flags_small_groups(spark, registry):
+    """Every group flagged below_k must actually have fewer than 5
+    members, and flags must cover exactly the sub-k classes."""
+    rows = registry["q_k_anonymity"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert (r["group_size"] < 5) == (r["below_k"] == 1)

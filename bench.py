@@ -78,6 +78,8 @@ EXTRA = [
     "q_subq_lateral",       # decorrelated LATERAL top-2
     "q_profile_columns",    # single-scan column profiling
     "q_event_ewma",         # exact integer-weighted EWMA window
+    "q_join_bucketed",      # co-located bucket join (one-time write + merge)
+    "q_dedup_lsh_recall",   # sampled all-pairs LSH quality eval
 ]
 
 

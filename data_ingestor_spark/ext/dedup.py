@@ -844,3 +844,87 @@ def q_dedup_substring(spark, sf_dir):
             F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup_windows"),
         )
     )
+
+
+@query(
+    "q_dedup_lsh_recall",
+    oracle=f"""
+    WITH samp AS (
+        SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+        FROM documents WHERE doc_id % 5 = 0
+    ), sigs AS (
+        SELECT doc_id, toks, {_MH_DUCK_COLS} FROM samp
+    ), banded AS (
+        SELECT doc_id, unnest([{', '.join(_BAND_KEYS_DUCK)}]) AS band_key FROM sigs
+    ), truth AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM samp a JOIN samp b ON a.doc_id < b.doc_id
+        WHERE CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / LEN(list_distinct(a.toks || b.toks)) >= {NEARDUP_THRESHOLD}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), hits AS (
+        SELECT id_a, id_b FROM truth INTERSECT SELECT id_a, id_b FROM cand
+    )
+    SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM cand)  AS n_cand,
+           (SELECT COUNT(*) FROM hits)  AS n_hits,
+           ROUND(CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+                 / NULLIF((SELECT COUNT(*) FROM truth), 0), 4) AS recall,
+           ROUND(CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+                 / NULLIF((SELECT COUNT(*) FROM cand), 0), 4) AS cand_precision
+    """,
+    tags=("dedup", "minhash", "lsh", "eval"),
+)
+def q_dedup_lsh_recall(spark, sf_dir):
+    """Measured LSH quality — recall/precision of the banded candidate
+    generator against EXACT all-pairs Jaccard ground truth on a
+    deterministic 20% sample (doc_id % 5). This is the 'measure, don't
+    guess' loop for the banding parameters: run it on a sample after any
+    (b, r) change; the sample's all-pairs cross join is the deliberate,
+    bounded eval cost (n/5 docs → n²/25 pairs — an eval-scale job, never
+    run corpus-wide; the production pipeline stays banded). Counts are
+    exact integers, the two ratios are single double divisions."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    samp = d.select("doc_id", F.expr("array_distinct(split(lower(text), ' '))").alias("toks"))
+    samp = samp.repartition(spark.sparkContext.defaultParallelism)
+    sigs = minhash_signature(d.select("doc_id", "text")).drop("text")
+    banded = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[F.expr(k) for k in _BAND_KEYS_SPARK])).alias("band_key"),
+    )
+    a, b = samp.alias("a"), samp.alias("b")
+    isect = F.size(F.array_intersect("a.toks", "b.toks"))
+    jac = isect.cast("double") / (F.size("a.toks") + F.size("b.toks") - isect)
+    truth = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(jac >= NEARDUP_THRESHOLD)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    ba, bb = banded.alias("ba"), banded.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band_key") == F.col("bb.band_key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("id_a"), F.col("bb.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hits = truth.intersect(cand)
+    t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    c = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    h = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        t.crossJoin(c)
+        .crossJoin(h)
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hits",
+            F.round(F.expr("n_hits / nullif(n_truth, 0)"), 4).alias("recall"),
+            F.round(F.expr("n_hits / nullif(n_cand, 0)"), 4).alias("cand_precision"),
+        )
+    )

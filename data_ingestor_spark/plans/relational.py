@@ -1293,3 +1293,92 @@ def q_profile_columns(spark, sf_dir):
         F.min("val").alias("min_str"),
         F.max("val").alias("max_str"),
     )
+
+
+@query(
+    "q_agg_incremental",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "incremental", "warehouse"),
+)
+def q_agg_incremental(spark, sf_dir):
+    """Incremental aggregate maintenance: the stored rollup over the old
+    partition (orderdate < 1998) is MERGED with the new batch's partial
+    aggregate instead of recomputing the full groupBy — union the two
+    partial-state relations, re-aggregate the mergeable state (COUNT →
+    SUM of counts, SUM → SUM of sums; decimal, so association-order
+    exact). The oracle is the full recompute: a PASS proves merge ≡
+    recompute, which is the contract that lets a 100 TB warehouse
+    maintain rollups at delta cost. (Spark executes both partials in one
+    DAG here; in production the 'old' side is a read of the stored
+    aggregate table.)"""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).alias("total_dec"),
+        )
+
+    old_state = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        old_state.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n").alias("n"), F.sum("total_dec").alias("total_dec"))
+    )
+    return merged.select(
+        "o_orderpriority", "n", F.col("total_dec").cast("double").alias("total")
+    )
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "bucketed", "storage"),
+)
+def q_join_bucketed(spark, sf_dir):
+    """Bucketed co-located fact⋈fact join: both sides are (re)written
+    ONCE as 8-bucket tables on the join key, after which every join on
+    that key is exchange-free — each task zips matching buckets (the
+    storage-level answer to the recurring orders⋈lineitem shuffle that
+    dominates at 100 TB; the runtime answers are AQE skew splitting and
+    bloom pushdown, tests/test_plan_quality.py). The merge hint pins the
+    sort-merge path so the bucket layout is actually exercised at test
+    scale (Catalyst would otherwise broadcast the small side and never
+    touch the buckets); tests/test_bucketing.py asserts the no-Exchange
+    plan property. Oracle = the plain join — bucketing must never change
+    results, only movement."""
+    import re as _re
+
+    tag = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    ot, lt = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    for name, tbl, key in ((ot, "orders", "o_orderkey"), (lt, "lineitem", "l_orderkey")):
+        if not spark.catalog.tableExists(name):
+            (
+                load_table(spark, sf_dir, tbl)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(name)
+            )
+    o = spark.table(ot).hint("merge")
+    li = spark.table(lt)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )

@@ -543,3 +543,24 @@ def test_k_anonymity_flags_small_groups(spark, registry):
     assert rows
     for r in rows:
         assert (r["group_size"] < 5) == (r["below_k"] == 1)
+
+
+def test_bucketed_join_query_no_join_exchange(spark, registry):
+    """q_join_bucketed: the join itself must be exchange-free (bucket
+    co-location); the only exchange allowed is the downstream groupBy's."""
+    plan = _formatted_plan(registry["q_join_bucketed"].fn(spark, SF_DIR))
+    assert "SortMergeJoin" in plan
+    # formatted mode prints each node twice (tree + detail): 1 agg
+    # exchange → exactly one "Exchange (" tree line
+    assert plan.count("Exchange (") == 1, plan
+
+
+def test_lsh_recall_counts_consistent(spark, registry):
+    """The recall evaluator's counts must be internally consistent:
+    hits ≤ truth, hits ≤ candidates, ratios in [0, 1]."""
+    row = registry["q_dedup_lsh_recall"].fn(spark, SF_DIR).collect()[0]
+    assert row["n_hits"] <= row["n_truth"] and row["n_hits"] <= row["n_cand"]
+    if row["recall"] is not None:
+        assert 0.0 <= row["recall"] <= 1.0
+    if row["cand_precision"] is not None:
+        assert 0.0 <= row["cand_precision"] <= 1.0

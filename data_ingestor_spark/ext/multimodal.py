@@ -492,3 +492,80 @@ def q_multimodal_phash_pairs(spark, sf_dir):
         F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}"))) for i in range(_PHASH_BANDS)
     ).cast("bigint")
     return cand.select("id_a", "id_b", ham.alias("hamming"))
+
+
+_SCENE_DELTA = 8.0  # mean-byte jump that counts as a scene boundary
+
+
+@query(
+    "q_multimodal_scenes",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n
+        FROM documents WHERE octet_length(encode(text)) > 0
+    ), f AS (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(CEIL(CAST(n AS DOUBLE) / 256) AS BIGINT), 4)) AS fi
+        FROM b
+    ), fm AS (
+        SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+               CAST(list_sum(list_transform(
+                        string_split(substr(text, CAST(fi * 256 + 1 AS INT), 256), ''),
+                        c -> ord(c))) AS DOUBLE)
+                 / length(substr(text, CAST(fi * 256 + 1 AS INT), 256)) AS frame_mean
+        FROM f
+    ), d AS (
+        SELECT doc_id, frame_idx, frame_mean,
+               CASE WHEN lag(frame_mean) OVER w IS NULL THEN 1
+                    WHEN abs(frame_mean - lag(frame_mean) OVER w) > {_SCENE_DELTA} THEN 1
+                    ELSE 0 END AS is_boundary
+        FROM fm
+        WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_frames,
+           CAST(SUM(is_boundary) AS BIGINT) AS n_scenes,
+           string_agg(CASE WHEN is_boundary = 1 THEN CAST(frame_idx AS VARCHAR) END,
+                      ',' ORDER BY frame_idx) AS boundaries
+    FROM d GROUP BY doc_id
+    """,
+    tags=("multimodal", "video", "scenes"),
+)
+def q_multimodal_scenes(spark, sf_dir):
+    """Video scene-change detection over the sampled frame stream: a
+    scene boundary is a jump in per-frame signal level (|Δ frame_mean| >
+    8) — the shot-segmentation pass of a video curation pipeline (a real
+    system swaps frame_mean for a frame-histogram distance; the lag
+    window, per-video partitioning, and boundary aggregation are
+    identical). Builds directly on sample_frames' mapInPandas output;
+    the lag window shuffles 16-byte frame stats, never frame bytes.
+    frame_mean is an exact integer/short-length division in both
+    engines, so the boundary predicate is bit-portable; boundary indices
+    are surfaced as an ordered joined string (array cells aren't
+    hashable in the harness)."""
+    d = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(with_binary_payload(d)).select("doc_id", "frame_idx", "frame_mean")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    prev = F.lag("frame_mean").over(w)
+    marked = frames.select(
+        "doc_id",
+        "frame_idx",
+        F.when(prev.isNull(), 1)
+        .when(F.abs(F.col("frame_mean") - prev) > _SCENE_DELTA, 1)
+        .otherwise(0)
+        .alias("is_boundary"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("is_boundary").cast("bigint").alias("n_scenes"),
+        F.array_join(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("is_boundary") == 1, F.col("frame_idx"))
+                )
+            ).cast("array<string>"),
+            ",",
+        ).alias("boundaries"),
+    )

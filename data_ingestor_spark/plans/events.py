@@ -317,3 +317,85 @@ def q_event_path(spark, sf_dir):
             / F.sum("n_transitions").over(out_w).cast("bigint")
         ).alias("p_transition"),
     )
+
+
+@query(
+    "q_event_attribution",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts, CAST(value AS DECIMAL(18,2)) AS val
+        FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+        SELECT user_id, ts,
+               CAST(json_extract(props, '$.k') AS BIGINT) % 5 AS campaign
+        FROM events WHERE event_type = 'click'
+    ), attributed AS (
+        SELECT p.event_id, p.val,
+               (SELECT c.campaign FROM clicks c
+                WHERE c.user_id = p.user_id AND c.ts <= p.ts
+                ORDER BY c.ts DESC, c.campaign LIMIT 1) AS campaign
+        FROM purchases p
+    )
+    SELECT COALESCE(CAST(campaign AS VARCHAR), 'unattributed') AS campaign,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(val) AS DOUBLE) AS revenue
+    FROM attributed GROUP BY 1
+    """,
+    tags=("events", "attribution", "asof"),
+)
+def q_event_attribution(spark, sf_dir):
+    """Last-touch marketing attribution: every purchase is credited to
+    the SAME user's most recent prior click's campaign (here the click
+    props' k mod 5 stands in for a campaign id), then revenue rolls up
+    per campaign — the conversion-credit query behind every ads
+    dashboard. Spark side is a union-sort trick, NOT a per-purchase
+    subquery: interleave clicks and purchases on (user_id, ts), carry
+    the last click's campaign forward with a last_value window over
+    rows-unbounded-preceding, then keep purchase rows — one shuffle on
+    user_id, linear in events, no join at all (the oracle's correlated
+    LIMIT-1 subquery is the semantic spec; the window plan is the form
+    that survives 100 TB). Ties: a click at exactly the purchase ts
+    attributes (<=), and simultaneous clicks break toward the smaller
+    campaign id, mirrored by the secondary sort key on both sides."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_purchase"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("decimal(18,2)").alias("val"),
+        (F.get_json_object("props", "$.k").cast("bigint") % 5).alias("campaign"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_purchase"),
+        "event_id",
+        F.col("value").cast("decimal(18,2)").alias("val"),
+        F.lit(None).cast("bigint").alias("campaign"),
+    )
+    # clicks sort BEFORE the purchase at an equal ts (is_purchase 0 < 1)
+    # so '<=' attribution falls out of the ordering; among simultaneous
+    # clicks the LARGER campaign sorts last... use ascending campaign and
+    # take last non-null via last_value over the frame — to break ties
+    # toward the smaller id, sort equal-ts clicks by campaign DESC so the
+    # smallest is the LAST one seen.
+    merged = clicks.unionByName(purchases)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_purchase").asc(), F.col("campaign").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = merged.withColumn("last_campaign", F.last("campaign", ignorenulls=True).over(w))
+    attributed = carried.filter(F.col("is_purchase") == 1)
+    return (
+        attributed.groupBy(
+            F.coalesce(F.col("last_campaign").cast("string"), F.lit("unattributed")).alias(
+                "campaign"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("val").cast("double").alias("revenue"),
+        )
+    )

@@ -411,3 +411,59 @@ def q_scan_binaryfile(spark, sf_dir):
         F.col("length").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     )
+
+
+@query(
+    "q_scan_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS total_dec,
+           CAST(NULL AS VARCHAR) AS batch_tag
+    FROM orders WHERE o_orderdate <  TIMESTAMP '1998-01-01'
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS total_dec,
+           'v2' AS batch_tag
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    """,
+    tags=("ingest", "schema", "evolution"),
+)
+def q_scan_schema_evolution(spark, sf_dir):
+    """Schema evolution on read: two parquet batches written with
+    DIFFERENT schemas (v2 adds a ``batch_tag`` column) into one dataset
+    directory, read back with ``mergeSchema=true`` — old rows surface
+    the new column as NULL, the standard additive-evolution contract of
+    a landing zone that gains fields over time. The oracle rebuilds the
+    same union from the source table, so a PASS proves the merged read
+    is lossless across both physical schemas. mergeSchema costs a
+    footer read per file at planning time — at 100 TB pin the merged
+    schema explicitly (or use a table format's schema registry) instead
+    of re-inferring per query; the read path exercised here is the
+    same either way."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    base = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("total_dec"),
+        "o_orderdate",
+    )
+    out = os.path.join(
+        scratch_dir(f"q_schema_evo_{os.path.basename(sf_dir.rstrip(chr(47)))}"), "orders_evo"
+    )
+    marker = os.path.join(out, "_written")
+    if not os.path.exists(marker):
+        v1 = base.filter(F.col("o_orderdate") < cutoff).drop("o_orderdate")
+        v2 = (
+            base.filter(F.col("o_orderdate") >= cutoff)
+            .drop("o_orderdate")
+            .withColumn("batch_tag", F.lit("v2"))
+        )
+        v1.write.mode("overwrite").parquet(os.path.join(out, "b=1"))
+        v2.write.mode("overwrite").parquet(os.path.join(out, "b=2"))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "b=1"), os.path.join(out, "b=2")
+    )
+    return back.select("o_orderkey", "o_orderpriority", "total_dec", "batch_tag")

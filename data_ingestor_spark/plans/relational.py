@@ -1358,7 +1358,10 @@ def q_join_bucketed(spark, sf_dir):
     touch the buckets); tests/test_bucketing.py asserts the no-Exchange
     plan property. Oracle = the plain join — bucketing must never change
     results, only movement."""
+    import os as _os
     import re as _re
+
+    from data_ingestor_spark.plans.registry import scratch_dir
 
     tag = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     ot, lt = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
@@ -1370,6 +1373,10 @@ def q_join_bucketed(spark, sf_dir):
                 .sortBy(key)
                 .mode("overwrite")
                 .format("parquet")
+                # explicit data location under user-owned scratch: the
+                # catalog entry is session-scoped either way, and the
+                # files never depend on a writable CWD warehouse dir
+                .option("path", _os.path.join(scratch_dir(f"bucketed_{tag}"), name))
                 .saveAsTable(name)
             )
     o = spark.table(ot).hint("merge")
@@ -1380,5 +1387,43 @@ def q_join_bucketed(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    WITH counts AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    ), ranked AS (
+        SELECT c_nationkey, c_mktsegment, n,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY n DESC, c_mktsegment) AS rk
+        FROM counts
+    )
+    SELECT c_nationkey, c_mktsegment AS modal_segment, n AS modal_n
+    FROM ranked WHERE rk = 1
+    """,
+    tags=("agg", "mode"),
+)
+def q_agg_mode(spark, sf_dir):
+    """Deterministic MODE (most frequent value) per group — count +
+    rank with an explicit lexical tie-break, because engine-native
+    mode() picks ties arbitrarily and can never hash-match across
+    engines. Two shuffles (count groupBy, then the per-nation window);
+    at scale the first aggregate has map-side partial combine and the
+    window input is one row per (group, value) — already tiny."""
+    c = load_table(spark, sf_dir, "customer")
+    counts = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("n"), F.asc("c_mktsegment"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "c_nationkey",
+            F.col("c_mktsegment").alias("modal_segment"),
+            F.col("n").alias("modal_n"),
         )
     )

@@ -564,3 +564,29 @@ def test_lsh_recall_counts_consistent(spark, registry):
         assert 0.0 <= row["recall"] <= 1.0
     if row["cand_precision"] is not None:
         assert 0.0 <= row["cand_precision"] <= 1.0
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
+    """Dynamic partition pruning: a fact table partitioned on day, joined
+    to a dim filtered at runtime, must plan a DynamicPruning subquery on
+    the fact scan — the mechanism that turns 'join last week's dims'
+    into a 7-directory read of a 100 TB table without the user naming
+    the partitions."""
+    from pyspark.sql import functions as F
+
+    from data_ingestor_spark.plans.registry import load_table
+
+    events = load_table(spark, SF_DIR, "events").limit(2000)
+    out = str(tmp_path / "events_by_day_dpp")
+    events.withColumn("day", F.to_date("ts")).write.partitionBy("day").parquet(out)
+    fact = spark.read.parquet(out)
+    days = [r["day"] for r in fact.select("day").distinct().orderBy("day").limit(3).collect()]
+    dim = spark.createDataFrame(
+        [(d, "keep" if i < 2 else "drop") for i, d in enumerate(days)],
+        "day date, tag string",
+    )
+    # DPP wants a SELECTIVE predicate on the build side — the runtime
+    # filter is derived from the dim rows that survive it
+    j = fact.join(F.broadcast(dim).filter(F.col("tag") == "keep"), "day")
+    plan = _formatted_plan(j)
+    assert "dynamicpruning" in plan.lower(), plan

@@ -322,3 +322,30 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(d)
     assert back.count() == 1000
     assert back.selectExpr("sum(v)").collect()[0][0] == 999 * 1000  # sum(2*i, i<1000)
+
+
+def test_versioned_publish_time_travel_and_vacuum(spark, tmp_path):
+    """Snapshot publish: each publish is a new immutable version, the
+    _LATEST pointer always names a complete snapshot, old versions stay
+    readable until vacuumed (the table-format contract in miniature)."""
+    from data_ingestor_spark.sinks import (
+        latest_version,
+        publish_versioned,
+        read_latest,
+        read_version,
+        vacuum_versions,
+    )
+
+    table = str(tmp_path / "tbl")
+    assert publish_versioned(spark.range(10), table) == 0
+    assert publish_versioned(spark.range(20), table) == 1
+    assert publish_versioned(spark.range(30), table) == 2
+    assert latest_version(table) == 2
+    assert read_latest(spark, table).count() == 30
+    # time travel: every historical snapshot still intact
+    assert read_version(spark, table, 0).count() == 10
+    assert read_version(spark, table, 1).count() == 20
+    # vacuum keeps the newest two (incl. the pointer target)
+    assert vacuum_versions(table, keep=2) == [0]
+    assert read_version(spark, table, 1).count() == 20
+    assert read_latest(spark, table).count() == 30

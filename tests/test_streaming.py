@@ -378,3 +378,59 @@ def test_idempotent_batch_publish_exactly_once(spark, tmp_path):
     assert readback.count() == 34
     assert "batch_id" in readback.columns
     assert readback.select("batch_id").distinct().count() == 2
+
+
+def test_transformwithstate_matches_applyinpandaswithstate(spark, tmp_path):
+    """The Spark 4 transformWithStateInPandas operator must produce the
+    SAME final per-user running totals as the applyInPandasWithState
+    twin — two APIs, one semantics (streaming/stateful.py)."""
+    from data_ingestor_spark.plans.registry import load_table
+    from data_ingestor_spark.streaming.stateful import (
+        running_user_counters,
+        running_user_counters_tws,
+    )
+
+    import pytest as _pytest
+
+    if running_user_counters_tws is None:
+        _pytest.skip("transformWithState API not available in this runtime")
+    try:  # the state-server protocol needs protobuf in the Python worker
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        _pytest.skip("google.protobuf not available — transformWithState "
+                     "state server cannot start in this container")
+
+    events = load_table(spark, SF_DIR, "events").limit(400).cache()
+    stream_dir = tmp_path / "in"
+    half1 = events.filter("event_id % 2 = 0")
+    half2 = events.filter("event_id % 2 = 1")
+    half1.coalesce(1).write.parquet(str(stream_dir / "f1"))
+    half2.coalesce(1).write.parquet(str(stream_dir / "f2"))
+
+    def finals_for(op, ckpt):
+        s = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(stream_dir) + "/*")
+        )
+        got = []
+        q = write_stream_batches(
+            op(s), str(tmp_path / ckpt), lambda df, bid: got.extend(df.collect())
+        )
+        _drain(q)
+        finals = {}
+        for r in got:  # later batches overwrite: keep the last total per user
+            finals[r["user_id"]] = (r["total_events"], round(r["total_value"], 6))
+        return finals
+
+    a = finals_for(running_user_counters, "ckpt_a")
+    b = finals_for(running_user_counters_tws, "ckpt_b")
+    assert a == b
+    # and both equal the batch ground truth
+    truth = {
+        r["user_id"]: (r["n"], round(r["tv"], 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert {u: v[0] for u, v in a.items()} == {u: v[0] for u, v in truth.items()}

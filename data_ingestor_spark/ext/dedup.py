@@ -739,6 +739,13 @@ def q_corpus_production(spark, sf_dir):
     sigs = minhash_signature(surv1).withColumn(
         "toks", F.expr("array_distinct(split(lower(text), ' '))")
     )
+    # materialize the signature relation ONCE: it feeds both band-join
+    # sides and both token attachments, and recomputing the gate + exact
+    # dedup + K·|tokens| md5 map per consumer measured ~2x the whole
+    # pipeline at sf0.1. This is the stage boundary a production run
+    # checkpoints to storage anyway (narrow per-doc relation: id, 16
+    # ints, token set) — the downstream joins stay one Catalyst plan.
+    sigs = sigs.localCheckpoint(eager=True)
     banded = sigs.select(
         "doc_id",
         F.explode(F.array(*[F.expr(k) for k in _BAND_KEYS_SPARK])).alias("band_key"),
@@ -756,7 +763,11 @@ def q_corpus_production(spark, sf_dir):
     isect = F.size(F.array_intersect("toks_a", "toks_b"))
     jac = isect.cast("double") / (F.size("toks_a") + F.size("toks_b") - isect)
     drops = cand.filter(jac >= NEARDUP_THRESHOLD).select(F.col("doc_b").alias("_drop")).distinct()
-    surv2 = surv1.join(drops, surv1.doc_id == F.col("_drop"), "left_anti")
+    # survivors come off the checkpointed sigs relation (it carries the
+    # surv1 columns), not off a second execution of the gate+dedup tree
+    surv2 = sigs.select("doc_id", "text", "source").join(
+        drops, F.col("doc_id") == F.col("_drop"), "left_anti"
+    )
     bucket = (
         F.expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)").cast("bigint") % 100
     )

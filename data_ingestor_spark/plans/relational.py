@@ -1427,3 +1427,48 @@ def q_agg_mode(spark, sf_dir):
             F.col("n").alias("modal_n"),
         )
     )
+
+
+@query(
+    "q_window_gap_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ), seq AS (
+        SELECT user_id, d,
+               date_diff('day', TIMESTAMP '1970-01-01', d)
+                 - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        FROM days
+    )
+    SELECT user_id,
+           MIN(d) AS streak_start,
+           MAX(d) AS streak_end,
+           COUNT(*) AS streak_days
+    FROM seq GROUP BY user_id, grp
+    """,
+    tags=("window", "islands", "streaks"),
+)
+def q_window_gap_islands(spark, sf_dir):
+    """Gaps-and-islands: each user's runs of CONSECUTIVE active days
+    (activity streaks), via the classic day_number − row_number trick —
+    consecutive days share a constant difference, so one window plus one
+    groupBy finds every maximal run with no self-join and no iteration.
+    The streak analytics behind engagement scoring; same plan shape at
+    100 TB (both the window and the aggregate hash-partition on
+    user_id, so the second exchange disappears)."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.date_trunc("DAY", "ts").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    seq = days.select(
+        "user_id",
+        "d",
+        (
+            F.datediff(F.col("d").cast("date"), F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    return seq.groupBy("user_id", "grp").agg(
+        F.min("d").alias("streak_start"),
+        F.max("d").alias("streak_end"),
+        F.count(F.lit(1)).alias("streak_days"),
+    ).drop("grp")

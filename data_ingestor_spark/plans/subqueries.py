@@ -390,6 +390,12 @@ def q_recursive_compound(spark, sf_dir):
         .cast("bigint")
         .alias("m")
     ).agg(F.sum((dec("o_totalprice") * 100).cast("bigint")).alias("dep_cents"))
+    # materialize the 12-row rollup ONCE: the recursive step plan joins
+    # this view every iteration, and an unmaterialized view would re-run
+    # the full orders scan+agg per iteration (measured 12x the scan cost
+    # at sf0.1 — the "aggregate first, iterate on the small state"
+    # docstring contract requires this checkpoint)
+    dep = dep.localCheckpoint(eager=True)
     # createOrReplaceTempView is idempotent, so re-invocation is safe;
     # the view must outlive this call because the returned plan is lazy.
     dep.createOrReplaceTempView("_recursive_dep")

@@ -191,6 +191,12 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     sigs = minhash_signature(d).withColumn(
         "toks", F.expr("array_distinct(split(lower(text), ' '))")
     )
+    # Materialize the signature relation once: it feeds the two band-join
+    # sides and the two token attachments, and each broadcast/build would
+    # otherwise re-run the K·|tokens| md5 map (the pipeline's dominant
+    # CPU). Linear per-doc state — the stage a production run checkpoints
+    # to storage anyway.
+    sigs = sigs.localCheckpoint(eager=True)
     # Band join + dedup carry ONLY (doc_id, band_key): the candidate
     # shuffle moves narrow id pairs, never token arrays. Token sets are
     # attached afterwards by two joins against the (per-doc, linear-size)

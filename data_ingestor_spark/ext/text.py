@@ -884,3 +884,61 @@ def q_text_unigram_logprob(spark, sf_dir):
             "mean_neg_logprob"
         ),
     )
+
+
+@query(
+    "q_text_keywords",
+    oracle="""
+    WITH n_docs AS (SELECT COUNT(*) AS n FROM documents),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)
+        WHERE LENGTH(term) >= 4
+        GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * LN(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n_docs n
+        WHERE df.df >= 5
+    ), ranked AS (
+        SELECT doc_id, term, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rk
+        FROM scored
+    )
+    SELECT doc_id, term AS keyword, tfidf, rk
+    FROM ranked WHERE rk <= 3
+    """,
+    tags=("text", "keywords", "tfidf"),
+)
+def q_text_keywords(spark, sf_dir):
+    """Keyword extraction: top-3 TF-IDF terms per document with a
+    deterministic (score, term) tie-break — the document-tagging /
+    indexing primitive built on the corpus statistics plan
+    (q_text_tfidf): two shuffles for tf and df, broadcast corpus count,
+    then one per-doc rank window. Scores are rounded BEFORE ranking so
+    both engines rank identical values and the tie-break is exact."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = d.count()
+    terms = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.length("term") >= 4)
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df")).filter(
+        F.col("df") >= 5
+    )
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias("tfidf"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", F.col("term").alias("keyword"), "tfidf", "rk")
+    )

@@ -1472,3 +1472,102 @@ def q_window_gap_islands(spark, sf_dir):
         F.max("d").alias("streak_end"),
         F.count(F.lit(1)).alias("streak_days"),
     ).drop("grp")
+
+
+@query(
+    "q_scd2_pit_join",
+    oracle="""
+    WITH hist AS (
+        SELECT user_id, event_type AS state, ts AS valid_from,
+               COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                        TIMESTAMP '2100-01-01') AS valid_to
+        FROM events WHERE event_type <> 'purchase'
+    ), p AS (
+        SELECT event_id, user_id, ts, CAST(value AS DECIMAL(18,2)) AS val
+        FROM events WHERE event_type = 'purchase'
+    ), joined AS (
+        SELECT p.val,
+               COALESCE(h.state, 'unknown') AS state
+        FROM p LEFT JOIN hist h
+          ON p.user_id = h.user_id
+         AND p.ts >= h.valid_from AND p.ts < h.valid_to
+    )
+    SELECT state, COUNT(*) AS n_purchases, CAST(SUM(val) AS DOUBLE) AS revenue
+    FROM joined GROUP BY state
+    """,
+    tags=("scd2", "join", "pit", "warehouse"),
+)
+def q_scd2_pit_join(spark, sf_dir):
+    """Point-in-time (PIT) join against SCD2 history: every purchase is
+    enriched with the state the user was in WHEN it happened — the
+    as-of-history lookup every warehouse fact load performs against a
+    type-2 dimension. The join carries on the EQUALITY key (user_id);
+    the validity-interval predicate is a post-join filter — the sane PIT
+    plan, since per-entity interval counts are small while the entity
+    key hash-partitions both sides (never a blind interval cross join).
+    Intervals are half-open and non-overlapping by construction
+    (q_scd2_intervals' tie-broken LEAD), so each purchase matches at
+    most one interval — deterministic; purchases before any state event
+    surface as 'unknown'."""
+    e = load_table(spark, sf_dir, "events")
+    nxt = F.lead("ts").over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+    hist = (
+        e.filter(F.col("event_type") != "purchase")
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.coalesce(nxt, F.lit("2100-01-01").cast("timestamp")).alias("valid_to"),
+        )
+        .withColumnRenamed("user_id", "h_user")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").cast("decimal(18,2)").alias("val")
+    )
+    joined = p.join(
+        hist,
+        (p.user_id == hist.h_user)
+        & (p.ts >= hist.valid_from)
+        & (p.ts < hist.valid_to),
+        "left",
+    ).select("val", F.coalesce(F.col("state"), F.lit("unknown")).alias("state"))
+    return joined.groupBy("state").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("val").cast("double").alias("revenue"),
+    )
+
+
+@query(
+    "q_agg_grouping_id",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "rollup", "grouping"),
+)
+def q_agg_grouping_id(spark, sf_dir):
+    """ROLLUP with GROUPING() disambiguation: a real NULL in a grouping
+    column is indistinguishable from a subtotal row without the
+    grouping flags — gid encodes which columns are aggregated away at
+    each level (the standard way BI layers label subtotal rows). Spark's
+    grouping()/grouping_id() match the SQL-standard semantics DuckDB
+    implements; COALESCE labels make the subtotal rows visibly distinct
+    in the hashed output."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "gid",
+            "n",
+        )
+    )

@@ -315,3 +315,46 @@ def q_scalar_variant(spark, sf_dir):
             F.max("k").alias("max_k"),
         )
     )
+
+
+@query(
+    "q_scalar_url",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+                   || '?lang=' || lang || '&v=2' AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query,
+           regexp_extract(url, 'lang=([^&#]*)', 1) AS lang_param
+    FROM u
+    """,
+    tags=("scalar", "url", "string"),
+)
+def q_scalar_url(spark, sf_dir):
+    """URL parsing — the curation primitive behind domain blocklists and
+    source attribution in a web-scale corpus (URLs synthesized from the
+    table since the corpus carries none). Spark side uses the NATIVE
+    parse_url expression (JVM, codegen) for protocol/host/path/query
+    plus the keyed QUERY extraction; the oracle derives the identical
+    parts with anchored regexes — a PASS pins Spark's parse_url
+    semantics against the RFC-shaped expectations the regexes encode."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"), F.lit("&v=2"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.expr("parse_url(url, 'PROTOCOL')").alias("proto"),
+        F.expr("parse_url(url, 'HOST')").alias("host"),
+        F.expr("parse_url(url, 'PATH')").alias("path"),
+        F.expr("parse_url(url, 'QUERY')").alias("query"),
+        F.expr("parse_url(url, 'QUERY', 'lang')").alias("lang_param"),
+    )

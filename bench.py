@@ -80,6 +80,9 @@ EXTRA = [
     "q_event_ewma",         # exact integer-weighted EWMA window
     "q_join_bucketed",      # co-located bucket join (one-time write + merge)
     "q_dedup_lsh_recall",   # sampled all-pairs LSH quality eval
+    "q_scd2_pit_join",      # point-in-time SCD2 enrichment
+    "q_multimodal_scenes",  # frame-stream shot segmentation
+    "q_event_attribution",  # carry-forward last-touch credit
 ]
 
 

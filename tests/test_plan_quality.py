@@ -290,12 +290,19 @@ def test_dedup_incremental_no_cartesian(spark, registry):
 
 def test_corpus_production_gate_before_lsh(spark, registry):
     """The composite pipeline must run the cheap quality gate before the
-    quadratic LSH stage (filter below the band join in the plan) and
-    stay free of cartesian joins."""
+    quadratic LSH stage and stay free of cartesian joins. The gate +
+    exact-dedup (LeftSemi) now live BEHIND the signature materialization
+    boundary (executed once, eagerly), so the returned plan reads the
+    checkpointed relation — not a second parquet scan — and still
+    anti-joins the drop list downstream."""
     plan = _formatted_plan(registry["q_corpus_production"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "LeftAnti" in plan and "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    # every consumer reads the materialized signatures; the documents
+    # parquet is NOT re-scanned inside the returned plan
+    assert "ExistingRDD" in plan
+    assert "Scan parquet" not in plan
 
 
 def test_dau_wau_equality_aggregates(spark, registry):
@@ -369,13 +376,15 @@ def test_dedup_substring_no_cartesian_and_partial_agg(spark, registry):
 
 
 def test_recursive_compound_aggregates_before_recursion(spark, registry):
-    """The recursive CTE's seed must contain the orders rollup (heavy
-    work once, iterate on small state): exactly one scan of orders
-    feeds the loop (the recursive subtree surfaces as a logical
-    LogicalRelation in formatted explain until iteration unrolls)."""
+    """The recursive CTE must iterate on SMALL state: the orders rollup
+    is materialized once BEFORE the loop (checkpoint), so the returned
+    plan's recursive step joins a 12-row ExistingRDD and contains NO
+    parquet scan at all — re-scanning orders per iteration is the
+    regression this test pins (it cost 12x the scan at sf0.1)."""
     plan = _formatted_plan(registry["q_recursive_compound"].fn(spark, SF_DIR))
-    assert plan.count("parquet") == 1
-    assert "o_totalprice" in plan
+    assert "Scan parquet" not in plan
+    # the checkpointed rollup surfaces as LogicalRDD/ExistingRDD
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan
 
 
 def test_scalar_variant_single_parse(spark, registry):
@@ -590,3 +599,27 @@ def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
     j = fact.join(F.broadcast(dim).filter(F.col("tag") == "keep"), "day")
     plan = _formatted_plan(j)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_pit_join_no_interval_cross_join(spark, registry):
+    """The PIT join must carry on the user_id equality key — an interval
+    nested-loop across users is quadratic in the user count."""
+    plan = _formatted_plan(registry["q_scd2_pit_join"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_attribution_single_user_exchange(spark, registry):
+    """Last-touch attribution is one user-keyed window over the
+    interleaved stream plus the final small rollup — the click/purchase
+    union must NOT introduce extra exchanges."""
+    plan = _formatted_plan(registry["q_event_attribution"].fn(spark, SF_DIR))
+    # window hash exchange + final groupBy exchange (formatted tree lines)
+    assert plan.count("Exchange (") <= 2
+
+
+def test_keywords_broadcasts_document_frequency(spark, registry):
+    """Keyword extraction joins tf against the (small, df>=5-filtered)
+    document-frequency relation — that side must broadcast."""
+    plan = _formatted_plan(registry["q_text_keywords"].fn(spark, SF_DIR))
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan

@@ -1571,3 +1571,78 @@ def q_agg_grouping_id(spark, sf_dir):
             "n",
         )
     )
+
+
+@query(
+    "q_agg_sketch_union",
+    oracle="""
+    SELECT o_orderpriority, TRUE AS union_within_10pct
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "approx", "sketch", "merge"),
+)
+def q_agg_sketch_union(spark, sf_dir):
+    """MERGEABLE sketch rollup — the property that makes approx
+    aggregation work at 100 TB: per-(priority, status) HLL sketches are
+    built independently (map-side, partition-parallel), then UNIONED
+    per priority with hll_union_agg — no re-scan of raw data — and the
+    merged estimate is checked against the exact distinct count inside
+    the same plan. Surfaced as a boolean accuracy contract (within 10%)
+    per group, because sketch BYTES are engine-specific while the
+    contract is portable (q_agg_approx_bounded discipline). This
+    two-level build/merge is exactly how a warehouse maintains distinct
+    counts per partition and rolls them up without touching history."""
+    o = load_table(spark, sf_dir, "orders")
+    per_status = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_part"),
+    )
+    merged = per_status.groupBy("o_orderpriority").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact")
+    )
+    return merged.join(exact, "o_orderpriority").select(
+        "o_orderpriority",
+        (
+            F.abs(F.col("est") - F.col("exact")) <= 0.1 * F.col("exact")
+        ).alias("union_within_10pct"),
+    )
+
+
+@query(
+    "q_agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_distinct
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "bitmap", "distinct", "merge"),
+)
+def q_agg_bitmap_distinct(spark, sf_dir):
+    """EXACT mergeable distinct count via bitmaps (Spark 3.5 bitmap
+    functions) — the precise counterpart to q_agg_sketch_union's HLL:
+    each (priority, bucket) partial builds a fixed-size bitmap of the
+    keys it saw (bitmap_construct_agg over bitmap_bit_position), the
+    per-priority rollup ORs the bitmaps (bitmap_or_agg) and pops the
+    bits — merge without re-scan, like a sketch, but bit-exact. The
+    oracle is plain COUNT(DISTINCT): a hash PASS proves the two-level
+    bitmap pipeline loses nothing. At 100 TB this is the incremental-
+    distinct pattern for bounded-domain keys (bitmap size scales with
+    the key domain / 2^15 buckets, not the row count)."""
+    o = load_table(spark, sf_dir, "orders")
+    # level 1: independent partials per (priority, status, bucket)
+    partials = o.groupBy(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"),
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias("bm"))
+    # level 2: OR-merge partials across status, then pop disjoint buckets
+    merged = partials.groupBy("o_orderpriority", "bkt").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm")
+    )
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(F.expr("sum(bitmap_count(bm))").alias("_n"))
+        .select("o_orderpriority", F.col("_n").cast("bigint").alias("n_distinct"))
+    )

@@ -177,3 +177,65 @@ def q_udf_cogrouped(spark, sf_dir):
         .cogroup(o.groupBy("o_custkey"))
         .applyInPandas(_user_ltv, schema=out_schema)
     )
+
+
+@query(
+    "q_udtf_analyze",
+    oracle="""
+    SELECT 'click' AS event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT 'purchase', COUNT(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+    FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("udf", "udtf", "analyze"),
+)
+def q_udtf_analyze(spark, sf_dir):
+    """Polymorphic Python UDTF (Spark 4 ``analyze``): the output schema
+    is computed AT PLAN TIME from the constant argument — here a
+    comma-separated metric list chooses which aggregate columns exist.
+    This is the table-function shape connector authors need when the
+    result schema depends on arguments (a pivoted export, a configurable
+    profiler). The eval path just re-emits rows; the aggregates run in
+    ordinary Catalyst on top, so nothing hot lives in Python."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class FilterEmit:
+        @staticmethod
+        def analyze(types_arg: AnalyzeArgument, *_rest) -> AnalyzeResult:
+            # schema derived from the constant argument at plan time
+            wanted = [t.strip() for t in str(types_arg.value).split(",")]
+            fields = [StructField("event_type", StringType())]
+            if "n" in wanted:
+                fields.append(StructField("one", LongType()))
+            if "value" in wanted:
+                fields.append(StructField("value", DoubleType()))
+            return AnalyzeResult(StructType(fields))
+
+        def eval(self, types_arg, event_type, value):  # noqa: A002
+            if event_type in ("click", "purchase"):
+                yield event_type, 1, float(value)
+
+    Emitter = udtf(FilterEmit)
+    spark.udtf.register("filter_emit_udtf", Emitter)
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    e.createOrReplaceTempView("_udtf_events")
+    return spark.sql(
+        """
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM (SELECT t.* FROM _udtf_events,
+              LATERAL filter_emit_udtf('n,value', event_type, value) t)
+        GROUP BY event_type
+        """
+    )

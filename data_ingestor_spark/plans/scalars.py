@@ -358,3 +358,46 @@ def q_scalar_url(spark, sf_dir):
         F.expr("parse_url(url, 'QUERY')").alias("query"),
         F.expr("parse_url(url, 'QUERY', 'lang')").alias("lang_param"),
     )
+
+
+@query(
+    "q_scalar_try",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) % 7 = 0 THEN NULL
+                ELSE ROUND(CAST(value AS DECIMAL(18,2))
+                           / (CAST(json_extract(props, '$.k') AS BIGINT) % 7), 4)
+           END AS safe_ratio,
+           TRY_CAST(CASE WHEN event_id % 3 = 0 THEN 'not-a-number'
+                         ELSE CAST(event_id AS VARCHAR) END AS BIGINT) AS safe_cast,
+           CASE WHEN event_id > 0 THEN NULL
+                ELSE 9223372036854775807 END AS safe_sum
+    FROM events
+    """,
+    tags=("scalar", "try", "null-safety"),
+)
+def q_scalar_try(spark, sf_dir):
+    """Error-safe scalar surface (``try_divide`` / ``try_cast`` /
+    ``try_add``): a malformed cell, a zero denominator, or an int64
+    overflow yields NULL instead of failing the 100 TB job at task
+    30000 of 30001 — the ANSI-mode answer to the dirty-data reality
+    every landing zone has. The oracle spells out identical semantics
+    with explicit CASE guards (which also keep DuckDB from evaluating
+    the overflowing branch), so a PASS pins Spark's try_* null-on-error
+    behavior cell-for-cell."""
+    e = load_table(spark, sf_dir, "events")
+    bad = F.when(F.col("event_id") % 3 == 0, F.lit("not-a-number")).otherwise(
+        F.col("event_id").cast("string")
+    )
+    return e.select(
+        "event_id",
+        F.round(
+            F.expr(
+                "try_divide(cast(value as decimal(18,2)), "
+                "cast(get_json_object(props, '$.k') as bigint) % 7)"
+            ),
+            4,
+        ).alias("safe_ratio"),
+        bad.try_cast("bigint").alias("safe_cast"),
+        F.expr("try_add(9223372036854775807L, event_id)").alias("safe_sum"),
+    )

@@ -194,9 +194,10 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     # Materialize the signature relation once: it feeds the two band-join
     # sides and the two token attachments, and each broadcast/build would
     # otherwise re-run the K·|tokens| md5 map (the pipeline's dominant
-    # CPU). Linear per-doc state — the stage a production run checkpoints
-    # to storage anyway.
-    sigs = sigs.localCheckpoint(eager=True)
+    # CPU). text is dead past this point — drop it so the checkpointed
+    # state is actually the narrow per-doc relation (ids + 16 ints +
+    # token set), not the corpus-dominant raw column.
+    sigs = sigs.drop("text").localCheckpoint(eager=True)
     # Band join + dedup carry ONLY (doc_id, band_key): the candidate
     # shuffle moves narrow id pairs, never token arrays. Token sets are
     # attached afterwards by two joins against the (per-doc, linear-size)
@@ -746,12 +747,18 @@ def q_corpus_production(spark, sf_dir):
         "toks", F.expr("array_distinct(split(lower(text), ' '))")
     )
     # materialize the signature relation ONCE: it feeds both band-join
-    # sides and both token attachments, and recomputing the gate + exact
-    # dedup + K·|tokens| md5 map per consumer measured ~2x the whole
-    # pipeline at sf0.1. This is the stage boundary a production run
-    # checkpoints to storage anyway (narrow per-doc relation: id, 16
-    # ints, token set) — the downstream joins stay one Catalyst plan.
-    sigs = sigs.localCheckpoint(eager=True)
+    # sides, both token attachments, and the survivor rollup, and
+    # recomputing the gate + exact dedup + K·|tokens| md5 map per
+    # consumer measured ~2x the whole pipeline at sf0.1. The only
+    # downstream use of text is the token count — compute it here and
+    # drop the raw column so the checkpointed state is the narrow
+    # per-doc relation (ids + 16 ints + token set + n_tok), not the
+    # corpus-dominant text.
+    sigs = (
+        sigs.withColumn("n_tok", F.size(F.split(F.col("text"), " ")))
+        .drop("text")
+        .localCheckpoint(eager=True)
+    )
     banded = sigs.select(
         "doc_id",
         F.explode(F.array(*[F.expr(k) for k in _BAND_KEYS_SPARK])).alias("band_key"),
@@ -771,7 +778,7 @@ def q_corpus_production(spark, sf_dir):
     drops = cand.filter(jac >= NEARDUP_THRESHOLD).select(F.col("doc_b").alias("_drop")).distinct()
     # survivors come off the checkpointed sigs relation (it carries the
     # surv1 columns), not off a second execution of the gate+dedup tree
-    surv2 = sigs.select("doc_id", "text", "source").join(
+    surv2 = sigs.select("doc_id", "source", "n_tok").join(
         drops, F.col("doc_id") == F.col("_drop"), "left_anti"
     )
     bucket = (
@@ -779,7 +786,7 @@ def q_corpus_production(spark, sf_dir):
     )
     final = surv2.select(
         "source",
-        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        "n_tok",
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
     )
     return final.groupBy("split", "source").agg(
@@ -907,7 +914,9 @@ def q_dedup_lsh_recall(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     samp = d.select("doc_id", F.expr("array_distinct(split(lower(text), ' '))").alias("toks"))
     samp = samp.repartition(spark.sparkContext.defaultParallelism)
-    sigs = minhash_signature(d.select("doc_id", "text")).drop("text")
+    # same materialization discipline as the sibling pipelines: banded
+    # feeds both self-join sides, so the md5 map must not run per side
+    sigs = minhash_signature(d.select("doc_id", "text")).drop("text").localCheckpoint(eager=True)
     banded = sigs.select(
         "doc_id",
         F.explode(F.array(*[F.expr(k) for k in _BAND_KEYS_SPARK])).alias("band_key"),

@@ -921,7 +921,7 @@ def q_text_keywords(spark, sf_dir):
     then one per-doc rank window. Scores are rounded BEFORE ranking so
     both engines rank identical values and the tie-break is exact."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    n_docs = d.count()
+    n_docs = d.agg(F.count(F.lit(1)).alias("_n"))
     terms = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     ).filter(F.length("term") >= 4)
@@ -929,10 +929,16 @@ def q_text_keywords(spark, sf_dir):
     df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df")).filter(
         F.col("df") >= 5
     )
-    scored = tf.join(F.broadcast(df_), "term").select(
-        "doc_id",
-        "term",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("_n").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
     )
     from pyspark.sql import Window as W
 

@@ -376,17 +376,28 @@ def q_event_attribution(spark, sf_dir):
     )
     # clicks sort BEFORE the purchase at an equal ts (is_purchase 0 < 1)
     # so '<=' attribution falls out of the ordering; among simultaneous
-    # clicks the LARGER campaign sorts last... use ascending campaign and
-    # take last non-null via last_value over the frame — to break ties
-    # toward the smaller id, sort equal-ts clicks by campaign DESC so the
-    # smallest is the LAST one seen.
+    # clicks the oracle's ORDER BY campaign ASC NULLS LAST picks the
+    # smallest non-null campaign — mirrored here by sorting equal-ts
+    # clicks campaign DESC **NULLS FIRST** so that pick is the LAST row
+    # the carry-forward window sees (a NULL campaign wins a tie only
+    # when it is the only click).
     merged = clicks.unionByName(purchases)
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("is_purchase").asc(), F.col("campaign").desc())
+        .orderBy(
+            F.col("ts").asc(), F.col("is_purchase").asc(), F.col("campaign").desc_nulls_first()
+        )
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    carried = merged.withColumn("last_campaign", F.last("campaign", ignorenulls=True).over(w))
+    # carry the LAST CLICK's campaign, not the last non-null campaign: a
+    # click whose props lack a campaign must still win the recency race
+    # (and attribute as NULL → 'unattributed', matching the oracle's
+    # LIMIT-1 spec). Wrapping in a struct makes click rows non-null at
+    # the struct level even when the campaign inside is NULL.
+    click_mark = F.when(F.col("is_purchase") == 0, F.struct(F.col("campaign").alias("c")))
+    carried = merged.withColumn(
+        "last_campaign", F.last(click_mark, ignorenulls=True).over(w).getField("c")
+    )
     attributed = carried.filter(F.col("is_purchase") == 1)
     return (
         attributed.groupBy(

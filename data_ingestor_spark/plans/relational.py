@@ -1594,8 +1594,7 @@ def q_agg_sketch_union(spark, sf_dir):
     counts per partition and rolls them up without touching history."""
     o = load_table(spark, sf_dir, "orders")
     per_status = o.groupBy("o_orderpriority", "o_orderstatus").agg(
-        F.expr("hll_sketch_agg(o_custkey)").alias("sk"),
-        F.countDistinct("o_custkey").alias("exact_part"),
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk")
     )
     merged = per_status.groupBy("o_orderpriority").agg(
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")

@@ -223,8 +223,17 @@ def q_udtf_analyze(spark, sf_dir):
             return AnalyzeResult(StructType(fields))
 
         def eval(self, types_arg, event_type, value):  # noqa: A002
+            # row arity must track the analyze()-derived schema for EVERY
+            # argument value, and NULL measures propagate as NULL instead
+            # of crashing the task (float(None) raises)
             if event_type in ("click", "purchase"):
-                yield event_type, 1, float(value)
+                wanted = [t.strip() for t in str(types_arg).split(",")]
+                row = [event_type]
+                if "n" in wanted:
+                    row.append(1)
+                if "value" in wanted:
+                    row.append(float(value) if value is not None else None)
+                yield tuple(row)
 
     Emitter = udtf(FilterEmit)
     spark.udtf.register("filter_emit_udtf", Emitter)

@@ -103,32 +103,42 @@ def idempotent_batch_publish(target_dir: str):
     crash after the sink ran but before the checkpoint committed makes
     Structured Streaming re-run the same ``batch_id`` on restart. With
     a non-idempotent sink that duplicates data; here the atomic
-    directory rename is the commit record (present ⇒ fully written, the
-    rename is atomic on POSIX), so the replay becomes a no-op and the
-    end-to-end pipeline is exactly-once. The layout doubles as a
-    readable partitioned dataset (``spark.read.parquet(target_dir)``
-    exposes ``batch_id`` as a partition column) and at scale each batch
-    directory is written in parallel by the executors — the driver only
-    renames.
+    directory rename is the commit record (present ⇒ fully written), so
+    the replay becomes a no-op and the end-to-end pipeline is
+    exactly-once. The layout doubles as a readable partitioned dataset
+    (``spark.read.parquet(target_dir)`` exposes ``batch_id`` as a
+    partition column) and at scale each batch directory is written in
+    parallel by the executors — the driver only renames.
+
+    All filesystem operations go through the Hadoop FileSystem API
+    resolved from ``target_dir``'s scheme, so the same sink works on
+    ``file://``, HDFS, or an object store (the driver never assumes a
+    local POSIX path). Atomicity caveat: directory rename is atomic on
+    POSIX and HDFS; on S3-like stores rename is copy+delete, so there
+    the commit record should be a zero-byte ``_COMMITTED_<id>`` marker
+    or a conditional PUT — the replay-detection contract is unchanged.
 
     Returns a ``batch_fn`` for :func:`write_stream_batches`.
     """
-    import os
-    import shutil
 
     def _publish(batch_df, batch_id: int) -> None:
-        final = os.path.join(target_dir, f"batch_id={batch_id}")
-        if os.path.exists(final):
+        spark = batch_df.sparkSession
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        target = hpath(target_dir)
+        fs = target.getFileSystem(spark._jsc.hadoopConfiguration())
+        final = hpath(target, f"batch_id={batch_id}")
+        if fs.exists(final):
             return  # replayed batch: already committed, exactly-once no-op
         # underscore prefix: Spark/Hadoop readers skip `_`/`.` paths, so
         # a mid-write or crash-orphaned staging dir is invisible to
         # partition discovery on target_dir (it would otherwise be
         # parsed as a bogus batch_id partition value)
-        staging = os.path.join(target_dir, f"_staging_batch_{batch_id}")
-        if os.path.exists(staging):
-            shutil.rmtree(staging)  # leftover from a crashed attempt
-        batch_df.write.mode("overwrite").parquet(staging)
-        os.makedirs(target_dir, exist_ok=True)
-        os.rename(staging, final)
+        staging = hpath(target, f"_staging_batch_{batch_id}")
+        if fs.exists(staging):
+            fs.delete(staging, True)  # leftover from a crashed attempt
+        batch_df.write.mode("overwrite").parquet(staging.toString())
+        fs.mkdirs(target)
+        fs.rename(staging, final)
 
     return _publish

@@ -434,3 +434,21 @@ def test_transformwithstate_matches_applyinpandaswithstate(spark, tmp_path):
         .collect()
     }
     assert {u: v[0] for u, v in a.items()} == {u: v[0] for u, v in truth.items()}
+
+
+def test_idempotent_batch_publish_scheme_qualified_uri(spark, tmp_path):
+    """The sink resolves the Hadoop FileSystem from the target URI's
+    scheme — a file:// URI (the local stand-in for hdfs://...) must
+    behave identically to a bare path: commit, replay no-op, append."""
+    from data_ingestor_spark.streaming import idempotent_batch_publish
+
+    target_local = str(tmp_path / "out_uri")
+    sink = idempotent_batch_publish("file://" + target_local)
+    sink(spark.range(10), 0)
+    assert spark.read.parquet(target_local).count() == 10
+    sink(spark.range(99), 0)  # replayed batch_id: must be a no-op
+    assert spark.read.parquet(target_local).count() == 10
+    sink(spark.range(5), 1)  # new batch appends
+    back = spark.read.parquet(target_local)
+    assert back.count() == 15
+    assert back.select("batch_id").distinct().count() == 2

@@ -954,3 +954,56 @@ def q_dedup_lsh_recall(spark, sf_dir):
             F.round(F.expr("n_hits / nullif(n_cand, 0)"), 4).alias("cand_precision"),
         )
     )
+
+
+_SHINGLE_K = 8  # characters per shingle
+_CHAR_MH_K = 8  # hash functions for the character-level signature
+
+
+@query(
+    "q_dedup_minhash_char",
+    oracle=f"""
+    SELECT doc_id,
+           {', '.join(
+               "list_aggregate(list_transform(sh, x -> " + _mh_duck(i) + "), 'min') AS c" + str(i)
+               for i in range(_CHAR_MH_K)
+           )}
+    FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, octet_length(encode(text)) - {_SHINGLE_K} + 2),
+                   p -> substr(text, CAST(p AS INT), {_SHINGLE_K}))) AS sh
+        FROM documents
+        WHERE octet_length(encode(text)) >= {_SHINGLE_K}
+    )
+    """,
+    tags=("dedup", "minhash", "shingle"),
+)
+def q_dedup_minhash_char(spark, sf_dir):
+    """Character-shingle MinHash (k=8 chars, K=8 hashes) — the
+    tokenizer-independent twin of q_dedup_minhash: word-token signatures
+    miss near-dups that differ by token-boundary edits (punctuation,
+    hyphenation, casing joins), which overlapping character windows
+    catch; production pipelines (RefinedWeb-style) run both and union
+    the candidate sets through the same LSH banding. Same narrow-map
+    scale shape: the shingle set materializes once per row, K md5s per
+    shingle, no shuffle; signatures are md5-derived so the oracle
+    hash-matches bit-for-bit (byte == char on this ASCII corpus)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.octet_length("text") >= _SHINGLE_K)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sh = (
+        f"array_distinct(transform(sequence(1, octet_length(text) - {_SHINGLE_K} + 1), "
+        f"p -> substr(text, p, {_SHINGLE_K})))"
+    )
+    with_sh = d.withColumn("_sh", F.expr(sh))
+    return with_sh.select(
+        "doc_id",
+        *[
+            F.expr(f"array_min(transform(_sh, x -> {_mh_spark(i)}))").alias(f"c{i}")
+            for i in range(_CHAR_MH_K)
+        ],
+    )

@@ -1007,3 +1007,100 @@ def q_dedup_minhash_char(spark, sf_dir):
             for i in range(_CHAR_MH_K)
         ],
     )
+
+
+_CHAR_BAND_SPARK = [
+    "md5(concat_ws('_', " + ", ".join(f"c{b * 4 + i}" for i in range(4)) + "))"
+    for b in range(2)
+]
+_CHAR_BAND_DUCK = [
+    "md5(" + " || '_' || ".join(f"CAST(c{b * 4 + i} AS VARCHAR)" for i in range(4)) + ")"
+    for b in range(2)
+]
+
+
+@query(
+    "q_dedup_union_candidates",
+    oracle=f"""
+    WITH wsig AS (
+        SELECT doc_id, {_MH_DUCK_COLS}
+        FROM (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+              FROM documents)
+    ), wband AS (
+        SELECT doc_id, unnest([{', '.join(_BAND_KEYS_DUCK)}]) AS band_key FROM wsig
+    ), csig AS (
+        SELECT doc_id,
+               {', '.join(
+                   "list_aggregate(list_transform(sh, x -> " + _mh_duck(i) + "), 'min') AS c" + str(i)
+                   for i in range(_CHAR_MH_K)
+               )}
+        FROM (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, octet_length(encode(text)) - {_SHINGLE_K} + 2),
+                       p -> substr(text, CAST(p AS INT), {_SHINGLE_K}))) AS sh
+            FROM documents WHERE octet_length(encode(text)) >= {_SHINGLE_K}
+        )
+    ), cband AS (
+        SELECT doc_id, unnest([{', '.join(_CHAR_BAND_DUCK)}]) AS band_key FROM csig
+    ), wcand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, 1 AS via_word, 0 AS via_char
+        FROM wband a JOIN wband b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), ccand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, 0 AS via_word, 1 AS via_char
+        FROM cband a JOIN cband b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(MAX(via_word) AS BIGINT) AS via_word,
+           CAST(MAX(via_char) AS BIGINT) AS via_char
+    FROM (SELECT * FROM wcand UNION ALL SELECT * FROM ccand)
+    GROUP BY doc_a, doc_b
+    """,
+    tags=("dedup", "minhash", "lsh", "union"),
+)
+def q_dedup_union_candidates(spark, sf_dir):
+    """Unioned candidate generation — the production near-dup recipe:
+    word-token LSH (semantic token overlap) and character-shingle LSH
+    (robust to token-boundary edits) each propose pairs through their
+    own banding; the union is the verify-stage input, and the
+    via_word/via_char provenance flags show which signal caught each
+    pair (the number that justifies running both at 100 TB). Both
+    candidate generators are equality band joins over ONE materialized
+    signature relation each — the union adds no new shuffle class, just
+    a second narrow id-pair stream into the groupBy."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wsig = minhash_signature(d).drop("text").localCheckpoint(eager=True)
+    wband = wsig.select(
+        "doc_id", F.explode(F.array(*[F.expr(k) for k in _BAND_KEYS_SPARK])).alias("band_key")
+    )
+    csig = q_dedup_minhash_char(spark, sf_dir).localCheckpoint(eager=True)
+    cband = csig.select(
+        "doc_id", F.explode(F.array(*[F.expr(k) for k in _CHAR_BAND_SPARK])).alias("band_key")
+    )
+
+    def _pairs(banded, flag_word, flag_char):
+        a, b = banded.alias("a"), banded.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.lit(flag_word).alias("via_word"),
+                F.lit(flag_char).alias("via_char"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+
+    both = _pairs(wband, 1, 0).unionByName(_pairs(cband, 0, 1))
+    return both.groupBy("doc_a", "doc_b").agg(
+        F.max("via_word").cast("bigint").alias("via_word"),
+        F.max("via_char").cast("bigint").alias("via_char"),
+    )

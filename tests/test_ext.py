@@ -229,3 +229,108 @@ def test_cluster_pairs_random_graphs_match_bruteforce(spark):
         # always point the larger root at the smaller
         want = brute_cc(edges)
         assert got == want, f"CC mismatch on {len(edges)}-edge graph"
+
+
+def test_gap_islands_partition_invariants(spark):
+    """Gaps-and-islands invariants on random day sets: streaks are
+    disjoint, consecutive-complete (length == span), and cover every
+    active day exactly once."""
+    import random
+
+    from data_ingestor_spark.plans import queries as q
+
+    rng = random.Random(7)
+    rows = []
+    for user in range(8):
+        days = sorted(rng.sample(range(1, 60), rng.randint(1, 25)))
+        rows.extend((user, f"2024-01-01", d) for d in days)
+    # build an events-shaped frame: one event per (user, active day)
+    df = spark.createDataFrame(
+        [(u, d) for (u, _, d) in rows], "user_id long, day_off int"
+    ).selectExpr(
+        "user_id",
+        "cast(user_id * 1000 + day_off as long) AS event_id",
+        "timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,day_off,0,0,0) AS ts",
+    )
+    df.createOrReplaceTempView("_island_events")
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    days = df.select("user_id", F.date_trunc("DAY", "ts").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    seq = days.select(
+        "user_id", "d",
+        (F.datediff(F.col("d").cast("date"), F.lit("1970-01-01").cast("date"))
+         - F.row_number().over(w)).alias("grp"),
+    )
+    streaks = seq.groupBy("user_id", "grp").agg(
+        F.min("d").alias("s"), F.max("d").alias("e"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    per_user_days = {
+        r["user_id"]: r["nd"]
+        for r in days.groupBy("user_id").agg(F.count(F.lit(1)).alias("nd")).collect()
+    }
+    seen = {}
+    for r in streaks:
+        # consecutive-complete: streak length equals its calendar span
+        span = (r["e"].date() - r["s"].date()).days + 1
+        assert span == r["n"], (r, span)
+        seen[r["user_id"]] = seen.get(r["user_id"], 0) + r["n"]
+    # cover: every active day in exactly one streak
+    assert seen == per_user_days
+
+
+def test_union_candidates_superset_of_word_candidates(spark):
+    """The word∪char candidate set must contain every word-banded pair
+    (union can only add), and provenance flags must be consistent."""
+    from conftest import SF_DIR
+
+    from data_ingestor_spark.plans import queries as q
+
+    sf = SF_DIR
+    union_rows = q.REGISTRY["q_dedup_union_candidates"].fn(spark, sf).collect()
+    union_pairs = {(r["doc_a"], r["doc_b"]) for r in union_rows}
+    word_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in q.REGISTRY["q_dedup_minhash_pairs"].fn(spark, sf).select("doc_a", "doc_b").collect()
+    }
+    # verified word pairs are a subset of word candidates ⊆ union
+    assert word_pairs <= union_pairs
+    for r in union_rows:
+        assert r["via_word"] + r["via_char"] >= 1
+        assert r["doc_a"] < r["doc_b"]
+
+
+def test_char_minhash_invariance_to_token_boundaries(spark):
+    """The character-shingle signature must be IDENTICAL for texts with
+    identical shingle sets, and (unlike the word signature) must change
+    only moderately under a token-boundary edit that rewrites every
+    word token."""
+    from data_ingestor_spark.ext.dedup import minhash_signature, q_dedup_minhash_char
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    # token-boundary edit: one space becomes a hyphen — every word-token
+    # signature sees a brand-new token pair; most 8-char shingles survive
+    edited = base.replace("fox jumps", "fox-jumps")
+    df = spark.createDataFrame([(0, base), (1, base), (2, edited)], "doc_id long, text string")
+    df.createOrReplaceTempView("_char_docs")
+    from pyspark.sql import functions as F
+
+    sh = (
+        "array_distinct(transform(sequence(1, octet_length(text) - 7), "
+        "p -> substr(text, p, 8)))"
+    )
+    from data_ingestor_spark.ext.dedup import _CHAR_MH_K, _mh_spark
+
+    sigs = df.withColumn("_sh", F.expr(sh)).select(
+        "doc_id",
+        *[
+            F.expr(f"array_min(transform(_sh, x -> {_mh_spark(i)}))").alias(f"c{i}")
+            for i in range(_CHAR_MH_K)
+        ],
+    ).collect()
+    by_id = {r["doc_id"]: tuple(r)[1:] for r in sigs}
+    assert by_id[0] == by_id[1]  # identical text → identical signature
+    # the boundary edit keeps a majority of the char signature intact
+    same = sum(a == b for a, b in zip(by_id[0], by_id[2]))
+    assert same >= _CHAR_MH_K // 2, (by_id[0], by_id[2])

@@ -410,3 +410,61 @@ def q_event_attribution(spark, sf_dir):
             F.sum("val").cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "q_event_funnel_latency",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    ), conv AS (
+        SELECT user_id,
+               date_trunc('week', t_signup) AS cohort_week,
+               date_diff('second', t_signup, t_purchase) AS secs
+        FROM firsts
+        WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL
+          AND t_purchase >= t_signup
+    )
+    SELECT cohort_week,
+           COUNT(*) AS n_converted,
+           QUANTILE_DISC(secs, 0.50) AS p50_secs,
+           QUANTILE_DISC(secs, 0.90) AS p90_secs
+    FROM conv GROUP BY cohort_week
+    """,
+    tags=("events", "funnel", "latency", "percentile"),
+)
+def q_event_funnel_latency(spark, sf_dir):
+    """Funnel conversion latency: per signup-week cohort, the median and
+    p90 seconds from a user's FIRST signup to their first subsequent
+    purchase — the time-to-convert number product teams steer by (the
+    count complement of q_event_funnel's stage totals). One user-keyed
+    conditional-MIN aggregate builds the stage timestamps (no join
+    between stages), then a tiny per-cohort discrete-percentile rollup;
+    integer seconds + percentile_disc return actual data values, so the
+    hash check needs no rounding guard."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    conv = firsts.filter(
+        F.col("t_signup").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") >= F.col("t_signup"))
+    ).select(
+        F.date_trunc("WEEK", "t_signup").alias("cohort_week"),
+        (F.unix_timestamp("t_purchase") - F.unix_timestamp("t_signup")).alias("secs"),
+    )
+    conv.createOrReplaceTempView("_funnel_conv")
+    return spark.sql(
+        """
+        SELECT cohort_week,
+               COUNT(*) AS n_converted,
+               CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY secs) AS BIGINT) AS p50_secs,
+               CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY secs) AS BIGINT) AS p90_secs
+        FROM _funnel_conv GROUP BY cohort_week
+        """
+    )

@@ -104,7 +104,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_scan_jsonl",
     "q_stream_stateful",
     # --- slot 50: the session's flagship new LLM-pipeline op -------------
-    # The other FIFTY-TWO keys added late in round 3 don't fit the
+    # The other FIFTY-THREE keys added late in round 3 don't fit the
     # 50-slot window and must LEAD the round-4 rotation: q_sim_knn_join,
     # q_text_pack, q_text_gopher, q_text_domain_stats, q_split_assign,
     # q_kmeans_train, q_dedup_incremental, q_corpus_production,
@@ -119,8 +119,8 @@ _PRIORITY: tuple[str, ...] = (
     # q_sim_ann_recall, q_window_gap_islands, q_scd2_pit_join,
     # q_text_keywords, q_agg_grouping_id, q_scalar_url, q_udtf_analyze,
     # q_agg_sketch_union, q_agg_bitmap_distinct, q_scalar_try,
-    # q_dedup_minhash_char, q_dedup_union_candidates — followed by the
-    # keys
+    # q_dedup_minhash_char, q_dedup_union_candidates,
+    # q_event_funnel_latency — followed by the keys
     # last checked in round 1 (relational/window/set/scalar families)
     # that have not been re-checked since.
     "q_dedup_semantic",

@@ -71,7 +71,7 @@ def topk_cosine(vectors: DataFrame, query_vec: DataFrame, k: int = 25) -> DataFr
         F.lit(0.0),
         lambda acc, v: acc + v.cast("double") * v.cast("double"),
     )
-    scored = vectors.crossJoin(q).select(
+    scored = vectors.crossJoin(F.broadcast(q)).select(
         "vec_id", "label", (dot / (F.sqrt(na) * F.col("_qnorm"))).alias("cos_sim")
     )
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(k)

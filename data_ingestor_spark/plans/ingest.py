@@ -417,12 +417,12 @@ def q_scan_binaryfile(spark, sf_dir):
     "q_scan_schema_evolution",
     oracle="""
     SELECT o_orderkey, o_orderpriority,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS total_dec,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_dec,
            CAST(NULL AS VARCHAR) AS batch_tag
     FROM orders WHERE o_orderdate <  TIMESTAMP '1998-01-01'
     UNION ALL
     SELECT o_orderkey, o_orderpriority,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS total_dec,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_dec,
            'v2' AS batch_tag
     FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
     """,
@@ -466,4 +466,9 @@ def q_scan_schema_evolution(spark, sf_dir):
     back = spark.read.option("mergeSchema", "true").parquet(
         os.path.join(out, "b=1"), os.path.join(out, "b=2")
     )
-    return back.select("o_orderkey", "o_orderpriority", "total_dec", "batch_tag")
+    return back.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("total_dec").cast("double").alias("total_dec"),
+        "batch_tag",
+    )

@@ -43,87 +43,76 @@ for _mod in (
 # module order after it.  The local gate (scripts/check_oracle.py) always
 # runs all keys, so nothing rots silently while outside the window.
 #
-# Round-3 window: the 34 keys with zero driver evidence after rounds 1-2
-# (TPC-H beyond Q3/Q5, event analytics, warehouse maintenance, multimodal
-# features/frames, clustering, text extras, scan corners, streaming window
-# agg, cogrouped UDF, window distribution/value functions), plus
-# q_subq_scalar (r2's one hash failure, oracle rewritten to exact integer
-# arithmetic this round), plus the keys newly added in round 3 (the 14
-# early-round-3 keys and, in slot 50, q_dedup_semantic).
+# Round-4 window: slots 1-2 are the two round-3 driver reds
+# (q_subq_scalar, q_dedup_latest — DecimalType output hash hazard, final
+# projections now cast to DOUBLE on both engines); slots 3-4 are the two
+# zero-evidence keys with the SAME Decimal landmine, fixed the same way
+# this round (q_scalar_try, q_scan_schema_evolution); slots 5-50 are 46
+# of the 49 remaining keys that have never had driver evidence (all 53
+# were frozen out when the round-3 registry outgrew the 50-slot window).
+# The 5 deferred to lead round 5 are TPC-H variants whose shape-twins are
+# already driver-green: q_tpch_q4 (semi-join EXISTS, twin of green r1
+# semi-join), q_tpch_q12 (join + conditional agg, twin of green Q14),
+# q_tpch_q16 (distinct-count group, twin of green r1 count-distinct),
+# q_tpch_q19 (disjunctive pushdown, twin of green Q6), q_tpch_q22
+# (anti-join + scalar avg, twin of green Q13/subq family).
 _PRIORITY: tuple[str, ...] = (
-    # --- 34 zero-evidence keys -------------------------------------------
-    "q_tpch_q1",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q10",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q17",
-    "q_tpch_q18",
-    "q_event_funnel",
-    "q_event_retention",
-    "q_event_sessions",
-    "q_event_anomaly",
-    "q_merge_upsert",
-    "q_scd2_intervals",
-    "q_dq_audit",
-    "q_gap_fill",
-    "q_dedup_clusters",
-    "q_multimodal_features",
-    "q_multimodal_frames",
-    "q_embed_quantize",
-    "q_text_repetition",
-    "q_text_scrub",
-    "q_text_zipf",
-    "q_scan_orc",
-    "q_partitioned_scan",
-    "q_scalar_null",
-    "q_agg_bitwise",
-    "q_agg_approx_bounded",
-    "q_stream_window_agg",
-    "q_udf_cogrouped",
-    "q_window_distribution",
-    "q_window_value_funcs",
-    # --- round-2 hash failure, oracle made deterministic in round 3 ------
+    # --- round-3 driver reds, root-caused + fixed (Decimal→DOUBLE) -------
     "q_subq_scalar",
-    # --- new round-3 keys (zero evidence by construction) ----------------
-    "q_sim_ann_lsh_multiprobe",
-    "q_sim_ann_ivf_multiprobe",
-    "q_text_chunk",
-    "q_text_contamination",
-    "q_event_moving_avg",
     "q_dedup_latest",
-    "q_join_nullsafe",
-    "q_stream_dedup",
-    "q_graph_degree",
-    "q_graph_triangles",
-    "q_stream_stream_join",
-    "q_scan_custom_source",
-    "q_scan_jsonl",
-    "q_stream_stateful",
-    # --- slot 50: the session's flagship new LLM-pipeline op -------------
-    # The other FIFTY-THREE keys added late in round 3 don't fit the
-    # 50-slot window and must LEAD the round-4 rotation: q_sim_knn_join,
-    # q_text_pack, q_text_gopher, q_text_domain_stats, q_split_assign,
-    # q_kmeans_train, q_dedup_incremental, q_corpus_production,
-    # q_event_dau_wau, q_text_unigram_logprob, q_tpch_q4/q12/q22,
-    # q_tpch_q2/q9/q11/q16/q19/q20/q21, q_dedup_substring,
-    # q_recursive_compound, q_scalar_variant, q_event_path,
-    # q_multimodal_audio, q_agg_percentile_disc, q_k_anonymity,
-    # q_profile_columns, q_subq_lateral, q_event_ewma, q_scan_binaryfile,
-    # q_multimodal_phash, q_multimodal_phash_pairs, q_agg_incremental,
-    # q_join_bucketed, q_dedup_lsh_recall, q_multimodal_scenes,
-    # q_agg_mode, q_scan_schema_evolution, q_event_attribution,
-    # q_sim_ann_recall, q_window_gap_islands, q_scd2_pit_join,
-    # q_text_keywords, q_agg_grouping_id, q_scalar_url, q_udtf_analyze,
-    # q_agg_sketch_union, q_agg_bitmap_distinct, q_scalar_try,
-    # q_dedup_minhash_char, q_dedup_union_candidates,
-    # q_event_funnel_latency — followed by the keys
-    # last checked in round 1 (relational/window/set/scalar families)
-    # that have not been re-checked since.
-    "q_dedup_semantic",
+    # --- same Decimal landmine, fixed pre-emptively this round -----------
+    "q_scalar_try",
+    "q_scan_schema_evolution",
+    # --- zero-driver-evidence TPC-H (the distinctive multi-join shapes) --
+    "q_tpch_q2",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    # --- zero-driver-evidence LLM-pipeline tier --------------------------
+    "q_sim_knn_join",
+    "q_text_pack",
+    "q_text_gopher",
+    "q_text_domain_stats",
+    "q_split_assign",
+    "q_kmeans_train",
+    "q_dedup_incremental",
+    "q_corpus_production",
+    "q_dedup_substring",
+    "q_dedup_lsh_recall",
+    "q_dedup_minhash_char",
+    "q_dedup_union_candidates",
+    "q_sim_ann_recall",
+    "q_text_unigram_logprob",
+    "q_text_keywords",
+    "q_multimodal_audio",
+    "q_multimodal_phash",
+    "q_multimodal_phash_pairs",
+    "q_multimodal_scenes",
+    "q_k_anonymity",
+    "q_profile_columns",
+    # --- zero-driver-evidence event/warehouse analytics ------------------
+    "q_event_dau_wau",
+    "q_event_path",
+    "q_event_attribution",
+    "q_event_ewma",
+    "q_event_funnel_latency",
+    "q_window_gap_islands",
+    "q_scd2_pit_join",
+    "q_recursive_compound",
+    # --- zero-driver-evidence aggregates / scalars / scans / joins -------
+    "q_agg_percentile_disc",
+    "q_agg_incremental",
+    "q_agg_mode",
+    "q_agg_grouping_id",
+    "q_agg_sketch_union",
+    "q_agg_bitmap_distinct",
+    "q_scalar_variant",
+    "q_scalar_url",
+    "q_subq_lateral",
+    "q_scan_binaryfile",
+    "q_join_bucketed",
+    "q_udtf_analyze",
 )
 
 _ordered = [k for k in _PRIORITY if k in REGISTRY]

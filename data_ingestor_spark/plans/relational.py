@@ -1116,7 +1116,7 @@ def q_agg_approx_bounded(spark, sf_dir):
     "q_dedup_latest",
     oracle="""
     SELECT user_id, event_type, event_id, ts,
-           CAST(value AS DECIMAL(18,2)) AS value_dec
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value_dec
     FROM (
         SELECT user_id, event_type, event_id, ts, value,
                ROW_NUMBER() OVER (PARTITION BY user_id, event_type
@@ -1142,7 +1142,13 @@ def q_dedup_latest(spark, sf_dir):
     return (
         e.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("user_id", "event_type", "event_id", "ts", dec("value").alias("value_dec"))
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            "ts",
+            dec("value").cast("double").alias("value_dec"),
+        )
     )
 
 

@@ -364,10 +364,10 @@ def q_scalar_url(spark, sf_dir):
     "q_scalar_try",
     oracle="""
     SELECT event_id,
-           CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) % 7 = 0 THEN NULL
+           CAST(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) % 7 = 0 THEN NULL
                 ELSE ROUND(CAST(value AS DECIMAL(18,2))
                            / (CAST(json_extract(props, '$.k') AS BIGINT) % 7), 4)
-           END AS safe_ratio,
+           END AS DOUBLE) AS safe_ratio,
            TRY_CAST(CASE WHEN event_id % 3 = 0 THEN 'not-a-number'
                          ELSE CAST(event_id AS VARCHAR) END AS BIGINT) AS safe_cast,
            CASE WHEN event_id > 0 THEN NULL
@@ -397,7 +397,9 @@ def q_scalar_try(spark, sf_dir):
                 "cast(get_json_object(props, '$.k') as bigint) % 7)"
             ),
             4,
-        ).alias("safe_ratio"),
+        )
+        .cast("double")
+        .alias("safe_ratio"),
         bad.try_cast("bigint").alias("safe_cast"),
         F.expr("try_add(9223372036854775807L, event_id)").alias("safe_sum"),
     )

@@ -100,7 +100,7 @@ def q_subq_not_exists(spark, sf_dir):
         FROM orders
     )
     SELECT o_orderkey, o_custkey,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS total_dec,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_dec,
            CAST((SELECT cents FROM stats) AS DOUBLE)
                / CAST(100 * (SELECT n FROM stats) AS DOUBLE) AS global_avg
     FROM orders
@@ -132,7 +132,7 @@ def q_subq_scalar(spark, sf_dir):
             FROM sq_orders3
         )
         SELECT o_orderkey, o_custkey,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS total_dec,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_dec,
                CAST((SELECT cents FROM stats) AS DOUBLE)
                    / CAST(100 * (SELECT n FROM stats) AS DOUBLE) AS global_avg
         FROM sq_orders3

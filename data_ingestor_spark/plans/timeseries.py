@@ -36,6 +36,27 @@ def _ensure_symlink(link: str, src: str) -> None:
     os.symlink(target, link)
 
 
+# Hard cap on memory-sink materialization in the four streaming queries.
+# Collecting a streaming result to the driver is ONLY sound because the
+# oracle comparison needs both engines' outputs driver-side at test scale
+# (sf<=0.1, aggregates of a few thousand rows); a production pipeline
+# must writeStream to a durable sink instead (see streaming/ingest.py).
+_MEMORY_SINK_MAX_ROWS = 2_000_000
+
+
+def _collect_memory_sink(spark, df, schema):
+    """Materialize a memory-sink streaming result with a scale guard so
+    the collect() pattern can't silently migrate into a production path."""
+    rows = df.collect()
+    if len(rows) > _MEMORY_SINK_MAX_ROWS:
+        raise RuntimeError(
+            f"memory-sink materialization of {len(rows)} rows exceeds the "
+            f"{_MEMORY_SINK_MAX_ROWS}-row test-scale guard — use a durable "
+            "writeStream sink (streaming/ingest.py) for production data"
+        )
+    return spark.createDataFrame(rows, schema=schema)
+
+
 @query(
     "q_window_tumbling",
     oracle="""
@@ -359,7 +380,7 @@ def q_stream_window_agg(spark, sf_dir):
         # materialize the (small) windowed aggregate locally so the
         # memory-sink view can be dropped immediately — reentrant, no
         # module-global state, nothing pinned across invocations
-        result = spark.createDataFrame(spark.table(sink).collect(), schema=agg.schema)
+        result = _collect_memory_sink(spark, spark.table(sink), agg.schema)
     finally:
         try:
             spark.catalog.dropTempView(sink)
@@ -462,9 +483,7 @@ def q_stream_dedup(spark, sf_dir):
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("q_stream_dedup: stream did not finish within 300s")
-        result = spark.createDataFrame(
-            spark.table(sink).collect(), schema=deduped.schema
-        )
+        result = _collect_memory_sink(spark, spark.table(sink), deduped.schema)
     finally:
         try:
             spark.catalog.dropTempView(sink)
@@ -539,7 +558,7 @@ def q_stream_stream_join(spark, sf_dir):
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("q_stream_stream_join: stream did not finish within 300s")
-        result = spark.createDataFrame(spark.table(sink).collect(), schema=joined.schema)
+        result = _collect_memory_sink(spark, spark.table(sink), joined.schema)
     finally:
         try:
             spark.catalog.dropTempView(sink)
@@ -599,7 +618,7 @@ def q_stream_stateful(spark, sf_dir):
         emitted = spark.table(sink).groupBy("user_id").agg(
             F.max("total_events").alias("n_events")
         )
-        result = spark.createDataFrame(emitted.collect(), schema=emitted.schema)
+        result = _collect_memory_sink(spark, emitted, emitted.schema)
     finally:
         try:
             spark.catalog.dropTempView(sink)
@@ -622,16 +641,20 @@ def q_stream_stateful(spark, sf_dir):
         SELECT event_type, d, n,
                date_diff('day', z.d0, d) AS day_idx
         FROM daily, (SELECT MIN(date_trunc('day', ts)) AS d0 FROM events) z
-    ), w AS (
-        SELECT event_type, d, n, day_idx,
-               (CAST(1 AS BIGINT) << day_idx) AS pw
+    ), r AS (
+        SELECT event_type, d, n,
+               day_idx - MIN(day_idx) OVER (PARTITION BY event_type) AS ridx
         FROM k
+    ), w AS (
+        SELECT event_type, d, n, ridx,
+               (CAST(1 AS BIGINT) << ridx) AS pw
+        FROM r WHERE ridx < 40
     )
     SELECT event_type, d, n,
            CAST(SUM(n * pw) OVER win AS DOUBLE)
                / CAST(SUM(pw) OVER win AS DOUBLE) AS ewma
     FROM w
-    WINDOW win AS (PARTITION BY event_type ORDER BY day_idx
+    WINDOW win AS (PARTITION BY event_type ORDER BY ridx
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
     tags=("timeseries", "window", "ewma"),
@@ -644,10 +667,15 @@ def q_event_ewma(spark, sf_dir):
     EXACT integer window sums (Σ n_i·2^i and Σ 2^i over days present, so
     calendar gaps decay correctly rather than re-indexing), and the
     average is ONE double division — bit-identical across engines, no
-    engine AVG, no FP accumulation. day_idx is anchored to the corpus's
-    first day; the 2^i weights need day spans ≤ ~50 days to stay in
-    int64 — beyond that, window the input or rebase the anchor per
-    partition (the driver corpus spans one month)."""
+    engine AVG, no FP accumulation. The weight exponent is REBASED per
+    event_type partition (idx − min(idx) over partition, which cancels
+    in the ratio, so semantics are unchanged) and hard-capped at 40 by
+    an explicit filter in BOTH engines — Spark's shiftleft silently
+    wraps modulo 64 while DuckDB's << does not, so without the guard a
+    regenerated corpus spanning >63 days would diverge cross-engine;
+    with it the invariant holds by construction at any span, and
+    2^39·Σn stays far inside int64 for any test scale (shrink the 40 as
+    log2(total rows/day) grows toward a real 100 TB corpus)."""
     from pyspark.sql import Window as W
 
     e = load_table(spark, sf_dir, "events")
@@ -658,8 +686,13 @@ def q_event_ewma(spark, sf_dir):
     k = daily.crossJoin(F.broadcast(d0)).withColumn(
         "day_idx", F.datediff(F.col("d").cast("date"), F.col("d0").cast("date"))
     )
-    w = k.withColumn("pw", F.expr("shiftleft(1L, cast(day_idx AS INT))"))
-    win = W.partitionBy("event_type").orderBy("day_idx").rowsBetween(W.unboundedPreceding, 0)
+    rebase = W.partitionBy("event_type")
+    w = (
+        k.withColumn("ridx", F.col("day_idx") - F.min("day_idx").over(rebase))
+        .filter(F.col("ridx") < 40)
+        .withColumn("pw", F.expr("shiftleft(1L, cast(ridx AS INT))"))
+    )
+    win = W.partitionBy("event_type").orderBy("ridx").rowsBetween(W.unboundedPreceding, 0)
     return w.select(
         "event_type",
         "d",

@@ -373,9 +373,16 @@ def publish_versioned(df: DataFrame, table_dir: str) -> int:
     orphaned unreferenced version dir, never a corrupt table. Returns
     the new version number.
 
+    Concurrent writers: the version number is reserved with an atomic
+    ``os.mkdir`` (EEXIST ⇒ another writer took N, retry with N+1), so
+    two writers can never publish into the same ``v=N``. Under true
+    concurrency the ``_LATEST`` pointer is last-flip-wins — it may name
+    the not-strictly-highest version momentarily, but always a COMPLETE
+    one; serialize writers externally if monotonic latest matters.
+
     At 100 TB the same layout works on an object store with two
-    substitutions: the pointer write becomes a conditional PUT, and
-    vacuum respects reader lease times.
+    substitutions: the version reservation and pointer write become
+    conditional PUTs, and vacuum respects reader lease times.
     """
     os.makedirs(table_dir, exist_ok=True)
     existing = [
@@ -384,13 +391,21 @@ def publish_versioned(df: DataFrame, table_dir: str) -> int:
         if d.startswith("v=") and d.split("=", 1)[1].isdigit()
     ]
     version = (max(existing) + 1) if existing else 0
-    vdir = os.path.join(table_dir, f"v={version}")
-    staging = vdir + ".__staging__"
+    staging = os.path.join(table_dir, f"_staging_v{version}_{os.getpid()}")
     if os.path.exists(staging):
         shutil.rmtree(staging)
     df.write.mode("overwrite").parquet(staging)
-    os.rename(staging, vdir)  # version dirs are immutable once named
-    pointer_tmp = os.path.join(table_dir, "_LATEST.tmp")
+    while True:
+        vdir = os.path.join(table_dir, f"v={version}")
+        try:
+            os.mkdir(vdir)  # atomic reservation: EEXIST ⇒ version taken
+        except FileExistsError:
+            version += 1
+            continue
+        # rename onto the just-reserved EMPTY dir: atomic replace on POSIX
+        os.rename(staging, vdir)  # version dirs are immutable once named
+        break
+    pointer_tmp = os.path.join(table_dir, f"_LATEST.tmp.{os.getpid()}")
     with open(pointer_tmp, "w") as fh:
         fh.write(str(version))
     os.replace(pointer_tmp, os.path.join(table_dir, "_LATEST"))  # atomic flip

@@ -138,7 +138,15 @@ def idempotent_batch_publish(target_dir: str):
         if fs.exists(staging):
             fs.delete(staging, True)  # leftover from a crashed attempt
         batch_df.write.mode("overwrite").parquet(staging.toString())
-        fs.mkdirs(target)
-        fs.rename(staging, final)
+        # Hadoop FileSystem reports most failures via a false return, not
+        # an exception (unlike os.rename) — an unchecked false here would
+        # leave the batch unpublished while the checkpoint still commits,
+        # silently dropping it and breaking the exactly-once contract.
+        if not fs.mkdirs(target):
+            raise IOError(f"mkdirs failed for {target} (batch {batch_id})")
+        if not fs.rename(staging, final):
+            raise IOError(
+                f"commit rename {staging} -> {final} failed for batch {batch_id}"
+            )
 
     return _publish

@@ -4,7 +4,9 @@ Runs every registered query's Spark plan AND its DuckDB oracle at the
 given scale factor, compares row-count, column names, and an
 order-insensitive canonical value hash. Stricter than any plausible
 driver check: values are compared at full precision (floats via repr,
-decimals normalized, timestamps ISO).
+timestamps ISO); Decimal and array/map result cells are rejected
+outright because the driver's pandas hasher cannot compare them
+consistently across engines.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 """
@@ -39,8 +41,18 @@ def _canon_cell(v) -> str:
             return repr(float(v))
         return repr(v)
     if isinstance(v, Decimal):
-        f = float(v)
-        return _canon_cell(f)
+        # The driver's pandas hasher stringifies Spark's Decimal objects
+        # (e.g. Decimal('45.30')) while DuckDB surfaces float64 (45.3), so
+        # a DecimalType result column hash-diverges driver-side even when
+        # every value is numerically identical (proven root cause of the
+        # r2/r3 q_subq_scalar / q_dedup_latest failures).  Fail LOCALLY
+        # instead of normalizing: project CAST(... AS DOUBLE) in the final
+        # select of both engines.
+        raise TypeError(
+            "DecimalType result cell — cast the final projection to DOUBLE "
+            "on both the Spark and oracle sides so the driver's pandas "
+            "hasher sees identical float64 columns"
+        )
     if isinstance(v, (datetime, date)):
         return v.isoformat()
     if isinstance(v, (list, tuple, dict)):

@@ -1104,3 +1104,74 @@ def q_dedup_union_candidates(spark, sf_dir):
         F.max("via_word").cast("bigint").alias("via_word"),
         F.max("via_char").cast("bigint").alias("via_char"),
     )
+
+
+@query(
+    "q_dedup_url",
+    oracle="""
+    WITH noisy AS (
+        SELECT doc_id, source,
+               'https://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END
+               || source || '.example.com/docs/' || CAST(doc_id // 3 AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 1 THEN '/'
+                       WHEN doc_id % 3 = 2 THEN '?utm_source=feed&utm_campaign=x'
+                       ELSE '' END AS url
+        FROM documents
+    ), canon AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   lower(url),
+                   '^https?://', ''),
+                   '^www\\.', ''),
+                   '\\?utm_[^#]*$', ''),
+                   '/$', '') AS canonical_url
+        FROM noisy
+    )
+    SELECT canonical_url, COUNT(*) AS n_variants, MIN(doc_id) AS keep_id
+    FROM canon GROUP BY canonical_url
+    """,
+    tags=("dedup", "url", "canonicalization"),
+)
+def q_dedup_url(spark, sf_dir):
+    """URL-canonicalization dedup — the FIRST dedup pass of every web
+    -crawl pipeline (cheaper than any content hash: it collapses
+    re-crawls of the same page behind scheme/www/trailing-slash/
+    tracking-parameter noise before text is even decoded). Synthetic
+    noisy URLs are derived deterministically from doc_id (www. on even
+    ids, trailing slash / utm tracking params by id mod 3, so every
+    group of three consecutive ids collapses to one canonical page);
+    canonicalization is a chain of four regexp_replace ops — lowercase,
+    strip scheme, strip leading www., strip trailing utm query and
+    slash — all codegen'd per-row maps, then ONE groupBy on the
+    canonical key: the same single-shuffle shape as q_dedup_exact, so
+    at 100 TB it is one hash exchange of (short-string, id) pairs,
+    never text."""
+    d = load_table(spark, sf_dir, "documents")
+    noisy = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.expr("cast(doc_id div 3 as string)"),
+        F.when(F.col("doc_id") % 3 == 1, F.lit("/"))
+        .when(F.col("doc_id") % 3 == 2, F.lit("?utm_source=feed&utm_campaign=x"))
+        .otherwise(F.lit("")),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(noisy), "^https?://", ""),
+                "^www\\.",
+                "",
+            ),
+            "\\?utm_[^#]*$",
+            "",
+        ),
+        "/$",
+        "",
+    )
+    return (
+        d.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_variants"), F.min("doc_id").alias("keep_id"))
+    )

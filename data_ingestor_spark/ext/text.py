@@ -948,3 +948,126 @@ def q_text_keywords(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("doc_id", F.col("term").alias("keyword"), "tfidf", "rk")
     )
+
+
+@query(
+    "q_text_classifier",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, source,
+               LEN(string_split(lower(text), ' ')) AS n_tokens,
+               CAST(COALESCE(list_aggregate(list_transform(
+                   string_split(lower(text), ' '),
+                   t -> (('0x' || substr(md5('w' || CAST(
+                             (('0x' || substr(md5(t), 1, 8))::BIGINT % 256)
+                             AS VARCHAR)), 1, 8))::BIGINT % 2001) - 1000
+               ), 'sum'), 0) AS BIGINT) AS score
+        FROM documents
+    )
+    SELECT doc_id, source, n_tokens, score,
+           ROUND(CAST(score AS DOUBLE) / NULLIF(n_tokens, 0), 4) AS score_per_token,
+           (score > 0) AS keep
+    FROM scored
+    """,
+    tags=("text", "classifier", "quality", "training"),
+)
+def q_text_classifier(spark, sf_dir):
+    """fastText-style linear quality-classifier INFERENCE over the
+    corpus: hashing-trick features (md5 of each token → one of 256
+    buckets) dotted with a fixed weight vector (integer weights in
+    [-1000, 1000], derived deterministically from the bucket id so the
+    "model" needs no side file), thresholded into a keep/drop gate —
+    the shape of every learned quality/toxicity filter in a training
+    pipeline (the real thing swaps the weight derivation for broadcast
+    learned weights; the plan is identical). The dot product is an
+    EXACT integer sum folded entirely inside one codegen'd ``aggregate``
+    lambda over the token array — per-row narrow map, no shuffle, no
+    Python, associativity-proof — and the only float op is one final
+    rounded double division. At 100 TB this classifies every document
+    in a single scan with zero data movement."""
+    d = load_table(spark, sf_dir, "documents")
+    score = F.expr(
+        "aggregate(transform(split(lower(text), ' '), "
+        "t -> (cast(conv(substring(md5(concat('w', cast(cast(conv(substring("
+        "md5(t), 1, 8), 16, 10) as bigint) % 256 as string))), 1, 8), 16, 10) "
+        "as bigint) % 2001) - 1000L), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    n_tokens = F.size(F.split(F.lower("text"), " "))
+    return d.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        score.alias("score"),
+        F.round(
+            F.col("score").cast("double") / F.nullif(F.col("n_tokens"), F.lit(0)), 4
+        ).alias("score_per_token"),
+        (F.col("score") > 0).alias("keep"),
+    )
+
+
+@query(
+    "q_mix_resample",
+    oracle="""
+    WITH per_src AS (
+        SELECT source, COUNT(*) AS n_before FROM documents GROUP BY source
+    ), tot AS (
+        SELECT (SELECT COUNT(*) FROM documents) AS n_total,
+               (SELECT COUNT(*) FROM per_src) AS n_sources
+    ), rates AS (
+        SELECT source, n_before,
+               LEAST(10000, (10000 * n_total) // (n_sources * n_before)) AS accept_bps
+        FROM per_src CROSS JOIN tot
+    ), docs AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+        FROM documents
+    )
+    SELECT r.source, r.n_before, r.accept_bps,
+           COUNT(*) FILTER (WHERE d.b < r.accept_bps) AS n_kept
+    FROM docs d JOIN rates r ON d.source = r.source
+    GROUP BY r.source, r.n_before, r.accept_bps
+    """,
+    tags=("text", "sampling", "mix", "training"),
+)
+def q_mix_resample(spark, sf_dir):
+    """Domain-mix resampling: down-sample over-represented sources to a
+    UNIFORM target mix with deterministic hash sampling — the
+    "rebalance the web crawl against curated sources" step of training
+    -data assembly. Per-source acceptance is an exact integer
+    basis-point rate floor(10000·N/(S·n_s)) capped at 10000 (never
+    up-samples), and a document is kept iff its stable md5 bucket of
+    doc_id falls under the rate — so membership is reproducible across
+    runs, engines, and corpus re-shards (same property as
+    q_split_assign, unlike rand()-based sampling). Plan: one groupBy
+    for per-source counts, the tiny rate table broadcast back onto the
+    corpus, one narrow filter — the only movement at 100 TB is the
+    count aggregation; the accepted-set scan is shuffle-free."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_before"))
+    tot = per_src.agg(
+        F.sum("n_before").alias("n_total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    rates = (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_before",
+            F.least(
+                F.lit(10000).cast("bigint"),
+                F.expr("(10000 * n_total) div (n_sources * n_before)"),
+            ).alias("accept_bps"),
+        )
+    )
+    bucket = (
+        F.expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)").cast(
+            "bigint"
+        )
+        % 10000
+    )
+    docs = d.select("doc_id", "source", bucket.alias("b"))
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_before", "accept_bps")
+        .agg(F.sum(F.when(F.col("b") < F.col("accept_bps"), 1).otherwise(0)).alias("n_kept"))
+    )

@@ -472,3 +472,136 @@ def q_scan_schema_evolution(spark, sf_dir):
         F.col("total_dec").cast("double").alias("total_dec"),
         "batch_tag",
     )
+
+
+@query(
+    "q_scan_json_corrupt",
+    oracle="""
+    SELECT COUNT(*) FILTER (WHERE doc_id % 7 <> 0) AS n_ok,
+           COUNT(*) FILTER (WHERE doc_id % 7 = 0)  AS n_corrupt,
+           CAST(SUM(doc_id) FILTER (WHERE doc_id % 7 <> 0) AS BIGINT) AS sum_ok_ids,
+           COUNT(DISTINCT lang) FILTER (WHERE doc_id % 7 <> 0) AS n_ok_langs
+    FROM documents
+    """,
+    tags=("ingest", "scan", "json", "corrupt"),
+)
+def q_scan_json_corrupt(spark, sf_dir):
+    """Malformed-record tolerance on the JSON scan path: a JSONL batch
+    where every 7th record is truncated mid-object is read back in
+    PERMISSIVE mode with an explicit ``_corrupt_record`` column — bad
+    lines surface as (NULL-filled fields + raw line) rows instead of
+    failing the job, the landing-zone contract for dirty feeds (the
+    reference's fail-fast twin is DROPMALFORMED/FAILFAST, one option
+    away on the same reader). The fixture is written DISTRIBUTED
+    (df.write.text of pre-rendered lines, executors render JSON via
+    to_json — no driver loop), and the summary proves BOTH directions:
+    corrupt lines are quarantined exactly (count matches the id%7
+    construction) and good lines are lossless (id-sum and lang-distinct
+    survive the roundtrip). At 100 TB the same read feeds the corrupt
+    rows to a quarantine sink while the clean rows proceed — one scan,
+    no pre-validation pass."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = os.path.join(
+        scratch_dir(f"q_scan_json_corrupt_{os.path.basename(sf_dir.rstrip(chr(47)))}"),
+        "docs_jsonl",
+    )
+    marker = os.path.join(out, "_SUCCESS")
+    good = F.to_json(F.struct("doc_id", "lang"))
+    bad = F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string"), F.lit(', "lang"'))
+    lines = d.select(
+        F.when(F.col("doc_id") % 7 == 0, bad).otherwise(good).alias("value")
+    )
+    if not os.path.exists(marker):
+        lines.write.mode("overwrite").text(out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    ok = F.col("_corrupt_record").isNull()
+    return back.agg(
+        F.sum(ok.cast("bigint")).alias("n_ok"),
+        F.sum((~ok).cast("bigint")).alias("n_corrupt"),
+        F.sum(F.when(ok, F.col("doc_id"))).alias("sum_ok_ids"),
+        F.countDistinct(F.when(ok, F.col("lang"))).alias("n_ok_langs"),
+    )
+
+
+@query(
+    "q_scan_zorder",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderpriority
+    FROM orders
+    WHERE o_custkey BETWEEN 40 AND 99 AND o_orderkey BETWEEN 200 AND 899
+    """,
+    tags=("ingest", "scan", "zorder", "skipping"),
+)
+def q_scan_zorder(spark, sf_dir):
+    """Z-order clustered rewrite + multi-dimension data-skipping scan:
+    orders are rewritten range-partitioned AND sorted by a Morton code
+    (16-bit interleave of o_custkey and o_orderkey, one codegen'd
+    ``aggregate`` over ``sequence(0,15)`` — no UDF), then a query
+    filtering on BOTH dimensions reads the clustered copy. Because the
+    z-curve keeps both key ranges locally narrow in every file, parquet
+    row-group min/max stats prune most files for either predicate —
+    single-column sort can only ever skip on its leading column, the
+    reason warehouse engines (Delta OPTIMIZE ZORDER BY, Iceberg
+    sort-order) ship exactly this rewrite. The oracle runs the same
+    filter on the original table, so a PASS proves the clustered copy
+    is content-identical; the skipping effectiveness itself is pinned
+    by the per-file min/max assertions in tests/test_plans.py. At
+    100 TB the rewrite is one range exchange amortized over every
+    future two-dimensional scan."""
+    o = load_table(spark, sf_dir, "orders")
+    out = os.path.join(
+        scratch_dir(f"q_scan_zorder_{os.path.basename(sf_dir.rstrip(chr(47)))}"),
+        "orders_zorder",
+    )
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        # Rank-normalize BOTH dimensions to 8 bits before interleaving:
+        # raw interleave of unequal-width keys degenerates (the wider
+        # key's high bits own every split boundary, so the narrow key
+        # never clusters) — the same reason Delta/Iceberg z-order on
+        # range-ranks, not raw values. The bounds row is one tiny agg
+        # broadcast to every task.
+        bounds = o.agg(
+            F.min("o_custkey").alias("_cmin"),
+            F.max("o_custkey").alias("_cmax"),
+            F.min("o_orderkey").alias("_omin"),
+            F.max("o_orderkey").alias("_omax"),
+        )
+        z = F.expr(
+            "aggregate(sequence(0, 7), 0L, (acc, i) -> acc"
+            " + shiftleft(cast(shiftright(_cn, i) & 1 as bigint), 2 * i)"
+            " + shiftleft(cast(shiftright(_on, i) & 1 as bigint), 2 * i + 1))"
+        )
+        (
+            o.crossJoin(F.broadcast(bounds))
+            .withColumn(
+                "_cn",
+                F.expr("((o_custkey - _cmin) * 255) div greatest(_cmax - _cmin, 1)"),
+            )
+            .withColumn(
+                "_on",
+                F.expr("((o_orderkey - _omin) * 255) div greatest(_omax - _omin, 1)"),
+            )
+            .withColumn("_z", z)
+            .repartitionByRange(16, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z", "_cn", "_on", "_cmin", "_cmax", "_omin", "_omax")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    back = spark.read.parquet(out)
+    return back.filter(
+        F.col("o_custkey").between(40, 99) & F.col("o_orderkey").between(200, 899)
+    ).select("o_orderkey", "o_custkey", "o_orderpriority")

@@ -50,12 +50,15 @@ for _mod in (
 # this round (q_scalar_try, q_scan_schema_evolution); slots 5-50 are 46
 # of the 49 remaining keys that have never had driver evidence (all 53
 # were frozen out when the round-3 registry outgrew the 50-slot window).
-# The 5 deferred to lead round 5 are TPC-H variants whose shape-twins are
-# already driver-green: q_tpch_q4 (semi-join EXISTS, twin of green r1
-# semi-join), q_tpch_q12 (join + conditional agg, twin of green Q14),
-# q_tpch_q16 (distinct-count group, twin of green r1 count-distinct),
-# q_tpch_q19 (disjunctive pushdown, twin of green Q6), q_tpch_q22
-# (anti-join + scalar avg, twin of green Q13/subq family).
+# The round-5 rotation queue (zero driver evidence after round 4):
+# 5 TPC-H variants whose shape-twins are already driver-green —
+# q_tpch_q4 (semi-join EXISTS, twin of green r1 semi-join), q_tpch_q12
+# (join + conditional agg, twin of green Q14), q_tpch_q16
+# (distinct-count group, twin of green r1 count-distinct), q_tpch_q19
+# (disjunctive pushdown, twin of green Q6), q_tpch_q22 (anti-join +
+# scalar avg, twin of green Q13/subq family) — plus the 5 keys added in
+# round 4: q_text_classifier, q_mix_resample, q_dedup_url,
+# q_scan_json_corrupt, q_scan_zorder.
 _PRIORITY: tuple[str, ...] = (
     # --- round-3 driver reds, root-caused + fixed (Decimal→DOUBLE) -------
     "q_subq_scalar",

@@ -623,3 +623,92 @@ def test_keywords_broadcasts_document_frequency(spark, registry):
     document-frequency relation — that side must broadcast."""
     plan = _formatted_plan(registry["q_text_keywords"].fn(spark, SF_DIR))
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_classifier_is_shuffle_free(spark, registry):
+    """q_text_classifier must classify in one narrow map — any Exchange
+    in the plan means the hashing-trick dot product left codegen."""
+    plan = _formatted_plan(registry["q_text_classifier"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mix_resample_rates_are_broadcast_and_capped(spark, registry):
+    """The per-source rate table must come back to the corpus as a
+    broadcast (it is S rows), and rates never up-sample (cap 10000)."""
+    df = registry["q_mix_resample"].fn(spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["accept_bps"] <= 10000
+        assert r["n_kept"] <= r["n_before"]
+
+
+def test_dedup_url_partition_is_lossless(spark, registry):
+    """Canonical URL groups partition the corpus: variant counts must
+    sum to the document count and keep_ids must be distinct."""
+    rows = registry["q_dedup_url"].fn(spark, SF_DIR).collect()
+    total = sum(r["n_variants"] for r in rows)
+    from data_ingestor_spark.plans.registry import load_table
+
+    assert total == load_table(spark, SF_DIR, "documents").count()
+    keep_ids = [r["keep_id"] for r in rows]
+    assert len(keep_ids) == len(set(keep_ids))
+
+
+def test_zorder_files_are_narrow_in_both_dimensions(spark, registry):
+    """The z-ordered rewrite must leave every file with a NARROW
+    o_custkey and o_orderkey range (that locality is what parquet
+    min/max skipping prunes on). Assert the mean per-file range of both
+    dimensions is well under the global range — a single-column sort
+    would leave the second dimension's per-file range ≈ global."""
+    import pyspark.sql.functions as F
+
+    registry["q_scan_zorder"].fn(spark, SF_DIR).collect()  # ensure written
+    import glob as _glob
+    import os as _os
+
+    from data_ingestor_spark.plans.registry import scratch_dir
+
+    out = _os.path.join(
+        scratch_dir(f"q_scan_zorder_{_os.path.basename(SF_DIR.rstrip('/'))}"),
+        "orders_zorder",
+    )
+    back = spark.read.parquet(out).select(
+        F.input_file_name().alias("f"), "o_custkey", "o_orderkey"
+    )
+    stats = (
+        back.groupBy("f")
+        .agg(
+            (F.max("o_custkey") - F.min("o_custkey")).alias("cr"),
+            (F.max("o_orderkey") - F.min("o_orderkey")).alias("okr"),
+        )
+        .collect()
+    )
+    assert len(stats) >= 8, "expected multiple z-range files"
+    glob_row = spark.read.parquet(out).agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("cr"),
+        (F.max("o_orderkey") - F.min("o_orderkey")).alias("okr"),
+    ).collect()[0]
+    mean_cr = sum(r["cr"] for r in stats) / len(stats)
+    mean_okr = sum(r["okr"] for r in stats) / len(stats)
+    # 16 range-quantile boundaries straddle z-cells, so expect ~2-4x
+    # narrowing per dimension (a single-column sort leaves the second
+    # dimension's per-file range ~= the global range, far above /2)
+    assert mean_cr < glob_row["cr"] / 2, (mean_cr, glob_row["cr"])
+    assert mean_okr < glob_row["okr"] / 2, (mean_okr, glob_row["okr"])
+
+
+def test_json_corrupt_quarantine_is_exact(spark, registry):
+    """PERMISSIVE corrupt-record read: quarantined line count matches
+    the id%7 construction exactly and good rows are lossless."""
+    row = registry["q_scan_json_corrupt"].fn(spark, SF_DIR).collect()[0]
+    from data_ingestor_spark.plans.registry import load_table
+    import pyspark.sql.functions as F
+
+    d = load_table(spark, SF_DIR, "documents")
+    expected_corrupt = d.filter(F.col("doc_id") % 7 == 0).count()
+    assert row["n_corrupt"] == expected_corrupt
+    assert row["n_ok"] == d.count() - expected_corrupt

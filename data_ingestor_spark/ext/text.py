@@ -1071,3 +1071,180 @@ def q_mix_resample(spark, sf_dir):
         .groupBy("source", "n_before", "accept_bps")
         .agg(F.sum(F.when(F.col("b") < F.col("accept_bps"), 1).otherwise(0)).alias("n_kept"))
     )
+
+
+@query(
+    "q_sample_per_group",
+    oracle="""
+    SELECT doc_id, source, rk FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= 25
+    """,
+    tags=("text", "sampling", "eval"),
+)
+def q_sample_per_group(spark, sf_dir):
+    """Balanced per-source sampling: exactly k=25 documents from EVERY
+    source, chosen by md5 order of doc_id — the eval-set construction
+    step (uniform per-domain coverage no matter how skewed the corpus
+    mix is), reproducible across runs/engines/re-shards like every
+    sampler in this library (no rand()). One rank window per source
+    partition; at 100 TB this is a single hash exchange on source and
+    an early-stopping rank filter — no global sort."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 25)
+    )
+
+
+@query(
+    "q_text_bigram_lm",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), pairs AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM toks, UNNEST(range(1, len(t))) AS r(i)
+        WHERE len(t) >= 2
+    ), c12 AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1
+    ), v AS (
+        SELECT COUNT(DISTINCT tok) AS v
+        FROM (SELECT unnest(t) AS tok FROM toks)
+    )
+    SELECT w1, w2, c12, c1,
+           (10000 * (c12 + 1)) // (c1 + v) AS prob_bp
+    FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+    ORDER BY c12 DESC, w1, w2 LIMIT 50
+    """,
+    tags=("text", "lm", "ngram", "training"),
+)
+def q_text_bigram_lm(spark, sf_dir):
+    """Bigram language-model TRAINING on-cluster: adjacent-token pair
+    counts → add-one-smoothed conditional probabilities P(w2|w1) =
+    (c12+1)/(c1+V) — the training twin of q_text_unigram_logprob's
+    inference (together they are the CCNet loop: train the LM on the
+    clean slice, score the rest). Bigrams are materialized by one
+    codegen'd transform over each token array (no self-join on
+    position), the unigram context counts c1 are RE-AGGREGATED from
+    the bigram counts instead of rescanning the corpus, and the
+    smoothed probability is exact integer basis points — engine-stable
+    with zero FP. Top-50 by count with a full (c12,w1,w2) tie-break
+    compiles to TakeOrdered. At 100 TB: two shuffles (pair count, its
+    w1 re-agg) plus one broadcast scalar V."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.lower("text"), " ").alias("t"))
+    pairs = toks.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] as w1, t[i + 1] as w2))")
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    # c12 feeds two consumers (the join probe and the c1 re-agg);
+    # without an eager checkpoint Catalyst re-executes the whole
+    # explode+count pipeline once per consumer (and the corpus scan
+    # three times with the vocab count) — the repeated-subtree trap.
+    # The checkpointed relation is narrow: (w1, w2, count) only.
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).localCheckpoint(eager=True)
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = toks.select(F.explode("t").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    return (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            F.expr("(10000 * (c12 + 1)) div (c1 + v)").alias("prob_bp"),
+        )
+        .orderBy(F.desc("c12"), "w1", "w2")
+        .limit(50)
+    )
+
+
+@query(
+    "q_text_shard_manifest",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id,
+               LEN(string_split(lower(text), ' ')) AS n_tokens,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+               md5(CAST(doc_id AS VARCHAR)) AS okey
+        FROM (
+            SELECT doc_id, text,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+            FROM documents
+        )
+    ), cum AS (
+        SELECT split, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY split ORDER BY okey, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tokens
+        FROM sized
+    )
+    SELECT split,
+           CAST((cum_tokens - n_tokens) // 20000 AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM cum GROUP BY 1, 2
+    """,
+    tags=("text", "shard", "manifest", "training"),
+)
+def q_text_shard_manifest(spark, sf_dir):
+    """Shard manifest for training-data writers: documents are split
+    (the q_split_assign 80/10/10 hash buckets), ordered deterministically
+    within each split (md5 of doc_id — decorrelates shard membership
+    from ingest order), and packed into ~20k-token shards by an exact
+    integer running sum: a doc's shard is its starting token offset
+    div 20000, so shard boundaries are reproducible and every shard
+    except the last is full. The output is the manifest a writer uses
+    to emit one file per shard. One window over the split partition;
+    at 100 TB the running sum is per-split-partition sequential — for
+    more writer parallelism, sub-bucket the okey prefix and pack per
+    sub-bucket (same plan, one more key column)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)").cast("bigint")
+        % 100
+    )
+    sized = d.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).cast("bigint").alias("n_tokens"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+        F.md5(F.col("doc_id").cast("string")).alias("okey"),
+    )
+    w = (
+        W.partitionBy("split")
+        .orderBy("okey", "doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        cum.select(
+            "split",
+            F.expr("(cum_tokens - n_tokens) div 20000").alias("shard_id"),
+            "doc_id",
+            "n_tokens",
+        )
+        .groupBy("split", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

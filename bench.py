@@ -83,6 +83,12 @@ EXTRA = [
     "q_scd2_pit_join",      # point-in-time SCD2 enrichment
     "q_multimodal_scenes",  # frame-stream shot segmentation
     "q_event_attribution",  # carry-forward last-touch credit
+    # round 4
+    "q_text_classifier",    # hashed linear classifier inference (narrow map)
+    "q_text_bigram_lm",     # bigram LM training (pair counts + re-agg)
+    "q_dedup_url",          # URL canonicalization dedup
+    "q_mix_resample",       # domain-mix resampling (broadcast rates)
+    "q_text_shard_manifest",  # running-sum shard packing
 ]
 
 

@@ -56,10 +56,11 @@ for _mod in (
 # (join + conditional agg, twin of green Q14), q_tpch_q16
 # (distinct-count group, twin of green r1 count-distinct), q_tpch_q19
 # (disjunctive pushdown, twin of green Q6), q_tpch_q22 (anti-join +
-# scalar avg, twin of green Q13/subq family) — plus the 9 keys added in
+# scalar avg, twin of green Q13/subq family) — plus the 10 keys added in
 # round 4: q_text_classifier, q_mix_resample, q_dedup_url,
 # q_scan_json_corrupt, q_scan_zorder, q_sample_per_group,
-# q_text_bigram_lm, q_text_shard_manifest, q_equidepth_histogram.
+# q_text_bigram_lm, q_text_shard_manifest, q_equidepth_histogram,
+# q_join_incremental.
 _PRIORITY: tuple[str, ...] = (
     # --- round-3 driver reds, root-caused + fixed (Decimal→DOUBLE) -------
     "q_subq_scalar",

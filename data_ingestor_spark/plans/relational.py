@@ -1701,3 +1701,51 @@ def q_equidepth_histogram(spark, sf_dir):
             F.max("cents").alias("hi_cents"),
         )
     )
+
+
+@query(
+    "q_join_incremental",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_nationkey
+    """,
+    tags=("join", "incremental", "warehouse"),
+)
+def q_join_incremental(spark, sf_dir):
+    """Incremental JOIN view maintenance — the join twin of
+    q_agg_incremental: with BOTH sides receiving deltas, the stored
+    join result J = A₀⋈B₀ is maintained by the standard IVM delta
+    ΔJ = ΔA⋈(B₀∪ΔB) ∪ A₀⋈ΔB (the ΔA⋈ΔB cross term lands in the first
+    leg, counted once), so the refreshed view is J ∪ ΔJ at delta cost —
+    never a re-join of the full sides. The stored J is eagerly
+    checkpointed to stand in for reading a materialized result (and so
+    Catalyst cannot 'helpfully' recompute it per consumer). The oracle
+    is the full-recompute join+agg: a PASS proves maintain ≡ recompute
+    row-for-row in exact decimal-cents arithmetic. At 100 TB the delta
+    legs join a small batch against one stored side each — broadcast
+    the delta, never shuffle the stored table."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", dec("o_totalprice").alias("price_dec")
+    )
+    c_base = c.filter(F.col("c_custkey") % 7 != 0)
+    c_delta = c.filter(F.col("c_custkey") % 7 == 0)
+    o_base = o.filter(F.col("o_custkey") % 10 != 0)
+    o_delta = o.filter(F.col("o_custkey") % 10 == 0)
+
+    stored = c_base.join(
+        o_base, c_base.c_custkey == o_base.o_custkey
+    ).select("c_nationkey", "price_dec").localCheckpoint(eager=True)
+    delta_a = c_delta.join(o, c_delta.c_custkey == o.o_custkey).select(
+        "c_nationkey", "price_dec"
+    )
+    delta_b = c_base.join(o_delta, c_base.c_custkey == o_delta.o_custkey).select(
+        "c_nationkey", "price_dec"
+    )
+    refreshed = stored.unionByName(delta_a).unionByName(delta_b)
+    return refreshed.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price_dec").cast("double").alias("total"),
+    )

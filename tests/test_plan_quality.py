@@ -764,3 +764,16 @@ def test_equidepth_buckets_are_balanced(spark, registry):
     assert max(sizes) - min(sizes) <= 1
     for a, b in zip(rows, rows[1:]):
         assert a["hi_cents"] <= b["lo_cents"]
+
+
+def test_join_incremental_stored_side_checkpointed(spark, registry):
+    """q_join_incremental: the stored join result must appear as a
+    checkpointed relation (LogicalRDD), not as a re-executed join
+    subtree — and the delta legs may scan each parquet side at most
+    twice (delta_a scans orders once, delta_b scans customer+orders
+    once each)."""
+    plan = _formatted_plan(registry["q_join_incremental"].fn(spark, SF_DIR))
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+    # formatted explain lists each scan twice (tree node + detail
+    # section): 4 physical scans => 8 mentions
+    assert plan.count("Scan parquet") <= 8, plan

@@ -89,6 +89,8 @@ EXTRA = [
     "q_dedup_url",          # URL canonicalization dedup
     "q_mix_resample",       # domain-mix resampling (broadcast rates)
     "q_text_shard_manifest",  # running-sum shard packing
+    "q_table_diff",         # snapshot diff full-outer classification
+    "q_compact_plan",       # small-file compaction bin-packing
 ]
 
 

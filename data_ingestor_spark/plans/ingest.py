@@ -605,3 +605,83 @@ def q_scan_zorder(spark, sf_dir):
     return back.filter(
         F.col("o_custkey").between(40, 99) & F.col("o_orderkey").between(200, 899)
     ).select("o_orderkey", "o_custkey", "o_orderpriority")
+
+
+@query(
+    "q_compact_plan",
+    oracle="""
+    WITH files AS (
+        SELECT source, doc_id // 25 AS file_id, SUM(n_chars) AS bytes
+        FROM documents GROUP BY 1, 2
+    ), small AS (
+        SELECT source, file_id, bytes,
+               SUM(bytes) OVER (PARTITION BY source ORDER BY file_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_bytes
+        FROM files WHERE bytes < 700
+    )
+    SELECT source, 'compact' AS action,
+           CAST((cum_bytes - bytes) // 2000 AS BIGINT) AS bin_id,
+           COUNT(*) AS n_files, CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           MIN(file_id) AS first_file
+    FROM small GROUP BY 1, 3
+    UNION ALL
+    SELECT source, 'keep', file_id, 1, CAST(bytes AS BIGINT), file_id
+    FROM files WHERE bytes >= 700
+    """,
+    tags=("ingest", "compaction", "layout", "maintenance"),
+)
+def q_compact_plan(spark, sf_dir):
+    """Small-file compaction planner (Delta OPTIMIZE / Iceberg
+    rewrite_data_files shape): given a file manifest (path, bytes),
+    files below a small-file threshold are bin-packed into ~target-size
+    rewrite groups by an exact running sum per table partition — a
+    file's bin is its starting byte offset div target — while
+    already-large files pass through untouched. The output is the
+    rewrite plan a maintenance job executes: one row per output file,
+    with the file count and exact byte size of each planned bin. The
+    manifest here is simulated from ``documents`` (25-doc groups as
+    "files", n_chars as bytes) so the query is self-contained; in
+    production the same plan runs over the real file listing
+    (``q_scan_binaryfile`` shape or a table-format manifest). Bin
+    boundaries are reproducible (deterministic file order), every bin
+    except a partition's last is ≥ target, and the planner never
+    touches file CONTENT — at 100 TB it reads only the manifest
+    (KB-per-million-files), one window per table partition, and the
+    rewrite fan-out it emits is embarrassingly parallel."""
+    d = load_table(spark, sf_dir, "documents")
+    files = d.groupBy(
+        "source", F.expr("doc_id div 25").alias("file_id")
+    ).agg(F.sum("n_chars").alias("bytes"))
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("source")
+        .orderBy("file_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    small = files.filter(F.col("bytes") < 700).withColumn(
+        "cum_bytes", F.sum("bytes").over(w)
+    )
+    compact = small.groupBy(
+        "source",
+        F.expr("(cum_bytes - bytes) div 2000").cast("bigint").alias("bin_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("total_bytes"),
+        F.min("file_id").alias("first_file"),
+    )
+    keep = files.filter(F.col("bytes") >= 700).select(
+        "source",
+        F.col("file_id").alias("bin_id"),
+        F.lit(1).cast("bigint").alias("n_files"),
+        F.col("bytes").cast("bigint").alias("total_bytes"),
+        F.col("file_id").alias("first_file"),
+    )
+    return compact.withColumn("action", F.lit("compact")).select(
+        "source", "action", "bin_id", "n_files", "total_bytes", "first_file"
+    ).unionByName(
+        keep.withColumn("action", F.lit("keep")).select(
+            "source", "action", "bin_id", "n_files", "total_bytes", "first_file"
+        )
+    )

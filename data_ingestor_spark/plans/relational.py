@@ -901,6 +901,99 @@ def q_merge_upsert(spark, sf_dir):
 
 
 @query(
+    "q_table_diff",
+    oracle="""
+    WITH v_old AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 13 <> 0
+    ), v_new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'F' ELSE o_orderstatus END
+                   AS o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                              * CAST(1.1 AS DECIMAL(3,1)) AS DOUBLE)
+                    ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                    END AS price,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 10 <> 0
+    )
+    SELECT change_type, o_orderpriority,
+           COUNT(*) AS n_rows,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM (
+        SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+               COALESCE(n.o_orderpriority, o.o_orderpriority) AS o_orderpriority,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN n.price IS DISTINCT FROM o.price
+                      OR n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+                        THEN 'changed'
+                    ELSE 'unchanged' END AS change_type
+        FROM v_old o FULL OUTER JOIN v_new n ON o.o_orderkey = n.o_orderkey
+    )
+    GROUP BY 1, 2
+    """,
+    tags=("diff", "cdc", "versioning"),
+)
+def q_table_diff(spark, sf_dir):
+    """Snapshot diff / CDC derivation: two versions of a table are
+    compared by a single full outer join on the primary key, and every
+    row is classified added / removed / changed / unchanged by
+    null-safe value comparison — the reverse of MERGE (q_merge_upsert
+    applies a change set; this derives one), and the core of snapshot
+    "time travel diff" and reconciliation jobs. The two versions are
+    simulated from the same table (every 13th key absent from v1 →
+    added; every 10th absent from v2 → removed; every 7th re-priced
+    and re-statused → changed) so the query is self-contained and the
+    classification is deterministic. Prices are compared after exact
+    decimal arithmetic cast to double, identical in both engines. At
+    100 TB this is one co-partitioned shuffle on the key (zero if both
+    snapshots are bucketed by it), and the classified row stream can
+    feed an incremental downstream instead of a full recompute; the
+    final rollup keeps the result small and hash-stable."""
+    o = load_table(spark, sf_dir, "orders")
+    v_old = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("old_key"),
+        F.col("o_orderstatus").alias("old_status"),
+        dec("o_totalprice").cast("double").alias("old_price"),
+        F.col("o_orderpriority").alias("old_prio"),
+    )
+    bumped = (dec("o_totalprice") * F.lit(1.1).cast("decimal(3,1)")).cast("double")
+    v_new = o.filter(F.col("o_orderkey") % 10 != 0).select(
+        F.col("o_orderkey").alias("new_key"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("F"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("new_status"),
+        F.when(F.col("o_orderkey") % 7 == 0, bumped)
+        .otherwise(dec("o_totalprice").cast("double"))
+        .alias("new_price"),
+        F.col("o_orderpriority").alias("new_prio"),
+    )
+    joined = v_old.join(v_new, v_old.old_key == v_new.new_key, "full")
+    classified = joined.select(
+        F.coalesce("new_key", "old_key").alias("o_orderkey"),
+        F.coalesce("new_prio", "old_prio").alias("o_orderpriority"),
+        F.when(F.col("old_key").isNull(), "added")
+        .when(F.col("new_key").isNull(), "removed")
+        .when(
+            ~F.col("new_price").eqNullSafe(F.col("old_price"))
+            | ~F.col("new_status").eqNullSafe(F.col("old_status")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
+    return classified.groupBy("change_type", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@query(
     "q_scd2_intervals",
     oracle="""
     SELECT user_id, event_type AS state, ts AS valid_from,

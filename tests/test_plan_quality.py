@@ -777,3 +777,54 @@ def test_join_incremental_stored_side_checkpointed(spark, registry):
     # formatted explain lists each scan twice (tree node + detail
     # section): 4 physical scans => 8 mentions
     assert plan.count("Scan parquet") <= 8, plan
+
+
+def test_table_diff_single_join_and_classification(spark, registry):
+    """q_table_diff: one full-outer shuffle join on the key (never a
+    cartesian), manifest-table pushdown, and the classification covers
+    all four change types with internally-consistent counts."""
+    df = registry["q_table_diff"].fn(spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    # formatted explain lists each node twice (tree + detail section):
+    # one physical join => 2 mentions
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 2
+    rows = df.collect()
+    by_type = {}
+    for r in rows:
+        by_type[r["change_type"]] = by_type.get(r["change_type"], 0) + r["n_rows"]
+    assert set(by_type) == {"added", "removed", "changed", "unchanged"}
+    # every 13th key is absent from v_old: those present in v_new are 'added'
+    from data_ingestor_spark.plans.registry import load_table
+
+    keys = load_table(spark, SF_DIR, "orders").select("o_orderkey")
+    expect_added = keys.filter("o_orderkey % 13 = 0 AND o_orderkey % 10 <> 0").count()
+    expect_removed = keys.filter("o_orderkey % 10 = 0 AND o_orderkey % 13 <> 0").count()
+    assert by_type["added"] == expect_added
+    assert by_type["removed"] == expect_removed
+
+
+def test_compact_plan_reads_manifest_columns_only(spark, registry):
+    """q_compact_plan: the planner must never read document CONTENT —
+    ReadSchema carries only the manifest columns (source, doc_id,
+    n_chars), and every planned bin honors the size contract: 'keep'
+    rows are single files >= threshold; every non-final 'compact' bin
+    per source is >= target - (threshold - 1) bytes."""
+    df = registry["q_compact_plan"].fn(spark, SF_DIR)
+    plan = _formatted_plan(df)
+    for ln in plan.splitlines():
+        if "ReadSchema" in ln:
+            assert "text" not in ln and "lang" not in ln, ln
+    rows = df.collect()
+    assert rows
+    last_bin = {}
+    for r in rows:
+        if r["action"] == "compact":
+            key = r["source"]
+            last_bin[key] = max(last_bin.get(key, -1), r["bin_id"])
+    for r in rows:
+        if r["action"] == "keep":
+            assert r["n_files"] == 1 and r["total_bytes"] >= 700
+        else:
+            if r["bin_id"] < last_bin[r["source"]]:
+                assert r["total_bytes"] >= 2000 - 699, r

@@ -91,6 +91,8 @@ EXTRA = [
     "q_text_shard_manifest",  # running-sum shard packing
     "q_table_diff",         # snapshot diff full-outer classification
     "q_compact_plan",       # small-file compaction bin-packing
+    "q_graph_pagerank",     # 3-iteration integer-scaled PageRank
+    "q_interval_concurrency",  # sweep-line two-phase prefix sum
 ]
 
 

@@ -163,3 +163,104 @@ def q_graph_triangles(spark, sf_dir):
     return members.groupBy(F.col("v").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+
+
+@query(
+    "q_graph_pagerank",
+    oracle=_PAIR_GRAPH_CTE
+    + """
+    , edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), deg AS (
+        SELECT src AS v, COUNT(*) AS outdeg FROM edges GROUP BY src
+    ), nv AS (
+        SELECT COUNT(*) AS n FROM deg
+    ), r0 AS (
+        SELECT v, outdeg,
+               (1000000000000 // n) AS rank, n
+        FROM deg CROSS JOIN nv
+    ), r1 AS (
+        SELECT s.v, s.outdeg, s.n,
+               ((1000000000000 // s.n) * 15) // 100
+               + (85 * COALESCE(c.s, 0)) // 100 AS rank
+        FROM r0 s LEFT JOIN (
+            SELECT e.dst AS v, SUM(r.rank // r.outdeg) AS s
+            FROM edges e JOIN r0 r ON e.src = r.v GROUP BY e.dst
+        ) c ON s.v = c.v
+    ), r2 AS (
+        SELECT s.v, s.outdeg, s.n,
+               ((1000000000000 // s.n) * 15) // 100
+               + (85 * COALESCE(c.s, 0)) // 100 AS rank
+        FROM r1 s LEFT JOIN (
+            SELECT e.dst AS v, SUM(r.rank // r.outdeg) AS s
+            FROM edges e JOIN r1 r ON e.src = r.v GROUP BY e.dst
+        ) c ON s.v = c.v
+    ), r3 AS (
+        SELECT s.v, s.outdeg, s.n,
+               ((1000000000000 // s.n) * 15) // 100
+               + (85 * COALESCE(c.s, 0)) // 100 AS rank
+        FROM r2 s LEFT JOIN (
+            SELECT e.dst AS v, SUM(r.rank // r.outdeg) AS s
+            FROM edges e JOIN r2 r ON e.src = r.v GROUP BY e.dst
+        ) c ON s.v = c.v
+    )
+    SELECT v AS doc_id, CAST(rank AS BIGINT) AS rank_scaled
+    FROM r3
+    """,
+    tags=("graph", "dedup", "pagerank", "iterative"),
+)
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank (3 unrolled power iterations, damping 0.85) over the
+    near-dup graph — ranks template hubs by *transitive* influence,
+    where raw degree only sees direct neighbors: a document bridging
+    two re-post cliques outranks an equal-degree node inside one.
+    Determinism discipline: ranks are exact BIGINTs in parts-per-10^12
+    (rank/outdeg and the damping split are integer division), so the
+    per-vertex contribution sum is associative and the hash is
+    bit-stable across engines and partitionings — the same
+    integer-scaling defense as q_text_unigram_logprob. Scale shape:
+    each iteration is one equality join (edges ⋈ ranks on src, shuffle
+    keyed by vertex) plus one vertex-keyed partial-agg sum; the vertex
+    count arrives via a broadcast 1-row aggregate, never a collect.
+    Edge list checkpointed once (_pair_edges); iterations unrolled like
+    q_kmeans_train so one Catalyst plan carries the whole recurrence.
+    At 100 TB: pre-partition edges and ranks by vertex and every
+    iteration reuses the same co-partitioning; symmetrized near-dup
+    graphs have no dangling nodes (every vertex has outdeg >= 1), the
+    left join + COALESCE(0) still guards isolated receivers."""
+    pairs = _pair_edges(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    deg = edges.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    nv = deg.agg(F.count(F.lit(1)).alias("n"))
+    state = deg.crossJoin(F.broadcast(nv)).withColumn(
+        "rank", F.expr("1000000000000L div n")
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(state, edges.src == state.v)
+            .select("dst", F.expr("rank div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        state = (
+            state.drop("rank")
+            .join(contrib, state.v == contrib.dst, "left")
+            .select(
+                "v",
+                "outdeg",
+                "n",
+                F.expr(
+                    "((1000000000000L div n) * 15) div 100"
+                    " + (85 * coalesce(s, 0L)) div 100"
+                ).alias("rank"),
+            )
+        )
+    return state.select(
+        F.col("v").alias("doc_id"), F.col("rank").cast("bigint").alias("rank_scaled")
+    )

@@ -60,7 +60,8 @@ for _mod in (
 # round 4: q_text_classifier, q_mix_resample, q_dedup_url,
 # q_scan_json_corrupt, q_scan_zorder, q_sample_per_group,
 # q_text_bigram_lm, q_text_shard_manifest, q_equidepth_histogram,
-# q_join_incremental, q_table_diff, q_compact_plan.
+# q_join_incremental, q_table_diff, q_compact_plan, q_graph_pagerank,
+# q_interval_concurrency.
 _PRIORITY: tuple[str, ...] = (
     # --- round-3 driver reds, root-caused + fixed (Decimal→DOUBLE) -------
     "q_subq_scalar",

@@ -702,3 +702,91 @@ def q_event_ewma(spark, sf_dir):
             / F.sum("pw").over(win).cast("double")
         ).alias("ewma"),
     )
+
+
+@query(
+    "q_interval_concurrency",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sids AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gaps
+    ), sess AS (
+        SELECT user_id, MIN(ts) AS s, MAX(ts) + INTERVAL '30 minutes' AS en
+        FROM sids GROUP BY user_id, sid
+    ), pts AS (
+        SELECT s AS t, 1 AS delta FROM sess
+        UNION ALL
+        SELECT en AS t, -1 AS delta FROM sess
+    ), run AS (
+        SELECT t, delta,
+               SUM(delta) OVER (ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS c
+        FROM pts
+    )
+    SELECT date_trunc('hour', t) AS hr,
+           CAST(MAX(c) AS BIGINT) AS max_concurrency,
+           COUNT(*) AS n_transitions
+    FROM run GROUP BY 1
+    """,
+    tags=("time", "interval", "sweepline", "concurrency"),
+)
+def q_interval_concurrency(spark, sf_dir):
+    """Sweep-line concurrency timeline: how many user sessions are
+    simultaneously open, reported as the per-hour maximum — the load
+    curve capacity planning reads, and the classic case where the naive
+    formulation (interval self-join, or one global ordered running sum)
+    dies at scale. This plan is the distributed two-phase prefix sum:
+    session intervals (the same 30-minute session_window as
+    q_window_session) unpivot to +1/-1 endpoints; each HOUR partition
+    computes its local running sum in parallel (one hash exchange keyed
+    by hour); then the per-hour delta totals — one tiny row per hour,
+    not per event — flow through a single ordered window to produce
+    each hour's carry-in offset, and max(offset + local_max) is exact.
+    Ordering ties (t, delta) puts -1 before +1 at the same instant
+    (half-open intervals), and within an equal-(t,delta) tie group the
+    running-sum multiset is permutation-invariant, so MAX is
+    deterministic. At 100 TB: the per-point work is fully partitioned;
+    the only serial state is #hours rows (a year is 8760), the standard
+    prefix-sum decomposition onto Spark windows. Exact integers
+    throughout -> bit-stable hash. Semantics note: per-hour max is over
+    post-transition levels within that hour; hours with no endpoints
+    carry no row (downstream gap-fill, q_gap_fill, densifies if
+    needed)."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    sess = (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("s"), F.col("w.end").alias("en"))
+    )
+    pts = sess.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionAll(
+        sess.select(F.col("en").alias("t"), F.lit(-1).alias("delta"))
+    ).withColumn("hr", F.date_trunc("hour", F.col("t")))
+    wloc = W.partitionBy("hr").orderBy("t", "delta").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    loc = pts.withColumn("c_loc", F.sum("delta").over(wloc))
+    hr_stats = loc.groupBy("hr").agg(
+        F.max("c_loc").alias("max_loc"),
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum("delta").alias("tot"),
+    )
+    woff = W.orderBy("hr").rowsBetween(W.unboundedPreceding, -1)
+    return (
+        hr_stats.withColumn(
+            "offset", F.coalesce(F.sum("tot").over(woff), F.lit(0))
+        )
+        .select(
+            "hr",
+            (F.col("offset") + F.col("max_loc")).cast("bigint").alias("max_concurrency"),
+            "n_transitions",
+        )
+    )

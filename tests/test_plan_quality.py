@@ -828,3 +828,42 @@ def test_compact_plan_reads_manifest_columns_only(spark, registry):
         else:
             if r["bin_id"] < last_bin[r["source"]]:
                 assert r["total_bytes"] >= 2000 - 699, r
+
+
+def test_pagerank_no_cartesian_and_integer_ranks(spark, registry):
+    """q_graph_pagerank: every iteration joins edges to ranks by
+    equality (no cartesian; the only nested-loop join is the broadcast
+    1-row vertex count), and ranks are exact BIGINTs that conserve
+    total mass within integer-floor loss (sum <= SCALE, and within
+    N + 85 units of floor loss per vertex of it)."""
+    df = registry["q_graph_pagerank"].fn(spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert rows and all(isinstance(r["rank_scaled"], int) for r in rows)
+    total = sum(r["rank_scaled"] for r in rows)
+    n = len(rows)
+    assert total <= 1_000_000_000_000
+    assert total >= 1_000_000_000_000 - 100 * n
+
+
+def test_interval_concurrency_two_phase_prefix_sum(spark, registry):
+    """q_interval_concurrency: point-level work must be partitioned by
+    hour (hash exchange on hr); the only single-partition window runs
+    over per-hour totals (rows = #hours, not #points); and transitions
+    conserve: every session contributes exactly one +1 and one -1."""
+    df = registry["q_interval_concurrency"].fn(spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "hashpartitioning(hr" in plan
+    assert plan.count("SinglePartition") >= 1
+    rows = df.collect()
+    n_trans = sum(r["n_transitions"] for r in rows)
+    from pyspark.sql import functions as F
+    from data_ingestor_spark.plans.registry import load_table
+
+    e = load_table(spark, SF_DIR, "events")
+    n_sessions = (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id").count().count()
+    )
+    assert n_trans == 2 * n_sessions
+    assert all(r["max_concurrency"] >= 0 for r in rows)

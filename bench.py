@@ -93,6 +93,7 @@ EXTRA = [
     "q_compact_plan",       # small-file compaction bin-packing
     "q_graph_pagerank",     # 3-iteration integer-scaled PageRank
     "q_interval_concurrency",  # sweep-line two-phase prefix sum
+    "q_source_overlap",     # mergeable min-wise source sketches
 ]
 
 

@@ -1175,3 +1175,68 @@ def q_dedup_url(spark, sf_dir):
         .groupBy("canonical_url")
         .agg(F.count(F.lit(1)).alias("n_variants"), F.min("doc_id").alias("keep_id"))
     )
+
+
+_SRC_MATCH_DUCK = " + ".join(
+    f"CAST(a.m{i} = b.m{i} AS BIGINT)" for i in range(MINHASH_K)
+)
+
+
+@query(
+    "q_source_overlap",
+    oracle=f"""
+    WITH doc_sigs AS (
+        SELECT source, {_MH_DUCK_COLS}
+        FROM (SELECT source, list_distinct(string_split(lower(text), ' ')) AS toks
+              FROM documents)
+    ), src_sigs AS (
+        SELECT source, {", ".join(f"MIN(m{i}) AS m{i}" for i in range(MINHASH_K))}
+        FROM doc_sigs GROUP BY source
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           {_SRC_MATCH_DUCK} AS n_match,
+           ({_SRC_MATCH_DUCK}) * 10000 // {MINHASH_K} AS est_jaccard_bp
+    FROM src_sigs a JOIN src_sigs b ON a.source < b.source
+    """,
+    tags=("dedup", "sketch", "overlap", "corpus"),
+)
+def q_source_overlap(spark, sf_dir):
+    """Corpus-level overlap matrix: estimated token-set Jaccard between
+    every pair of SOURCES via mergeable min-wise sketches — the
+    cross-corpus contamination / provenance-drift screen run before
+    mixing crawls (did src7 scrape the same sites as src12?). The trick
+    is that a min-hash is a MIN-decomposable aggregate: the signature
+    of a source's token UNION is the per-component MIN of its documents'
+    signatures, so the per-doc m0..m15 columns (the same narrow-map
+    signature q_dedup_minhash computes — shared hash family, shared
+    constants) reduce to one 16-integer sketch per source in a single
+    partial-agg groupBy, never materializing any source's token set.
+    The pairwise stage joins S source rows (20 here; even 10^4 sources
+    is a trivially broadcast 10^8-comparison nested loop over 128-byte
+    sketches), estimating Jaccard as matching-component fraction in
+    integer basis points. At 100 TB: per-doc work is a narrow map,
+    per-source state is 16 BIGINTs — the exact shape of a mergeable
+    sketch aggregation — and no stage touches text twice. Collision
+    caveat documented: 16 components give +-25% standard error per
+    pair, the tuning-screen resolution, not a verification gate (the
+    banded pair pipeline is the verifier)."""
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    sigs = minhash_signature(d)
+    src = sigs.groupBy("source").agg(
+        *[F.min(f"m{i}").alias(f"m{i}") for i in range(MINHASH_K)]
+    )
+    a = src.alias("a")
+    b = F.broadcast(src.alias("b"))
+    n_match = sum(
+        F.col(f"a.m{i}").eqNullSafe(F.col(f"b.m{i}")).cast("bigint")
+        for i in range(MINHASH_K)
+    )
+    return (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            n_match.alias("n_match"),
+        )
+        .withColumn("est_jaccard_bp", F.expr(f"n_match * 10000 div {MINHASH_K}"))
+    )

@@ -867,3 +867,19 @@ def test_interval_concurrency_two_phase_prefix_sum(spark, registry):
     )
     assert n_trans == 2 * n_sessions
     assert all(r["max_concurrency"] >= 0 for r in rows)
+
+
+def test_source_overlap_sketch_agg_and_broadcast(spark, registry):
+    """q_source_overlap: per-source sketches come from a partial-agg
+    groupBy (HashAggregate pair), the pairwise stage broadcasts (never
+    a shuffle of sketches), and estimates are symmetric-consistent:
+    n_match in [0, 16], est = n_match * 10000 // 16."""
+    df = registry["q_source_overlap"].fn(spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    rows = df.collect()
+    assert len(rows) == 190  # C(20,2) source pairs
+    for r in rows:
+        assert 0 <= r["n_match"] <= 16
+        assert r["est_jaccard_bp"] == r["n_match"] * 10000 // 16

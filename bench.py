@@ -94,6 +94,7 @@ EXTRA = [
     "q_graph_pagerank",     # 3-iteration integer-scaled PageRank
     "q_interval_concurrency",  # sweep-line two-phase prefix sum
     "q_source_overlap",     # mergeable min-wise source sketches
+    "q_bpe_train",          # two-round BPE merge training
 ]
 
 

@@ -1248,3 +1248,124 @@ def q_text_shard_manifest(spark, sf_dir):
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+_BPE_PAIRS_DUCK = """
+    SELECT pair, SUM(c) AS cnt FROM (
+        SELECT unnest([a[i] || ' ' || a[i+1] for i in range(1, len(a))]) AS pair, c
+        FROM (SELECT string_split(trim(rep), ' ') AS a, c FROM {src})
+    ) GROUP BY pair
+"""
+
+
+@query(
+    "q_bpe_train",
+    oracle=f"""
+    WITH words AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ), vocab AS (
+        SELECT w, COUNT(*) AS c FROM words WHERE w <> '' GROUP BY w
+    ), rep0 AS (
+        SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS rep, c
+        FROM vocab
+    ), p0 AS ({_BPE_PAIRS_DUCK.format(src="rep0")}
+    ), best0 AS (
+        SELECT pair, cnt FROM p0 ORDER BY cnt DESC, pair LIMIT 1
+    ), rep1 AS (
+        SELECT replace(rep, ' ' || b.pair || ' ',
+                       ' ' || replace(b.pair, ' ', '') || ' ') AS rep, c
+        FROM rep0, best0 b
+    ), p1 AS ({_BPE_PAIRS_DUCK.format(src="rep1")}
+    ), best1 AS (
+        SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1
+    )
+    SELECT CAST(1 AS BIGINT) AS merge_rank, pair, CAST(cnt AS BIGINT) AS pair_count
+    FROM best0
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), pair, CAST(cnt AS BIGINT) FROM best1
+    """,
+    tags=("text", "bpe", "tokenizer", "training"),
+)
+def q_bpe_train(spark, sf_dir):
+    """BPE tokenizer training, two unrolled merge rounds — the
+    count-adjacent-pairs → pick-argmax → apply-merge → recount loop
+    every byte-pair-encoding trainer runs, expressed as Catalyst plans
+    with zero Python in the loop. Words reduce to a weighted symbol
+    VOCAB first (the classic BPE optimization: corpus frequency folds
+    into per-word counts, so merge rounds touch |vocab| rows, not
+    |corpus| tokens); each word is a space-joined symbol string padded
+    with sentinel spaces, adjacent pairs come from one higher-order
+    ``transform`` over the split array, and the argmax pair is a
+    deterministic TakeOrdered(1) with (count DESC, pair ASC)
+    tie-break. Applying a merge is a single ``replace`` of the
+    space-delimited pair — left-to-right non-overlapping in both
+    engines, which IS BPE's greedy application order (' a a a ' →
+    ' aa a '). At 100 TB the word-count stage is the only corpus-scale
+    shuffle; every merge round runs on the vocabulary (millions of
+    rows at web scale, broadcast-joined against a 1-row best pair) —
+    the same reason production BPE trainers are feasible at all.
+    Exact integer counts → bit-stable hash."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.lower("text"), " ")).alias("w")).filter(
+        "w <> ''"
+    )
+    # Materialize the weighted vocab ONCE: it is the working set every
+    # merge round reads, and without pinning it the best0 subtree (and
+    # its corpus-scale scan+shuffle) re-executes in each of the three
+    # places the plan references it. |vocab| rows, never |corpus|.
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    rep0 = vocab.select(
+        F.expr("concat(' ', trim(regexp_replace(w, '(.)', '$1 ')), ' ')").alias("rep"),
+        "c",
+    )
+
+    def pair_counts(repdf):
+        a = "split(trim(rep), ' ')"
+        return (
+            repdf.select(
+                F.expr(
+                    f"CASE WHEN size({a}) >= 2"
+                    f" THEN transform(sequence(1, size({a}) - 1),"
+                    f"   i -> concat(element_at({a}, i), ' ', element_at({a}, i + 1)))"
+                    f" ELSE array() END"
+                ).alias("ps"),
+                "c",
+            )
+            .select(F.explode("ps").alias("pair"), "c")
+            .groupBy("pair")
+            .agg(F.sum("c").alias("cnt"))
+        )
+
+    # best0 is read twice (merge application + final output row); it is
+    # one row, so pin it rather than re-running its pair-count round.
+    best0 = (
+        pair_counts(rep0)
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(1)
+        .localCheckpoint(eager=True)
+    )
+    rep1 = rep0.crossJoin(
+        F.broadcast(best0.select(F.col("pair").alias("bp")))
+    ).select(
+        F.expr(
+            "replace(rep, concat(' ', bp, ' '),"
+            " concat(' ', replace(bp, ' ', ''), ' '))"
+        ).alias("rep"),
+        "c",
+    )
+    best1 = pair_counts(rep1).orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
+    return best0.select(
+        F.lit(1).cast("bigint").alias("merge_rank"),
+        "pair",
+        F.col("cnt").cast("bigint").alias("pair_count"),
+    ).unionAll(
+        best1.select(
+            F.lit(2).cast("bigint").alias("merge_rank"),
+            "pair",
+            F.col("cnt").cast("bigint").alias("pair_count"),
+        )
+    )

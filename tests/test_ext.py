@@ -434,3 +434,57 @@ def test_source_overlap_min_decomposability(spark):
     )
     joined = src.select("source", "m0").join(direct, "source").collect()
     assert joined and all(r["m0"] == r["m0_direct"] for r in joined)
+
+
+def test_bpe_train_matches_pure_python_bpe(spark):
+    """Independent oracle for q_bpe_train: run the classic
+    dict-of-words BPE trainer (count pairs -> argmax -> greedy
+    left-to-right merge) in plain Python and compare both learned
+    merges and their counts exactly."""
+    from conftest import SF_DIR
+
+    from data_ingestor_spark.ext.text import q_bpe_train
+    from data_ingestor_spark.plans.registry import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("text").collect()
+    vocab = {}
+    for r in docs:
+        for w in r["text"].lower().split(" "):
+            if w:
+                vocab[w] = vocab.get(w, 0) + 1
+    reps = {tuple(w): c for w, c in vocab.items()}
+
+    def count_pairs(reps):
+        pc = {}
+        for syms, c in reps.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] = pc.get((syms[i], syms[i + 1]), 0) + c
+        return pc
+
+    def merge(reps, pair):
+        out = {}
+        for syms, c in reps.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                    merged.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            key = tuple(merged)
+            out[key] = out.get(key, 0) + c
+        return out
+
+    expected = []
+    for _ in range(2):
+        pc = count_pairs(reps)
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((f"{best[0][0]} {best[0][1]}", best[1]))
+        reps = merge(reps, best[0])
+
+    got = sorted(
+        ((r["merge_rank"], r["pair"], r["pair_count"]) for r in
+         q_bpe_train(spark, SF_DIR).collect())
+    )
+    assert got == [(1, expected[0][0], expected[0][1]), (2, expected[1][0], expected[1][1])]

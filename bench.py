@@ -95,6 +95,7 @@ EXTRA = [
     "q_interval_concurrency",  # sweep-line two-phase prefix sum
     "q_source_overlap",     # mergeable min-wise source sketches
     "q_bpe_train",          # two-round BPE merge training
+    "q_embed_pca_power",    # integer power-iteration PCA
 ]
 
 

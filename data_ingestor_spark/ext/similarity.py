@@ -938,3 +938,90 @@ def q_sim_ann_recall(spark, sf_dir):
             (F.col("hits_multi").cast("double") / F.col("n_exact")).alias("recall_multi"),
         )
     )
+
+
+def _pca_round_duck(n: int) -> str:
+    """One DuckDB power-iteration round: v{n-1} -> s{n} -> u{n} -> m{n} -> v{n}."""
+    return f"""
+    , s{n} AS (
+        SELECT l.vec_id, SUM(l.q * v.v) // 64 AS s
+        FROM long l JOIN v{n - 1} v USING (pos) GROUP BY l.vec_id
+    ), u{n} AS (
+        SELECT l.pos, SUM(l.q * s{n}.s) AS u
+        FROM long l JOIN s{n} ON l.vec_id = s{n}.vec_id GROUP BY l.pos
+    ), m{n} AS (
+        SELECT GREATEST(MAX(ABS(u)), 1) AS m FROM u{n}
+    ), v{n} AS (
+        SELECT pos, (u * 1000) // m AS v FROM u{n}, m{n}
+    )"""
+
+
+@query(
+    "q_embed_pca_power",
+    oracle=f"""
+    WITH long AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+        FROM embeddings
+    ), v0 AS (
+        SELECT DISTINCT pos, CAST(1 AS BIGINT) AS v FROM long
+    ){_pca_round_duck(1)}{_pca_round_duck(2)}{_pca_round_duck(3)}
+    SELECT pos AS dim_idx, CAST(v AS BIGINT) AS component FROM v3
+    """,
+    tags=("similarity", "pca", "iterative", "linear-algebra"),
+)
+def q_embed_pca_power(spark, sf_dir):
+    """Dominant principal direction of the embedding corpus by three
+    unrolled power iterations — the PCA every embedding pipeline runs
+    before whitening, ABBA-style dedup, or anisotropy diagnosis
+    ("is the corpus collapsing to one direction?"). Each iteration is
+    the two distributed matvecs of implicit A^T A: s = Av (row-keyed
+    join + per-vector partial-agg dot product) and u = A^T s
+    (dimension-keyed partial agg), never materializing the Gram matrix
+    — the standard scalable formulation. Determinism discipline:
+    coordinates quantize once to exact integers (FLOOR(x*1000), same
+    defense as q_embed_quantize), every product/sum is BIGINT (so the
+    reduction is associative — no float summation-order drift), and
+    each round renormalizes to max-abs 1000 by integer division (both
+    engines truncate toward zero, verified). The quantized long table
+    is pinned once (localCheckpoint) because all six matvecs read it.
+    Magnitude audit: |q| <= ~500, |v| <= 1000 => |s| <= 5e5 after the
+    div-64 damping, |u| <= N * 2.5e8 — BIGINT-safe past 3e10 vectors.
+    At 100 TB: per-iteration cost is two vector-keyed shuffles of
+    (id, int64) pairs; dimension state is 64 rows. Sign is fixed by
+    the all-ones start; components in integer thousandths. Convergence
+    per iteration is (lambda2/lambda1)^2 — unroll more rounds for a
+    narrow spectral gap; the query pins the 3-round value, and the
+    integer recurrence is verified against its float twin in
+    tests/test_ext.py (cos > 0.99)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    long = (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "xf"))
+        .select(
+            "vec_id",
+            "pos",
+            F.expr("cast(floor(cast(xf as double) * 1000) as bigint)").alias("q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    v = long.select("pos").distinct().select(
+        "pos", F.lit(1).cast("bigint").alias("v")
+    )
+    for _ in range(3):
+        s = (
+            long.join(v, "pos")
+            .groupBy("vec_id")
+            .agg(F.expr("sum(q * v) div 64").alias("s"))
+        )
+        u = (
+            long.join(s, "vec_id")
+            .groupBy("pos")
+            .agg(F.sum(F.expr("q * s")).alias("u"))
+        )
+        m = u.agg(F.greatest(F.max(F.abs(F.col("u"))), F.lit(1)).alias("m"))
+        v = u.crossJoin(F.broadcast(m)).select(
+            "pos", F.expr("(u * 1000) div m").alias("v")
+        )
+    return v.select(
+        F.col("pos").alias("dim_idx"), F.col("v").cast("bigint").alias("component")
+    )

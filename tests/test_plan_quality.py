@@ -879,7 +879,10 @@ def test_source_overlap_sketch_agg_and_broadcast(spark, registry):
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert plan.count("HashAggregate") >= 2
     rows = df.collect()
-    assert len(rows) == 190  # C(20,2) source pairs
+    from data_ingestor_spark.plans.registry import load_table
+
+    n_src = load_table(spark, SF_DIR, "documents").select("source").distinct().count()
+    assert len(rows) == n_src * (n_src - 1) // 2  # C(n,2) source pairs
     for r in rows:
         assert 0 <= r["n_match"] <= 16
         assert r["est_jaccard_bp"] == r["n_match"] * 10000 // 16

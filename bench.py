@@ -96,6 +96,7 @@ EXTRA = [
     "q_source_overlap",     # mergeable min-wise source sketches
     "q_bpe_train",          # two-round BPE merge training
     "q_embed_pca_power",    # integer power-iteration PCA
+    "q_event_trend",        # OLS slope via mergeable integer sums
 ]
 
 

@@ -468,3 +468,80 @@ def q_event_funnel_latency(spark, sf_dir):
         FROM _funnel_conv GROUP BY cohort_week
         """
     )
+
+
+@query(
+    "q_event_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                    // COUNT(*) AS BIGINT) AS mean_cents
+        FROM events GROUP BY 1, 2
+    ), xy AS (
+        SELECT event_type,
+               CAST(date_diff('day',
+                    MIN(d) OVER (PARTITION BY event_type), d) AS BIGINT) AS x,
+               mean_cents AS y
+        FROM daily
+    ), sums AS (
+        SELECT event_type,
+               COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM xy GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(((n * sxy - sx * sy) * 10000)
+                // NULLIF(n * sxx - sx * sx, 0) AS BIGINT) AS slope_bp
+    FROM sums
+    """,
+    tags=("events", "trend", "regression"),
+)
+def q_event_trend(spark, sf_dir):
+    """Per-event-type trend detection: the least-squares slope of the
+    DAILY MEAN value over the day index, as exact integer basis points
+    per day — regression as a distributed aggregation (no ML library,
+    no iterative solver: OLS over (x, y) needs only the five mergeable
+    sums n, Σx, Σy, Σxy, Σx², so it partial-aggregates like any
+    COUNT). Determinism discipline: values quantize to cents, the
+    daily mean is a truncating integer division, the day index is
+    rebased per type (same defense as q_event_ewma — regenerated
+    corpora can't overflow it), and the closed-form slope
+    (nΣxy − ΣxΣy)·10⁴ div (nΣx² − (Σx)²) is all-BIGINT with a NULLIF
+    guard for degenerate single-day groups. Magnitude audit: daily
+    MEANS (not totals) bound y ≤ ~10⁵ cents regardless of corpus
+    size, x ≤ span days, so the numerator stays < 10¹⁵ at any scale.
+    At 100 TB: one (type, day) partial agg over the corpus, then a
+    per-type aggregate over #days rows — the same two-level rollup as
+    q_event_anomaly."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.expr(
+                "cast(sum(cast(round(value * 100) as bigint)) div count(*) as bigint)"
+            ).alias("y")
+        )
+    )
+    xy = daily.select(
+        "event_type",
+        F.datediff(
+            "d", F.min("d").over(W.partitionBy("event_type"))
+        ).cast("bigint").alias("x"),
+        "y",
+    )
+    sums = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.expr(
+            "cast(((n * sxy - sx * sy) * 10000)"
+            " div nullif(n * sxx - sx * sx, 0) as bigint)"
+        ).alias("slope_bp"),
+    )

@@ -532,3 +532,35 @@ def test_pca_power_matches_numpy_integer_recurrence(spark):
         vf = uf * 1000.0 / np.max(np.abs(uf))
     cos = abs(float(np.dot(v / np.linalg.norm(v), vf / np.linalg.norm(vf))))
     assert cos > 0.99, cos
+
+
+def test_event_trend_matches_numpy_ols(spark):
+    """q_event_trend's integer closed form vs numpy lstsq on the same
+    quantized daily means: slopes agree within 1 basis point (the
+    truncation of the final integer division)."""
+    import numpy as np
+
+    from conftest import SF_DIR
+
+    from data_ingestor_spark.plans.events import q_event_trend
+    from data_ingestor_spark.plans.registry import load_table
+
+    e = load_table(spark, SF_DIR, "events").select("event_type", "ts", "value").collect()
+    daily = {}
+    for r in e:
+        key = (r["event_type"], r["ts"].date())
+        daily.setdefault(key, []).append(int(round(r["value"] * 100)))
+    by_type = {}
+    for (et, d), vals in daily.items():
+        by_type.setdefault(et, []).append((d, sum(vals) // len(vals)))
+    expected = {}
+    for et, pts in by_type.items():
+        d0 = min(d for d, _ in pts)
+        x = np.array([(d - d0).days for d, _ in pts], dtype=float)
+        y = np.array([v for _, v in pts], dtype=float)
+        slope = np.polyfit(x, y, 1)[0]
+        expected[et] = slope * 10000
+    got = {r["event_type"]: r["slope_bp"] for r in q_event_trend(spark, SF_DIR).collect()}
+    assert set(got) == set(expected)
+    for et in got:
+        assert abs(got[et] - expected[et]) <= 1.0, (et, got[et], expected[et])

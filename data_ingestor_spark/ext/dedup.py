@@ -1222,8 +1222,13 @@ def q_source_overlap(spark, sf_dir):
     banded pair pipeline is the verifier)."""
     d = load_table(spark, sf_dir, "documents").select("source", "text")
     sigs = minhash_signature(d)
-    src = sigs.groupBy("source").agg(
-        *[F.min(f"m{i}").alias(f"m{i}") for i in range(MINHASH_K)]
+    # pin the per-source sketches: the self-join reads this relation
+    # twice, and without pinning the corpus-scale signature scan would
+    # re-execute per side (S rows of 16 BIGINTs — trivially small)
+    src = (
+        sigs.groupBy("source")
+        .agg(*[F.min(f"m{i}").alias(f"m{i}") for i in range(MINHASH_K)])
+        .localCheckpoint(eager=True)
     )
     a = src.alias("a")
     b = F.broadcast(src.alias("b"))

@@ -1007,6 +1007,13 @@ def q_embed_pca_power(spark, sf_dir):
     v = long.select("pos").distinct().select(
         "pos", F.lit(1).cast("bigint").alias("v")
     )
+    from pyspark.sql import Window as W
+
+    # normalization via a global window over the 64 dimension rows —
+    # NOT a crossJoin against a separate max aggregate, which would
+    # reference (and re-execute) the u subtree twice per iteration,
+    # compounding to 2^iterations executions of the matvec chain
+    wall = W.partitionBy(F.lit(1))
     for _ in range(3):
         s = (
             long.join(v, "pos")
@@ -1018,10 +1025,11 @@ def q_embed_pca_power(spark, sf_dir):
             .groupBy("pos")
             .agg(F.sum(F.expr("q * s")).alias("u"))
         )
-        m = u.agg(F.greatest(F.max(F.abs(F.col("u"))), F.lit(1)).alias("m"))
-        v = u.crossJoin(F.broadcast(m)).select(
-            "pos", F.expr("(u * 1000) div m").alias("v")
+        u = u.withColumn(
+            "m",
+            F.greatest(F.max(F.abs(F.col("u"))).over(wall), F.lit(1).cast("bigint")),
         )
+        v = u.select("pos", F.expr("(u * 1000) div m").alias("v"))
     return v.select(
         F.col("pos").alias("dim_idx"), F.col("v").cast("bigint").alias("component")
     )

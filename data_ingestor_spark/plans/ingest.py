@@ -650,9 +650,14 @@ def q_compact_plan(spark, sf_dir):
     (KB-per-million-files), one window per table partition, and the
     rewrite fan-out it emits is embarrassingly parallel."""
     d = load_table(spark, sf_dir, "documents")
-    files = d.groupBy(
-        "source", F.expr("doc_id div 25").alias("file_id")
-    ).agg(F.sum("n_chars").alias("bytes"))
+    # pin the manifest: both the compact and keep branches read it, and
+    # without pinning the manifest-building aggregation re-executes per
+    # branch (in production this relation IS the file listing — tiny)
+    files = (
+        d.groupBy("source", F.expr("doc_id div 25").alias("file_id"))
+        .agg(F.sum("n_chars").alias("bytes"))
+        .localCheckpoint(eager=True)
+    )
     from pyspark.sql import Window as W
 
     w = (

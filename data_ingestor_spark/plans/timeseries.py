@@ -767,9 +767,20 @@ def q_interval_concurrency(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("s"), F.col("w.end").alias("en"))
     )
-    pts = sess.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionAll(
-        sess.select(F.col("en").alias("t"), F.lit(-1).alias("delta"))
-    ).withColumn("hr", F.date_trunc("hour", F.col("t")))
+    # one inline explode, NOT a union of two selects over `sess` — a
+    # union would execute the session_window aggregation subtree twice
+    pts = sess.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("en").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.t").alias("t"),
+        F.col("p.delta").alias("delta"),
+        F.date_trunc("hour", F.col("p.t")).alias("hr"),
+    )
     wloc = W.partitionBy("hr").orderBy("t", "delta").rowsBetween(
         W.unboundedPreceding, 0
     )

@@ -877,7 +877,9 @@ def test_source_overlap_sketch_agg_and_broadcast(spark, registry):
     df = registry["q_source_overlap"].fn(spark, SF_DIR)
     plan = _formatted_plan(df)
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
-    assert plan.count("HashAggregate") >= 2
+    # the sketch relation is pinned (localCheckpoint) so the corpus
+    # scan does not re-execute per self-join side
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan or "Scan ExistingRDD" in plan
     rows = df.collect()
     from data_ingestor_spark.plans.registry import load_table
 

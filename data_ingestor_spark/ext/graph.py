@@ -241,6 +241,11 @@ def q_graph_pagerank(spark, sf_dir):
     state = deg.crossJoin(F.broadcast(nv)).withColumn(
         "rank", F.expr("1000000000000L div n")
     )
+    # pin the rank state once per iteration: each round references the
+    # previous state TWICE (contribution join + receiver join), so an
+    # unpinned lineage re-executes the whole prior chain per reference
+    # — the same per-round materialization discipline as cluster_pairs
+    state = state.localCheckpoint(eager=True)
     for _ in range(3):
         contrib = (
             edges.join(state, edges.src == state.v)
@@ -260,6 +265,7 @@ def q_graph_pagerank(spark, sf_dir):
                     " + (85 * coalesce(s, 0L)) div 100"
                 ).alias("rank"),
             )
+            .localCheckpoint(eager=True)
         )
     return state.select(
         F.col("v").alias("doc_id"), F.col("rank").cast("bigint").alias("rank_scaled")

@@ -97,6 +97,7 @@ EXTRA = [
     "q_bpe_train",          # two-round BPE merge training
     "q_embed_pca_power",    # integer power-iteration PCA
     "q_event_trend",        # OLS slope via mergeable integer sums
+    "q_agg_rollup_cascade",  # hour->day->week continuous aggregate
 ]
 
 

@@ -801,3 +801,71 @@ def q_interval_concurrency(spark, sf_dir):
             "n_transitions",
         )
     )
+
+
+@query(
+    "q_agg_rollup_cascade",
+    oracle="""
+    SELECT event_type, date_trunc('week', ts) AS w,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                // COUNT(*) AS BIGINT) AS mean_cents,
+           MIN(CAST(ROUND(value * 100) AS BIGINT)) AS min_cents,
+           MAX(CAST(ROUND(value * 100) AS BIGINT)) AS max_cents
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("agg", "rollup", "cascade", "time", "continuous-aggregate"),
+)
+def q_agg_rollup_cascade(spark, sf_dir):
+    """Multi-resolution rollup cascade (continuous-aggregate /
+    hypertable pattern): hourly partial aggregates roll into daily,
+    daily into weekly — each level re-aggregates ONLY the level below,
+    never the raw events. The oracle computes weekly directly from
+    raw, so a PASS proves cascade ≡ direct through two merge hops,
+    which is the contract that lets a 100 TB event store serve any
+    granularity from stored partials at delta cost (the same
+    merge ≡ recompute guarantee as q_agg_incremental, extended to a
+    granularity hierarchy). State discipline: every statistic carried
+    between levels is mergeable — COUNT → SUM, SUM → SUM, MIN → MIN,
+    MAX → MAX — and the non-mergeable MEAN is derived at read time
+    from (sum, count) by exact integer division; values quantize to
+    cents so sums are associative. At 100 TB: the hourly level is the
+    only raw-data shuffle; each further level aggregates ~24× fewer
+    rows, and in production each level is a stored table maintained
+    incrementally."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.expr("cast(round(value * 100) as bigint)")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s"),
+        F.min(cents).alias("mn"),
+        F.max(cents).alias("mx"),
+    )
+    daily = hourly.groupBy(
+        "event_type", F.date_trunc("day", "h").alias("d")
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+    weekly = daily.groupBy(
+        "event_type", F.date_trunc("week", "d").alias("w")
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+    return weekly.select(
+        "event_type",
+        "w",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("s").cast("bigint").alias("total_cents"),
+        F.expr("s div n").cast("bigint").alias("mean_cents"),
+        F.col("mn").cast("bigint").alias("min_cents"),
+        F.col("mx").cast("bigint").alias("max_cents"),
+    )

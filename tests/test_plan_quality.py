@@ -888,3 +888,21 @@ def test_source_overlap_sketch_agg_and_broadcast(spark, registry):
     for r in rows:
         assert 0 <= r["n_match"] <= 16
         assert r["est_jaccard_bp"] == r["n_match"] * 10000 // 16
+
+
+def test_rollup_cascade_partial_aggs_and_conservation(spark, registry):
+    """q_agg_rollup_cascade: three partial+final aggregation levels, at
+    most one exchange per level, and the cascade conserves counts (the
+    weekly n column sums to the raw event count)."""
+    df = registry["q_agg_rollup_cascade"].fn(spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert plan.count("Exchange (") <= 3
+    assert plan.count("HashAggregate") >= 6  # partial + final per level
+    rows = df.collect()
+    from data_ingestor_spark.plans.registry import load_table
+
+    raw_n = load_table(spark, SF_DIR, "events").count()
+    assert sum(r["n"] for r in rows) == raw_n
+    for r in rows:
+        assert r["min_cents"] <= r["mean_cents"] <= r["max_cents"]
+        assert r["mean_cents"] == r["total_cents"] // r["n"] or r["total_cents"] < 0

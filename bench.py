@@ -98,6 +98,8 @@ EXTRA = [
     "q_embed_pca_power",    # integer power-iteration PCA
     "q_event_trend",        # OLS slope via mergeable integer sums
     "q_agg_rollup_cascade",  # hour->day->week continuous aggregate
+    "q_agg_weighted_median",  # cumulative-weight window median
+    "q_sample_weighted",    # size-biased bottom-k priority draw
 ]
 
 

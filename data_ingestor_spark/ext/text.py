@@ -1369,3 +1369,39 @@ def q_bpe_train(spark, sf_dir):
             F.col("cnt").cast("bigint").alias("pair_count"),
         )
     )
+
+
+@query(
+    "q_sample_weighted",
+    oracle="""
+    SELECT doc_id, n_chars,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               // GREATEST(n_chars, 1) AS priority
+    FROM documents
+    ORDER BY priority, doc_id
+    LIMIT 100
+    """,
+    tags=("text", "sampling", "weighted"),
+)
+def q_sample_weighted(spark, sf_dir):
+    """Size-biased weighted sampling, deterministic: bottom-k by
+    priority = hash(doc_id) div weight — the integer surrogate of
+    weighted bottom-k/priority sampling (a doc with w× the weight has
+    ~w× the chance its scaled hash lands in the bottom k), used to
+    bias training-mix draws toward longer documents without rand()
+    so the draw is reproducible across runs, engines, and re-shards,
+    and composable (the same priority column ranks any subset
+    consistently — take bottom-k of a union = union of bottom-ks
+    re-ranked). 48-bit hash keeps the division headroom exact in
+    BIGINT. One TakeOrdered(k) over a narrow map — no shuffle beyond
+    the top-k reduction; ties broken by doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    pr = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint)"
+        " div greatest(n_chars, 1L)"
+    )
+    return (
+        d.select("doc_id", "n_chars", pr.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(100)
+    )

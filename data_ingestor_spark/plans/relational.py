@@ -1842,3 +1842,73 @@ def q_join_incremental(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("price_dec").cast("double").alias("total"),
     )
+
+
+@query(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH pts AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ), cum AS (
+        SELECT l_returnflag, price_cents, w,
+               SUM(w) OVER (PARTITION BY l_returnflag
+                            ORDER BY price_cents, w
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM pts
+    )
+    SELECT l_returnflag,
+           MIN(price_cents) AS weighted_median_cents,
+           CAST(MAX(tw) AS BIGINT) AS total_weight
+    FROM cum
+    WHERE 2 * cw >= tw
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "weighted", "median", "window"),
+)
+def q_agg_weighted_median(spark, sf_dir):
+    """Exact weighted median per group (weight = quantity): the first
+    value whose cumulative weight reaches half the group total — the
+    robust center a revenue analysis wants ("the price at which half
+    the UNITS sell below"), which no unweighted percentile can answer
+    and approx sketches only bound. One ordered cumulative-sum window
+    per group plus a min-filter — the same two-phase shape as any
+    windowed rank, no self-join, no sort beyond the window's. All
+    integer (cents, unit counts): the cumulative sums are exact and
+    the (price, w) tie-break makes the cum-weight sequence
+    deterministic; the >= half test is scale-free (2*cw vs tw avoids
+    division). At 100 TB: one hash exchange on the group key, window
+    sort amortized per partition; for extreme single-group skew,
+    pre-aggregate duplicate price points first (groupBy (flag, price)
+    sum(w)) — same answer, far fewer window rows."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_returnflag",
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("price_cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    wcum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("price_cents", "w")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wtot = W.partitionBy("l_returnflag")
+    cum = pts.select(
+        "l_returnflag",
+        "price_cents",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wtot).alias("tw"),
+    )
+    return (
+        cum.filter(F.expr("2 * cw >= tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price_cents").alias("weighted_median_cents"),
+            F.max("tw").cast("bigint").alias("total_weight"),
+        )
+    )

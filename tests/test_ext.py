@@ -564,3 +564,55 @@ def test_event_trend_matches_numpy_ols(spark):
     assert set(got) == set(expected)
     for et in got:
         assert abs(got[et] - expected[et]) <= 1.0, (et, got[et], expected[et])
+
+
+def test_weighted_median_matches_bruteforce(spark):
+    """q_agg_weighted_median vs a driver-side brute force: expand each
+    row to w unit points and take the ceil-half point per group."""
+    from conftest import SF_DIR
+
+    from data_ingestor_spark.plans.registry import load_table
+
+    from data_ingestor_spark.plans import queries as q
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    groups = {}
+    for r in li:
+        groups.setdefault(r["l_returnflag"], []).append(
+            (int(round(r["l_extendedprice"] * 100)), int(r["l_quantity"]))
+        )
+    expected = {}
+    for flag, pts in groups.items():
+        pts.sort()
+        tw = sum(w for _, w in pts)
+        cw = 0
+        for price, w in pts:
+            cw += w
+            if 2 * cw >= tw:
+                expected[flag] = (price, tw)
+                break
+    got = {
+        r["l_returnflag"]: (r["weighted_median_cents"], r["total_weight"])
+        for r in q.REGISTRY["q_agg_weighted_median"].fn(spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+def test_sample_weighted_is_size_biased(spark):
+    """q_sample_weighted: deterministic, and actually size-biased — the
+    mean n_chars of the selected bottom-100 exceeds the corpus mean."""
+    from conftest import SF_DIR
+
+    from data_ingestor_spark.plans import queries as q
+    from data_ingestor_spark.plans.registry import load_table
+
+    sel = q.REGISTRY["q_sample_weighted"].fn(spark, SF_DIR).collect()
+    again = q.REGISTRY["q_sample_weighted"].fn(spark, SF_DIR).collect()
+    assert [r["doc_id"] for r in sel] == [r["doc_id"] for r in again]
+    corpus_mean = (
+        load_table(spark, SF_DIR, "documents").agg(F.avg("n_chars")).collect()[0][0]
+    )
+    sample_mean = sum(r["n_chars"] for r in sel) / len(sel)
+    assert sample_mean > corpus_mean

@@ -100,6 +100,7 @@ EXTRA = [
     "q_agg_rollup_cascade",  # hour->day->week continuous aggregate
     "q_agg_weighted_median",  # cumulative-weight window median
     "q_sample_weighted",    # size-biased bottom-k priority draw
+    "q_stream_rollup_maintain",  # foreachBatch continuous aggregate
 ]
 
 

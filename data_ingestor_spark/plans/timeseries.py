@@ -869,3 +869,129 @@ def q_agg_rollup_cascade(spark, sf_dir):
         F.col("mn").cast("bigint").alias("min_cents"),
         F.col("mx").cast("bigint").alias("max_cents"),
     )
+
+
+@query(
+    "q_stream_rollup_maintain",
+    oracle="""
+    SELECT event_type, date_trunc('week', ts) AS w,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                // COUNT(*) AS BIGINT) AS mean_cents,
+           MIN(CAST(ROUND(value * 100) AS BIGINT)) AS min_cents,
+           MAX(CAST(ROUND(value * 100) AS BIGINT)) AS max_cents
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "rollup", "incremental", "continuous-aggregate"),
+)
+def q_stream_rollup_maintain(spark, sf_dir):
+    """Streaming continuous-aggregate maintenance — the INCREMENTAL
+    twin of q_agg_rollup_cascade, executed by Structured Streaming:
+    the events table arrives as multiple micro-batches (file source,
+    maxFilesPerTrigger=1 over a 4-way split), and foreachBatch merges
+    each batch's HOURLY partial aggregate into a versioned snapshot
+    table (sinks.publish_versioned — the atomic _LATEST-pointer
+    publish, so a reader never sees a partial state). The returned
+    result rolls the final hourly state up to weekly; the oracle
+    computes weekly DIRECTLY from raw events, so a PASS proves
+    batch-arrival order + per-batch merge + cascade re-aggregation ≡
+    one-shot recompute — the full contract of a production continuous
+    aggregate (TimescaleDB/Materialize shape) on a lake. The merge is
+    order-independent BECAUSE every carried statistic is mergeable
+    (COUNT/SUM/MIN/MAX; mean derived at read time), which is exactly
+    why the availableNow file order doesn't matter. At 100 TB: each
+    micro-batch shuffles only its own delta; the state table stays at
+    hourly-grain cardinality; vacuum_versions bounds snapshot
+    history."""
+    import os
+    import uuid
+
+    from data_ingestor_spark.sinks import latest_version, publish_versioned, read_latest
+
+    prior_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        src = f"{sf_dir}/events.parquet"
+        base = os.path.basename(sf_dir.rstrip(chr(47)))
+        # one-time 4-way split of the source so availableNow delivers
+        # multiple micro-batches (a single file would be one batch)
+        in_dir = os.path.join(scratch_dir(f"q_stream_rollup_src_{base}"), "split")
+        if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
+            spark.read.parquet(src).repartition(4).write.mode("overwrite").parquet(in_dir)
+        split_schema = spark.read.parquet(in_dir).schema
+
+        state_dir = os.path.join(
+            scratch_dir(f"q_stream_rollup_state_{base}"), uuid.uuid4().hex[:8]
+        )
+        cents = F.expr("cast(round(value * 100) as bigint)")
+
+        def merge_batch(batch_df, batch_id):
+            b = normalize_event_ts(batch_df)
+            partial = b.groupBy(
+                "event_type", F.date_trunc("hour", "ts").alias("h")
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents).alias("s"),
+                F.min(cents).alias("mn"),
+                F.max(cents).alias("mx"),
+            )
+            if os.path.exists(os.path.join(state_dir, "_LATEST")):
+                merged = (
+                    read_latest(spark, state_dir)
+                    .unionByName(partial)
+                    .groupBy("event_type", "h")
+                    .agg(
+                        F.sum("n").alias("n"),
+                        F.sum("s").alias("s"),
+                        F.min("mn").alias("mn"),
+                        F.max("mx").alias("mx"),
+                    )
+                )
+            else:
+                merged = partial
+            publish_versioned(merged, state_dir)
+
+        q = (
+            spark.readStream.schema(split_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+            .writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q_stream_rollup_maintain: stream did not finish in 300s")
+        assert latest_version(state_dir) >= 1, "expected multiple incremental merges"
+        hourly = read_latest(spark, state_dir)
+        daily = hourly.groupBy(
+            "event_type", F.date_trunc("day", "h").alias("d")
+        ).agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+        weekly = daily.groupBy(
+            "event_type", F.date_trunc("week", "d").alias("w")
+        ).agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+        return weekly.select(
+            "event_type",
+            "w",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("s").cast("bigint").alias("total_cents"),
+            F.expr("s div n").cast("bigint").alias("mean_cents"),
+            F.col("mn").cast("bigint").alias("min_cents"),
+            F.col("mx").cast("bigint").alias("max_cents"),
+        )
+    finally:
+        if prior_nanos is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior_nanos)

@@ -452,3 +452,40 @@ def test_idempotent_batch_publish_scheme_qualified_uri(spark, tmp_path):
     back = spark.read.parquet(target_local)
     assert back.count() == 15
     assert back.select("batch_id").distinct().count() == 2
+
+
+def test_stream_rollup_maintain_incremental_and_equal_to_batch(spark):
+    """q_stream_rollup_maintain must (a) actually run MULTIPLE
+    incremental merges (>= 2 snapshot versions — 4 split files at one
+    file per trigger), and (b) produce exactly the batch cascade's
+    weekly result."""
+    import glob
+    import os
+    import tempfile
+
+    from conftest import SF_DIR
+
+    from data_ingestor_spark.plans import queries as q
+
+    scratch_root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_{os.getuid()}_{os.getpid()}"
+    )
+
+    streamed = {
+        (r["event_type"], r["w"]): (
+            r["n"], r["total_cents"], r["mean_cents"], r["min_cents"], r["max_cents"]
+        )
+        for r in q.REGISTRY["q_stream_rollup_maintain"].fn(spark, SF_DIR).collect()
+    }
+    batch = {
+        (r["event_type"], r["w"]): (
+            r["n"], r["total_cents"], r["mean_cents"], r["min_cents"], r["max_cents"]
+        )
+        for r in q.REGISTRY["q_agg_rollup_cascade"].fn(spark, SF_DIR).collect()
+    }
+    assert streamed == batch
+    # at least one state table recorded >= 2 versions (incremental, not one-shot)
+    pointers = glob.glob(
+        os.path.join(scratch_root, "**", "_LATEST"), recursive=True
+    )
+    assert any(int(open(p).read().strip()) >= 1 for p in pointers)

@@ -101,6 +101,7 @@ EXTRA = [
     "q_agg_weighted_median",  # cumulative-weight window median
     "q_sample_weighted",    # size-biased bottom-k priority draw
     "q_stream_rollup_maintain",  # foreachBatch continuous aggregate
+    "q_event_robust_anomaly",  # median/MAD outlier flags
 ]
 
 

@@ -545,3 +545,89 @@ def q_event_trend(spark, sf_dir):
             " div nullif(n * sxx - sx * sx, 0) as bigint)"
         ).alias("slope_bp"),
     )
+
+
+@query(
+    "q_event_robust_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d, COUNT(*) AS n
+        FROM events GROUP BY event_type, d
+    ), med AS (
+        SELECT event_type, MIN(n) AS med FROM (
+            SELECT event_type, n,
+                   SUM(1) OVER (PARTITION BY event_type ORDER BY n, d
+                                ROWS UNBOUNDED PRECEDING) AS cw,
+                   COUNT(*) OVER (PARTITION BY event_type) AS tw
+            FROM daily
+        ) WHERE 2 * cw >= tw GROUP BY event_type
+    ), dev AS (
+        SELECT daily.event_type, d, n, med, ABS(n - med) AS adev
+        FROM daily JOIN med ON daily.event_type = med.event_type
+    ), mad AS (
+        SELECT event_type, MIN(adev) AS mad FROM (
+            SELECT event_type, adev, d,
+                   SUM(1) OVER (PARTITION BY event_type ORDER BY adev, d
+                                ROWS UNBOUNDED PRECEDING) AS cw,
+                   COUNT(*) OVER (PARTITION BY event_type) AS tw
+            FROM dev
+        ) WHERE 2 * cw >= tw GROUP BY event_type
+    )
+    SELECT dev.event_type, d, CAST(n AS BIGINT) AS n,
+           CAST(med AS BIGINT) AS med, CAST(mad.mad AS BIGINT) AS mad,
+           ABS(n - med) > 5 * GREATEST(mad.mad, 1) AS is_anomaly
+    FROM dev JOIN mad ON dev.event_type = mad.event_type
+    """,
+    tags=("events", "anomaly", "robust", "median"),
+)
+def q_event_robust_anomaly(spark, sf_dir):
+    """Robust daily-volume anomaly detection: median/MAD instead of
+    mean/stddev — the estimator that doesn't move when the anomaly
+    itself inflates the baseline (one 10× traffic day shifts μ and σ
+    enough to mask itself; it moves the median by at most one rank).
+    Flag = |n − median| > 5·MAD, all exact integers: the median is the
+    ceil-half point of an ordered cumulative-count window (the same
+    scale-free 2·cw ≥ tw idiom as q_agg_weighted_median, (value, day)
+    tie-break), MAD is the median of absolute deviations by a second
+    identical window, and GREATEST(mad,1) guards the degenerate
+    all-days-equal case. No floats anywhere → bit-stable hash, no
+    round-tie defenses needed (contrast q_event_anomaly's rounded z).
+    At 100 TB: the corpus-scale work is one (type, day) partial count;
+    both median windows run over #days rows per type — the two-level
+    rollup shape again, with the windows on the tiny level."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def ceil_half_min(df, val, out):
+        wc = (
+            W.partitionBy("event_type")
+            .orderBy(val, "d")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        wt = W.partitionBy("event_type")
+        return (
+            df.withColumn("cw", F.sum(F.lit(1)).over(wc))
+            .withColumn("tw", F.count(F.lit(1)).over(wt))
+            .filter(F.expr("2 * cw >= tw"))
+            .groupBy("event_type")
+            .agg(F.min(val).alias(out))
+        )
+
+    med = ceil_half_min(daily, "n", "med")
+    dev = daily.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = ceil_half_min(dev, "adev", "mad")
+    return dev.join(mad, "event_type").select(
+        "event_type",
+        "d",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("med").cast("bigint").alias("med"),
+        F.col("mad").cast("bigint").alias("mad"),
+        (F.abs(F.col("n") - F.col("med")) > 5 * F.greatest(F.col("mad"), F.lit(1))).alias(
+            "is_anomaly"
+        ),
+    )

@@ -102,6 +102,7 @@ EXTRA = [
     "q_sample_weighted",    # size-biased bottom-k priority draw
     "q_stream_rollup_maintain",  # foreachBatch continuous aggregate
     "q_event_robust_anomaly",  # median/MAD outlier flags
+    "q_bpe_apply",          # tokenize under learned merges
 ]
 
 

@@ -1405,3 +1405,116 @@ def q_sample_weighted(spark, sf_dir):
         .orderBy("priority", "doc_id")
         .limit(100)
     )
+
+
+@query(
+    "q_bpe_apply",
+    oracle=f"""
+    WITH words AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ), vocab AS (
+        SELECT w, COUNT(*) AS c FROM words WHERE w <> '' GROUP BY w
+    ), rep0 AS (
+        SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS rep, c
+        FROM vocab
+    ), p0 AS ({_BPE_PAIRS_DUCK.format(src="rep0")}
+    ), best0 AS (
+        SELECT pair FROM p0 ORDER BY cnt DESC, pair LIMIT 1
+    ), rep1 AS (
+        SELECT replace(rep, ' ' || b.pair || ' ',
+                       ' ' || replace(b.pair, ' ', '') || ' ') AS rep, c
+        FROM rep0, best0 b
+    ), p1 AS ({_BPE_PAIRS_DUCK.format(src="rep1")}
+    ), best1 AS (
+        SELECT pair FROM p1 ORDER BY cnt DESC, pair LIMIT 1
+    ), rep2 AS (
+        SELECT replace(rep, ' ' || b.pair || ' ',
+                       ' ' || replace(b.pair, ' ', '') || ' ') AS rep, c
+        FROM rep1, best1 b
+    ), toks AS (
+        SELECT unnest(string_split(trim(rep), ' ')) AS token, c FROM rep2
+    )
+    SELECT token, CAST(SUM(c) AS BIGINT) AS n
+    FROM toks GROUP BY token
+    ORDER BY n DESC, token LIMIT 30
+    """,
+    tags=("text", "bpe", "tokenizer", "apply"),
+)
+def q_bpe_apply(spark, sf_dir):
+    """BPE tokenizer APPLICATION — the downstream half of q_bpe_train:
+    the two learned merges are applied to the weighted vocabulary and
+    the corpus is re-tokenized under the merged symbol inventory,
+    reporting the top-30 token frequencies (merged symbols compete
+    with residual single characters). Same vocab-folding trick as
+    training: merges and tokenization touch |vocab| rows with corpus
+    frequency carried as a weight, so at 100 TB the only corpus-scale
+    stage is the word count; application is a chain of two
+    space-delimited replaces (greedy left-to-right, the BPE order) and
+    one explode over the tiny vocab. Deterministic end to end:
+    argmax tie-breaks (count DESC, pair ASC), top-30 tie-break
+    (n DESC, token ASC), exact integer counts."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.lower("text"), " ")).alias("w")).filter(
+        "w <> ''"
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    rep0 = vocab.select(
+        F.expr("concat(' ', trim(regexp_replace(w, '(.)', '$1 ')), ' ')").alias("rep"),
+        "c",
+    )
+
+    def pair_counts(repdf):
+        a = "split(trim(rep), ' ')"
+        return (
+            repdf.select(
+                F.expr(
+                    f"CASE WHEN size({a}) >= 2"
+                    f" THEN transform(sequence(1, size({a}) - 1),"
+                    f"   i -> concat(element_at({a}, i), ' ', element_at({a}, i + 1)))"
+                    f" ELSE array() END"
+                ).alias("ps"),
+                "c",
+            )
+            .select(F.explode("ps").alias("pair"), "c")
+            .groupBy("pair")
+            .agg(F.sum("c").alias("cnt"))
+        )
+
+    def apply_best(repdf, bestdf):
+        return repdf.crossJoin(
+            F.broadcast(bestdf.select(F.col("pair").alias("bp")))
+        ).select(
+            F.expr(
+                "replace(rep, concat(' ', bp, ' '),"
+                " concat(' ', replace(bp, ' ', ''), ' '))"
+            ).alias("rep"),
+            "c",
+        )
+
+    best0 = (
+        pair_counts(rep0)
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(1)
+        .localCheckpoint(eager=True)
+    )
+    rep1 = apply_best(rep0, best0)
+    best1 = (
+        pair_counts(rep1)
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(1)
+        .localCheckpoint(eager=True)
+    )
+    rep2 = apply_best(rep1, best1)
+    toks = rep2.select(
+        F.explode(F.split(F.trim("rep"), " ")).alias("token"), "c"
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.sum("c").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(30)
+    )

@@ -103,6 +103,7 @@ EXTRA = [
     "q_stream_rollup_maintain",  # foreachBatch continuous aggregate
     "q_event_robust_anomaly",  # median/MAD outlier flags
     "q_bpe_apply",          # tokenize under learned merges
+    "q_dedup_containment",  # asymmetric near-superset pairs
 ]
 
 

@@ -1245,3 +1245,106 @@ def q_source_overlap(spark, sf_dir):
         )
         .withColumn("est_jaccard_bp", F.expr(f"n_match * 10000 div {MINHASH_K}"))
     )
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH sigs AS (
+        SELECT doc_id, toks, {_MH_DUCK_COLS}
+        FROM (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+              FROM documents)
+    ), banded AS (
+        SELECT doc_id, toks, unnest([{{bands}}]) AS band_key
+        FROM sigs
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.toks AS toks_a, b.toks AS toks_b
+        FROM banded a JOIN banded b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), scored AS (
+        SELECT doc_a, doc_b,
+               CAST(LEN(list_intersect(toks_a, toks_b)) AS BIGINT) AS inter,
+               CAST(LEN(toks_a) AS BIGINT) AS size_a,
+               CAST(LEN(toks_b) AS BIGINT) AS size_b
+        FROM cand
+    )
+    SELECT doc_a, doc_b, inter, size_a, size_b,
+           inter * 10000 // size_a AS cont_a_bp,
+           inter * 10000 // size_b AS cont_b_bp
+    FROM scored
+    WHERE GREATEST(inter * 10000 // size_a, inter * 10000 // size_b) >= 9500
+      AND inter * 10000 // (size_a + size_b - inter) < 9000
+    """.replace("{bands}", ", ".join(_BAND_KEYS_DUCK)),
+    tags=("dedup", "containment", "superset"),
+)
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric containment detection over the LSH candidates: flags
+    near-SUPERSET pairs — one document's token set ≥95% inside the
+    other's while the symmetric Jaccard is still <0.9 — the
+    quote/aggregation/boilerplate-wrapper pattern that symmetric
+    near-dup thresholds systematically miss (a page quoting a whole
+    smaller doc has high containment but mediocre Jaccard, so
+    q_dedup_minhash_pairs never emits it; dedup policy usually keeps
+    the superset and drops the contained copy). Same scale shape as
+    the pair pipeline: banded equality joins generate candidates (no
+    all-pairs), token sets attach by id-keyed joins, and both
+    containment directions are exact integer basis points (inter·10⁴
+    div |side|), so the hash is bit-stable. Note the LSH recall
+    caveat applies asymmetrically: banding is tuned for Jaccard, so
+    very size-skewed containment pairs may not collide in any band —
+    at production scale, pair this with a dedicated containment index
+    (suffix-array or minhash-of-shingles on the SMALL side;
+    q_dedup_substring is that family's exact-substring member)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sigs = minhash_signature(d).withColumn(
+        "toks", F.expr("array_distinct(split(lower(text), ' '))")
+    )
+    sigs = sigs.drop("text").localCheckpoint(eager=True)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[F.expr(k) for k in _BAND_KEYS_SPARK])).alias("band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand_ids = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    toks = sigs.select("doc_id", "toks")
+    scored = (
+        cand_ids.join(
+            toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")),
+            "doc_a",
+        )
+        .join(
+            toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("cast(size(array_intersect(toks_a, toks_b)) as bigint)").alias("inter"),
+            F.expr("cast(size(toks_a) as bigint)").alias("size_a"),
+            F.expr("cast(size(toks_b) as bigint)").alias("size_b"),
+        )
+    )
+    return (
+        scored.withColumn("cont_a_bp", F.expr("inter * 10000 div size_a"))
+        .withColumn("cont_b_bp", F.expr("inter * 10000 div size_b"))
+        .filter(
+            F.expr(
+                "greatest(cont_a_bp, cont_b_bp) >= 9500"
+                " AND inter * 10000 div (size_a + size_b - inter) < 9000"
+            )
+        )
+    )

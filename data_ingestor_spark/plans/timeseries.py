@@ -927,30 +927,7 @@ def q_stream_rollup_maintain(spark, sf_dir):
         cents = F.expr("cast(round(value * 100) as bigint)")
 
         def merge_batch(batch_df, batch_id):
-            b = normalize_event_ts(batch_df)
-            partial = b.groupBy(
-                "event_type", F.date_trunc("hour", "ts").alias("h")
-            ).agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(cents).alias("s"),
-                F.min(cents).alias("mn"),
-                F.max(cents).alias("mx"),
-            )
-            if os.path.exists(os.path.join(state_dir, "_LATEST")):
-                merged = (
-                    read_latest(spark, state_dir)
-                    .unionByName(partial)
-                    .groupBy("event_type", "h")
-                    .agg(
-                        F.sum("n").alias("n"),
-                        F.sum("s").alias("s"),
-                        F.min("mn").alias("mn"),
-                        F.max("mx").alias("mx"),
-                    )
-                )
-            else:
-                merged = partial
-            publish_versioned(merged, state_dir)
+            merge_hourly_batch(spark, state_dir, batch_df, batch_id)
 
         q = (
             spark.readStream.schema(split_schema)
@@ -964,7 +941,7 @@ def q_stream_rollup_maintain(spark, sf_dir):
             q.stop()
             raise TimeoutError("q_stream_rollup_maintain: stream did not finish in 300s")
         assert latest_version(state_dir) >= 1, "expected multiple incremental merges"
-        hourly = read_latest(spark, state_dir)
+        hourly = read_latest(spark, state_dir).drop("applied_bid")
         daily = hourly.groupBy(
             "event_type", F.date_trunc("day", "h").alias("d")
         ).agg(
@@ -995,3 +972,55 @@ def q_stream_rollup_maintain(spark, sf_dir):
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         else:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior_nanos)
+
+
+def merge_hourly_batch(spark, state_dir, batch_df, batch_id):
+    """Replay-idempotent continuous-aggregate merge (the foreachBatch
+    body of q_stream_rollup_maintain, module-level so the idempotence
+    contract is directly testable): merge one micro-batch's hourly
+    partial into the versioned snapshot table, exactly once under
+    foreachBatch's at-least-once contract. The max applied batch id
+    rides IN the snapshot rows — atomic with the data the way a Delta
+    txn record is — so a replayed batch (crash after publish, before
+    the streaming checkpoint committed) sees applied_bid >= its id and
+    becomes a no-op instead of double-counting. The applied-id read is
+    one scalar off the tiny state table; batch ids are monotonic under
+    Structured Streaming's sequential micro-batch execution."""
+    import os
+
+    from data_ingestor_spark.sinks import publish_versioned, read_latest
+
+    cents = F.expr("cast(round(value * 100) as bigint)")
+    if os.path.exists(os.path.join(state_dir, "_LATEST")):
+        prev = read_latest(spark, state_dir)
+        applied = prev.agg(F.max("applied_bid")).collect()[0][0]
+        if applied is not None and applied >= batch_id:
+            return False
+    else:
+        prev = None
+    b = normalize_event_ts(batch_df)
+    partial = b.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s"),
+        F.min(cents).alias("mn"),
+        F.max(cents).alias("mx"),
+    )
+    if prev is not None:
+        merged = (
+            prev.drop("applied_bid")
+            .unionByName(partial)
+            .groupBy("event_type", "h")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("s").alias("s"),
+                F.min("mn").alias("mn"),
+                F.max("mx").alias("mx"),
+            )
+        )
+    else:
+        merged = partial
+    publish_versioned(
+        merged.withColumn("applied_bid", F.lit(int(batch_id)).cast("bigint")),
+        state_dir,
+    )
+    return True

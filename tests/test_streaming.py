@@ -489,3 +489,34 @@ def test_stream_rollup_maintain_incremental_and_equal_to_batch(spark):
         os.path.join(scratch_root, "**", "_LATEST"), recursive=True
     )
     assert any(int(open(p).read().strip()) >= 1 for p in pointers)
+
+
+def test_merge_hourly_batch_replay_idempotent(spark, tmp_path):
+    """The continuous-aggregate merge must be a no-op when a batch id
+    replays (foreachBatch at-least-once → exactly-once), and must
+    apply distinct batch ids exactly once each."""
+    from data_ingestor_spark.plans.timeseries import merge_hourly_batch
+    from data_ingestor_spark.sinks import latest_version, read_latest
+
+    state = str(tmp_path / "state")
+    from datetime import datetime
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    b0 = mk([(1, datetime(2024, 1, 1, 10, 5), 1, "click", 1.0, "{}"),
+             (2, datetime(2024, 1, 1, 10, 35), 1, "click", 3.0, "{}")])
+    b1 = mk([(3, datetime(2024, 1, 1, 10, 45), 2, "click", 5.0, "{}")])
+
+    assert merge_hourly_batch(spark, state, b0, 0) is True
+    v_after_b0 = latest_version(state)
+    # replay of batch 0 (crash before checkpoint commit): must be a no-op
+    assert merge_hourly_batch(spark, state, b0, 0) is False
+    assert latest_version(state) == v_after_b0
+    # next batch applies
+    assert merge_hourly_batch(spark, state, b1, 1) is True
+    rows = {r["event_type"]: (r["n"], r["s"]) for r in read_latest(spark, state).collect()}
+    assert rows == {"click": (3, 900)}  # 100 + 300 + 500 cents, counted once each
+    # replay of batch 1 after more state: still a no-op
+    assert merge_hourly_batch(spark, state, b1, 1) is False
+    assert {r["n"] for r in read_latest(spark, state).collect()} == {3}

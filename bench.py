@@ -104,6 +104,7 @@ EXTRA = [
     "q_event_robust_anomaly",  # median/MAD outlier flags
     "q_bpe_apply",          # tokenize under learned merges
     "q_dedup_containment",  # asymmetric near-superset pairs
+    "q_join_asof_nearest",  # bidirectional nearest-in-time align
 ]
 
 

@@ -64,7 +64,8 @@ for _mod in (
 # q_interval_concurrency, q_source_overlap, q_bpe_train,
 # q_embed_pca_power, q_event_trend, q_agg_rollup_cascade,
 # q_sample_weighted, q_agg_weighted_median, q_stream_rollup_maintain,
-# q_event_robust_anomaly, q_bpe_apply, q_dedup_containment.
+# q_event_robust_anomaly, q_bpe_apply, q_dedup_containment,
+# q_join_asof_nearest.
 _PRIORITY: tuple[str, ...] = (
     # --- round-3 driver reds, root-caused + fixed (Decimal→DOUBLE) -------
     "q_subq_scalar",

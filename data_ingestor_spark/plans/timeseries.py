@@ -1024,3 +1024,102 @@ def merge_hourly_batch(spark, state_dir, batch_df, batch_id):
         state_dir,
     )
     return True
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH odedup AS (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS okey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    ), past AS (
+        SELECT e.event_id, e.user_id, e.ts, o.okey AS pk, o.o_orderdate AS pd
+        FROM events e
+        ASOF LEFT JOIN odedup o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ), fut AS (
+        SELECT e.event_id, o.okey AS fk, o.o_orderdate AS fd
+        FROM events e
+        ASOF LEFT JOIN odedup o
+          ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN pk IS NULL THEN fk
+                WHEN fk IS NULL THEN pk
+                WHEN epoch_us(p.ts) - epoch_us(pd) <= epoch_us(fd) - epoch_us(p.ts)
+                    THEN pk ELSE fk END AS nearest_orderkey,
+           CASE WHEN pk IS NULL AND fk IS NULL THEN NULL
+                WHEN fk IS NULL THEN 'past'
+                WHEN pk IS NULL THEN 'future'
+                WHEN epoch_us(p.ts) - epoch_us(pd) <= epoch_us(fd) - epoch_us(p.ts)
+                    THEN 'past' ELSE 'future' END AS direction
+    FROM past p JOIN fut f ON p.event_id = f.event_id
+    """,
+    tags=("join", "asof", "nearest", "time"),
+)
+def q_join_asof_nearest(spark, sf_dir):
+    """Nearest-in-time as-of join (bidirectional): each event picks the
+    customer's temporally CLOSEST order, past or future — the sensor-
+    fusion / record-alignment variant that neither backward nor forward
+    as-of alone answers (backward biases stale matches near gaps,
+    forward biases future leakage; nearest is what 'align these two
+    streams' usually means). Composition of the engine's two as-of
+    directions (operators/asof.py, one exchange each) + an exact
+    integer microsecond delta compare; ties (equidistant, including a
+    delta-0 order AT the event time) resolve to 'past' so the choice
+    is deterministic — and the right side is deduped to one row per
+    (key, time) first, the same determinism discipline as
+    q_join_asof. At 100 TB: two sort-merge as-of passes over the same
+    (key, time) partitioning plus one id-keyed rejoin — no range or
+    nested-loop join anywhere."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("okey"))
+    )
+    past = asof_join(
+        e,
+        o.select(F.col("o_custkey"), F.col("o_orderdate"), F.col("okey").alias("pk"))
+        .withColumn("pd", F.col("o_orderdate")),
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload=["pk", "pd"],
+        direction="backward",
+    )
+    fut = asof_join(
+        e.select(F.col("event_id").alias("f_event_id"), "user_id", "ts"),
+        o.select(F.col("o_custkey"), F.col("o_orderdate"), F.col("okey").alias("fk"))
+        .withColumn("fd", F.col("o_orderdate")),
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload=["fk", "fd"],
+        direction="forward",
+    ).select("f_event_id", "fk", "fd")
+    j = past.join(fut, past.event_id == fut.f_event_id)
+    # o_orderdate reads as TIMESTAMP_NTZ; cast to session-tz TIMESTAMP
+    # (UTC session, so the instant is unchanged) for the integer deltas
+    past_closer = F.expr(
+        "unix_micros(ts) - unix_micros(cast(pd as timestamp))"
+        " <= unix_micros(cast(fd as timestamp)) - unix_micros(ts)"
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("pk").isNull(), F.col("fk"))
+        .when(F.col("fk").isNull(), F.col("pk"))
+        .when(past_closer, F.col("pk"))
+        .otherwise(F.col("fk"))
+        .alias("nearest_orderkey"),
+        F.when(F.col("pk").isNull() & F.col("fk").isNull(), F.lit(None).cast("string"))
+        .when(F.col("fk").isNull(), F.lit("past"))
+        .when(F.col("pk").isNull(), F.lit("future"))
+        .when(past_closer, F.lit("past"))
+        .otherwise(F.lit("future"))
+        .alias("direction"),
+    )

@@ -105,6 +105,7 @@ EXTRA = [
     "q_bpe_apply",          # tokenize under learned merges
     "q_dedup_containment",  # asymmetric near-superset pairs
     "q_join_asof_nearest",  # bidirectional nearest-in-time align
+    "q_market_basket",      # frequent-pair mining with lift
 ]
 
 

@@ -1912,3 +1912,77 @@ def q_agg_weighted_median(spark, sf_dir):
             F.max("tw").cast("bigint").alias("total_weight"),
         )
     )
+
+
+@query(
+    "q_market_basket",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), norders AS (
+        SELECT COUNT(DISTINCT o) AS n FROM items
+    ), counts AS (
+        SELECT p, COUNT(*) AS n_p FROM items GROUP BY p
+    ), pairs AS (
+        SELECT a.p AS pa, b.p AS pb, COUNT(*) AS n_ab
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+    ), top AS (
+        SELECT pa, pb, n_ab FROM pairs
+        ORDER BY n_ab DESC, pa, pb LIMIT 20
+    )
+    SELECT t.pa, t.pb, CAST(t.n_ab AS BIGINT) AS n_ab,
+           CAST(ca.n_p AS BIGINT) AS n_a, CAST(cb.n_p AS BIGINT) AS n_b,
+           CAST(t.n_ab * no.n * 10000 // (ca.n_p * cb.n_p) AS BIGINT) AS lift_bp,
+           CAST(t.n_ab * 10000 // no.n AS BIGINT) AS support_bp
+    FROM top t
+    JOIN counts ca ON t.pa = ca.p
+    JOIN counts cb ON t.pb = cb.p
+    CROSS JOIN norders no
+    """,
+    tags=("basket", "cooccurrence", "association"),
+)
+def q_market_basket(spark, sf_dir):
+    """Market-basket analysis: the top-20 part pairs most often bought
+    in the same order, with exact integer support and lift — frequent-
+    pair mining as relational algebra (the first and dominant pass of
+    Apriori/FP-growth; at |basket| ~ items-per-order the pair self-join
+    IS the tractable formulation). Scale shape: baskets dedupe to
+    DISTINCT (order, part) first, the pair generation is a self-join
+    on the ORDER key (fan-out bounded by per-basket item count
+    squared, never corpus-quadratic; a pathological mega-basket is the
+    known skew case — cap or salt per-order item lists), TakeOrdered
+    keeps the head, and the small head re-joins the per-item counts
+    plus a broadcast 1-row basket total. lift_bp =
+    n_ab·N·10⁴ div (n_a·n_b) — >10000 means the pair co-occurs more
+    than independence predicts; all BIGINT so the hash is bit-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    norders = items.select("o").distinct().agg(F.count(F.lit(1)).alias("n"))
+    counts = items.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    top = pairs.orderBy(F.desc("n_ab"), "pa", "pb").limit(20)
+    return (
+        top.join(counts.select(F.col("p").alias("pa"), F.col("n_p").alias("n_a")), "pa")
+        .join(counts.select(F.col("p").alias("pb"), F.col("n_p").alias("n_b")), "pb")
+        .crossJoin(F.broadcast(norders))
+        .select(
+            "pa",
+            "pb",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.expr("n_ab * n * 10000 div (n_a * n_b)").cast("bigint").alias("lift_bp"),
+            F.expr("n_ab * 10000 div n").cast("bigint").alias("support_bp"),
+        )
+    )

@@ -106,6 +106,7 @@ EXTRA = [
     "q_dedup_containment",  # asymmetric near-superset pairs
     "q_join_asof_nearest",  # bidirectional nearest-in-time align
     "q_market_basket",      # frequent-pair mining with lift
+    "q_langid_confusion",   # classifier-vs-label confusion matrix
 ]
 
 

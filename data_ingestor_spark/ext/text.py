@@ -1518,3 +1518,63 @@ def q_bpe_apply(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(30)
     )
+
+
+@query(
+    "q_langid_confusion",
+    oracle=f"""
+    WITH pred AS (
+        SELECT lang AS lang_true, {_LANGID_ARGMAX_SQL} AS lang_pred
+        FROM (SELECT lang, {_LANGID_SCORES_SQL} FROM documents)
+    ), cells AS (
+        SELECT lang_true, lang_pred, COUNT(*) AS n
+        FROM pred GROUP BY 1, 2
+    )
+    SELECT lang_true, lang_pred, CAST(n AS BIGINT) AS n,
+           CAST(SUM(n) OVER (PARTITION BY lang_true) AS BIGINT) AS row_total,
+           CAST(n * 10000 // SUM(n) OVER (PARTITION BY lang_true) AS BIGINT)
+               AS pct_bp
+    FROM cells
+    """,
+    tags=("text", "langid", "eval", "confusion"),
+)
+def q_langid_confusion(spark, sf_dir):
+    """Model-evaluation confusion matrix: the heuristic language
+    classifier (q_text_langid's marker-stopword argmax) scored against
+    the corpus's labeled ``lang`` column — per-(true, predicted) cell
+    counts with row-normalized rates in integer basis points. This is
+    the eval-harness shape every corpus classifier needs (the same
+    measured-quality family as q_dedup_lsh_recall and
+    q_sim_ann_recall: never ship a filter without its confusion
+    matrix), and it surfaces exactly what the heuristic can't do —
+    ``zh`` has no marker list, so its row shows where unmatched
+    documents fall, and the diagonal read-off IS per-language recall.
+    Scale shape: the classifier is a narrow map (token-set membership
+    counts, no shuffle), the matrix is one |langs|²-bounded aggregate,
+    and the row normalization is a window over that micro-relation.
+    All exact integers → bit-stable hash."""
+    d = load_table(spark, sf_dir, "documents")
+    pred = d.select(
+        F.col("lang").alias("lang_true"),
+        *[
+            F.expr(
+                f"size(filter(split(text, ' '), x -> x IN ({_sql_list(ws)})))"
+            ).alias(f"score_{lang}")
+            for lang, ws in LANG_MARKERS.items()
+        ],
+    ).withColumn("lang_pred", F.expr(_LANGID_ARGMAX_SQL))
+    cells = pred.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window as W
+
+    wrow = W.partitionBy("lang_true")
+    return cells.select(
+        "lang_true",
+        "lang_pred",
+        F.col("n").cast("bigint").alias("n"),
+        F.sum("n").over(wrow).cast("bigint").alias("row_total"),
+        F.expr("n * 10000").cast("bigint").alias("_num"),
+    ).withColumn(
+        "pct_bp", F.expr("_num div row_total").cast("bigint")
+    ).drop("_num")

@@ -107,6 +107,7 @@ EXTRA = [
     "q_join_asof_nearest",  # bidirectional nearest-in-time align
     "q_market_basket",      # frequent-pair mining with lift
     "q_langid_confusion",   # classifier-vs-label confusion matrix
+    "q_knn_accuracy",       # k-NN majority-vote label eval
 ]
 
 

@@ -1033,3 +1033,69 @@ def q_embed_pca_power(spark, sf_dir):
     return v.select(
         F.col("pos").alias("dim_idx"), F.col("v").cast("bigint").alias("component")
     )
+
+
+@query(
+    "q_knn_accuracy",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, label AS label_true, embedding AS qe
+               FROM embeddings WHERE vec_id % 100 = 0),
+         b AS (SELECT vec_id, label, embedding
+               FROM embeddings WHERE vec_id % 100 <> 0),
+         z AS (SELECT q.q_id, b.vec_id, b.label,
+                      CAST(unnest(b.embedding) AS DOUBLE) AS x,
+                      CAST(unnest(q.qe) AS DOUBLE) AS y
+               FROM b, q),
+         c AS (SELECT q_id, vec_id, label,
+                      SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS cos_sim
+               FROM z GROUP BY q_id, vec_id, label),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                         ORDER BY cos_sim DESC, vec_id) AS rnk FROM c),
+         votes AS (SELECT q_id, label, COUNT(*) AS nv
+                   FROM r WHERE rnk <= 3 GROUP BY q_id, label),
+         pred AS (SELECT q_id, label AS label_pred FROM (
+                      SELECT q_id, label,
+                             ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY nv DESC, label) AS pr
+                      FROM votes) WHERE pr = 1)
+    SELECT q.q_id, CAST(q.label_true AS BIGINT) AS label_true,
+           CAST(p.label_pred AS BIGINT) AS label_pred,
+           q.label_true = p.label_pred AS correct
+    FROM q JOIN pred p ON q.q_id = p.q_id
+    """,
+    tags=("similarity", "knn", "eval", "classification"),
+)
+def q_knn_accuracy(spark, sf_dir):
+    """k-NN label classification eval: every held-out query vector
+    (vec_id % 100 = 0) is classified by majority vote of its top-3
+    cosine neighbors' labels and scored against its own label — the
+    embedding-space quality probe ("do labels cluster?") that decides
+    whether ANN-driven filtering/routing can be trusted, and the third
+    member of the measured-eval family (lsh-recall, ann-recall,
+    langid-confusion). Composition: the q_sim_knn_join plan verbatim
+    (broadcast query batch, rank-3 window), then majority vote as a
+    (q_id, label) count + deterministic (votes DESC, label ASC)
+    argmax window, joined back to the query's true label. At 100 TB
+    the eval set stays sample-sized by construction, so every stage
+    past the one broadcast scan is micro-relation work."""
+    from pyspark.sql import Window
+
+    knn = q_sim_knn_join(spark, sf_dir)
+    votes = knn.groupBy("q_id", "label").agg(F.count(F.lit(1)).alias("nv"))
+    wv = Window.partitionBy("q_id").orderBy(F.desc("nv"), F.asc("label"))
+    pred = (
+        votes.withColumn("pr", F.row_number().over(wv))
+        .filter("pr = 1")
+        .select("q_id", F.col("label").alias("label_pred"))
+    )
+    truth = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("q_id"), F.col("label").alias("label_true"))
+    )
+    return truth.join(pred, "q_id").select(
+        "q_id",
+        F.col("label_true").cast("bigint").alias("label_true"),
+        F.col("label_pred").cast("bigint").alias("label_pred"),
+        (F.col("label_true") == F.col("label_pred")).alias("correct"),
+    )

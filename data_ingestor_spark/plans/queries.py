@@ -65,7 +65,8 @@ for _mod in (
 # q_embed_pca_power, q_event_trend, q_agg_rollup_cascade,
 # q_sample_weighted, q_agg_weighted_median, q_stream_rollup_maintain,
 # q_event_robust_anomaly, q_bpe_apply, q_dedup_containment,
-# q_join_asof_nearest, q_market_basket, q_langid_confusion.
+# q_join_asof_nearest, q_market_basket, q_langid_confusion,
+# q_knn_accuracy.
 _PRIORITY: tuple[str, ...] = (
     # --- round-3 driver reds, root-caused + fixed (Decimal→DOUBLE) -------
     "q_subq_scalar",

@@ -108,6 +108,7 @@ EXTRA = [
     "q_market_basket",      # frequent-pair mining with lift
     "q_langid_confusion",   # classifier-vs-label confusion matrix
     "q_knn_accuracy",       # k-NN majority-vote label eval
+    "q_scd2_merge",         # SCD2 close-and-append maintenance
 ]
 
 

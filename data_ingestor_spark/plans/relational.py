@@ -1986,3 +1986,76 @@ def q_market_basket(spark, sf_dir):
             F.expr("n_ab * 10000 div n").cast("bigint").alias("support_bp"),
         )
     )
+
+
+@query(
+    "q_scd2_merge",
+    oracle="""
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    TIMESTAMP '2100-01-01') AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+    FROM events
+    """,
+    tags=("scd2", "merge", "maintenance", "warehouse"),
+)
+def q_scd2_merge(spark, sf_dir):
+    """SCD2 history MAINTENANCE (the nightly job, not the rebuild):
+    a stored type-2 history (built from events before a cutoff 45 days
+    past corpus start) is brought current by a change batch (events
+    after the cutoff) with the close-and-append merge — each user's
+    open interval is CLOSED at their first new change's timestamp, and
+    the batch's own intervals are chained on and appended. The oracle
+    is the FULL REBUILD over all events (q_scd2_intervals' derivation),
+    so a PASS proves maintain ≡ rebuild — the same contract as
+    q_agg_incremental/q_stream_rollup_maintain, extended to interval
+    semantics where the merge must PATCH existing rows (close the open
+    interval), not just add. Correctness hinge: within a user, every
+    batch timestamp exceeds every stored timestamp (time-partitioned
+    arrival), so the only cross-boundary lead is the open interval's
+    — exactly the row the merge patches; the (ts, event_id) tie-break
+    matches the rebuild's. At 100 TB: history and batch shuffle once
+    on user_id each; the patch is a key-equality join against the
+    batch's per-user MIN(ts) — one tiny relation — and in production
+    the 'stored' side is the SCD2 table read back, not recomputed."""
+    sentinel = F.lit("2100-01-01").cast("timestamp")
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    bounds = e.agg(F.min("ts").alias("t0"))
+    e = e.crossJoin(F.broadcast(bounds)).withColumn(
+        "is_old", F.expr("ts < t0 + INTERVAL 45 DAYS")
+    )
+    old = e.filter("is_old")
+    new = e.filter("NOT is_old")
+
+    def build(df):
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        nxt = F.lead("ts").over(w)
+        return df.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.coalesce(nxt, sentinel).alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+
+    stored = build(old)
+    batch_hist = build(new)
+    first_new = new.groupBy("user_id").agg(F.min("ts").alias("first_new_ts"))
+    patched = (
+        stored.join(first_new, "user_id", "left")
+        .select(
+            "user_id",
+            "state",
+            "valid_from",
+            F.when(
+                F.col("is_current") & F.col("first_new_ts").isNotNull(),
+                F.col("first_new_ts"),
+            )
+            .otherwise(F.col("valid_to"))
+            .alias("valid_to"),
+            (F.col("is_current") & F.col("first_new_ts").isNull()).alias("is_current"),
+        )
+    )
+    return patched.unionByName(batch_hist)

@@ -109,6 +109,7 @@ EXTRA = [
     "q_langid_confusion",   # classifier-vs-label confusion matrix
     "q_knn_accuracy",       # k-NN majority-vote label eval
     "q_scd2_merge",         # SCD2 close-and-append maintenance
+    "q_event_abtest",       # pooled two-proportion z (A/A form)
 ]
 
 

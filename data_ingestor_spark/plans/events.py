@@ -631,3 +631,100 @@ def q_event_robust_anomaly(spark, sf_dir):
             "is_anomaly"
         ),
     )
+
+
+@query(
+    "q_event_abtest",
+    oracle="""
+    WITH users AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) % 2 AS conv
+        FROM events GROUP BY user_id
+    ), arms AS (
+        SELECT arm, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS n_conv
+        FROM users GROUP BY arm
+    ), wide AS (
+        SELECT
+            MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+            MAX(CASE WHEN arm = 'A' THEN n_conv END) AS conv_a,
+            MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+            MAX(CASE WHEN arm = 'B' THEN n_conv END) AS conv_b
+        FROM arms
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, conv_a,
+           CAST(conv_a * 10000 // n_a AS BIGINT) AS rate_a_bp,
+           CAST(n_b AS BIGINT) AS n_b, conv_b,
+           CAST(conv_b * 10000 // n_b AS BIGINT) AS rate_b_bp,
+           ROUND(
+             (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / NULLIF(SQRT(
+                 (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0 / n_a + 1.0 / n_b)
+               ), 0.0), 4) AS z_round,
+           ABS(
+             (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / NULLIF(SQRT(
+                 (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0 / n_a + 1.0 / n_b)
+               ), 0.0)) > 1.96 AS significant
+    FROM wide
+    """,
+    tags=("events", "abtest", "stats", "hypothesis"),
+)
+def q_event_abtest(spark, sf_dir):
+    """Two-proportion A/B test as a distributed aggregation — run in
+    A/A CALIBRATION form, the null-hypothesis validation every
+    experimentation platform performs before trusting its pipeline:
+    arms come from a deterministic user-id split, the per-user binary
+    outcome is a data-derived coin (purchase-count parity — exactly
+    computable, ~p=0.5 at any scale, carrying no real arm effect), so
+    the expected readout IS "not significant", and a significant
+    result here would flag assignment bias. The pooled two-proportion
+    z-statistic is computed from four exact integers — the experiment
+    readout (rates, z, significance at alpha=0.05) every event
+    warehouse serves. Determinism: counts are exact BIGINTs, the z
+    formula maps identical integers through identical double
+    arithmetic in both engines, and z is ROUNDed (the q_agg_corr
+    discipline for irrational outputs — sqrt makes exact-integer
+    output impossible). Scale shape: one user-keyed aggregate over the
+    corpus (partial-agg friendly: MAX of a 0/1), one 2-row arm
+    rollup, one 1-row pivot — nothing after the first shuffle exceeds
+    |users| rows. At 100 TB add CUPED or stratified variance the same
+    way: more mergeable sums, same plan shape."""
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        (
+            F.sum(F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")) % 2
+        ).alias("conv")
+    ).select(
+        F.expr("CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END").alias("arm"),
+        "conv",
+    )
+    arms = users.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").cast("bigint").alias("n_conv")
+    )
+    wide = arms.agg(
+        F.max(F.expr("CASE WHEN arm = 'A' THEN n END")).alias("n_a"),
+        F.max(F.expr("CASE WHEN arm = 'A' THEN n_conv END")).alias("conv_a"),
+        F.max(F.expr("CASE WHEN arm = 'B' THEN n END")).alias("n_b"),
+        F.max(F.expr("CASE WHEN arm = 'B' THEN n_conv END")).alias("conv_b"),
+    )
+    z = (
+        "((cast(conv_a as double) / n_a - cast(conv_b as double) / n_b)"
+        " / nullif(sqrt((cast(conv_a + conv_b as double) / (n_a + n_b))"
+        " * (1.0 - cast(conv_a + conv_b as double) / (n_a + n_b))"
+        " * (1.0 / n_a + 1.0 / n_b)), 0.0d))"
+    )
+    return wide.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        "conv_a",
+        F.expr("conv_a * 10000 div n_a").cast("bigint").alias("rate_a_bp"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "conv_b",
+        F.expr("conv_b * 10000 div n_b").cast("bigint").alias("rate_b_bp"),
+        F.expr(f"round({z}, 4)").alias("z_round"),
+        F.expr(f"abs({z}) > 1.96").alias("significant"),
+    )

@@ -110,6 +110,7 @@ EXTRA = [
     "q_knn_accuracy",       # k-NN majority-vote label eval
     "q_scd2_merge",         # SCD2 close-and-append maintenance
     "q_event_abtest",       # pooled two-proportion z (A/A form)
+    "q_event_forecast_backtest",  # lag-7 naive forecast + MAE/WAPE
 ]
 
 

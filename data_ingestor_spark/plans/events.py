@@ -728,3 +728,62 @@ def q_event_abtest(spark, sf_dir):
         F.expr(f"round({z}, 4)").alias("z_round"),
         F.expr(f"abs({z}) > 1.96").alias("significant"),
     )
+
+
+@query(
+    "q_event_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d, COUNT(*) AS n
+        FROM events GROUP BY event_type, d
+    ), lagged AS (
+        SELECT event_type, d, n,
+               LAG(n, 7) OVER (PARTITION BY event_type ORDER BY d) AS pred
+        FROM daily
+    ), scored AS (
+        SELECT event_type, d, n, pred, ABS(n - pred) AS abs_err
+        FROM lagged WHERE pred IS NOT NULL
+    )
+    SELECT event_type,
+           COUNT(*) AS n_days_scored,
+           CAST(SUM(abs_err) * 100 // COUNT(*) AS BIGINT) AS mae_x100,
+           CAST(SUM(abs_err) * 10000 // SUM(n) AS BIGINT) AS wape_bp,
+           MAX(abs_err) AS worst_abs_err
+    FROM scored GROUP BY event_type
+    """,
+    tags=("events", "forecast", "backtest", "time"),
+)
+def q_event_forecast_backtest(spark, sf_dir):
+    """Forecast backtesting as relational algebra: the seasonal-naive
+    baseline (predict each day's volume with the same weekday last
+    week — the model every production forecast must beat) scored
+    in-sample by MAE and WAPE per event type. The forecast is ONE lag
+    window over the tiny daily rollup, the backtest is an exact
+    integer aggregate: mae_x100 = Σ|err|·100 div days, wape_bp =
+    Σ|err|·10⁴ div Σactual — no floats, no model state, bit-stable
+    hash. This is the evaluation half of a forecasting pipeline
+    expressed engine-side (the same measured-quality discipline as
+    lsh-recall/knn-accuracy: a forecast without its backtest is a
+    guess); swap the lag-7 column for any model's prediction table
+    and the scoring plan is unchanged. Scale shape: corpus-scale work
+    is the (type, day) partial count; everything after runs on #days
+    rows per type."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("event_type").orderBy("d")
+    scored = (
+        daily.withColumn("pred", F.lag("n", 7).over(w))
+        .filter(F.col("pred").isNotNull())
+        .withColumn("abs_err", F.abs(F.col("n") - F.col("pred")))
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days_scored"),
+        F.expr("sum(abs_err) * 100 div count(*)").cast("bigint").alias("mae_x100"),
+        F.expr("sum(abs_err) * 10000 div sum(n)").cast("bigint").alias("wape_bp"),
+        F.max("abs_err").alias("worst_abs_err"),
+    )

@@ -66,7 +66,8 @@ for _mod in (
 # q_sample_weighted, q_agg_weighted_median, q_stream_rollup_maintain,
 # q_event_robust_anomaly, q_bpe_apply, q_dedup_containment,
 # q_join_asof_nearest, q_market_basket, q_langid_confusion,
-# q_knn_accuracy, q_scd2_merge, q_event_abtest.
+# q_knn_accuracy, q_scd2_merge, q_event_abtest,
+# q_event_forecast_backtest.
 _PRIORITY: tuple[str, ...] = (
     # --- round-3 driver reds, root-caused + fixed (Decimal→DOUBLE) -------
     "q_subq_scalar",

@@ -111,6 +111,7 @@ EXTRA = [
     "q_scd2_merge",         # SCD2 close-and-append maintenance
     "q_event_abtest",       # pooled two-proportion z (A/A form)
     "q_event_forecast_backtest",  # lag-7 naive forecast + MAE/WAPE
+    "q_window_ohlc",        # OHLC bars with pinned open/close
 ]
 
 

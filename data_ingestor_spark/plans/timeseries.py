@@ -1123,3 +1123,68 @@ def q_join_asof_nearest(spark, sf_dir):
         .otherwise(F.lit("future"))
         .alias("direction"),
     )
+
+
+@query(
+    "q_window_ohlc",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_open,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_close
+        FROM events
+    )
+    SELECT event_type, bucket,
+           CAST(MAX(CASE WHEN rn_open = 1 THEN cents END) AS BIGINT) AS open_cents,
+           MAX(cents) AS high_cents,
+           MIN(cents) AS low_cents,
+           CAST(MAX(CASE WHEN rn_close = 1 THEN cents END) AS BIGINT) AS close_cents,
+           COUNT(*) AS n_ticks
+    FROM pts GROUP BY event_type, bucket
+    """,
+    tags=("window", "time", "ohlc", "resample"),
+)
+def q_window_ohlc(spark, sf_dir):
+    """OHLC resampling — the financial-tick aggregation shape: per
+    (type, hour) bar, the OPEN (first value by time), HIGH, LOW, CLOSE
+    (last value by time) and tick count. High/low/count are ordinary
+    mergeable aggregates; open/close are order statistics, pinned
+    deterministically by (ts, event_id)-tie-broken row_number windows
+    and folded into the same groupBy as conditional MAXes — one window
+    pass + one aggregate, both partitioned by the bar key, so the plan
+    is two stages that share the (type, bucket) exchange. Values in
+    exact cents → bit-stable hash. At 100 TB: the bar key is exactly
+    how tick stores partition, so the window sees only local data; for
+    first/last WITHOUT a full window sort, Spark's min_by/max_by over
+    a composite (time, id) key is the single-agg alternative — the
+    window form here is chosen because it hash-matches any engine's
+    semantics without composite-key encoding."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", "ts")
+    base = e.select(
+        "event_type",
+        bucket.alias("bucket"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        "ts",
+        "event_id",
+    )
+    wkey = W.partitionBy("event_type", "bucket")
+    rn_open = F.row_number().over(wkey.orderBy("ts", "event_id"))
+    rn_close = F.row_number().over(wkey.orderBy(F.desc("ts"), F.desc("event_id")))
+    pts = base.withColumn("rn_open", rn_open).withColumn("rn_close", rn_close)
+    return pts.groupBy("event_type", "bucket").agg(
+        F.max(F.when(F.col("rn_open") == 1, F.col("cents")))
+        .cast("bigint")
+        .alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max(F.when(F.col("rn_close") == 1, F.col("cents")))
+        .cast("bigint")
+        .alias("close_cents"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )

@@ -787,3 +787,97 @@ def q_event_forecast_backtest(spark, sf_dir):
         F.expr("sum(abs_err) * 10000 div sum(n)").cast("bigint").alias("wape_bp"),
         F.max("abs_err").alias("worst_abs_err"),
     )
+
+
+@query(
+    "q_event_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ), rev AS (
+        SELECT e.user_id, f.cohort_week,
+               CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts))
+                    AS BIGINT) AS week_offset,
+               CAST(ROUND(e.value * 100) AS BIGINT) AS cents
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase'
+    ), weekly AS (
+        SELECT cohort_week, week_offset,
+               CAST(SUM(cents) AS BIGINT) AS rev_cents,
+               COUNT(DISTINCT user_id) AS n_buyers
+        FROM rev GROUP BY 1, 2
+    ), sized AS (
+        SELECT cohort_week, COUNT(*) AS cohort_users FROM firsts GROUP BY 1
+    )
+    SELECT w.cohort_week, w.week_offset, w.rev_cents, w.n_buyers,
+           CAST(SUM(w.rev_cents) OVER (PARTITION BY w.cohort_week
+                ORDER BY w.week_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_rev_cents,
+           CAST(s.cohort_users AS BIGINT) AS cohort_users,
+           CAST(SUM(w.rev_cents) OVER (PARTITION BY w.cohort_week
+                ORDER BY w.week_offset ROWS UNBOUNDED PRECEDING)
+                // s.cohort_users AS BIGINT) AS cum_ltv_cents_per_user
+    FROM weekly w JOIN sized s ON w.cohort_week = s.cohort_week
+    """,
+    tags=("events", "ltv", "cohort", "revenue"),
+)
+def q_event_ltv_curve(spark, sf_dir):
+    """Cohort LTV curves: cumulative purchase revenue per signup cohort
+    (first-seen week) across week offsets, absolute and per cohort
+    user — the companion to q_event_retention that answers "how much
+    VALUE does a cohort accrue by week k" rather than "how many come
+    back", which is what LTV-based acquisition budgeting actually
+    reads. Exact integers end to end: revenue in cents, the curve is
+    a cumulative-sum window over the tiny (cohort, offset) grid, and
+    per-user LTV is a truncating integer division by the exact cohort
+    size (denominator = ALL cohort members, not just buyers — the
+    standard LTV convention). Scale shape: one user-keyed first-touch
+    aggregate, one (user→cohort) equality join for enrichment, one
+    (cohort, offset) rollup; the windows run over #cohorts × #weeks
+    rows. The distinct-buyer count rides along for curve QA."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.expr(
+                "cast(datediff(date_trunc('week', ts), cohort_week) div 7 as bigint)"
+            ).alias("week_offset"),
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        )
+    )
+    weekly = rev.groupBy("cohort_week", "week_offset").agg(
+        F.sum("cents").cast("bigint").alias("rev_cents"),
+        F.countDistinct("user_id").alias("n_buyers"),
+    )
+    sized = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    wcum = (
+        W.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        weekly.join(sized, "cohort_week")
+        .withColumn("cum_rev_cents", F.sum("rev_cents").over(wcum).cast("bigint"))
+        .select(
+            "cohort_week",
+            "week_offset",
+            "rev_cents",
+            "n_buyers",
+            "cum_rev_cents",
+            F.col("cohort_users").cast("bigint").alias("cohort_users"),
+            F.expr("cum_rev_cents div cohort_users")
+            .cast("bigint")
+            .alias("cum_ltv_cents_per_user"),
+        )
+    )

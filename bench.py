@@ -113,6 +113,7 @@ EXTRA = [
     "q_event_forecast_backtest",  # lag-7 naive forecast + MAE/WAPE
     "q_window_ohlc",        # OHLC bars with pinned open/close
     "q_event_ltv_curve",    # cohort cumulative revenue curves
+    "q_embed_outlier",      # centroid-distance mislabel QA
 ]
 
 

@@ -1099,3 +1099,75 @@ def q_knn_accuracy(spark, sf_dir):
         F.col("label_pred").cast("bigint").alias("label_pred"),
         (F.col("label_true") == F.col("label_pred")).alias("correct"),
     )
+
+
+@query(
+    "q_embed_outlier",
+    oracle="""
+    WITH long AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+        FROM embeddings
+    ), cent AS (
+        SELECT label, pos, SUM(q) // COUNT(*) AS c
+        FROM long GROUP BY label, pos
+    ), d2 AS (
+        SELECT l.vec_id, l.label,
+               CAST(SUM((l.q - cent.c) * (l.q - cent.c)) AS BIGINT) AS dist2
+        FROM long l JOIN cent ON l.label = cent.label AND l.pos = cent.pos
+        GROUP BY l.vec_id, l.label
+    ), stats AS (
+        SELECT label, CAST(SUM(dist2) // COUNT(*) AS BIGINT) AS avg_dist2
+        FROM d2 GROUP BY label
+    )
+    SELECT d.vec_id, CAST(d.label AS BIGINT) AS label, d.dist2, s.avg_dist2,
+           d.dist2 > 2 * s.avg_dist2 AS is_outlier
+    FROM d2 d JOIN stats s ON d.label = s.label
+    """,
+    tags=("similarity", "outlier", "quality", "centroid"),
+)
+def q_embed_outlier(spark, sf_dir):
+    """Embedding-space outlier QA: each vector's squared distance to
+    its OWN label's centroid, flagged when more than 2× the label's
+    mean squared distance — the mislabel/contamination probe run over
+    an embedded corpus before trusting labels for eval or training
+    (a vector far from its own cluster is a labeling error, an
+    ambiguous item, or drift). Determinism discipline: coordinates
+    quantize once to exact integers (FLOOR(x*1000), the
+    q_embed_pca_power defense), the centroid is a per-dimension
+    truncating integer mean, and every distance/threshold is BIGINT
+    arithmetic — no float summation anywhere, bit-stable hash. Scale
+    shape: two (label, dim)-keyed partial aggregates (centroids are
+    |labels|×64 rows, broadcastable), one vector-keyed distance
+    rollup, one |labels|-row stats join — the same two-level shape as
+    every per-cluster QA here; at 100 TB the long-form explode is the
+    only corpus-scale relation and it is narrow (id, label, pos, q)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    long = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr("cast(floor(cast(xf as double) * 1000) as bigint)").alias("q"),
+    )
+    cent = long.groupBy("label", "pos").agg(
+        F.expr("sum(q) div count(*)").alias("c")
+    )
+    d2 = (
+        long.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.expr("cast(sum((q - c) * (q - c)) as bigint)").alias("dist2"))
+    )
+    stats = d2.groupBy("label").agg(
+        F.expr("cast(sum(dist2) div count(*) as bigint)").alias("avg_dist2")
+    )
+    return d2.join(F.broadcast(stats), "label").select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        "dist2",
+        "avg_dist2",
+        (F.col("dist2") > 2 * F.col("avg_dist2")).alias("is_outlier"),
+    )

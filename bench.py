@@ -114,6 +114,7 @@ EXTRA = [
     "q_window_ohlc",        # OHLC bars with pinned open/close
     "q_event_ltv_curve",    # cohort cumulative revenue curves
     "q_embed_outlier",      # centroid-distance mislabel QA
+    "q_scan_delete_vectors",  # merge-on-read delete application
 ]
 
 

@@ -690,3 +690,51 @@ def q_compact_plan(spark, sf_dir):
             "source", "action", "bin_id", "n_files", "total_bytes", "first_file"
         )
     )
+
+
+@query(
+    "q_scan_delete_vectors",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+    FROM orders
+    WHERE o_orderkey % 17 <> 0
+    """,
+    tags=("ingest", "scan", "merge-on-read", "deletes"),
+)
+def q_scan_delete_vectors(spark, sf_dir):
+    """Merge-on-read deletes (the Iceberg v2 / Delta deletion-vector
+    read path): the base table is written ONCE, deletes land as a tiny
+    separate key-list file, and every read applies them with a
+    broadcast anti-join — no base-file rewrite at delete time, which
+    is the entire point at 100 TB (a copy-on-write delete of 0.1% of
+    rows rewrites 100% of affected files; merge-on-read rewrites
+    KB of delete lists and defers the rewrite to compaction,
+    q_compact_plan's job). Both artifacts are physically materialized
+    in scratch and read back, so the query exercises the real
+    two-file read, not an in-plan filter; the oracle is the logical
+    table (base minus deletes) computed directly, so a PASS proves
+    read-time apply ≡ delete-time rewrite. The delete list is keyed
+    (key-deletes); position-deletes work identically with
+    (file, row_pos) via _metadata.row_index. Broadcast is correct
+    because delete lists are small by design — a large accumulated
+    list is the compaction trigger."""
+    import os
+
+    base_dir = os.path.join(
+        scratch_dir(f"q_scan_mor_{os.path.basename(sf_dir.rstrip(chr(47)))}"), "t"
+    )
+    base = os.path.join(base_dir, "base")
+    dels = os.path.join(base_dir, "deletes")
+    if not os.path.exists(os.path.join(dels, "_SUCCESS")):
+        o = load_table(spark, sf_dir, "orders")
+        o.select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+        ).write.mode("overwrite").parquet(base)
+        o.filter(F.col("o_orderkey") % 17 == 0).select(
+            F.col("o_orderkey").alias("del_key")
+        ).coalesce(1).write.mode("overwrite").parquet(dels)
+    b = spark.read.parquet(base)
+    d = spark.read.parquet(dels)
+    return b.join(
+        F.broadcast(d), b.o_orderkey == d.del_key, "left_anti"
+    )

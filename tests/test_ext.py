@@ -616,3 +616,79 @@ def test_sample_weighted_is_size_biased(spark):
     )
     sample_mean = sum(r["n_chars"] for r in sel) / len(sel)
     assert sample_mean > corpus_mean
+
+
+def test_market_basket_matches_bruteforce(spark):
+    """q_market_basket vs a driver-side brute force over the collected
+    (order, part) pairs: same top-20 head and identical lift/support
+    integers."""
+    from itertools import combinations
+
+    from conftest import SF_DIR
+
+    from data_ingestor_spark.plans import queries as q
+    from data_ingestor_spark.plans.registry import load_table
+
+    rows = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets = {}
+    item_n = {}
+    for r in rows:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+        item_n[r["l_partkey"]] = item_n.get(r["l_partkey"], 0) + 1
+    n_orders = len(baskets)
+    pair_n = {}
+    for parts in baskets.values():
+        for pa, pb in combinations(sorted(parts), 2):
+            pair_n[(pa, pb)] = pair_n.get((pa, pb), 0) + 1
+    top = sorted(pair_n.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    expected = {
+        (pa, pb): (
+            n_ab,
+            item_n[pa],
+            item_n[pb],
+            n_ab * n_orders * 10000 // (item_n[pa] * item_n[pb]),
+            n_ab * 10000 // n_orders,
+        )
+        for (pa, pb), n_ab in top
+    }
+    got = {
+        (r["pa"], r["pb"]): (r["n_ab"], r["n_a"], r["n_b"], r["lift_bp"], r["support_bp"])
+        for r in q.REGISTRY["q_market_basket"].fn(spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+def test_ohlc_matches_pure_python_resample(spark):
+    """q_window_ohlc vs a pure-Python resampler with the same
+    (ts, event_id) tie-break."""
+    from conftest import SF_DIR
+
+    from data_ingestor_spark.plans import queries as q
+    from data_ingestor_spark.plans.registry import load_table
+
+    rows = load_table(spark, SF_DIR, "events").select(
+        "event_type", "ts", "event_id", "value"
+    ).collect()
+    bars = {}
+    for r in rows:
+        key = (r["event_type"], r["ts"].replace(minute=0, second=0, microsecond=0))
+        cents = int(round(r["value"] * 100))
+        bars.setdefault(key, []).append((r["ts"], r["event_id"], cents))
+    expected = {}
+    for key, pts in bars.items():
+        pts.sort()
+        cents = [c for _, _, c in pts]
+        expected[key] = (pts[0][2], max(cents), min(cents), pts[-1][2], len(pts))
+    got = {
+        (r["event_type"], r["bucket"]): (
+            r["open_cents"], r["high_cents"], r["low_cents"],
+            r["close_cents"], r["n_ticks"],
+        )
+        for r in q.REGISTRY["q_window_ohlc"].fn(spark, SF_DIR).collect()
+    }
+    assert got == expected

@@ -692,3 +692,58 @@ def test_ohlc_matches_pure_python_resample(spark):
         for r in q.REGISTRY["q_window_ohlc"].fn(spark, SF_DIR).collect()
     }
     assert got == expected
+
+
+def test_containment_flags_satisfy_raw_semantics(spark):
+    """Every q_dedup_containment pair must satisfy the claimed
+    predicate on the RAW token sets (recomputed in Python): >=95%%
+    containment one way, symmetric Jaccard < 0.9, and exact
+    inter/size integers."""
+    from conftest import SF_DIR
+
+    from data_ingestor_spark.plans import queries as q
+    from data_ingestor_spark.plans.registry import load_table
+
+    toks = {
+        r["doc_id"]: set(r["text"].lower().split(" "))
+        for r in load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    }
+    rows = q.REGISTRY["q_dedup_containment"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        a, b = toks[r["doc_a"]], toks[r["doc_b"]]
+        inter = len(a & b)
+        assert (r["inter"], r["size_a"], r["size_b"]) == (inter, len(a), len(b))
+        cont = max(inter * 10000 // len(a), inter * 10000 // len(b))
+        jac = inter * 10000 // (len(a) + len(b) - inter)
+        assert cont >= 9500 and jac < 9000
+
+
+def test_scd2_merge_equals_pure_python_rebuild(spark):
+    """q_scd2_merge (maintenance path) vs a pure-Python full rebuild
+    of the interval history over all events."""
+    from datetime import datetime
+
+    from conftest import SF_DIR
+
+    from data_ingestor_spark.plans import queries as q
+    from data_ingestor_spark.plans.registry import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    ).collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], r["event_type"]))
+    sentinel = datetime(2100, 1, 1)
+    expected = set()
+    for u, rows in by_user.items():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        for i, (ts, _eid, state) in enumerate(rows):
+            nxt = rows[i + 1][0] if i + 1 < len(rows) else None
+            expected.add((u, state, ts, nxt or sentinel, nxt is None))
+    got = {
+        (r["user_id"], r["state"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in q.REGISTRY["q_scd2_merge"].fn(spark, SF_DIR).collect()
+    }
+    assert got == expected

@@ -115,6 +115,7 @@ EXTRA = [
     "q_event_ltv_curve",    # cohort cumulative revenue curves
     "q_embed_outlier",      # centroid-distance mislabel QA
     "q_scan_delete_vectors",  # merge-on-read delete application
+    "q_alloc_largest_remainder",  # Hamilton budget apportionment
 ]
 
 

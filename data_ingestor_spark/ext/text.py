@@ -1578,3 +1578,80 @@ def q_langid_confusion(spark, sf_dir):
     ).withColumn(
         "pct_bp", F.expr("_num div row_total").cast("bigint")
     ).drop("_num")
+
+
+@query(
+    "q_alloc_largest_remainder",
+    oracle="""
+    WITH strata AS (
+        SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ), tot AS (
+        SELECT SUM(n) AS big_n FROM strata
+    ), quotas AS (
+        SELECT source, n,
+               CAST((1000 * n) // big_n AS BIGINT) AS floor_alloc,
+               CAST((1000 * n) % big_n AS BIGINT) AS remainder,
+               big_n
+        FROM strata, tot
+    ), ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY remainder DESC, source) AS rem_rank,
+               CAST(1000 - SUM(floor_alloc) OVER () AS BIGINT) AS leftover
+        FROM quotas
+    )
+    SELECT source, CAST(n AS BIGINT) AS n, floor_alloc,
+           CAST(floor_alloc + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM ranked
+    """,
+    tags=("sampling", "allocation", "apportionment"),
+)
+def q_alloc_largest_remainder(spark, sf_dir):
+    """Largest-remainder (Hamilton) apportionment: a fixed budget of
+    1000 sample slots allocated across sources proportionally to their
+    document counts, EXACTLY — integer floor quotas plus one extra
+    slot to the largest fractional remainders until the budget is
+    spent. This is the allocation step behind stratified sampling
+    budgets, shard-count assignment, and eval-set quotas, done right:
+    naive rounding over- or under-spends the budget and drifts between
+    engines; the largest-remainder rule is all-integer ((B·n) div N,
+    (B·n) mod N), guarantees Σalloc = B by construction, and stays
+    within one slot of exact proportionality (quota rule). Ties on
+    remainder break by source name, so the result is total-order
+    deterministic. Scale shape: the corpus-scale work is one groupBy
+    count; the apportionment itself runs on |strata| rows through one
+    ordered window — the same micro-relation pattern as every
+    allocator here. Composes with q_sample_per_group (per-stratum
+    quota → take alloc_i per stratum by md5 rank)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    strata = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = strata.agg(F.sum("n").alias("big_n"))
+    quotas = strata.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        F.expr("cast((1000 * n) div big_n as bigint)").alias("floor_alloc"),
+        F.expr("cast((1000 * n) % big_n as bigint)").alias("remainder"),
+    )
+    wall = W.partitionBy(F.lit(1))
+    ranked = quotas.select(
+        "source",
+        "n",
+        "floor_alloc",
+        F.row_number()
+        .over(wall.orderBy(F.desc("remainder"), F.asc("source")))
+        .alias("rem_rank"),
+        (F.lit(1000) - F.sum("floor_alloc").over(wall)).cast("bigint").alias("leftover"),
+    )
+    return ranked.select(
+        "source",
+        F.col("n").cast("bigint").alias("n"),
+        "floor_alloc",
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )

@@ -747,3 +747,20 @@ def test_scd2_merge_equals_pure_python_rebuild(spark):
         for r in q.REGISTRY["q_scd2_merge"].fn(spark, SF_DIR).collect()
     }
     assert got == expected
+
+
+def test_largest_remainder_allocation_invariants(spark):
+    """Hamilton apportionment contract: the allocations sum EXACTLY to
+    the budget, and every stratum is within one slot of its exact
+    proportional quota (quota rule)."""
+    from conftest import SF_DIR
+
+    from data_ingestor_spark.plans import queries as q
+
+    rows = q.REGISTRY["q_alloc_largest_remainder"].fn(spark, SF_DIR).collect()
+    big_n = sum(r["n"] for r in rows)
+    assert sum(r["alloc"] for r in rows) == 1000
+    for r in rows:
+        exact = 1000 * r["n"] / big_n
+        assert exact - 1 < r["alloc"] < exact + 1
+        assert r["alloc"] in (r["floor_alloc"], r["floor_alloc"] + 1)

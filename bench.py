@@ -116,6 +116,7 @@ EXTRA = [
     "q_embed_outlier",      # centroid-distance mislabel QA
     "q_scan_delete_vectors",  # merge-on-read delete application
     "q_alloc_largest_remainder",  # Hamilton budget apportionment
+    "q_event_changepoint",  # division-free CUSUM regime shift
 ]
 
 

@@ -881,3 +881,78 @@ def q_event_ltv_curve(spark, sf_dir):
             .alias("cum_ltv_cents_per_user"),
         )
     )
+
+
+@query(
+    "q_event_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d, COUNT(*) AS n
+        FROM events GROUP BY event_type, d
+    ), st AS (
+        SELECT event_type,
+               CAST(SUM(n) AS BIGINT) AS total,
+               COUNT(*) AS n_days
+        FROM daily GROUP BY event_type
+    ), cusum AS (
+        SELECT daily.event_type, d, n,
+               SUM(n_days * n - total) OVER (PARTITION BY daily.event_type
+                   ORDER BY d ROWS UNBOUNDED PRECEDING) AS c_scaled
+        FROM daily JOIN st ON daily.event_type = st.event_type
+    ), ranked AS (
+        SELECT event_type, d, n, c_scaled,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY ABS(c_scaled) DESC, d) AS rk
+        FROM cusum
+    )
+    SELECT event_type, d AS changepoint_day, CAST(n AS BIGINT) AS n_that_day,
+           CAST(c_scaled AS BIGINT) AS peak_cusum_scaled
+    FROM ranked WHERE rk = 1
+    """,
+    tags=("events", "changepoint", "cusum", "drift"),
+)
+def q_event_changepoint(spark, sf_dir):
+    """Changepoint detection per event type — the CUSUM argmax: the
+    day where the cumulative deviation of daily volume from the
+    series mean peaks in magnitude, which for a single level shift is
+    the maximum-likelihood split point (the classic offline CUSUM
+    estimator; drift monitors page on it). Exactness trick: instead
+    of the fractional mean, the running sum accumulates
+    n_days·n_i − total (the deviation SCALED by the day count), which
+    is the CUSUM times a positive constant — same argmax, all BIGINT,
+    no division anywhere, so the peak day and its scaled statistic
+    hash bit-stably. Ties break by earliest day. Complements the
+    family: q_event_trend fits a slope, q_event_robust_anomaly flags
+    single days, this locates a regime SHIFT. Scale shape: corpus
+    work is the (type, day) partial count; the CUSUM window and
+    argmax rank run over #days rows per type."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    st = daily.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    wcum = (
+        W.partitionBy("event_type").orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    )
+    cusum = daily.join(st, "event_type").withColumn(
+        "c_scaled", F.sum(F.expr("n_days * n - total")).over(wcum)
+    )
+    wrk = W.partitionBy("event_type").orderBy(
+        F.abs(F.col("c_scaled")).desc(), F.asc("d")
+    )
+    return (
+        cusum.withColumn("rk", F.row_number().over(wrk))
+        .filter("rk = 1")
+        .select(
+            "event_type",
+            F.col("d").alias("changepoint_day"),
+            F.col("n").cast("bigint").alias("n_that_day"),
+            F.col("c_scaled").cast("bigint").alias("peak_cusum_scaled"),
+        )
+    )

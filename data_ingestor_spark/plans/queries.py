@@ -68,7 +68,8 @@ for _mod in (
 # q_join_asof_nearest, q_market_basket, q_langid_confusion,
 # q_knn_accuracy, q_scd2_merge, q_event_abtest,
 # q_event_forecast_backtest, q_window_ohlc, q_event_ltv_curve,
-# q_embed_outlier, q_scan_delete_vectors, q_alloc_largest_remainder.
+# q_embed_outlier, q_scan_delete_vectors, q_alloc_largest_remainder,
+# q_event_changepoint.
 _PRIORITY: tuple[str, ...] = (
     # --- round-3 driver reds, root-caused + fixed (Decimal→DOUBLE) -------
     "q_subq_scalar",

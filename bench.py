@@ -117,6 +117,8 @@ EXTRA = [
     "q_scan_delete_vectors",  # merge-on-read delete application
     "q_alloc_largest_remainder",  # Hamilton budget apportionment
     "q_event_changepoint",  # division-free CUSUM regime shift
+    "q_text_drift",         # exact-integer TV distribution drift
+    "q_dedup_lsh_bucket_stats",  # band-bucket skew histogram
 ]
 
 

@@ -1348,3 +1348,55 @@ def q_dedup_containment(spark, sf_dir):
             )
         )
     )
+
+
+@query(
+    "q_dedup_lsh_bucket_stats",
+    oracle=f"""
+    WITH sigs AS (
+        SELECT doc_id, {_MH_DUCK_COLS}
+        FROM (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+              FROM documents)
+    ), banded AS (
+        SELECT doc_id, unnest([{{bands}}]) AS band_key
+        FROM sigs
+    ), buckets AS (
+        SELECT band_key, COUNT(*) AS bucket_size
+        FROM banded GROUP BY band_key
+    )
+    SELECT bucket_size,
+           COUNT(*) AS n_buckets,
+           CAST(SUM(bucket_size * (bucket_size - 1) // 2) AS BIGINT)
+               AS candidate_pairs
+    FROM buckets GROUP BY bucket_size
+    """.replace("{bands}", ", ".join(_BAND_KEYS_DUCK)),
+    tags=("dedup", "lsh", "skew", "diagnostics"),
+)
+def q_dedup_lsh_bucket_stats(spark, sf_dir):
+    """LSH bucket-size histogram — the SKEW diagnostic for the band
+    join: per bucket-size, how many buckets exist and how many
+    candidate pairs (C(size,2)) they generate. This is the number an
+    operator reads BEFORE running q_dedup_minhash_pairs at 100 TB:
+    candidate work is Σ C(size_i, 2), so one mega-bucket (a boilerplate
+    band shared by millions of docs) dominates the whole join — the
+    histogram's tail IS the skew, and the mitigation (cap, salt, or
+    drop stop-bands, exactly like stop-words) is chosen from this
+    distribution. Pure aggregation shape: band explode → bucket count
+    → size histogram, two partial-agg groupBys, never materializing
+    any pair. Exact integers → bit-stable hash."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sigs = minhash_signature(d).drop("text")
+    banded = sigs.select(
+        F.explode(F.array(*[F.expr(k) for k in _BAND_KEYS_SPARK])).alias("band_key")
+    )
+    buckets = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("bucket_size"))
+    return buckets.groupBy("bucket_size").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.expr("cast(sum(bucket_size * (bucket_size - 1) div 2) as bigint)").alias(
+            "candidate_pairs"
+        ),
+    )

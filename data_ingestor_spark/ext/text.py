@@ -1655,3 +1655,65 @@ def q_alloc_largest_remainder(spark, sf_dir):
         .cast("bigint")
         .alias("alloc"),
     )
+
+
+@query(
+    "q_text_drift",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id % 2 = 0 AS half_a,
+               unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ), counts AS (
+        SELECT tok,
+               SUM(CASE WHEN half_a THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN half_a THEN 0 ELSE 1 END) AS cb
+        FROM toks WHERE tok <> '' GROUP BY tok
+    ), tots AS (
+        SELECT SUM(ca) AS na, SUM(cb) AS nb FROM counts
+    ), scaled AS (
+        SELECT tok,
+               CAST(ca * 1000000 // na AS BIGINT) AS pa_ppm,
+               CAST(cb * 1000000 // nb AS BIGINT) AS pb_ppm
+        FROM counts, tots
+    )
+    SELECT CAST(SUM(ABS(pa_ppm - pb_ppm)) // 2 AS BIGINT) AS tv_ppm,
+           COUNT(*) AS n_tokens,
+           MAX(ABS(pa_ppm - pb_ppm)) AS max_token_drift_ppm
+    FROM scaled
+    """,
+    tags=("text", "drift", "distribution", "monitoring"),
+)
+def q_text_drift(spark, sf_dir):
+    """Corpus distribution drift: the total-variation distance between
+    two splits' token distributions (here doc-id parity halves — in
+    production, this-week vs last-week crawls, or source A vs B), the
+    monitoring statistic that catches vocabulary shift before a model
+    does. TV = ½·Σ|p_i − q_i| over per-split token rates, computed in
+    exact integer parts-per-million (rate = count·10⁶ div split
+    total), so the statistic is BIGINT end to end — the integer-scaled
+    defense this library uses wherever a divergence would otherwise
+    need floats (JS/KL need logs; TV bounds both and needs none).
+    Scale shape: one token explode + (token)-keyed conditional-sum
+    aggregate (partial-agg friendly), a broadcast 1-row totals join,
+    one global sum — no stage wider than the vocabulary. The max
+    single-token drift rides along as the 'which token moved' lead."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("doc_id") % 2 == 0).alias("half_a"),
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+    ).filter("tok <> ''")
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.expr("CASE WHEN half_a THEN 1 ELSE 0 END")).alias("ca"),
+        F.sum(F.expr("CASE WHEN half_a THEN 0 ELSE 1 END")).alias("cb"),
+    )
+    tots = counts.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    scaled = counts.crossJoin(F.broadcast(tots)).select(
+        F.expr("cast(ca * 1000000 div na as bigint)").alias("pa_ppm"),
+        F.expr("cast(cb * 1000000 div nb as bigint)").alias("pb_ppm"),
+    )
+    return scaled.agg(
+        F.expr("cast(sum(abs(pa_ppm - pb_ppm)) div 2 as bigint)").alias("tv_ppm"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.max(F.expr("abs(pa_ppm - pb_ppm)")).alias("max_token_drift_ppm"),
+    )

@@ -119,6 +119,7 @@ EXTRA = [
     "q_event_changepoint",  # division-free CUSUM regime shift
     "q_text_drift",         # exact-integer TV distribution drift
     "q_dedup_lsh_bucket_stats",  # band-bucket skew histogram
+    "q_dedup_stopband_tradeoff",  # measured stop-band capping
 ]
 
 

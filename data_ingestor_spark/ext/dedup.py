@@ -1400,3 +1400,72 @@ def q_dedup_lsh_bucket_stats(spark, sf_dir):
             "candidate_pairs"
         ),
     )
+
+
+@query(
+    "q_dedup_stopband_tradeoff",
+    oracle=f"""
+    WITH sigs AS (
+        SELECT doc_id, {_MH_DUCK_COLS}
+        FROM (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+              FROM documents)
+    ), banded AS (
+        SELECT doc_id, unnest([{{bands}}]) AS band_key
+        FROM sigs
+    ), buckets AS (
+        SELECT band_key, COUNT(*) AS bucket_size
+        FROM banded GROUP BY band_key
+    )
+    SELECT
+        CAST(SUM(bucket_size * (bucket_size - 1) // 2) AS BIGINT)
+            AS pairs_uncapped,
+        CAST(SUM(CASE WHEN bucket_size <= 20
+                      THEN bucket_size * (bucket_size - 1) // 2
+                      ELSE 0 END) AS BIGINT) AS pairs_capped,
+        CAST(SUM(CASE WHEN bucket_size > 20 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_stop_bands,
+        CAST(SUM(CASE WHEN bucket_size > 20 THEN bucket_size ELSE 0 END)
+             AS BIGINT) AS docs_in_stop_bands
+    FROM buckets
+    """.replace("{bands}", ", ".join(_BAND_KEYS_DUCK)),
+    tags=("dedup", "lsh", "skew", "stopband"),
+)
+def q_dedup_stopband_tradeoff(spark, sf_dir):
+    """Stop-band mitigation, measured: candidate-pair mass with and
+    without dropping over-sized LSH buckets (cap 20 — buckets larger
+    than the cap are 'stop bands', the boilerplate signatures shared
+    by too many documents to be discriminative, exactly analogous to
+    stop-words in retrieval). The one-row readout quantifies the
+    tradeoff BEFORE committing the band join at 100 TB: pairs_uncapped
+    vs pairs_capped is the join-work reduction, n_stop_bands /
+    docs_in_stop_bands bound what the cap can miss (a doc dropped
+    from a stop band usually still collides with its true near-dups
+    in its OTHER, rarer bands — the reason banded LSH tolerates
+    capping where single-signature hashing cannot). Pure two-level
+    aggregation off the same banded relation as
+    q_dedup_lsh_bucket_stats; exact integers."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sigs = minhash_signature(d).drop("text")
+    banded = sigs.select(
+        F.explode(F.array(*[F.expr(k) for k in _BAND_KEYS_SPARK])).alias("band_key")
+    )
+    buckets = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("bucket_size"))
+    return buckets.agg(
+        F.expr("cast(sum(bucket_size * (bucket_size - 1) div 2) as bigint)").alias(
+            "pairs_uncapped"
+        ),
+        F.expr(
+            "cast(sum(CASE WHEN bucket_size <= 20"
+            " THEN bucket_size * (bucket_size - 1) div 2 ELSE 0 END) as bigint)"
+        ).alias("pairs_capped"),
+        F.expr(
+            "cast(sum(CASE WHEN bucket_size > 20 THEN 1 ELSE 0 END) as bigint)"
+        ).alias("n_stop_bands"),
+        F.expr(
+            "cast(sum(CASE WHEN bucket_size > 20 THEN bucket_size ELSE 0 END) as bigint)"
+        ).alias("docs_in_stop_bands"),
+    )

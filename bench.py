@@ -120,6 +120,7 @@ EXTRA = [
     "q_text_drift",         # exact-integer TV distribution drift
     "q_dedup_lsh_bucket_stats",  # band-bucket skew histogram
     "q_dedup_stopband_tradeoff",  # measured stop-band capping
+    "q_doc_lineage",        # per-doc provenance audit record
 ]
 
 

@@ -1717,3 +1717,82 @@ def q_text_drift(spark, sf_dir):
         F.count(F.lit(1)).alias("n_tokens"),
         F.max(F.expr("abs(pa_ppm - pb_ppm)")).alias("max_token_drift_ppm"),
     )
+
+
+@query(
+    "q_doc_lineage",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, source, text,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                   AS bkt,
+               LEN(string_split(text, ' ')) AS n_tokens,
+               LEN(list_distinct(string_split(text, ' '))) AS n_uniq
+        FROM documents
+    ), canon AS (
+        SELECT md5(text) AS h, MIN(doc_id) AS canonical_id
+        FROM documents GROUP BY md5(text)
+    )
+    SELECT b.doc_id, b.source,
+           CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           b.doc_id = c.canonical_id AS is_canonical,
+           b.n_tokens BETWEEN 20 AND 10000
+               AND CAST(b.n_uniq AS DOUBLE) / b.n_tokens > 0.2 AS passes_quality,
+           (b.doc_id = c.canonical_id)
+               AND (b.n_tokens BETWEEN 20 AND 10000
+                    AND CAST(b.n_uniq AS DOUBLE) / b.n_tokens > 0.2)
+               AS kept
+    FROM base b JOIN canon c ON md5(b.text) = c.h
+    """,
+    tags=("text", "lineage", "audit", "provenance"),
+)
+def q_doc_lineage(spark, sf_dir):
+    """Per-document lineage record — the audit view that answers "what
+    happened to doc X and why": its deterministic train/val/test
+    assignment (the q_split_assign md5 bucket), whether it survived
+    exact dedup as its content group's canonical (q_dedup_exact's
+    min-id rule), whether it passed the cheap quality gate
+    (q_text_quality's token-count + lexical-diversity rule), and the
+    conjunctive KEEP decision. Every signal reuses the library's
+    exact published rule — same hash, same thresholds — so this view
+    IS the explanation of the corpus-production pipeline's output,
+    row by row, the provenance artifact a data audit or a takedown
+    request needs. Scale shape: one narrow map for bucket/quality,
+    one content-hash groupBy + equality join for canonicality —
+    nothing a 100 TB corpus doesn't already do in the pipeline
+    itself; emit it alongside the corpus write and the audit is
+    free."""
+    d = load_table(spark, sf_dir, "documents")
+    bkt = (
+        F.expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)").cast(
+            "bigint"
+        )
+        % 100
+    )
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    quality = (n_tok >= 20) & (n_tok <= 10000) & (
+        n_uniq.cast("double") / n_tok > 0.2
+    )
+    base = d.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.when(bkt < 80, "train").when(bkt < 90, "val").otherwise("test").alias("split"),
+        quality.alias("passes_quality"),
+    )
+    canon = d.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("canonical_id")
+    )
+    return base.join(canon, "h").select(
+        "doc_id",
+        "source",
+        "split",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+        "passes_quality",
+        ((F.col("doc_id") == F.col("canonical_id")) & F.col("passes_quality")).alias(
+            "kept"
+        ),
+    )

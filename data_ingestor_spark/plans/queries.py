@@ -70,7 +70,7 @@ for _mod in (
 # q_event_forecast_backtest, q_window_ohlc, q_event_ltv_curve,
 # q_embed_outlier, q_scan_delete_vectors, q_alloc_largest_remainder,
 # q_event_changepoint, q_text_drift, q_dedup_lsh_bucket_stats,
-# q_dedup_stopband_tradeoff.
+# q_dedup_stopband_tradeoff, q_doc_lineage.
 _PRIORITY: tuple[str, ...] = (
     # --- round-3 driver reds, root-caused + fixed (Decimal→DOUBLE) -------
     "q_subq_scalar",

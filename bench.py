@@ -194,6 +194,22 @@ def main() -> None:
             }
         )
     )
+    # Final COMPACT line, printed last so the driver's bounded tail capture
+    # always contains a parseable headline even when the diagnostic JSON
+    # above exceeds the capture window (rounds 3-4 recorded ``parsed: null``
+    # for exactly that reason).  Same canonical shape the driver expects.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "host_load_avg_1m_start": load_start,
+            }
+        )
+    )
     spark.stop()
 
 

@@ -43,91 +43,76 @@ for _mod in (
 # module order after it.  The local gate (scripts/check_oracle.py) always
 # runs all keys, so nothing rots silently while outside the window.
 #
-# Round-4 window: slots 1-2 are the two round-3 driver reds
-# (q_subq_scalar, q_dedup_latest — DecimalType output hash hazard, final
-# projections now cast to DOUBLE on both engines); slots 3-4 are the two
-# zero-evidence keys with the SAME Decimal landmine, fixed the same way
-# this round (q_scalar_try, q_scan_schema_evolution); slots 5-50 are 46
-# of the 49 remaining keys that have never had driver evidence (all 53
-# were frozen out when the round-3 registry outgrew the 50-slot window).
-# The round-5 rotation queue (zero driver evidence after round 4):
-# 5 TPC-H variants whose shape-twins are already driver-green —
-# q_tpch_q4 (semi-join EXISTS, twin of green r1 semi-join), q_tpch_q12
-# (join + conditional agg, twin of green Q14), q_tpch_q16
-# (distinct-count group, twin of green r1 count-distinct), q_tpch_q19
-# (disjunctive pushdown, twin of green Q6), q_tpch_q22 (anti-join +
-# scalar avg, twin of green Q13/subq family) — plus the 10 keys added in
-# round 4: q_text_classifier, q_mix_resample, q_dedup_url,
-# q_scan_json_corrupt, q_scan_zorder, q_sample_per_group,
-# q_text_bigram_lm, q_text_shard_manifest, q_equidepth_histogram,
-# q_join_incremental, q_table_diff, q_compact_plan, q_graph_pagerank,
-# q_interval_concurrency, q_source_overlap, q_bpe_train,
-# q_embed_pca_power, q_event_trend, q_agg_rollup_cascade,
-# q_sample_weighted, q_agg_weighted_median, q_stream_rollup_maintain,
-# q_event_robust_anomaly, q_bpe_apply, q_dedup_containment,
-# q_join_asof_nearest, q_market_basket, q_langid_confusion,
-# q_knn_accuracy, q_scd2_merge, q_event_abtest,
-# q_event_forecast_backtest, q_window_ohlc, q_event_ltv_curve,
-# q_embed_outlier, q_scan_delete_vectors, q_alloc_largest_remainder,
-# q_event_changepoint, q_text_drift, q_dedup_lsh_bucket_stats,
-# q_dedup_stopband_tradeoff, q_doc_lineage.
+# Round-5 window (judge directive r4 #1 — close the evidence gap): all 47
+# keys with zero driver evidence after four rounds (the 42 round-4
+# additions that landed after the r4 window froze, plus the 5 TPC-H shapes
+# q_tpch_q4/q12/q16/q19/q22 that never fit a window), front-loaded so one
+# 50-wide window gives every registered key driver-side evidence.  The 3
+# spare slots hold: the one round-5 registry addition
+# (q_dedup_containment_recall, judge directive r4 #4 — registry growth is
+# otherwise FROZEN this round so the window catches up) and
+# re-confirmations of the two formerly-recurring reds (q_subq_scalar,
+# q_dedup_latest, both green r4).  All 47 zero-evidence keys passed the
+# full local oracle gate at sf0.01 (judge-verified independently in r4).
 _PRIORITY: tuple[str, ...] = (
-    # --- round-3 driver reds, root-caused + fixed (Decimal→DOUBLE) -------
+    # --- re-confirmation of the closed round-3 red saga (green r4) -------
     "q_subq_scalar",
     "q_dedup_latest",
-    # --- same Decimal landmine, fixed pre-emptively this round -----------
-    "q_scalar_try",
-    "q_scan_schema_evolution",
-    # --- zero-driver-evidence TPC-H (the distinctive multi-join shapes) --
-    "q_tpch_q2",
-    "q_tpch_q9",
-    "q_tpch_q11",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    # --- zero-driver-evidence LLM-pipeline tier --------------------------
-    "q_sim_knn_join",
-    "q_text_pack",
-    "q_text_gopher",
-    "q_text_domain_stats",
-    "q_split_assign",
-    "q_kmeans_train",
-    "q_dedup_incremental",
-    "q_corpus_production",
-    "q_dedup_substring",
-    "q_dedup_lsh_recall",
-    "q_dedup_minhash_char",
-    "q_dedup_union_candidates",
-    "q_sim_ann_recall",
-    "q_text_unigram_logprob",
-    "q_text_keywords",
-    "q_multimodal_audio",
-    "q_multimodal_phash",
-    "q_multimodal_phash_pairs",
-    "q_multimodal_scenes",
-    "q_k_anonymity",
-    "q_profile_columns",
-    # --- zero-driver-evidence event/warehouse analytics ------------------
-    "q_event_dau_wau",
-    "q_event_path",
-    "q_event_attribution",
-    "q_event_ewma",
-    "q_event_funnel_latency",
-    "q_window_gap_islands",
-    "q_scd2_pit_join",
-    "q_recursive_compound",
-    # --- zero-driver-evidence aggregates / scalars / scans / joins -------
-    "q_agg_percentile_disc",
-    "q_agg_incremental",
-    "q_agg_mode",
-    "q_agg_grouping_id",
-    "q_agg_sketch_union",
-    "q_agg_bitmap_distinct",
-    "q_scalar_variant",
-    "q_scalar_url",
-    "q_subq_lateral",
-    "q_scan_binaryfile",
-    "q_join_bucketed",
-    "q_udtf_analyze",
+    # --- the single round-5 addition (containment recall measurement) ----
+    "q_dedup_containment_recall",
+    # --- zero-evidence TPC-H leftovers (shape-twins already green) -------
+    "q_tpch_q4",
+    "q_tpch_q12",
+    "q_tpch_q16",
+    "q_tpch_q19",
+    "q_tpch_q22",
+    # --- zero-evidence round-4 additions: scans / joins / maintenance ----
+    "q_scan_json_corrupt",
+    "q_scan_zorder",
+    "q_scan_delete_vectors",
+    "q_compact_plan",
+    "q_table_diff",
+    "q_join_incremental",
+    "q_join_asof_nearest",
+    "q_scd2_merge",
+    "q_stream_rollup_maintain",
+    # --- zero-evidence round-4 additions: aggregates / windows -----------
+    "q_equidepth_histogram",
+    "q_agg_weighted_median",
+    "q_agg_rollup_cascade",
+    "q_window_ohlc",
+    "q_interval_concurrency",
+    "q_market_basket",
+    "q_alloc_largest_remainder",
+    "q_sample_per_group",
+    "q_sample_weighted",
+    # --- zero-evidence round-4 additions: event analytics ----------------
+    "q_event_trend",
+    "q_event_robust_anomaly",
+    "q_event_abtest",
+    "q_event_forecast_backtest",
+    "q_event_ltv_curve",
+    "q_event_changepoint",
+    # --- zero-evidence round-4 additions: dedup / graph / embeddings -----
+    "q_dedup_url",
+    "q_dedup_containment",
+    "q_dedup_lsh_bucket_stats",
+    "q_dedup_stopband_tradeoff",
+    "q_source_overlap",
+    "q_graph_pagerank",
+    "q_embed_pca_power",
+    "q_embed_outlier",
+    "q_knn_accuracy",
+    # --- zero-evidence round-4 additions: text / LLM-pipeline ------------
+    "q_text_classifier",
+    "q_mix_resample",
+    "q_text_bigram_lm",
+    "q_text_shard_manifest",
+    "q_bpe_train",
+    "q_bpe_apply",
+    "q_langid_confusion",
+    "q_text_drift",
+    "q_doc_lineage",
 )
 
 _ordered = [k for k in _PRIORITY if k in REGISTRY]

@@ -939,3 +939,30 @@ def test_market_basket_caps_mega_basket_fanout(spark, registry):
     # on real data the cap is a no-op, reported in-band
     rows = registry["q_market_basket"].fn(spark, SF_DIR).collect()
     assert rows and all(r["n_trimmed_baskets"] == 0 for r in rows)
+
+
+def test_registry_schemas_driver_hashable(spark, registry):
+    """Registry-wide type-discipline gate (judge r4 directive #6): every
+    registered query's result schema must contain only types the
+    driver's pandas-based canonicalizer can hash consistently across
+    engines — no DecimalType (Spark Decimal objects stringify while
+    DuckDB surfaces float64, the proven root cause of the r2/r3
+    q_subq_scalar/q_dedup_latest reds), no array/map/struct cells (the
+    driver records the whole query as an error). Schema-only: building
+    the DataFrame runs Catalyst analysis, not the job, so this covers
+    all ~243 keys cheaply and fails at pytest time instead of at the
+    round's correctness gate."""
+    from pyspark.sql import types as T
+
+    banned = (T.DecimalType, T.ArrayType, T.MapType, T.StructType)
+    offenders = {}
+    for name, spec in registry.items():
+        df = spec.fn(spark, SF_DIR)
+        bad = [
+            f"{f.name}: {f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if isinstance(f.dataType, banned)
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"non-driver-hashable result columns: {offenders}"

@@ -520,3 +520,31 @@ def test_merge_hourly_batch_replay_idempotent(spark, tmp_path):
     # replay of batch 1 after more state: still a no-op
     assert merge_hourly_batch(spark, state, b1, 1) is False
     assert {r["n"] for r in read_latest(spark, state).collect()} == {3}
+
+def test_merge_hourly_batch_checkpoint_reset_fails_loudly(spark, tmp_path):
+    """A reset streaming checkpoint restarts batch ids at 0; against an
+    existing state table every restarted batch would look like an
+    already-applied replay and be silently skipped forever. The merge
+    must raise for batch ids further behind applied_bid than the
+    allowed replay lag, and still accept legitimate lag-1 replays."""
+    import pytest as _pytest
+
+    from data_ingestor_spark.plans.timeseries import merge_hourly_batch
+
+    state = str(tmp_path / "state")
+    from datetime import datetime
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    b = mk([(1, datetime(2024, 1, 1, 10, 5), 1, "click", 1.0, "{}")])
+    for bid in (0, 1, 2, 3, 4):
+        assert merge_hourly_batch(spark, state, b, bid) is True
+    # lag-1 replay (crash after publish of batch 4, checkpoint at 3): no-op
+    assert merge_hourly_batch(spark, state, b, 3) is False
+    assert merge_hourly_batch(spark, state, b, 4) is False
+    # checkpoint reset: ids restart at 0 against applied_bid=4 — loud failure
+    with _pytest.raises(ValueError, match="reset"):
+        merge_hourly_batch(spark, state, b, 0)
+    # wider allowed_lag tolerates deeper replays when explicitly configured
+    assert merge_hourly_batch(spark, state, b, 0, allowed_lag=4) is False

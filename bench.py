@@ -121,6 +121,8 @@ EXTRA = [
     "q_dedup_lsh_bucket_stats",  # band-bucket skew histogram
     "q_dedup_stopband_tradeoff",  # measured stop-band capping
     "q_doc_lineage",        # per-doc provenance audit record
+    # round 5 (the single registry addition this round)
+    "q_dedup_containment_recall",  # sampled containment-recall eval by skew class
 ]
 
 

@@ -42,6 +42,7 @@ import glob
 import os
 import re
 import shutil
+import time
 
 from pyspark.sql import DataFrame
 
@@ -375,14 +376,18 @@ def publish_versioned(df: DataFrame, table_dir: str) -> int:
 
     Concurrent writers: the version number is reserved with an atomic
     ``os.mkdir`` (EEXIST ⇒ another writer took N, retry with N+1), so
-    two writers can never publish into the same ``v=N``. Under true
-    concurrency the ``_LATEST`` pointer is last-flip-wins — it may name
-    the not-strictly-highest version momentarily, but always a COMPLETE
-    one; serialize writers externally if monotonic latest matters.
+    two writers can never publish into the same ``v=N``, and the
+    ``_LATEST`` flip is MONOTONIC (``_flip_latest_monotonic``): a
+    writer only moves the pointer forward, so interleaved publishes can
+    never leave ``_LATEST`` naming an older snapshot than one already
+    published — readers see a complete snapshot at all times and the
+    highest published version wins regardless of flip order.
 
     At 100 TB the same layout works on an object store with two
     substitutions: the version reservation and pointer write become
-    conditional PUTs, and vacuum respects reader lease times.
+    conditional PUTs (the monotonic-flip compare-and-set maps 1:1 onto
+    S3 conditional writes / GCS generation preconditions), and vacuum
+    respects reader lease times.
     """
     os.makedirs(table_dir, exist_ok=True)
     existing = [
@@ -405,11 +410,56 @@ def publish_versioned(df: DataFrame, table_dir: str) -> int:
         # rename onto the just-reserved EMPTY dir: atomic replace on POSIX
         os.rename(staging, vdir)  # version dirs are immutable once named
         break
-    pointer_tmp = os.path.join(table_dir, f"_LATEST.tmp.{os.getpid()}")
-    with open(pointer_tmp, "w") as fh:
-        fh.write(str(version))
-    os.replace(pointer_tmp, os.path.join(table_dir, "_LATEST"))  # atomic flip
+    _flip_latest_monotonic(table_dir, version)
     return version
+
+
+def _flip_latest_monotonic(table_dir: str, version: int, stale_lock_s: float = 10.0) -> bool:
+    """Move the ``_LATEST`` pointer to ``version`` unless it already
+    names a higher one — the compare-and-set that turns last-flip-wins
+    into monotonic-latest under concurrent writers. The read-compare-
+    replace is serialized by an ``os.mkdir`` mutex (the only primitive
+    POSIX gives that is both atomic and visible across processes); a
+    lock directory older than ``stale_lock_s`` is presumed orphaned by
+    a crashed writer and broken, so a crash mid-flip delays other
+    writers by at most the stale window and never wedges the table.
+    Returns True if the pointer was moved. On an object store this
+    whole function is one conditional PUT keyed on the read generation."""
+    lock = os.path.join(table_dir, "_LATEST.lock")
+    deadline = time.monotonic() + stale_lock_s
+    while True:
+        try:
+            os.mkdir(lock)
+            break
+        except FileExistsError:
+            try:
+                if os.path.getmtime(lock) < time.time() - stale_lock_s:
+                    os.rmdir(lock)  # break orphaned lock; next loop re-races
+                    continue
+            except OSError:
+                continue  # holder released between check and rmdir
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"_LATEST.lock in {table_dir!r} held past the stale "
+                    f"window ({stale_lock_s}s) — concurrent writer stuck?"
+                )
+            time.sleep(0.01)
+    try:
+        pointer = os.path.join(table_dir, "_LATEST")
+        try:
+            with open(pointer) as fh:
+                current = int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            current = -1
+        if current >= version:
+            return False  # a newer (or same) snapshot already published
+        pointer_tmp = os.path.join(table_dir, f"_LATEST.tmp.{os.getpid()}")
+        with open(pointer_tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(pointer_tmp, pointer)  # atomic flip (readers lock-free)
+        return True
+    finally:
+        os.rmdir(lock)
 
 
 def latest_version(table_dir: str) -> int:

@@ -349,3 +349,58 @@ def test_versioned_publish_time_travel_and_vacuum(spark, tmp_path):
     assert vacuum_versions(table, keep=2) == [0]
     assert read_version(spark, table, 1).count() == 20
     assert read_latest(spark, table).count() == 30
+
+
+def test_latest_pointer_flip_is_monotonic(tmp_path):
+    """Concurrent publishers must never move _LATEST backwards: the
+    flip is a compare-and-set under an mkdir mutex, so whatever order
+    writers finish in, the pointer names the highest published version
+    (watch item closed: formerly last-flip-wins, documented-only)."""
+    import random
+    import threading
+
+    from data_ingestor_spark.sinks import _flip_latest_monotonic
+
+    table = str(tmp_path / "t")
+    import os
+
+    os.makedirs(table)
+    versions = list(range(32))
+    random.shuffle(versions)
+    moved = {}
+
+    def flip(v):
+        moved[v] = _flip_latest_monotonic(table, v)
+
+    threads = [threading.Thread(target=flip, args=(v,)) for v in versions]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    with open(os.path.join(table, "_LATEST")) as fh:
+        assert int(fh.read()) == 31  # highest wins regardless of flip order
+    assert moved[31] is True
+    assert not os.path.exists(os.path.join(table, "_LATEST.lock"))
+    # an out-of-order straggler afterwards is a no-op
+    assert _flip_latest_monotonic(table, 5) is False
+    with open(os.path.join(table, "_LATEST")) as fh:
+        assert int(fh.read()) == 31
+
+
+def test_latest_pointer_stale_lock_broken(tmp_path):
+    """A lock directory orphaned by a crashed writer must be broken
+    after the stale window instead of wedging every future publish."""
+    import os
+    import time as _time
+
+    from data_ingestor_spark.sinks import _flip_latest_monotonic
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    lock = os.path.join(table, "_LATEST.lock")
+    os.mkdir(lock)
+    past = _time.time() - 60
+    os.utime(lock, (past, past))  # simulate a crash 60s ago
+    assert _flip_latest_monotonic(table, 3, stale_lock_s=5.0) is True
+    with open(os.path.join(table, "_LATEST")) as fh:
+        assert int(fh.read()) == 3

@@ -966,3 +966,21 @@ def test_registry_schemas_driver_hashable(spark, registry):
         if bad:
             offenders[name] = bad
     assert not offenders, f"non-driver-hashable result columns: {offenders}"
+
+
+def test_containment_recall_counts_and_skew_classes(spark, registry):
+    """q_dedup_containment_recall: per-class counts must be internally
+    consistent (hits ≤ truth, recall in [0,1]), classes disjoint, and
+    the all-pairs stage must be the bounded 20% sample, not the corpus
+    (cross-join row estimate ≤ (n/5)² against the sample size)."""
+    df = registry["q_dedup_containment_recall"].fn(spark, SF_DIR)
+    rows = df.collect()
+    assert rows, "sample must produce at least one containment truth pair"
+    assert len({r["size_skewed"] for r in rows}) == len(rows)  # one row per class
+    for r in rows:
+        assert r["size_skewed"] in (0, 1)
+        assert 0 <= r["n_hits"] <= r["n_truth"]
+        assert 0.0 <= r["recall"] <= 1.0
+    # the truth join is sample-bounded: both sides filtered to doc_id % 5
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("% 5") >= 2 or plan.count("pmod") >= 2

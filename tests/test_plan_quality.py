@@ -984,3 +984,48 @@ def test_containment_recall_counts_and_skew_classes(spark, registry):
     # the truth join is sample-bounded: both sides filtered to doc_id % 5
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("% 5") >= 2 or plan.count("pmod") >= 2
+
+
+def test_asof_nearest_union_of_directions_no_nlj(spark, registry):
+    """q_join_asof_nearest must stay a union of two as-of passes with
+    equality/broadcast joins — a nested-loop time-distance join would
+    be quadratic in events x readings."""
+    plan = _formatted_plan(registry["q_join_asof_nearest"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Union" in plan  # backward + forward candidate passes
+
+
+def test_changepoint_windowed_with_top1_short_circuit(spark, registry):
+    """q_event_changepoint: CUSUM is two ordered windows plus an argmax
+    that must short-circuit via WindowGroupLimit (rank<=1 pushed into
+    the window sort), never a global re-sort or self-join."""
+    plan = _formatted_plan(registry["q_event_changepoint"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 1
+    assert "WindowGroupLimit" in plan
+
+
+def test_stopband_tradeoff_single_scan_no_joins(spark, registry):
+    """q_dedup_stopband_tradeoff reads the corpus exactly once (the
+    banded relation) and reduces by pure two-level aggregation — any
+    join or second scan means the diagnostic got more expensive than
+    the band join it is supposed to de-risk."""
+    import re
+
+    plan = _formatted_plan(registry["q_dedup_stopband_tradeoff"].fn(spark, SF_DIR))
+    # formatted explain names each scan once in the tree and once in the
+    # detail section — count the numbered detail headers
+    assert len(re.findall(r"\(\d+\) Scan ", plan)) == 1
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final at both levels
+
+
+def test_ltv_curve_broadcast_dims_no_sort_merge(spark, registry):
+    """q_event_ltv_curve: the cohort attach joins must broadcast (the
+    cohort table is one row per user-cohort, small relative to events)
+    rather than sort-merge shuffle the event stream."""
+    plan = _formatted_plan(registry["q_event_ltv_curve"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2

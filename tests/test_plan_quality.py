@@ -1029,3 +1029,71 @@ def test_ltv_curve_broadcast_dims_no_sort_merge(spark, registry):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_pca_power_no_gram_matrix_joins(spark, registry):
+    """q_embed_pca_power: each power-iteration matvec must stay a
+    vector-keyed partial aggregate with broadcast scalar attaches —
+    a SortMergeJoin or cartesian would mean the d x d Gram matrix (or
+    an all-pairs product) got materialized, which dies at 100 TB where
+    n >> d but n x n is unthinkable."""
+    plan = _formatted_plan(registry["q_embed_pca_power"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ohlc_single_scan_two_level_agg(spark, registry):
+    """q_window_ohlc: one tick scan, deterministic open/close via
+    order-statistic structs inside a two-level (partial+final)
+    aggregate — a second scan or a window re-sort would double the
+    dominant cost at scale."""
+    import re
+
+    plan = _formatted_plan(registry["q_window_ohlc"].fn(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan ", plan)) == 1
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_weighted_median_single_scan_no_sort_all(spark, registry):
+    """q_agg_weighted_median: exact weighted median from one scan and
+    grouped aggregation; a global Sort before the aggregate would be a
+    total-order shuffle of the fact table."""
+    import re
+
+    plan = _formatted_plan(registry["q_agg_weighted_median"].fn(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan ", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_forecast_backtest_single_scan_no_joins(spark, registry):
+    """q_event_forecast_backtest: seasonal-naive backtest must derive
+    both the forecast and the actuals from ONE pass over events (lag
+    windows / conditional aggregates), never a self-join of the event
+    table against its own shifted copy."""
+    import re
+
+    plan = _formatted_plan(registry["q_event_forecast_backtest"].fn(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan ", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_langid_confusion_single_scan_no_joins(spark, registry):
+    """q_langid_confusion: predicted-vs-true label cross-tab is one
+    scan + one grouped aggregate; joining predictions back to truth by
+    id would shuffle the corpus twice for no reason."""
+    import re
+
+    plan = _formatted_plan(registry["q_langid_confusion"].fn(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan ", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_scd2_merge_broadcast_changes_no_smj(spark, registry):
+    """q_scd2_merge: the change batch is tiny relative to the dimension
+    — every attach must broadcast (BHJ or 1-row-scalar BNLJ), never
+    sort-merge shuffle the full dimension history."""
+    plan = _formatted_plan(registry["q_scd2_merge"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

@@ -1090,6 +1090,68 @@ def test_langid_confusion_single_scan_no_joins(spark, registry):
     assert "Join" not in plan
 
 
+def test_tpch_q12_broadcast_orders_pushdown(spark, registry):
+    """q_tpch_q12: the lineitem predicate set (shipmode IN, date range,
+    commit<receipt) must reach the parquet scan, and the orders attach
+    must broadcast — a sort-merge here shuffles the whole fact table
+    for a 2-column priority lookup."""
+    plan = _formatted_plan(registry["q_tpch_q12"].fn(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "PushedFilters: [" in plan
+
+
+def test_tpch_q16_no_sort_merge_and_pushdown(spark, registry):
+    """q_tpch_q16: supplier-complaint exclusion plus the part attach
+    must stay broadcast-side (part filters pushed to scan); the
+    count-distinct suppliers agg is the only legitimate wide exchange."""
+    plan = _formatted_plan(registry["q_tpch_q16"].fn(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: [" in plan
+
+
+def test_event_trend_single_scan_no_joins(spark, registry):
+    """q_event_trend: the regression slope is decomposable sums
+    (n, Σx, Σy, Σxy, Σx²) from ONE scan of events — a self-join or
+    second scan doubles the dominant cost."""
+    import re
+
+    plan = _formatted_plan(registry["q_event_trend"].fn(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan ", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_bpe_train_no_cartesian_no_smj(spark, registry):
+    """q_bpe_train: each merge round touches |vocab| rows with the
+    best-pair selection attached as a broadcast 1-row aggregate
+    (BNLJ with scalar side is the audited shape); a SortMergeJoin or
+    true cartesian would mean corpus-sized state entered a round."""
+    plan = _formatted_plan(registry["q_bpe_train"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_text_drift_reaggregates_no_smj(spark, registry):
+    """q_text_drift: TV distance between token distributions must come
+    from two grouped aggregates re-joined on token (hash/broadcast),
+    with totals attached as broadcast scalars — never a sort-merge of
+    raw token streams."""
+    plan = _formatted_plan(registry["q_text_drift"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sample_weighted_no_shuffle_before_filter(spark, registry):
+    """q_sample_weighted: md5-priority weighted sampling is a pure
+    narrow map + filter — ZERO exchanges. Any shuffle means the
+    sampler materialized an ordering it doesn't need."""
+    plan = _formatted_plan(registry["q_sample_weighted"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
 def test_scd2_merge_broadcast_changes_no_smj(spark, registry):
     """q_scd2_merge: the change batch is tiny relative to the dimension
     — every attach must broadcast (BHJ or 1-row-scalar BNLJ), never

@@ -1152,6 +1152,19 @@ def test_sample_weighted_no_shuffle_before_filter(spark, registry):
     assert "Join" not in plan
 
 
+def test_doc_lineage_single_scan_window_canonical(spark, registry):
+    """q_doc_lineage: the fat text column must be decoded ONCE — md5 +
+    tokenize in a single scan, canonical resolved by min-over-window on
+    the content hash. A second scan (the groupBy+self-join shape) pays
+    the text decode twice; measured 2.7× slower at sf0.1."""
+    import re
+
+    plan = _formatted_plan(registry["q_doc_lineage"].fn(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan ", plan)) == 1
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
+
+
 def test_scd2_merge_broadcast_changes_no_smj(spark, registry):
     """q_scd2_merge: the change batch is tiny relative to the dimension
     — every attach must broadcast (BHJ or 1-row-scalar BNLJ), never

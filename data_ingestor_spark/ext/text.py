@@ -306,21 +306,31 @@ def q_text_editdist(spark, sf_dir):
 def q_text_tfidf(spark, sf_dir):
     """TF-IDF keyword scoring — the classic corpus-statistics operator:
     per-doc term frequency, corpus document frequency, tf·ln(N/df).
-    Two shuffles (tf groupBy, df groupBy) + a broadcast of the tiny
-    doc-count scalar; term-length and frequency floors bound the fanout
-    (at 100 TB you'd also hash-bucket terms). ROUND(4) absorbs any
-    libm ulp divergence between engines."""
+    One tf shuffle, then df as COUNT(*) OVER (PARTITION BY term) on the
+    tf relation itself — tf rows are unique per (doc, term), so the
+    window count IS the distinct-doc frequency, and the former
+    df-groupBy + term join (a second exchange plus a join) disappears
+    (measured 1.5× at sf0.1). Skew note: ANY formulation that attaches
+    df to each (doc, term) row must co-locate a term's rows — the old
+    join shuffled tf by term exactly the same way; the window adds only
+    a sort. A pathological hot term concentrates in one task either
+    way; the escape hatch at web scale is salting df into (term,
+    doc_id%k) partials and re-aggregating, at the price of re-joining
+    (noted, not needed at any tested SF — term-length and frequency
+    floors bound the fanout). ROUND(4) absorbs any libm ulp divergence
+    between engines."""
+    from pyspark.sql import Window as W
+
     d = load_table(spark, sf_dir, "documents")
     terms = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     ).filter(F.length("term") >= 4)
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     # corpus size as a broadcast one-row aggregate — stays in the plan,
     # no driver-side action
     n_docs = F.broadcast(d.agg(F.count("*").cast("double").alias("_n")))
     out = (
-        tf.join(df_, "term")
+        tf.withColumn("df", F.count("*").over(W.partitionBy("term")))
         .filter((F.col("df") >= 5) & (F.col("tf") >= 3))
         .crossJoin(n_docs)
         .select(
@@ -916,8 +926,9 @@ def q_text_unigram_logprob(spark, sf_dir):
 def q_text_keywords(spark, sf_dir):
     """Keyword extraction: top-3 TF-IDF terms per document with a
     deterministic (score, term) tie-break — the document-tagging /
-    indexing primitive built on the corpus statistics plan
-    (q_text_tfidf): two shuffles for tf and df, broadcast corpus count,
+    indexing primitive built on the corpus statistics of q_text_tfidf:
+    one tf shuffle, df re-aggregated from tf and broadcast back (the
+    filtered vocabulary is small), broadcast corpus count,
     then one per-doc rank window. Scores are rounded BEFORE ranking so
     both engines rank identical values and the tie-break is exact."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")

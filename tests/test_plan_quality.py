@@ -1152,6 +1152,21 @@ def test_sample_weighted_no_shuffle_before_filter(spark, registry):
     assert "Join" not in plan
 
 
+def test_tfidf_single_scan_window_df_no_term_join(spark, registry):
+    """q_text_tfidf: df must come from a window count over the tf
+    relation (tf rows are unique per (doc, term)), not a second
+    aggregate joined back on term — the join shape costs an extra
+    exchange and a join for the identical result (measured 1.5×)."""
+    import re
+
+    plan = _formatted_plan(registry["q_text_tfidf"].fn(spark, SF_DIR))
+    # exactly two scans: the text scan and the count-only corpus scalar
+    assert len(re.findall(r"\(\d+\) Scan ", plan)) == 2
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("Window") >= 1
+
+
 def test_doc_lineage_single_scan_window_canonical(spark, registry):
     """q_doc_lineage: the fat text column must be decoded ONCE — md5 +
     tokenize in a single scan, canonical resolved by min-over-window on

@@ -96,7 +96,7 @@ def q_udtf_tokens(spark, sf_dir):
     point."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="doc_id bigint, pos int, token string")
+    @udtf(returnType="doc_id bigint, pos int, token string", useArrow=True)
     class Tokenize:
         def eval(self, doc_id: int, text: str):  # noqa: A002
             if text is None:
@@ -235,7 +235,7 @@ def q_udtf_analyze(spark, sf_dir):
                     row.append(float(value) if value is not None else None)
                 yield tuple(row)
 
-    Emitter = udtf(FilterEmit)
+    Emitter = udtf(FilterEmit, useArrow=True)
     spark.udtf.register("filter_emit_udtf", Emitter)
     e = load_table(spark, sf_dir, "events").select("event_type", "value")
     e.createOrReplaceTempView("_udtf_events")

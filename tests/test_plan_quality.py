@@ -495,6 +495,85 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.set(k, v)
 
 
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """AQE partition coalescing — the runtime answer to over-provisioned
+    spark.sql.shuffle.partitions: a tiny aggregate shuffled into 32
+    configured partitions must COALESCE to far fewer at runtime
+    (AQEShuffleRead coalesced), because at 100 TB the same static
+    setting that is right for the big stage would schedule thousands of
+    near-empty reducers for the small one."""
+    from pyspark.sql import functions as F
+
+    keys = (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+        n = (
+            spark.read.parquet(f"{SF_DIR}/nation.parquet")
+            .groupBy("n_regionkey")
+            .agg(F.count("*").alias("n"))
+        )
+        assert n.count() > 0
+        out_parts = n.rdd.getNumPartitions()
+        assert out_parts < int(spark.conf.get("spark.sql.shuffle.partitions"))
+        plan = n._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead" in plan and "coalesced" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_aqe_promotes_smj_to_broadcast_at_runtime(spark):
+    """AQE join demotion — a join the static planner schedules as
+    sort-merge (broadcast threshold set too low to trust the estimate)
+    must be promoted to broadcast at RUNTIME once the built side's
+    actual shuffle stats come in under the adaptive threshold. This is
+    the safety net that makes conservatively-planned 100 TB jobs cheap
+    when a filter turned the dimension tiny."""
+    from pyspark.sql import functions as F
+
+    keys = (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        # static planner: never broadcast; adaptive: broadcast up to 10MB
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+        cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+            "c_custkey", "c_nationkey"
+        )
+        tiny = (
+            spark.read.parquet(f"{SF_DIR}/nation.parquet")
+            .filter(F.col("n_regionkey") == 0)
+            .select("n_nationkey", "n_name")
+        )
+        j = cust.join(tiny, cust.c_nationkey == tiny.n_nationkey)
+        static_plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in static_plan or "AdaptiveSparkPlan" in static_plan
+        j.collect()
+        final_plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in final_plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_phash_pairs_banded_no_cartesian(spark, registry):
     """The dHash pair finder must stay an equality band join — an
     all-pairs Hamming scan is quadratic in corpus size and the exact

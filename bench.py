@@ -148,6 +148,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     load_start = round(os.getloadavg()[0], 2)
 
+    # Single-thread CPU calibration: a fixed md5 workload whose runtime
+    # depends only on this boot's effective per-core speed (the box is
+    # re-provisioned between rounds and boots differ by up to ~1.2×
+    # uniformly — observed r4→r5 on byte-identical code). Recorded so
+    # cross-round comparisons can normalize: ratio × (cal_old / cal_new)
+    # ≈ the code-attributable change. scripts/bench_compare.py applies
+    # this automatically when both files carry the field.
+    import hashlib
+
+    _cal_t0 = time.perf_counter()
+    _h = b"x" * 65536
+    for _ in range(2000):
+        _h = hashlib.md5(_h).digest() + _h[: 65536 - 16]
+    cpu_cal_s = round(time.perf_counter() - _cal_t0, 4)
+
     from data_ingestor_spark.plans import queries as q
 
     # JVM/session warmup so the first timed query doesn't pay JIT + codegen
@@ -192,7 +207,8 @@ def main() -> None:
                 "extra_queries": extra,
                 "host_load_avg_1m": round(os.getloadavg()[0], 2),
                 "host_load_avg_1m_start": load_start,
-                "note": "per-query steady-state (best of 2); cold_first_run includes one-time codegen compile; extra_queries are round-2+ operators timed identically but excluded from the headline total for round-over-round comparability; host_load_avg_1m is the 1-minute load average at report time and _start before any query ran — the bench's own 32-core work raises the end value, so _start is the idle-box indicator; co-tenant load inflates every query uniformly (compare per-query RATIOS across rounds, not absolutes, when either is high)",
+                "cpu_cal_s": cpu_cal_s,
+                "note": "per-query steady-state (best of 2); cold_first_run includes one-time codegen compile; extra_queries are round-2+ operators timed identically but excluded from the headline total for round-over-round comparability; host_load_avg_1m is the 1-minute load average at report time and _start before any query ran — the bench's own 32-core work raises the end value, so _start is the idle-box indicator; co-tenant load inflates every query uniformly (compare per-query RATIOS across rounds, not absolutes, when either is high); cpu_cal_s is a fixed single-thread md5 workload timed before any query — boots differ up to ~1.2× on identical code, so normalize cross-round ratios by cal_old/cal_new",
             }
         )
     )

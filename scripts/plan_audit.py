@@ -47,8 +47,10 @@ def audit_plan(plan: str) -> dict:
         "hash_aggregates": len(re.findall(r"\(\d+\) HashAggregate", plan)),
         "sorts": len(re.findall(r"\(\d+\) Sort\b", plan)),
         "codegen_spans": len(set(re.findall(r"\[codegen id : (\d+)\]", plan))),
-        "pushed_filters": "PushedFilters: [" in plan
-        and "PushedFilters: []" not in plan,
+        # at least one scan carries a real (non-empty) pushed filter —
+        # an empty PushedFilters on an unfiltered side must not mask it
+        "pushed_filters": plan.count("PushedFilters: [")
+        > plan.count("PushedFilters: []"),
         "cartesian": len(re.findall(r"\(\d+\) CartesianProduct", plan)),
         # Arrow-batched pandas evals are fine; BatchEvalPython (row-at-a-
         # time Python UDF) is the slow path that must never appear.

@@ -1,0 +1,141 @@
+"""Unit tests for the repo's measurement tooling (no SparkSession).
+
+The plan-audit counters and the bench-compare math gate real decisions
+(what gets pinned, what counts as a regression), so their parsing is
+tested like any operator: against hand-built fixtures with known
+answers.
+"""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "scripts"))
+
+from plan_audit import audit_plan  # noqa: E402
+
+
+SAMPLE_PLAN = """
+== Physical Plan ==
+AdaptiveSparkPlan (9)
++- HashAggregate (8)
+   +- Exchange (7)
+      +- HashAggregate (6)
+         +- Project (5)
+            +- BroadcastHashJoin Inner BuildRight (4)
+               :- Filter (2)
+               :  +- Scan parquet  (1)
+               +- BroadcastExchange (3)
+                  +- Scan parquet  (10)
+
+(1) Scan parquet
+Output [3]: [a, b, c]
+PushedFilters: [IsNotNull(a)]
+[codegen id : 1]
+
+(2) Filter
+[codegen id : 1]
+
+(3) BroadcastExchange
+
+(4) BroadcastHashJoin
+[codegen id : 2]
+
+(6) HashAggregate
+[codegen id : 2]
+
+(7) Exchange
+
+(8) HashAggregate
+[codegen id : 3]
+
+(10) Scan parquet
+Output [1]: [k]
+PushedFilters: []
+"""
+
+
+def test_audit_plan_counts_nodes():
+    c = audit_plan(SAMPLE_PLAN)
+    assert c["scans"] == 2
+    # (7) Exchange counts; BroadcastExchange (3) has no "(n) Exchange" header
+    assert c["exchanges"] == 1
+    assert c["broadcast_hash_joins"] == 1
+    assert c["sort_merge_joins"] == 0
+    assert c["hash_aggregates"] == 2
+    assert c["codegen_spans"] == 3
+    assert c["cartesian"] == 0
+    assert c["python_row_eval"] == 0
+    # one scan has real pushed filters, so the plan qualifies
+    assert c["pushed_filters"] is True
+
+
+def test_audit_plan_flags_red_nodes():
+    plan = "(1) CartesianProduct\n(2) BatchEvalPython stuff\n(3) Scan parquet \n"
+    c = audit_plan(plan)
+    assert c["cartesian"] == 1
+    assert c["python_row_eval"] == 1
+
+
+def test_audit_plan_arrow_is_not_row_eval():
+    plan = "(1) ArrowEvalPythonUDTF f(x)\n(2) MapInPandas g\n(3) Scan parquet \n"
+    c = audit_plan(plan)
+    assert c["python_row_eval"] == 0
+    assert c["arrow_evals"] == 2
+
+
+def _run_compare(tmp_path, old, new):
+    a, b = tmp_path / "old.json", tmp_path / "new.json"
+    a.write_text(json.dumps(old))
+    b.write_text(json.dumps(new))
+    out = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "bench_compare.py"), str(a), str(b)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(out.stdout)
+
+
+def test_bench_compare_median_and_regressions(tmp_path):
+    old = {
+        "queries": {"q_a": 1.0, "q_b": 2.0},
+        "extra_queries": {"q_c": 4.0},
+        "value": 3.0,
+        "host_load_avg_1m_start": 0.5,
+    }
+    new = {
+        "queries": {"q_a": 1.0, "q_b": 3.0},
+        "extra_queries": {"q_c": 4.0},
+        "value": 4.0,
+        "host_load_avg_1m_start": 0.4,
+    }
+    r = _run_compare(tmp_path, old, new)
+    assert r["n_shared"] == 3
+    assert r["median_ratio_new_over_old"] == 1.0
+    assert r["regressed_gt_1.25x"] == {"q_b": 1.5}
+    assert "median_ratio_cal_normalized" not in r  # no calibration fields
+
+
+def test_bench_compare_calibration_normalizes(tmp_path):
+    # every query 1.2x slower, calibration also 1.2x slower -> normalized 1.0
+    old = {"queries": {"q_a": 1.0, "q_b": 2.0}, "value": 3.0, "cpu_cal_s": 0.20}
+    new = {"queries": {"q_a": 1.2, "q_b": 2.4}, "value": 3.6, "cpu_cal_s": 0.24}
+    r = _run_compare(tmp_path, old, new)
+    assert r["median_ratio_new_over_old"] == 1.2
+    assert abs(r["median_ratio_cal_normalized"] - 1.0) < 1e-9
+    assert r["regressed_gt_1.25x_cal_normalized"] == {}
+
+
+def test_bench_compare_reads_driver_tail(tmp_path):
+    old = {"queries": {"q_a": 1.0}, "value": 1.0}
+    new = {
+        "parsed": None,
+        "tail": '... noise {"q_a": 2.0, "cpu_cal_s": 0.3} '
+        '"host_load_avg_1m_start": 1.5}',
+    }
+    r = _run_compare(tmp_path, old, new)
+    assert r["n_shared"] == 1
+    assert r["load_start_new"] == 1.5

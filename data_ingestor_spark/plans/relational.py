@@ -492,24 +492,46 @@ def q_window_rank(spark, sf_dir):
     "q_window_ntile",
     oracle="""
     SELECT c_custkey, c_nationkey,
-           NTILE(4)       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile,
-           ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey), 6) AS pct_rank,
-           ROUND(CUME_DIST()    OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey), 6) AS cume
+           NTILE(4) OVER w AS quartile,
+           CASE WHEN COUNT(*) OVER p = 1 THEN 0
+                ELSE CAST(ROUND(PERCENT_RANK() OVER w * (COUNT(*) OVER p - 1)) AS BIGINT)
+                     * 1000000 // (COUNT(*) OVER p - 1) END AS pct_rank_ppm,
+           CAST(ROUND(CUME_DIST() OVER w * COUNT(*) OVER p) AS BIGINT)
+                * 1000000 // COUNT(*) OVER p AS cume_ppm
     FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+           p AS (PARTITION BY c_nationkey)
     """,
     tags=("window",),
 )
 def q_window_ntile(spark, sf_dir):
     """Distribution window functions: ntile buckets, percent_rank,
-    cume_dist — rounded so the rank/(n-1) divisions hash-match."""
+    cume_dist. Reported in exact PPM integers: the engines' doubles are
+    multiplied back by their own denominators — (n-1)·percent_rank and
+    n·cume_dist are integers to within far less than 0.5 ulp, so
+    round() recovers them EXACTLY — then floor-divided ×10⁶ as BIGINT.
+    ROUND(x, 6) on the raw doubles was the round-3-class landmine this
+    replaces: Spark rounds via exact decimal string, DuckDB via float
+    multiply, and at sf0.1 the two disagree on .5-boundary quotients."""
     c = load_table(spark, sf_dir, "customer")
     w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    return c.select(
+    base = c.select(
         "c_custkey",
         "c_nationkey",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.percent_rank().over(w).alias("_pr"),
+        F.cume_dist().over(w).alias("_cd"),
+        F.count("*").over(W.partitionBy("c_nationkey")).alias("_n"),
+    )
+    return base.select(
+        "c_custkey",
+        "c_nationkey",
+        "quartile",
+        F.expr(
+            "CASE WHEN _n = 1 THEN 0L ELSE "
+            "cast(round(_pr * (_n - 1)) as bigint) * 1000000 div (_n - 1) END"
+        ).alias("pct_rank_ppm"),
+        F.expr("cast(round(_cd * _n) as bigint) * 1000000 div _n").alias("cume_ppm"),
     )
 
 
@@ -1086,26 +1108,45 @@ def q_dq_audit(spark, sf_dir):
     "q_window_distribution",
     oracle="""
     SELECT c_custkey, c_nationkey,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           CASE WHEN COUNT(*) OVER p = 1 THEN 0
+                ELSE CAST(ROUND(PERCENT_RANK() OVER w * (COUNT(*) OVER p - 1)) AS BIGINT)
+                     * 1000000 // (COUNT(*) OVER p - 1) END AS pct_rank_ppm,
+           CAST(ROUND(CUME_DIST() OVER w * COUNT(*) OVER p) AS BIGINT)
+                * 1000000 // COUNT(*) OVER p AS cume_ppm,
            NTILE(4) OVER w AS quartile
     FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
+           p AS (PARTITION BY c_nationkey)
     """,
     tags=("window", "distribution"),
 )
 def q_window_distribution(spark, sf_dir):
     """Distribution window functions: percent_rank / cume_dist / ntile
-    over a deterministic (acctbal, custkey) order. ROUND(6) absorbs the
-    one division each engine performs; ranks themselves are integers."""
+    over a deterministic (acctbal, custkey) order. Exact PPM integers —
+    each engine's double is multiplied back by its own denominator
+    (integral to within ≪ 0.5 ulp, so round() recovers it exactly) and
+    floor-divided as BIGINT; ROUND(x, 6) on the raw double diverged
+    between Spark (exact decimal rounding) and DuckDB (float multiply)
+    at sf0.1. Same discipline as q_window_ntile."""
     w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     c = load_table(spark, sf_dir, "customer")
-    return c.select(
+    base = c.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.percent_rank().over(w).alias("_pr"),
+        F.cume_dist().over(w).alias("_cd"),
+        F.count("*").over(W.partitionBy("c_nationkey")).alias("_n"),
         F.ntile(4).over(w).alias("quartile"),
+    )
+    return base.select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr(
+            "CASE WHEN _n = 1 THEN 0L ELSE "
+            "cast(round(_pr * (_n - 1)) as bigint) * 1000000 div (_n - 1) END"
+        ).alias("pct_rank_ppm"),
+        F.expr("cast(round(_cd * _n) as bigint) * 1000000 div _n").alias("cume_ppm"),
+        "quartile",
     )
 
 

@@ -856,7 +856,7 @@ def q_split_assign(spark, sf_dir):
     )
     SELECT doc_id,
            COUNT(*) AS n_tokens,
-           ROUND(CAST(SUM(lp4) AS DOUBLE) / 10000.0 / COUNT(*), 4) AS mean_neg_logprob
+           CAST(SUM(lp4) * 100 // COUNT(*) AS BIGINT) AS mean_neg_logprob_unat
     FROM scored
     GROUP BY doc_id
     """,
@@ -872,7 +872,11 @@ def q_text_unigram_logprob(spark, sf_dir):
     Float discipline: each token's -ln p is rounded to 4 decimals and
     scaled to an INTEGER before the per-doc sum, so the aggregate is
     associativity-proof (bit-identical across partials and engines);
-    only one final division surfaces a double. Scale shape: vocab is a
+    the per-doc mean is then exact BIGINT floor-division in micro-nats
+    (`mean_neg_logprob_unat`) — the former ROUND(sum/10⁴/count, 4)
+    double hit exact .00005 boundaries that Spark (decimal HALF_UP) and
+    DuckDB (float multiply) round apart, found at sf0.1 the same way as
+    q_window_ntile's percent_rank. Scale shape: vocab is a
     zipf-bounded aggregate (broadcastable), the score join is
     token-keyed equality, the corpus total a broadcast scalar — no
     quadratic stage anywhere."""
@@ -890,8 +894,8 @@ def q_text_unigram_logprob(spark, sf_dir):
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.sum("lp4").cast("double") / 10000.0 / F.count(F.lit(1)), 4).alias(
-            "mean_neg_logprob"
+        F.expr("cast(sum(lp4) * 100 div count(1) as bigint)").alias(
+            "mean_neg_logprob_unat"
         ),
     )
 

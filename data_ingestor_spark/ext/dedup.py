@@ -166,8 +166,8 @@ _BAND_KEYS_DUCK = [
           ON a.band_key = b.band_key AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
-           ROUND(CAST(LEN(list_intersect(toks_a, toks_b)) AS DOUBLE)
-                 / LEN(list_distinct(toks_a || toks_b)), 4) AS jaccard
+           CAST(LEN(list_intersect(toks_a, toks_b)) AS BIGINT) * 10000
+                 // LEN(list_distinct(toks_a || toks_b)) AS jaccard_bp
     FROM cand
     WHERE CAST(LEN(list_intersect(toks_a, toks_b)) AS DOUBLE)
           / LEN(list_distinct(toks_a || toks_b)) >= {NEARDUP_THRESHOLD}
@@ -224,9 +224,21 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     # union size needs NO per-pair array build; only the intersect runs
     # on the quadratic side.
     isect = F.size(F.array_intersect("toks_a", "toks_b"))
-    jac = isect.cast("double") / (F.size("toks_a") + F.size("toks_b") - isect)
-    return cand.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")).filter(
-        jac >= NEARDUP_THRESHOLD
+    union = (F.size("toks_a") + F.size("toks_b") - isect).cast("bigint")
+    jac = isect.cast("double") / union
+    # jaccard reported in exact basis points (BIGINT i*10⁴ div u), never
+    # ROUND(double): integer-ratio doubles land on .5×10⁻⁴ boundaries
+    # where Spark (HALF_UP on exact decimal) and DuckDB (float multiply)
+    # round apart — the r5 percent_rank/cume_dist hazard class. The
+    # threshold filter stays on the raw double ratio in both engines.
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        (isect.cast("bigint") * 10000).alias("_i4"),
+        union.alias("_u"),
+        jac.alias("_jac"),
+    ).filter(F.col("_jac") >= NEARDUP_THRESHOLD).select(
+        "doc_a", "doc_b", F.expr("_i4 div _u").alias("jaccard_bp")
     )
 
 
@@ -287,8 +299,8 @@ def q_dedup_simhash(spark, sf_dir):
         FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(CAST(LEN(list_intersect(a.g3, b.g3)) AS DOUBLE)
-                 / LEN(list_distinct(a.g3 || b.g3)), 4) AS jaccard3
+           CAST(LEN(list_intersect(a.g3, b.g3)) AS BIGINT) * 10000
+                 // LEN(list_distinct(a.g3 || b.g3)) AS jaccard3_bp
     FROM grams a JOIN grams b
       ON a.source = b.source AND a.len_band = b.len_band AND a.doc_id < b.doc_id
     WHERE CAST(LEN(list_intersect(a.g3, b.g3)) AS DOUBLE)
@@ -331,12 +343,18 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         g.select(F.col("doc_id").alias("doc_a"), F.col("g3").alias("g3_a")), "doc_a"
     ).join(g.select(F.col("doc_id").alias("doc_b"), F.col("g3").alias("g3_b")), "doc_b")
     isect = F.size(F.array_intersect("g3_a", "g3_b"))
-    jac = isect.cast("double") / (F.size("g3_a") + F.size("g3_b") - isect)
+    union = (F.size("g3_a") + F.size("g3_b") - isect).cast("bigint")
+    jac = isect.cast("double") / union
+    # exact basis points, not ROUND(double,4): see q_dedup_minhash_pairs
     return pairs.select(
         "doc_a",
         "doc_b",
-        F.round(jac, 4).alias("jaccard3"),
-    ).filter(jac >= 0.55)
+        (isect.cast("bigint") * 10000).alias("_i4"),
+        union.alias("_u"),
+        jac.alias("_jac"),
+    ).filter(F.col("_jac") >= 0.55).select(
+        "doc_a", "doc_b", F.expr("_i4 div _u").alias("jaccard3_bp")
+    )
 
 
 def cluster_pairs(
@@ -895,10 +913,10 @@ def q_dedup_substring(spark, sf_dir):
     SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
            (SELECT COUNT(*) FROM cand)  AS n_cand,
            (SELECT COUNT(*) FROM hits)  AS n_hits,
-           ROUND(CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
-                 / NULLIF((SELECT COUNT(*) FROM truth), 0), 4) AS recall,
-           ROUND(CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
-                 / NULLIF((SELECT COUNT(*) FROM cand), 0), 4) AS cand_precision
+           CAST((SELECT COUNT(*) FROM hits) AS BIGINT) * 10000
+                 // NULLIF((SELECT COUNT(*) FROM truth), 0) AS recall_bp,
+           CAST((SELECT COUNT(*) FROM hits) AS BIGINT) * 10000
+                 // NULLIF((SELECT COUNT(*) FROM cand), 0) AS cand_precision_bp
     """,
     tags=("dedup", "minhash", "lsh", "eval"),
 )
@@ -910,7 +928,8 @@ def q_dedup_lsh_recall(spark, sf_dir):
     (b, r) change; the sample's all-pairs cross join is the deliberate,
     bounded eval cost (n/5 docs → n²/25 pairs — an eval-scale job, never
     run corpus-wide; the production pipeline stays banded). Counts are
-    exact integers, the two ratios are single double divisions."""
+    exact integers; the two ratios are exact BIGINT basis points
+    (hits·10⁴ div denom) so no cross-engine double-rounding exists."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     samp = d.select("doc_id", F.expr("array_distinct(split(lower(text), ' '))").alias("toks"))
     samp = samp.repartition(spark.sparkContext.defaultParallelism)
@@ -950,8 +969,8 @@ def q_dedup_lsh_recall(spark, sf_dir):
             "n_truth",
             "n_cand",
             "n_hits",
-            F.round(F.expr("n_hits / nullif(n_truth, 0)"), 4).alias("recall"),
-            F.round(F.expr("n_hits / nullif(n_cand, 0)"), 4).alias("cand_precision"),
+            F.expr("n_hits * 10000 div nullif(n_truth, 0)").alias("recall_bp"),
+            F.expr("n_hits * 10000 div nullif(n_cand, 0)").alias("cand_precision_bp"),
         )
     )
 
@@ -1503,8 +1522,8 @@ def q_dedup_stopband_tradeoff(spark, sf_dir):
            COUNT(*) AS n_truth,
            CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS n_hits,
-           ROUND(CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 4) AS recall
+           CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 * 10000 // COUNT(*) AS recall_bp
     FROM truth t LEFT JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
     GROUP BY size_skewed
     """,
@@ -1525,8 +1544,9 @@ def q_dedup_containment_recall(spark, sf_dir):
     an operator when the dedicated small-side containment index
     (q_dedup_substring family) must run alongside LSH.  Scale shape:
     the all-pairs stage is the bounded 20%-sample eval cost, exactly as
-    in q_dedup_lsh_recall; counts are exact integers, recall one double
-    division."""
+    in q_dedup_lsh_recall; counts are exact integers and recall is an
+    exact BIGINT basis-point quotient (hits·10⁴ div truth), immune to
+    the cross-engine ROUND(double,4) .5-boundary divergence."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     samp = d.select(
         "doc_id", F.expr("array_distinct(split(lower(text), ' '))").alias("toks")
@@ -1577,7 +1597,7 @@ def q_dedup_containment_recall(spark, sf_dir):
     return hit.groupBy("size_skewed").agg(
         F.count(F.lit(1)).alias("n_truth"),
         F.expr("cast(sum(coalesce(hit, 0)) as bigint)").alias("n_hits"),
-        F.round(F.expr("cast(sum(coalesce(hit, 0)) as double) / count(1)"), 4).alias(
-            "recall"
+        F.expr("cast(sum(coalesce(hit, 0)) as bigint) * 10000 div count(1)").alias(
+            "recall_bp"
         ),
     )

@@ -881,10 +881,10 @@ def q_kmeans_train(spark, sf_dir):
     SELECT (SELECT COUNT(*) FROM exact10) AS n_exact,
            (SELECT COUNT(*) FROM exact10 e JOIN single s ON e.vec_id = s.vec_id) AS hits_single,
            (SELECT COUNT(*) FROM exact10 e JOIN multi m ON e.vec_id = m.vec_id)  AS hits_multi,
-           CAST((SELECT COUNT(*) FROM exact10 e JOIN single s ON e.vec_id = s.vec_id) AS DOUBLE)
-               / (SELECT COUNT(*) FROM exact10) AS recall_single,
-           CAST((SELECT COUNT(*) FROM exact10 e JOIN multi m ON e.vec_id = m.vec_id) AS DOUBLE)
-               / (SELECT COUNT(*) FROM exact10) AS recall_multi
+           CAST((SELECT COUNT(*) FROM exact10 e JOIN single s ON e.vec_id = s.vec_id) AS BIGINT)
+               * 10000 // NULLIF((SELECT COUNT(*) FROM exact10), 0) AS recall_single_bp,
+           CAST((SELECT COUNT(*) FROM exact10 e JOIN multi m ON e.vec_id = m.vec_id) AS BIGINT)
+               * 10000 // NULLIF((SELECT COUNT(*) FROM exact10), 0) AS recall_multi_bp
     """,
     tags=("similarity", "ann", "eval", "recall"),
 )
@@ -892,7 +892,7 @@ def q_sim_ann_recall(spark, sf_dir):
     """Measured ANN recall@10 — the quality loop for the LSH index:
     exact brute-force top-10 (ground truth) intersected with the
     single-probe candidate set and the Hamming-1 multi-probe set,
-    reported as counts + two recall ratios in one row. This is the
+    reported as counts + two exact basis-point recalls in one row. This is the
     number that decides probe count / plane count in production (the
     docstrings' 2/10 → 10/10 claim, now a hash-checked artifact instead
     of prose). Ground truth over the full corpus is brute-force by
@@ -934,8 +934,8 @@ def q_sim_ann_recall(spark, sf_dir):
             "n_exact",
             "hits_single",
             "hits_multi",
-            (F.col("hits_single").cast("double") / F.col("n_exact")).alias("recall_single"),
-            (F.col("hits_multi").cast("double") / F.col("n_exact")).alias("recall_multi"),
+            F.expr("hits_single * 10000 div nullif(n_exact, 0)").alias("recall_single_bp"),
+            F.expr("hits_multi * 10000 div nullif(n_exact, 0)").alias("recall_multi_bp"),
         )
     )
 

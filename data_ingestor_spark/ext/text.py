@@ -34,8 +34,8 @@ def _sql_list(words: tuple[str, ...]) -> str:
            LENGTH(text) AS n_chars_actual,
            LEN(string_split(text, ' ')) AS n_tokens,
            LEN(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
-           ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
-                 / LEN(string_split(text, ' ')), 4) AS mean_token_len
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) * 10000
+                 // LEN(string_split(text, ' ')) AS mean_token_len_bp
     FROM documents
     """,
     tags=("text",),
@@ -52,10 +52,15 @@ def q_text_stats(spark, sf_dir):
         F.length("text").alias("n_chars_actual"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
-        F.round(
-            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / F.size(toks), 4
-        ).alias("mean_token_len"),
-    )
+        # exact BIGINT quotient (chars·10⁴ div tokens), not ROUND(double,4):
+        # integer-ratio doubles are the cross-engine .5-boundary hazard class
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("bigint")
+            * 10000
+        ).alias("_nc4"),
+    ).withColumn(
+        "mean_token_len_bp", F.expr("_nc4 div n_tokens")
+    ).drop("_nc4")
 
 
 _LANGID_SCORES_SQL = " , ".join(
@@ -105,11 +110,11 @@ def q_text_langid(spark, sf_dir):
     oracle="""
     SELECT doc_id,
            LEN(string_split(text, ' ')) AS n_tokens,
-           ROUND(CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                 / LEN(string_split(text, ' ')), 4) AS lexical_diversity,
-           ROUND(CAST(LEN(list_filter(string_split(text, ' '),
-                 x -> x IN ('the', 'a', 'of', 'and', 'to', 'is', 'in'))) AS DOUBLE)
-                 / LEN(string_split(text, ' ')), 4) AS stopword_ratio,
+           CAST(LEN(list_distinct(string_split(text, ' '))) AS BIGINT) * 10000
+                 // LEN(string_split(text, ' ')) AS lexical_diversity_bp,
+           CAST(LEN(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'a', 'of', 'and', 'to', 'is', 'in'))) AS BIGINT)
+                 * 10000 // LEN(string_split(text, ' ')) AS stopword_ratio_bp,
            CASE WHEN LEN(string_split(text, ' ')) BETWEEN 20 AND 10000
                      AND CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
                          / LEN(string_split(text, ' ')) > 0.2
@@ -128,11 +133,20 @@ def q_text_quality(spark, sf_dir):
     n_uniq = F.size(F.array_distinct(toks))
     stop = F.expr("size(filter(split(text, ' '), x -> x IN ('the','a','of','and','to','is','in')))")
     diversity = n_uniq.cast("double") / n_tok
+    # ratios in exact BIGINT basis points (x·10⁴ div n), not ROUND(double,4);
+    # the pass/fail gate keeps the raw double comparison in both engines
     return d.select(
         "doc_id",
         n_tok.alias("n_tokens"),
-        F.round(diversity, 4).alias("lexical_diversity"),
-        F.round(stop.cast("double") / n_tok, 4).alias("stopword_ratio"),
+        F.expr(
+            "cast(size(array_distinct(split(text, ' '))) as bigint) * 10000"
+            " div size(split(text, ' '))"
+        ).alias("lexical_diversity_bp"),
+        F.expr(
+            "cast(size(filter(split(text, ' '),"
+            " x -> x IN ('the','a','of','and','to','is','in'))) as bigint) * 10000"
+            " div size(split(text, ' '))"
+        ).alias("stopword_ratio_bp"),
         ((n_tok.between(20, 10000)) & (diversity > 0.2)).alias("passes_quality"),
     )
 
@@ -431,7 +445,8 @@ def q_text_rolling_fingerprint(spark, sf_dir):
     )
     SELECT doc_id,
            len(tg) AS n_trigrams,
-           ROUND(1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg), 4) AS rep_ratio
+           CAST(len(tg) - len(list_distinct(tg)) AS BIGINT) * 10000
+               // len(tg) AS rep_ratio_bp
     FROM g
     """,
     tags=("text", "quality", "repetition"),
@@ -456,9 +471,12 @@ def q_text_repetition(spark, sf_dir):
     return d.select(
         "doc_id",
         F.expr(f"size({tg})").alias("n_trigrams"),
+        # exact BIGINT basis points ((n−distinct)·10⁴ div n), not
+        # ROUND(double,4) — the integer-ratio hazard class
         F.expr(
-            f"round(1.0 - cast(size(array_distinct({tg})) as double) / size({tg}), 4)"
-        ).alias("rep_ratio"),
+            f"cast(size({tg}) - size(array_distinct({tg})) as bigint) * 10000"
+            f" div size({tg})"
+        ).alias("rep_ratio_bp"),
     )
 
 
@@ -721,8 +739,8 @@ _GOPHER_STOPWORDS = "('the', 'a', 'of', 'and', 'to', 'is', 'in')"
     )
     SELECT doc_id,
            n_words,
-           ROUND(CAST(n_nonspace AS DOUBLE) / n_words, 4) AS mean_word_len,
-           ROUND(CAST(n_alpha_words AS DOUBLE) / n_words, 4) AS alpha_word_ratio,
+           CAST(n_nonspace AS BIGINT) * 10000 // n_words AS mean_word_len_bp,
+           CAST(n_alpha_words AS BIGINT) * 10000 // n_words AS alpha_word_ratio_bp,
            CAST(n_stop_distinct AS BIGINT) AS n_stop_distinct,
            (n_words BETWEEN 50 AND 100000) AS rule_word_count,
            (CAST(n_nonspace AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0) AS rule_mean_word_len,
@@ -742,9 +760,9 @@ def q_text_gopher(spark, sf_dir):
     of words containing an alphabetic character, and minimum distinct
     stopword presence — the standard repetition-independent heuristics
     run BEFORE expensive dedup at corpus scale. One narrow map over the
-    documents scan (no shuffle at all); ratios are int/int divisions
-    rounded identically in both engines, rules are exact integer/bool
-    predicates on the unrounded values."""
+    documents scan (no shuffle at all); ratios are exact BIGINT basis
+    points (x·10⁴ div n_words), rules are exact integer/bool predicates
+    on the unrounded values."""
     d = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     n_words = F.size(words)
@@ -763,15 +781,21 @@ def q_text_gopher(spark, sf_dir):
     return d.select(
         "doc_id",
         n_words.alias("n_words"),
-        F.round(mean_len, 4).alias("mean_word_len"),
-        F.round(alpha_ratio, 4).alias("alpha_word_ratio"),
+        # exact BIGINT basis points; the rule_* booleans below keep the
+        # raw double comparisons (identical formula both engines)
+        (n_nonspace.cast("bigint") * 10000).alias("_ns4"),
+        (n_alpha.cast("bigint") * 10000).alias("_na4"),
         n_stop.cast("bigint").alias("n_stop_distinct"),
         rule_wc.alias("rule_word_count"),
         rule_mwl.alias("rule_mean_word_len"),
         rule_alpha.alias("rule_alpha"),
         rule_stop.alias("rule_stopwords"),
         (rule_wc & rule_mwl & rule_alpha & rule_stop).alias("passes_gopher"),
-    )
+    ).withColumn(
+        "mean_word_len_bp", F.expr("_ns4 div n_words")
+    ).withColumn(
+        "alpha_word_ratio_bp", F.expr("_na4 div n_words")
+    ).drop("_ns4", "_na4")
 
 
 @query(
@@ -980,7 +1004,7 @@ def q_text_keywords(spark, sf_dir):
         FROM documents
     )
     SELECT doc_id, source, n_tokens, score,
-           ROUND(CAST(score AS DOUBLE) / NULLIF(n_tokens, 0), 4) AS score_per_token,
+           score * 10000 // NULLIF(n_tokens, 0) AS score_per_token_bp,
            (score > 0) AS keep
     FROM scored
     """,
@@ -1014,9 +1038,9 @@ def q_text_classifier(spark, sf_dir):
         "source",
         n_tokens.alias("n_tokens"),
         score.alias("score"),
-        F.round(
-            F.col("score").cast("double") / F.nullif(F.col("n_tokens"), F.lit(0)), 4
-        ).alias("score_per_token"),
+        # exact BIGINT basis points; score may be negative — both Spark
+        # `div` and DuckDB `//` truncate toward zero, so quotients match
+        F.expr("score * 10000 div nullif(n_tokens, 0)").alias("score_per_token_bp"),
         (F.col("score") > 0).alias("keep"),
     )
 

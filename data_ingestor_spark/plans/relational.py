@@ -377,20 +377,28 @@ def q_agg_grouping_sets(spark, sf_dir):
            COUNT(*) AS n,
            CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
            CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal,
-           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2) AS avg_bal
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 10000 AS BIGINT)
+               // COUNT(*) AS avg_bal_cc
     FROM customer GROUP BY c_mktsegment
     """,
     tags=("agg",),
 )
 def q_agg_stats(spark, sf_dir):
-    """min/max/avg per group; avg derived from the exact decimal sum so
-    the double result is bit-identical across engines."""
+    """min/max/avg per group; avg reported in exact centi-cent BIGINTs
+    (decimal-sum·10⁴ div count) — an integer quotient of two exact
+    integers, so no cross-engine double-rounding surface exists at all
+    (the former ROUND(sum/count, 2) was the r5 .5-boundary hazard
+    class: balance sums in cents divide count onto exact half-cent
+    boundaries at some SF)."""
     c = load_table(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
         F.count("*").alias("n"),
         F.min("c_acctbal").alias("min_bal"),
         F.max("c_acctbal").alias("max_bal"),
-        F.round(F.sum(dec("c_acctbal")).cast("double") / F.count("*"), 2).alias("avg_bal"),
+        F.expr(
+            "cast(sum(cast(c_acctbal as decimal(18,2))) * 10000 as bigint)"
+            " div count(*)"
+        ).alias("avg_bal_cc"),
     )
 
 

@@ -645,13 +645,13 @@ def test_bucketed_join_query_no_join_exchange(spark, registry):
 
 def test_lsh_recall_counts_consistent(spark, registry):
     """The recall evaluator's counts must be internally consistent:
-    hits ≤ truth, hits ≤ candidates, ratios in [0, 1]."""
+    hits ≤ truth, hits ≤ candidates, bp ratios in [0, 10000]."""
     row = registry["q_dedup_lsh_recall"].fn(spark, SF_DIR).collect()[0]
     assert row["n_hits"] <= row["n_truth"] and row["n_hits"] <= row["n_cand"]
-    if row["recall"] is not None:
-        assert 0.0 <= row["recall"] <= 1.0
-    if row["cand_precision"] is not None:
-        assert 0.0 <= row["cand_precision"] <= 1.0
+    if row["recall_bp"] is not None:
+        assert 0 <= row["recall_bp"] <= 10000
+    if row["cand_precision_bp"] is not None:
+        assert 0 <= row["cand_precision_bp"] <= 10000
 
 
 def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
@@ -1059,7 +1059,7 @@ def test_containment_recall_counts_and_skew_classes(spark, registry):
     for r in rows:
         assert r["size_skewed"] in (0, 1)
         assert 0 <= r["n_hits"] <= r["n_truth"]
-        assert 0.0 <= r["recall"] <= 1.0
+        assert 0 <= r["recall_bp"] <= 10000
     # the truth join is sample-bounded: both sides filtered to doc_id % 5
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("% 5") >= 2 or plan.count("pmod") >= 2

@@ -453,12 +453,15 @@ def _cluster_pairs_loop(pairs, left, right, max_iters, _materialize):
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
-#: WITH RECURSIVE prefix computing per-doc connected-component labels
-#: (min reachable doc_id) over the MinHash-LSH verified pair graph — the
-#: DuckDB twin of cluster_pairs(q_dedup_minhash_pairs(...)). Shared by
-#: q_dedup_clusters (full label check) and q_dedup_cluster_summary.
-_CLUSTER_LABELS_CTE = f"""
-    WITH RECURSIVE sigs AS (
+#: Non-recursive CTE chain producing the MinHash-LSH verified pair list
+#: (doc_a < doc_b) — the edge set both cluster oracles label. Exposed
+#: separately so scripts/check_oracle.py's --py-oracles path can fetch
+#: the SAME DuckDB-derived edges and label them with a driver-side
+#: union-find instead of the recursive reachability CTE below, which
+#: enumerates Σ|component|² (id, reachable) rows and is infeasible at
+#: sf0.1's 2063-node component while the edge list itself stays cheap.
+_CLUSTER_PAIRS_CTES = f"""
+    sigs AS (
         SELECT doc_id, toks, {_MH_DUCK_COLS}
         FROM (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
               FROM documents)
@@ -475,7 +478,15 @@ _CLUSTER_LABELS_CTE = f"""
         WHERE CAST(LEN(list_intersect(toks_a, toks_b)) AS DOUBLE)
               / (LEN(toks_a) + LEN(toks_b) - LEN(list_intersect(toks_a, toks_b)))
               >= {NEARDUP_THRESHOLD}
-    ), edges AS (
+    )"""
+
+#: WITH RECURSIVE prefix computing per-doc connected-component labels
+#: (min reachable doc_id) over the MinHash-LSH verified pair graph — the
+#: DuckDB twin of cluster_pairs(q_dedup_minhash_pairs(...)). Shared by
+#: q_dedup_clusters (full label check) and q_dedup_cluster_summary.
+_CLUSTER_LABELS_CTE = f"""
+    WITH RECURSIVE {_CLUSTER_PAIRS_CTES}
+    , edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION
         SELECT doc_b AS src, doc_a AS dst FROM pairs

@@ -8,7 +8,21 @@ timestamps ISO); Decimal and array/map result cells are rejected
 outright because the driver's pandas hasher cannot compare them
 consistently across engines.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Usage: python scripts/check_oracle.py [sf_dir] [query ...] [--py-oracles]
+           [--json OUT.json]
+
+--py-oracles: for queries listed in PY_ORACLES (the connected-component
+    cluster keys), replace the recursive-CTE SQL oracle with a
+    driver-side plain-Python union-find over the SAME DuckDB-derived
+    LSH pair list. The recursive reachability CTE enumerates
+    Σ|component|² (id, reachable) rows — infeasible at sf0.1 where the
+    largest component has 2063 nodes — while the edge list plus an
+    O(E α(V)) union-find stays trivially cheap at any SF. The edge list
+    itself remains DuckDB-computed (independent of the Spark engine
+    under test), so this is still a cross-engine check.
+--json OUT: additionally write a machine-readable per-key result map
+    (the SWEEP artifact format: rows/schema/hash match booleans, row
+    counts, oracle kind, elapsed seconds).
 """
 
 from __future__ import annotations
@@ -96,9 +110,86 @@ def canonical(df_pandas) -> tuple[int, list[str], str]:
     return len(rows), cols, h
 
 
+def _union_find_labels(pairs) -> dict[int, int]:
+    """Min-label connected components over an edge list: classic
+    union-find with path compression, rooting every merge at the
+    smaller id so each component's label is its minimum doc_id —
+    exactly the fixpoint cluster_pairs() and the recursive reach CTE
+    compute. O(E α(V)) driver-side; feasible at any SF."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = set()
+    for a, b in pairs:
+        nodes.add(a)
+        nodes.add(b)
+    return {n: find(n) for n in nodes}
+
+
+def _py_cluster_labels(con):
+    """DuckDB edge list (non-recursive pair CTEs) + Python union-find."""
+    from data_ingestor_spark.ext.dedup import _CLUSTER_PAIRS_CTES
+
+    pairs = con.sql(
+        "WITH " + _CLUSTER_PAIRS_CTES + " SELECT doc_a, doc_b FROM pairs"
+    ).fetchall()
+    return _union_find_labels(pairs)
+
+
+def _py_oracle_clusters(con):
+    import pandas as pd
+
+    labels = _py_cluster_labels(con)
+    return pd.DataFrame(
+        {"doc_id": list(labels.keys()), "cluster_id": list(labels.values())}
+    )
+
+
+def _py_oracle_cluster_summary(con):
+    from collections import Counter
+
+    import pandas as pd
+
+    labels = _py_cluster_labels(con)
+    sizes = Counter(labels.values())
+    hist = Counter(sizes.values())
+    return pd.DataFrame(
+        {"cluster_size": list(hist.keys()), "n_clusters": list(hist.values())}
+    )
+
+
+#: queries whose SQL oracle is replaced under --py-oracles (recursive
+#: transitive closure is Σ|component|²-infeasible at sf0.1; union-find
+#: over the same DuckDB edge list is exact and linear)
+PY_ORACLES = {
+    "q_dedup_clusters": _py_oracle_clusters,
+    "q_dedup_cluster_summary": _py_oracle_cluster_summary,
+}
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else SF_DIR_DEFAULT
-    only = [a for a in sys.argv[1:] if "/" not in a]
+    args = sys.argv[1:]
+    use_py = "--py-oracles" in args
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    args = [a for a in args if a != "--py-oracles"]
+    sf_dir = args[0] if args and "/" in args[0] else SF_DIR_DEFAULT
+    only = [a for a in args if "/" not in a]
 
     from data_ingestor_spark.plans.queries import REGISTRY  # noqa: E402
     from data_ingestor_spark.session import get_session
@@ -111,25 +202,49 @@ def main() -> int:
     names = only or sorted(REGISTRY)
     n_pass = n_fail = n_rowsonly = 0
     failures = []
+    results: dict[str, dict] = {}
+
+    def record(name, **kw):
+        rec = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+            "oracle_kind": "sql", "elapsed_s": None,
+        }
+        rec.update(kw)
+        results[name] = rec
+
+    import time as _time
+
     for name in names:
         spec = REGISTRY[name]
+        t0 = _time.monotonic()
+        py_fn = PY_ORACLES.get(name) if use_py else None
+        kind = "py" if py_fn else ("none" if spec.oracle is None else "sql")
         try:
             sdf = spec.fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             failures.append(name)
+            record(name, err=f"spark error: {e}", oracle_kind=kind,
+                   elapsed_s=round(_time.monotonic() - t0, 3))
             continue
-        if spec.oracle is None:
+        if spec.oracle is None and py_fn is None:
             print(f"rows  {name}: {len(sdf)} rows (rows-only check)")
             n_rowsonly += 1
+            record(name, spark_rows=len(sdf), oracle_kind="none",
+                   rows_match=len(sdf) >= 0,
+                   elapsed_s=round(_time.monotonic() - t0, 3))
             continue
         try:
-            odf = con.sql(spec.oracle).df()
+            odf = py_fn(con) if py_fn else con.sql(spec.oracle).df()
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: duckdb error: {e}")
+            print(f"FAIL  {name}: oracle error: {e}")
             n_fail += 1
             failures.append(name)
+            record(name, err=f"oracle error: {e}", oracle_kind=kind,
+                   spark_rows=len(sdf),
+                   elapsed_s=round(_time.monotonic() - t0, 3))
             continue
         try:
             sn, sc, sh = canonical(sdf)
@@ -138,9 +253,15 @@ def main() -> int:
             print(f"FAIL  {name}: unhashable result: {e}")
             n_fail += 1
             failures.append(name)
+            record(name, err=f"unhashable result: {e}", oracle_kind=kind,
+                   spark_rows=len(sdf), oracle_rows=len(odf),
+                   elapsed_s=round(_time.monotonic() - t0, 3))
             continue
+        record(name, rows_match=sn == on, schema_match=sc == oc,
+               hash_match=sh == oh, spark_rows=sn, oracle_rows=on,
+               oracle_kind=kind, elapsed_s=round(_time.monotonic() - t0, 3))
         if (sn, sc, sh) == (on, oc, oh):
-            print(f"PASS  {name}: {sn} rows")
+            print(f"PASS  {name}: {sn} rows" + (" [py-oracle]" if py_fn else ""))
             n_pass += 1
         else:
             print(f"FAIL  {name}: rows {sn}/{on} cols {sc}/{oc} hash {'=' if sh == oh else '≠'}")
@@ -153,6 +274,12 @@ def main() -> int:
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only of {len(names)}")
     if failures:
         print("failures:", " ".join(failures))
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     spark.stop()
     return 1 if n_fail else 0
 

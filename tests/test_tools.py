@@ -139,3 +139,39 @@ def test_bench_compare_reads_driver_tail(tmp_path):
     r = _run_compare(tmp_path, old, new)
     assert r["n_shared"] == 1
     assert r["load_start_new"] == 1.5
+
+
+def test_union_find_labels_min_label_components():
+    from check_oracle import _union_find_labels
+
+    # two components: a 4-chain {1,5,9,12} (via transitive edges that
+    # arrive in an adversarial order) and a pair {3,7}; labels must be
+    # each component's min id regardless of edge order
+    pairs = [(9, 12), (5, 9), (12, 1), (3, 7), (1, 5)]
+    labels = _union_find_labels(pairs)
+    assert labels == {1: 1, 5: 1, 9: 1, 12: 1, 3: 3, 7: 3}
+
+
+def test_union_find_matches_recursive_cte_at_sf0001():
+    """The --py-oracles union-find must reproduce the recursive
+    reachability CTE's labels exactly on real data (DuckDB-only — no
+    SparkSession): same component count, same min-label per doc."""
+    import duckdb
+
+    sys.path.insert(0, str(REPO))
+    from check_oracle import _union_find_labels
+    from data_ingestor_spark.ext.dedup import _CLUSTER_LABELS_CTE, _CLUSTER_PAIRS_CTES
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    cte = con.sql(
+        _CLUSTER_LABELS_CTE + " SELECT id, cluster_id FROM labels"
+    ).fetchall()
+    pairs = con.sql(
+        "WITH " + _CLUSTER_PAIRS_CTES + " SELECT doc_a, doc_b FROM pairs"
+    ).fetchall()
+    uf = _union_find_labels(pairs)
+    assert dict(cte) == uf

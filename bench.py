@@ -225,6 +225,11 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "host_load_avg_1m_start": load_start,
+                # cpu_cal_s must ride the compact line too: when the
+                # driver's tail window truncates the big diagnostic line
+                # above, bench_compare's boot-speed normalization would
+                # otherwise silently not apply to driver-recovered records
+                "cpu_cal_s": cpu_cal_s,
             }
         )
     )

@@ -38,6 +38,7 @@ bottleneck convenience for small extracts only, never the 100 TB path.
 
 from __future__ import annotations
 
+import contextlib
 import glob
 import os
 import re
@@ -414,17 +415,36 @@ def publish_versioned(df: DataFrame, table_dir: str) -> int:
     return version
 
 
-def _flip_latest_monotonic(table_dir: str, version: int, stale_lock_s: float = 10.0) -> bool:
-    """Move the ``_LATEST`` pointer to ``version`` unless it already
-    names a higher one — the compare-and-set that turns last-flip-wins
-    into monotonic-latest under concurrent writers. The read-compare-
-    replace is serialized by an ``os.mkdir`` mutex (the only primitive
-    POSIX gives that is both atomic and visible across processes); a
-    lock directory older than ``stale_lock_s`` is presumed orphaned by
-    a crashed writer and broken, so a crash mid-flip delays other
-    writers by at most the stale window and never wedges the table.
-    Returns True if the pointer was moved. On an object store this
-    whole function is one conditional PUT keyed on the read generation."""
+def _read_latest(table_dir: str) -> int:
+    """Current ``_LATEST`` pointer value, or -1 if absent/corrupt."""
+    try:
+        with open(os.path.join(table_dir, "_LATEST")) as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        return -1
+
+
+def try_cas_latest(
+    table_dir: str, expected: int, new_version: int, stale_lock_s: float = 10.0
+) -> bool:
+    """Atomic compare-and-set of the ``_LATEST`` pointer: write
+    ``new_version`` iff the pointer still reads ``expected`` (-1 for
+    absent). This is the publish contract's one synchronization seam —
+    on an object store it is exactly one conditional PUT (S3 If-Match /
+    ``If-None-Match: *`` for the -1 case, GCS
+    ``x-goog-if-generation-match``); the POSIX default below emulates
+    it with an ``os.mkdir`` mutex (the only primitive POSIX gives that
+    is both atomic and visible across processes).
+
+    Lock hygiene: a lock directory older than ``stale_lock_s`` is
+    presumed orphaned by a crashed writer. Breaking it must itself be
+    atomic — two waiters may both judge the lock stale, and a naive
+    check-then-rmdir lets waiter B delete a FRESH lock that writer C
+    re-acquired after waiter A's rmdir (the TOCTOU that would admit two
+    writers into the critical section at once). Instead each breaker
+    ``os.rename``\\ s the lock to a unique tombstone: exactly one rename
+    wins (the loser gets ENOENT and re-races), and the winner removes
+    only its own tombstone, never a live lock."""
     lock = os.path.join(table_dir, "_LATEST.lock")
     deadline = time.monotonic() + stale_lock_s
     while True:
@@ -433,11 +453,18 @@ def _flip_latest_monotonic(table_dir: str, version: int, stale_lock_s: float = 1
             break
         except FileExistsError:
             try:
-                if os.path.getmtime(lock) < time.time() - stale_lock_s:
-                    os.rmdir(lock)  # break orphaned lock; next loop re-races
-                    continue
+                stale = os.path.getmtime(lock) < time.time() - stale_lock_s
             except OSError:
-                continue  # holder released between check and rmdir
+                continue  # holder released between EEXIST and getmtime
+            if stale:
+                tombstone = f"{lock}.broken.{os.getpid()}.{time.monotonic_ns()}"
+                try:
+                    os.rename(lock, tombstone)  # atomic: one breaker wins
+                except OSError:
+                    continue  # holder released or another breaker won
+                with contextlib.suppress(OSError):
+                    os.rmdir(tombstone)
+                continue
             if time.monotonic() > deadline:
                 raise TimeoutError(
                     f"_LATEST.lock in {table_dir!r} held past the stale "
@@ -445,21 +472,46 @@ def _flip_latest_monotonic(table_dir: str, version: int, stale_lock_s: float = 1
                 )
             time.sleep(0.01)
     try:
-        pointer = os.path.join(table_dir, "_LATEST")
-        try:
-            with open(pointer) as fh:
-                current = int(fh.read().strip())
-        except (FileNotFoundError, ValueError):
-            current = -1
-        if current >= version:
-            return False  # a newer (or same) snapshot already published
+        if _read_latest(table_dir) != expected:
+            return False  # pointer moved since the caller's read
         pointer_tmp = os.path.join(table_dir, f"_LATEST.tmp.{os.getpid()}")
         with open(pointer_tmp, "w") as fh:
-            fh.write(str(version))
-        os.replace(pointer_tmp, pointer)  # atomic flip (readers lock-free)
+            fh.write(str(new_version))
+        # atomic flip (readers stay lock-free)
+        os.replace(pointer_tmp, os.path.join(table_dir, "_LATEST"))
         return True
     finally:
-        os.rmdir(lock)
+        # a paused holder whose lock was (legitimately) broken past the
+        # stale window must not crash after its publish succeeded
+        with contextlib.suppress(FileNotFoundError):
+            os.rmdir(lock)
+
+
+def _flip_latest_monotonic(
+    table_dir: str,
+    version: int,
+    stale_lock_s: float = 10.0,
+    try_cas=None,
+) -> bool:
+    """Move the ``_LATEST`` pointer to ``version`` unless it already
+    names a higher one — read-compare-CAS in a loop, which turns
+    last-flip-wins into monotonic-latest under concurrent writers.
+    ``try_cas(table_dir, expected, new) -> bool`` is injectable so the
+    object-store implementation (one conditional PUT) or a fault-
+    injecting test double can replace the POSIX mkdir-mutex default.
+    A failed CAS means another writer moved the pointer between our
+    read and our write: re-read and re-decide (their version may
+    already be higher than ours). Returns True if the pointer moved."""
+    if try_cas is None:
+        def try_cas(td, exp, new):  # noqa: ANN001 - seam signature
+            return try_cas_latest(td, exp, new, stale_lock_s=stale_lock_s)
+
+    while True:
+        current = _read_latest(table_dir)
+        if current >= version:
+            return False  # a newer (or same) snapshot already published
+        if try_cas(table_dir, current, version):
+            return True
 
 
 def latest_version(table_dir: str) -> int:

@@ -404,3 +404,80 @@ def test_latest_pointer_stale_lock_broken(tmp_path):
     assert _flip_latest_monotonic(table, 3, stale_lock_s=5.0) is True
     with open(os.path.join(table, "_LATEST")) as fh:
         assert int(fh.read()) == 3
+
+
+def test_flip_retries_through_failing_cas(tmp_path):
+    """The CAS seam contract: a flip whose try_cas fails (lost race /
+    object-store precondition miss) must re-read and retry, and the
+    whole sequence must stay monotonic even when the fake CAS rejects
+    randomly. Deterministic PRNG so the schedule is reproducible."""
+    import os
+    import random
+
+    from data_ingestor_spark.sinks import _flip_latest_monotonic, try_cas_latest
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    rng = random.Random(1234)
+    attempts = {"n": 0}
+
+    def flaky_cas(td, expected, new):
+        attempts["n"] += 1
+        if rng.random() < 0.5:
+            return False  # simulated precondition failure
+        return try_cas_latest(td, expected, new, stale_lock_s=5.0)
+
+    order = list(range(16))
+    rng.shuffle(order)
+    for v in order:
+        _flip_latest_monotonic(table, v, try_cas=flaky_cas)
+    with open(os.path.join(table, "_LATEST")) as fh:
+        assert int(fh.read()) == 15
+    assert attempts["n"] >= 16  # at least one CAS per flip, retries on top
+    # a straggler after the fact is still a no-op
+    assert _flip_latest_monotonic(table, 3, try_cas=flaky_cas) is False
+
+
+def test_stale_lock_break_is_atomic_across_processes(tmp_path):
+    """TOCTOU regression (advice r5): with a pre-planted stale lock and
+    MANY writers racing the break concurrently, exactly one breaker may
+    win the rename; no writer may crash (the old check-then-rmdir let
+    one waiter delete another writer's FRESH lock, admitting two
+    writers into the critical section, and a double release raised
+    FileNotFoundError after a successful publish). Run in separate
+    processes so the mkdir/rename races are real."""
+    import multiprocessing as mp
+    import os
+    import time as _time
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    lock = os.path.join(table, "_LATEST.lock")
+    os.mkdir(lock)
+    past = _time.time() - 60
+    os.utime(lock, (past, past))  # orphaned 60s ago
+
+    def worker(version, q):
+        from data_ingestor_spark.sinks import _flip_latest_monotonic
+
+        try:
+            _flip_latest_monotonic(table, version, stale_lock_s=2.0)
+            q.put(("ok", version))
+        except Exception as e:  # noqa: BLE001
+            q.put(("err", f"{version}: {type(e).__name__}: {e}"))
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=worker, args=(v, q)) for v in range(8)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(30)
+    results = [q.get(timeout=5) for _ in procs]
+    errs = [r for r in results if r[0] == "err"]
+    assert not errs, errs
+    with open(os.path.join(table, "_LATEST")) as fh:
+        assert int(fh.read()) == 7
+    assert not os.path.exists(lock)
+    # no tombstone litter left behind
+    assert not [d for d in os.listdir(table) if ".broken." in d]

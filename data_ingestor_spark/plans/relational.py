@@ -2089,27 +2089,23 @@ def q_market_basket(spark, sf_dir):
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # ONE small pre-job over per-basket counts answers everything the
-    # plan needs to adapt: total basket count (the support/lift
-    # denominator), how many baskets exceed the cap (stamped into the
-    # output), and therefore whether the split trim plan is needed at
-    # all (n_trimmed == 0 → the capped relation IS items; TPC-H baskets
-    # are ≤7 so this is the standing case at test scale). Two scalars
-    # off a two-level aggregate — the same guarded one-scalar-read
-    # budget as the streaming batch-id check, not a data collect.
-    stats = (
-        items.groupBy("o")
-        .agg(F.count(F.lit(1)).alias("_sz"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.when(F.col("_sz") > BASKET_CAP, F.lit(1)).otherwise(F.lit(0))
-            ).alias("t"),
-        )
-        .collect()[0]
+    # The support/lift denominator (total basket count) and the
+    # n_trimmed_baskets stamp are PLAN-SIDE: a 1-row two-level aggregate
+    # cross-joined (broadcast) onto the 20-row head — the same shape as
+    # the oracle's norders/trimmed CTEs. No build-time collect for
+    # data values (advice r5: a construction-time collect made
+    # 'compile-only' tooling silently run a real job); the only
+    # remaining pre-job is capped_basket_items' one-scalar whale
+    # EXISTENCE probe, which decides plan SHAPE, not output values —
+    # the same runtime-adaptive move AQE makes.
+    sizes = items.groupBy("o").agg(F.count(F.lit(1)).alias("_sz"))
+    stats = sizes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_orders"),
+        F.sum(F.when(F.col("_sz") > BASKET_CAP, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("_n_trimmed"),
     )
-    n_orders, n_trimmed = int(stats["n"]), int(stats["t"] or 0)
-    capped = items if n_trimmed == 0 else capped_basket_items(items)
+    capped = capped_basket_items(items, sizes=sizes)
     counts = items.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
     a = capped.alias("a")
     b = capped.alias("b")
@@ -2122,17 +2118,18 @@ def q_market_basket(spark, sf_dir):
     return (
         top.join(counts.select(F.col("p").alias("pa"), F.col("n_p").alias("n_a")), "pa")
         .join(counts.select(F.col("p").alias("pb"), F.col("n_p").alias("n_b")), "pb")
+        .crossJoin(F.broadcast(stats))
         .select(
             "pa",
             "pb",
             F.col("n_ab").cast("bigint").alias("n_ab"),
             F.col("n_a").cast("bigint").alias("n_a"),
             F.col("n_b").cast("bigint").alias("n_b"),
-            F.expr(f"n_ab * {n_orders}L * 10000 div (n_a * n_b)")
+            F.expr("n_ab * _n_orders * 10000 div (n_a * n_b)")
             .cast("bigint")
             .alias("lift_bp"),
-            F.expr(f"n_ab * 10000 div {n_orders}L").cast("bigint").alias("support_bp"),
-            F.lit(n_trimmed).cast("bigint").alias("n_trimmed_baskets"),
+            F.expr("n_ab * 10000 div _n_orders").cast("bigint").alias("support_bp"),
+            F.col("_n_trimmed").alias("n_trimmed_baskets"),
         )
     )
 

@@ -15,8 +15,15 @@ diff of two audit files.
 Usage: python scripts/plan_audit.py [sf_dir] [out.json]
        python scripts/plan_audit.py --diff old.json new.json
 
-Compile-only (`explainString`), so the whole 240+ key registry audits
-in about a minute; BroadcastNestedLoopJoin is counted but NOT flagged —
+Compile-only (`explainString`) — no registered query's FULL plan is
+executed. Two bounded pre-job classes do run at DataFrame-construction
+time and are the audit's accepted cost: eager ``localCheckpoint`` pins
+(the dedup/LSH family materializes its signature relation once, by
+design) and one-scalar plan-shape probes (``capped_basket_items``'s
+whale-existence LIMIT 1 — runtime-adaptive plan selection, not output
+data; output VALUES are never collected at construction time). With
+those, the whole 240+ key registry audits in about a minute;
+BroadcastNestedLoopJoin is counted but NOT flagged —
 every registry occurrence is a broadcast 1-row scalar attach (audited;
 see ext/text.py, plans/relational.py docstrings), which is the
 intended plan for "attach a corpus-level aggregate to every row".

@@ -1028,9 +1028,12 @@ def test_registry_schemas_driver_hashable(spark, registry):
     DuckDB surfaces float64, the proven root cause of the r2/r3
     q_subq_scalar/q_dedup_latest reds), no array/map/struct cells (the
     driver records the whole query as an error). Schema-only: building
-    the DataFrame runs Catalyst analysis, not the job, so this covers
-    all ~243 keys cheaply and fails at pytest time instead of at the
-    round's correctness gate."""
+    the DataFrame runs Catalyst analysis, not the full job (eager
+    localCheckpoint pins and one-scalar plan-shape probes are the two
+    bounded construction-time exceptions — see scripts/plan_audit.py's
+    docstring; no query collects output VALUES at build time), so this
+    covers all ~243 keys cheaply and fails at pytest time instead of at
+    the round's correctness gate."""
     from pyspark.sql import types as T
 
     banned = (T.DecimalType, T.ArrayType, T.MapType, T.StructType)

@@ -149,8 +149,19 @@ def main() -> int:
         }
         for k in sorted(set(old_b) & set(new_b))
     }
+    new_rev = subprocess.run(
+        ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True,
+    ).stdout.strip()
+    dirty = bool(
+        subprocess.run(
+            ["git", "-C", REPO, "status", "--porcelain"],
+            capture_output=True, text=True,
+        ).stdout.strip()
+    )
     result = {
         "old_rev": args.old_rev,
+        "new_rev": new_rev + ("+dirty" if dirty else ""),
         "sf_dir": args.sf,
         "reps": args.reps,
         "host_load_avg_1m_start": load_start,

@@ -175,3 +175,21 @@ def test_union_find_matches_recursive_cte_at_sf0001():
     ).fetchall()
     uf = _union_find_labels(pairs)
     assert dict(cte) == uf
+
+
+def test_priority_window_matches_mechanical_rotation():
+    """The committed _PRIORITY must equal the mechanically derived
+    oldest-evidence-first window (judge directive r5 #5) — forced
+    (changed-this-round) keys first, then oldest driver evidence, ties
+    by name. Regenerate with `python scripts/evidence_rotation.py`
+    whenever _FORCE_REFRESH changes."""
+    sys.path.insert(0, str(REPO))
+    from evidence_rotation import WINDOW, derive_window
+
+    from data_ingestor_spark.plans.queries import _FORCE_REFRESH, _PRIORITY, REGISTRY
+
+    derived = derive_window(sorted(REGISTRY), _FORCE_REFRESH)
+    assert len(_PRIORITY) == WINDOW
+    assert tuple(_PRIORITY) == derived
+    # every forced key is actually registered and inside the window
+    assert set(_FORCE_REFRESH) <= set(_PRIORITY)

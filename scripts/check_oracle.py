@@ -138,14 +138,24 @@ def _union_find_labels(pairs) -> dict[int, int]:
     return {n: find(n) for n in nodes}
 
 
+_CLUSTER_LABEL_CACHE: dict[int, dict[int, int]] = {}
+
+
 def _py_cluster_labels(con):
-    """DuckDB edge list (non-recursive pair CTEs) + Python union-find."""
+    """DuckDB edge list (non-recursive pair CTEs) + Python union-find.
+    Memoized per connection: q_dedup_clusters and q_dedup_cluster_summary
+    share one edge-list computation (the banded self-join is the
+    expensive part at sf0.1)."""
+    if id(con) in _CLUSTER_LABEL_CACHE:
+        return _CLUSTER_LABEL_CACHE[id(con)]
     from data_ingestor_spark.ext.dedup import _CLUSTER_PAIRS_CTES
 
     pairs = con.sql(
         "WITH " + _CLUSTER_PAIRS_CTES + " SELECT doc_a, doc_b FROM pairs"
     ).fetchall()
-    return _union_find_labels(pairs)
+    labels = _union_find_labels(pairs)
+    _CLUSTER_LABEL_CACHE[id(con)] = labels
+    return labels
 
 
 def _py_oracle_clusters(con):
@@ -212,6 +222,16 @@ def main() -> int:
         }
         rec.update(kw)
         results[name] = rec
+        if json_out:
+            # flush after every key: a multi-hour sf0.1 sweep must leave
+            # a usable partial artifact if the session ends mid-run
+            import json
+
+            with open(json_out, "w") as f:
+                json.dump(
+                    {"sf_dir": sf_dir, "complete": False, "results": results},
+                    f, indent=1, sort_keys=True,
+                )
 
     import time as _time
 
@@ -278,7 +298,10 @@ def main() -> int:
         import json
 
         with open(json_out, "w") as f:
-            json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1, sort_keys=True)
+            json.dump(
+                {"sf_dir": sf_dir, "complete": True, "results": results},
+                f, indent=1, sort_keys=True,
+            )
         print(f"wrote {json_out}")
     spark.stop()
     return 1 if n_fail else 0

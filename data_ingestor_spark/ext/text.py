@@ -781,21 +781,25 @@ def q_text_gopher(spark, sf_dir):
     return d.select(
         "doc_id",
         n_words.alias("n_words"),
-        # exact BIGINT basis points; the rule_* booleans below keep the
-        # raw double comparisons (identical formula both engines)
-        (n_nonspace.cast("bigint") * 10000).alias("_ns4"),
-        (n_alpha.cast("bigint") * 10000).alias("_na4"),
+        # exact BIGINT basis points (x·10⁴ div n_words, never
+        # ROUND(double,4) — the integer-ratio hazard class); the rule_*
+        # booleans below keep the raw double comparisons (identical
+        # formula in both engines)
+        F.expr(
+            "cast(length(regexp_replace(text, ' ', '')) as bigint) * 10000"
+            " div size(split(text, ' '))"
+        ).alias("mean_word_len_bp"),
+        F.expr(
+            "cast(size(filter(split(text, ' '), w -> w rlike '[a-z]')) as bigint)"
+            " * 10000 div size(split(text, ' '))"
+        ).alias("alpha_word_ratio_bp"),
         n_stop.cast("bigint").alias("n_stop_distinct"),
         rule_wc.alias("rule_word_count"),
         rule_mwl.alias("rule_mean_word_len"),
         rule_alpha.alias("rule_alpha"),
         rule_stop.alias("rule_stopwords"),
         (rule_wc & rule_mwl & rule_alpha & rule_stop).alias("passes_gopher"),
-    ).withColumn(
-        "mean_word_len_bp", F.expr("_ns4 div n_words")
-    ).withColumn(
-        "alpha_word_ratio_bp", F.expr("_na4 div n_words")
-    ).drop("_ns4", "_na4")
+    )
 
 
 @query(

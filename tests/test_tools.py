@@ -193,3 +193,41 @@ def test_priority_window_matches_mechanical_rotation():
     assert tuple(_PRIORITY) == derived
     # every forced key is actually registered and inside the window
     assert set(_FORCE_REFRESH) <= set(_PRIORITY)
+
+
+def test_round_site_inventory_frozen():
+    """Change-detector for the cross-engine ROUND hazard class: every
+    remaining `F.round(` / `ROUND(` line in the source is either prose
+    or rounds a genuinely irrational double (log/sqrt/percentile
+    interpolation), where the .5×10⁻ᵏ boundary has measure ~zero. A
+    NEW site must never round an integer-ratio double — Spark (HALF_UP
+    on the exact decimal) and DuckDB (float multiply) round those apart
+    at some SF (proven r5/r6); report exact BIGINT basis points
+    (x*10000 div y) instead. If you add a justified new site, update
+    the counts here consciously."""
+    import glob
+
+    expected = {
+        "data_ingestor_spark/ext/dedup.py": 1,  # docstring prose only
+        "data_ingestor_spark/ext/similarity.py": 5,  # sqrt dist / float avg
+        "data_ingestor_spark/ext/text.py": 8,  # log-based tfidf/logprob + prose
+        "data_ingestor_spark/plans/events.py": 7,  # sqrt z / cent casts
+        "data_ingestor_spark/plans/relational.py": 21,  # percentile/corr/stddev/ppm recover + cent casts
+        "data_ingestor_spark/plans/scalars.py": 2,  # decimal/k proven boundary-free
+        "data_ingestor_spark/plans/timeseries.py": 9,  # ROUND(value*100) cent casts
+    }
+    got = {}
+    for f in glob.glob(str(REPO / "data_ingestor_spark/**/*.py"), recursive=True):
+        n = 0
+        for ln in open(f):
+            s = ln.strip()
+            if s.startswith("#"):
+                continue
+            if "F.round(" in s or "ROUND(" in s:
+                n += 1
+        if n:
+            got[str(Path(f).relative_to(REPO))] = n
+    assert got == expected, (
+        "ROUND site inventory changed - verify no new site rounds an "
+        f"integer-ratio double, then update the expected counts: {got}"
+    )

@@ -1025,9 +1025,10 @@ def q_text_classifier(spark, sf_dir):
     learned weights; the plan is identical). The dot product is an
     EXACT integer sum folded entirely inside one codegen'd ``aggregate``
     lambda over the token array — per-row narrow map, no shuffle, no
-    Python, associativity-proof — and the only float op is one final
-    rounded double division. At 100 TB this classifies every document
-    in a single scan with zero data movement."""
+    Python, associativity-proof — and score-per-token is an exact
+    BIGINT basis-point quotient (no float ops at all). At 100 TB this
+    classifies every document in a single scan with zero data
+    movement."""
     d = load_table(spark, sf_dir, "documents")
     score = F.expr(
         "aggregate(transform(split(lower(text), ' '), "

@@ -231,3 +231,37 @@ def test_round_site_inventory_frozen():
         "ROUND site inventory changed - verify no new site rounds an "
         f"integer-ratio double, then update the expected counts: {got}"
     )
+
+
+# ---------------------------------------------------------------- scaling probe
+
+from scaling_probe import classify  # noqa: E402
+
+
+def test_classify_linear_growth_not_suspect():
+    # overhead-dominated small SFs, ~linear at the top step
+    rec = classify([0.2, 0.4, 3.6])
+    assert rec["step_ratios"] == [2.0, 9.0]
+    assert rec["last_step_log10_slope"] is not None
+    assert rec["last_step_log10_slope"] < 1.0
+    assert not rec["suspect_superlinear"]
+
+
+def test_classify_quadratic_growth_flagged():
+    # 10x data -> ~70x runtime with a multi-second absolute: quadratic smell
+    rec = classify([0.1, 0.5, 35.0])
+    assert rec["step_ratios"] == [5.0, 70.0]
+    assert rec["suspect_superlinear"]
+
+
+def test_classify_tiny_absolute_ratio_blowup_is_noise():
+    # 20x ratio but 0.4 s absolute: scheduling jitter, not a scale signal
+    rec = classify([0.01, 0.02, 0.4])
+    assert not rec["suspect_superlinear"]
+
+
+def test_classify_error_runs_disable_ratios():
+    rec = classify([0.1, None, 2.0])
+    assert rec["step_ratios"] == [None, None]
+    assert rec["last_step_log10_slope"] is None
+    assert not rec["suspect_superlinear"]

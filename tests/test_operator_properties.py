@@ -1,0 +1,218 @@
+"""Property-based invariants for the generic library operators.
+
+Each test pits a Spark operator against an independent pure-Python
+reference (or against its own unsalted twin) on randomized inputs —
+the operators here carry the subtlest semantics in the repo (as-of
+tie-breaks, iterative label propagation, salting identities), and the
+oracle queries only ever exercise them on the fixed testdata shapes.
+Hypothesis explores the shapes the testdata doesn't have: empty
+sides, equal-timestamp ties, singleton components, skewed blocks.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from data_ingestor_spark.ext.dedup import cluster_pairs
+from data_ingestor_spark.operators.asof import asof_join
+from data_ingestor_spark.operators.pairs import block_pairs, salted_block_pairs
+from data_ingestor_spark.operators.skew import salted_sum_count
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,  # CI determinism: same examples every run
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+# ------------------------------------------------------------------ as-of join
+
+
+def _ref_asof(left_rows, right_rows, direction):
+    """Pure-Python as-of: per left row, nearest right row at/before
+    (backward) or at/after (forward) its time, same key."""
+    out = []
+    for k, t in left_rows:
+        if direction == "backward":
+            cands = [(rt, v) for rk, rt, v in right_rows if rk == k and rt <= t]
+            best = max(cands) if cands else None
+        else:
+            cands = [(rt, v) for rk, rt, v in right_rows if rk == k and rt >= t]
+            best = min(cands) if cands else None
+        out.append((k, t, best[1] if best else None))
+    return sorted(out, key=lambda r: (r[0], r[1], r[2] is None, r[2]))
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30)), min_size=1, max_size=20
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30)), min_size=0, max_size=20
+    ),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_python_reference(spark, left, right, direction):
+    lschema = StructType(
+        [StructField("k", IntegerType()), StructField("t", IntegerType())]
+    )
+    rschema = StructType(
+        [
+            StructField("rk", IntegerType()),
+            StructField("rt", IntegerType()),
+            StructField("v", IntegerType()),
+        ]
+    )
+    # unique (key, time) on the right — the operator's documented
+    # precondition — with a value derived from (key, time) so the
+    # reference needs no tie policy of its own
+    right_uni = sorted({(rk, rt) for rk, rt in right})
+    right_rows = [(rk, rt, rk * 1000 + rt) for rk, rt in right_uni]
+    ldf = spark.createDataFrame(left, lschema)
+    rdf = spark.createDataFrame(right_rows or [], rschema)
+    got = asof_join(
+        ldf, rdf, "k", "rk", "t", "rt", payload=["v"], direction=direction
+    ).collect()
+    got_rows = sorted(
+        ((r.k, r.t, r.v) for r in got),
+        key=lambda r: (r[0], r[1], r[2] is None, r[2]),
+    )
+    assert got_rows == _ref_asof(left, right_rows, direction)
+
+
+# ------------------------------------------------- connected components
+
+
+def _ref_components(edges, n_extra_iso=0):
+    """Union-find min-label per node (same reference algorithm the
+    sf0.1 cluster oracle uses, reimplemented independently here)."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return sorted((x, find(x)) for x in list(parent))
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 29), st.integers(0, 29)),
+        min_size=1,
+        max_size=40,
+    ).map(lambda es: [(a, b) for a, b in es if a != b])
+)
+@settings(**{**_SETTINGS, "max_examples": 6})
+def test_cluster_pairs_matches_union_find(spark, edges):
+    if not edges:
+        return
+    schema = StructType(
+        [StructField("doc_a", LongType()), StructField("doc_b", LongType())]
+    )
+    df = spark.createDataFrame(edges, schema)
+    got = sorted(
+        (r.doc_id, r.cluster_id) for r in cluster_pairs(df).collect()
+    )
+    assert got == _ref_components(edges)
+
+
+def test_cluster_pairs_deep_chain_converges(spark):
+    # a 64-node path is the worst diameter the default max_iters must
+    # settle; pointer jumping needs O(log 64) ~ 7 rounds, far under 20
+    edges = [(i, i + 1) for i in range(63)]
+    schema = StructType(
+        [StructField("doc_a", LongType()), StructField("doc_b", LongType())]
+    )
+    got = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in cluster_pairs(spark.createDataFrame(edges, schema)).collect()
+    )
+    assert got == [(i, 0) for i in range(64)]
+
+
+# ------------------------------------------------------- salting identities
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 9), st.integers(-50, 50)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**{**_SETTINGS, "max_examples": 8})
+def test_salted_sum_count_equals_plain_groupby(spark, rows):
+    schema = StructType(
+        [
+            StructField("g", IntegerType()),
+            StructField("id", IntegerType()),
+            StructField("x", IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    plain = sorted(
+        (r.g, r.s, r.n)
+        for r in df.groupBy("g")
+        .agg(F.sum("x").alias("s"), F.sum(F.lit(1)).alias("n"))
+        .collect()
+    )
+    salted = sorted(
+        (r.g, r.s, r.n)
+        for r in salted_sum_count(
+            df, ["g"], {"s": F.col("x"), "n": F.lit(1)}, salt_buckets=4,
+            salt_source="id",
+        ).collect()
+    )
+    assert salted == plain
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 19)),
+        min_size=1,
+        max_size=25,
+    ).map(lambda rs: sorted(set(rs)))
+)
+@settings(**{**_SETTINGS, "max_examples": 8})
+def test_salted_block_pairs_equals_plain_block_pairs(spark, rows):
+    schema = StructType(
+        [StructField("blk", IntegerType()), StructField("id", IntegerType())]
+    )
+    df = spark.createDataFrame(rows, schema)
+    plain = sorted(
+        (r["a.blk"], r["a.id"], r["b.id"])
+        for r in block_pairs(df, ["blk"], "id")
+        .select(
+            F.col("a.blk").alias("a.blk"),
+            F.col("a.id").alias("a.id"),
+            F.col("b.id").alias("b.id"),
+        )
+        .collect()
+    )
+    salted = sorted(
+        (r["a.blk"], r["a.id"], r["b.id"])
+        for r in salted_block_pairs(df, ["blk"], "id", salt_buckets=3)
+        .select(
+            F.col("a.blk").alias("a.blk"),
+            F.col("a.id").alias("a.id"),
+            F.col("b.id").alias("b.id"),
+        )
+        .collect()
+    )
+    assert salted == plain

@@ -7,7 +7,7 @@ windows (rounds 1-5) don't scale to steady state; this tool derives the
 window mechanically so every key is re-confirmed on a ~5-round cadence
 (judge directive r5 #5):
 
-1. Parse every ``CORRECTNESS_r0*.json`` at the repo root; a key's
+1. Parse every ``CORRECTNESS_r*.json`` at the repo root; a key's
    evidence age is the LATEST round in which the driver recorded it.
 2. The window is ``_FORCE_REFRESH`` (keys whose output changed this
    round — their old evidence no longer describes current code, so
@@ -38,8 +38,9 @@ WINDOW = 50
 def evidence_ages(repo: str = REPO) -> dict[str, int]:
     """name -> latest round with driver evidence (0 = never checked)."""
     latest: dict[str, int] = {}
-    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json"))):
-        rnd = int(os.path.basename(f).split("_r0")[1].split(".")[0])
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        # CORRECTNESS_r05.json / CORRECTNESS_r12.json -> 5 / 12
+        rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
         with open(f) as fh:
             for k in json.load(fh):
                 latest[k] = max(latest.get(k, 0), rnd)

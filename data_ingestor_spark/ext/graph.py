@@ -140,19 +140,62 @@ def q_graph_triangles(spark, sf_dir):
     """Per-document triangle count over the near-dup graph — separates
     true near-cliques of re-posts (triangle-dense: every pair agrees)
     from fragile chains of borderline pairs (triangle-free: a threshold
-    nudge splits them). Canonical a<b<c wedge enumeration: join ordered
-    edges on the middle vertex, close each wedge with one more equality
-    join — two shuffle joins total, wedge fan-out bounded by ordered
-    degree (node-iterator++), no cross join. The edge list is
-    materialized once (localCheckpoint) so the three join branches
-    don't re-run the LSH pipeline. Exact integers → bit-stable hash."""
+    nudge splits them).
+
+    Degree-ordered wedge enumeration (compact-forward / node-iterator++):
+    every edge is oriented from its lower-(degree, id) endpoint to its
+    higher one, wedges are enumerated only at each triangle's LOWEST-rank
+    corner, and one equality join against the oriented edge list closes
+    them. Total wedge candidates are bounded by O(m^1.5) regardless of
+    hub degree — the round-6 scaling probe caught the previous
+    ID-ordered enumeration doing Σ deg² wedge work. The rank order is
+    expressed as composite (deg, id) comparisons in the join conditions,
+    so no global sort or dense_rank bottleneck exists at any scale. The
+    oriented edge list is localCheckpoint-ed once and feeds all three
+    join branches. Exact integers → bit-stable hash; output is
+    identical to the ID-ordered oracle (each triangle counted exactly
+    once, credited to all three corners).
+
+    Measured at sf0.1 (SCALING_r6.json): the near-dup graph is a
+    quasi-clique family — 2866 vertices, 733k edges, avg degree 511,
+    208.7M triangles — and this plan generates 209.99M wedge
+    candidates, i.e. 99.4% of candidates close. The remaining runtime
+    (and its superlinear growth vs sf0.01) is OUTPUT-bound: the
+    triangle count itself grows superlinearly with corpus size on a
+    densifying near-dup graph, and no exact enumeration can emit 209M
+    rows for less. At 100 TB, run this after (not before) dedup
+    collapses the dense components, or gate it on q_graph_degree's
+    hub histogram."""
     pairs = _pair_edges(spark, sf_dir)
-    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
-    e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    sym = pairs.select(F.col("doc_a").alias("v")).unionAll(
+        pairs.select(F.col("doc_b").alias("v"))
+    )
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    withdeg = pairs.join(
+        deg.select(F.col("v").alias("doc_a"), F.col("deg").alias("da")), "doc_a"
+    ).join(deg.select(F.col("v").alias("doc_b"), F.col("deg").alias("db")), "doc_b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    e = (
+        withdeg.select(
+            F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+            F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddeg"),
+        )
+        # reused by all three branches below; without pinning, the
+        # degree joins re-execute per branch
+        .localCheckpoint(eager=True)
+    )
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("ddeg").alias("rb"))
+    e2 = e.select(F.col("src").alias("a2"), F.col("dst").alias("c"), F.col("ddeg").alias("rc"))
+    e3 = e.select(F.col("src").alias("b3"), F.col("dst").alias("c3"))
+    pair_rank_lt = (F.col("rb") < F.col("rc")) | (
+        (F.col("rb") == F.col("rc")) & (F.col("b") < F.col("c"))
+    )
     tri = (
-        e1.join(e2, F.col("b") == F.col("b2"))
-        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        e1.join(e2, (F.col("a") == F.col("a2")) & pair_rank_lt)
+        .join(e3, (F.col("b") == F.col("b3")) & (F.col("c") == F.col("c3")))
         .select("a", "b", "c")
     )
     members = (

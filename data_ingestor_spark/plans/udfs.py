@@ -199,7 +199,13 @@ def q_udtf_analyze(spark, sf_dir):
     This is the table-function shape connector authors need when the
     result schema depends on arguments (a pivoted export, a configurable
     profiler). The eval path just re-emits rows; the aggregates run in
-    ordinary Catalyst on top, so nothing hot lives in Python."""
+    ordinary Catalyst on top, so nothing hot lives in Python. Catalyst
+    cannot push predicates THROUGH a UDTF boundary, so the event-type
+    filter is stated Catalyst-side before the lateral (it reaches the
+    parquet scan as a pushed filter) and only matching rows pay the
+    Arrow transfer; eval keeps its own guard so its contract doesn't
+    depend on the caller's pre-filter (round-6 scaling probe: this key
+    was shipping every event row into Python, 8.6 s at sf0.1)."""
     from pyspark.sql.functions import udtf
     from pyspark.sql.types import (
         DoubleType,
@@ -225,9 +231,14 @@ def q_udtf_analyze(spark, sf_dir):
         def eval(self, types_arg, event_type, value):  # noqa: A002
             # row arity must track the analyze()-derived schema for EVERY
             # argument value, and NULL measures propagate as NULL instead
-            # of crashing the task (float(None) raises)
+            # of crashing the task (float(None) raises). The metric-list
+            # parse is memoized per instance — the argument is a plan
+            # constant, so parsing it per row is pure overhead.
             if event_type in ("click", "purchase"):
-                wanted = [t.strip() for t in str(types_arg).split(",")]
+                wanted = getattr(self, "_wanted", None)
+                if wanted is None:
+                    wanted = [t.strip() for t in str(types_arg).split(",")]
+                    self._wanted = wanted
                 row = [event_type]
                 if "n" in wanted:
                     row.append(1)
@@ -243,7 +254,9 @@ def q_udtf_analyze(spark, sf_dir):
         """
         SELECT event_type, COUNT(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        FROM (SELECT t.* FROM _udtf_events,
+        FROM (SELECT t.* FROM
+              (SELECT event_type, value FROM _udtf_events
+               WHERE event_type IN ('click', 'purchase')) src,
               LATERAL filter_emit_udtf('n,value', event_type, value) t)
         GROUP BY event_type
         """

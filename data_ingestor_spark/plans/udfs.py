@@ -117,41 +117,55 @@ _LTV_COLS = ["user_id", "n_events", "n_purchases", "n_orders", "total_spend"]
 
 
 def _user_ltv(events_pdf: pd.DataFrame, orders_pdf: pd.DataFrame) -> pd.DataFrame:
-    """Cogrouped combine: one user's events batch + orders batch →
-    a single lifetime-value row. Pure pandas/numpy inside; Arrow both
-    ways. Round-6 scaling-probe finding, measured at sf0.1 (~15.5k
-    cogroup keys, 24 s): the cost floor is Spark's per-key cogroup
-    machinery (~1.5 ms/key for the co-partitioned exchange + per-group
-    Arrow round trip), NOT this function — slimming the 1-row frame
-    construction from ~400 µs to ~145 µs (from_records + .iat + numpy)
-    was end-to-end neutral. That floor is the real 100 TB guidance:
-    cogrouped applyInPandas prices every KEY, so on many-small-groups
-    inputs prefer join+agg (the oracle's own shape) unless the
-    per-user combine is genuinely non-relational."""
-    uid = (
-        events_pdf["user_id"].iat[0]
-        if len(events_pdf)
-        else orders_pdf["o_custkey"].iat[0]
-    )
+    """Cogrouped combine over one BUCKET of users: each side's frame
+    holds every row for the ~|users|/N_LTV_BUCKETS users hashing to the
+    bucket; the per-user merge runs vectorized in pandas. Round-6
+    scaling-probe finding that forced this shape, measured at sf0.1:
+    cogrouping on the raw user key (~15.5k cogroup keys) cost 24 s, and
+    the floor was Spark's per-KEY cogroup machinery (~1.5 ms/key for the
+    co-partitioned exchange + per-group Arrow round trip), NOT the
+    Python — slimming the 1-row frame construction 400→145 µs was
+    end-to-end neutral. Bucketing the cogroup key amortizes that floor
+    over ~hundreds of users per Arrow call while keeping the operator a
+    genuine cogrouped applyInPandas. That is the 100 TB guidance:
+    cogrouped applyInPandas prices every KEY, so keep keys coarse
+    (bucket + in-function groupby) or prefer join+agg (the oracle's own
+    shape) unless the per-user combine is genuinely non-relational."""
     # exact-cents arithmetic: a float sum + Python round() drifts on
     # .xx5 boundaries vs the oracle's exact decimal sum; np.rint on
     # price*100 is exact (prices are 2-decimal) and divides back
     # losslessly
-    cents = (
-        int(np.rint(orders_pdf["o_totalprice"].to_numpy() * 100).sum())
-        if len(orders_pdf)
-        else 0
-    )
-    return pd.DataFrame.from_records(
-        [
-            (
-                int(uid),
-                len(events_pdf),
-                int((events_pdf["event_type"].to_numpy() == "purchase").sum()),
-                len(orders_pdf),
-                cents / 100.0,
-            )
-        ],
+    if len(events_pdf):
+        is_p = (events_pdf["event_type"].to_numpy() == "purchase").astype(np.int64)
+        ev = pd.DataFrame(
+            {"user_id": events_pdf["user_id"].to_numpy(), "is_p": is_p}
+        ).groupby("user_id", sort=False)
+        ev = pd.DataFrame(
+            {"n_events": ev["is_p"].size(), "n_purchases": ev["is_p"].sum()}
+        )
+    else:
+        ev = pd.DataFrame(
+            {"n_events": [], "n_purchases": []}, index=pd.Index([], name="user_id")
+        )
+    if len(orders_pdf):
+        cents = np.rint(orders_pdf["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        od = pd.DataFrame(
+            {"o_custkey": orders_pdf["o_custkey"].to_numpy(), "cents": cents}
+        ).groupby("o_custkey", sort=False)
+        od = pd.DataFrame({"n_orders": od["cents"].size(), "cents": od["cents"].sum()})
+    else:
+        od = pd.DataFrame(
+            {"n_orders": [], "cents": []}, index=pd.Index([], name="o_custkey")
+        )
+    merged = ev.join(od, how="outer").fillna(0)
+    return pd.DataFrame(
+        {
+            "user_id": merged.index.to_numpy().astype(np.int64),
+            "n_events": merged["n_events"].to_numpy().astype(np.int64),
+            "n_purchases": merged["n_purchases"].to_numpy().astype(np.int64),
+            "n_orders": merged["n_orders"].to_numpy().astype(np.int64),
+            "total_spend": merged["cents"].to_numpy().astype(np.int64) / 100.0,
+        },
         columns=_LTV_COLS,
     )
 
@@ -183,19 +197,35 @@ def q_udf_cogrouped(spark, sf_dir):
     user key, combined per-user in one Python function — the
     custom-combine escape hatch when a correlation of two tables isn't
     expressible as join+agg. Arrow-batched both sides, one co-partition
-    shuffle each, no per-row Python. The oracle is the equivalent
-    full-outer join+agg; the pandas side sums in exact integer cents so
-    the spend total equals the oracle's exact decimal sum bit-for-bit
-    (a float sum + round() would drift on half-cent boundaries)."""
-    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
-    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    shuffle each, no per-row Python. The cogroup key is a HASH BUCKET of
+    the user key, not the raw key: Spark prices cogrouped applyInPandas
+    per group (~1.5 ms/key machinery floor, measured r6), so raw-key
+    cogrouping cost 24 s at sf0.1's ~15.5k users while 64 buckets with a
+    vectorized in-function per-user groupby costs the same shuffle but
+    ~64 Arrow calls. Same trick a 1000-executor job needs at 100 TB —
+    bucket count scales with cores, not users. The oracle is the
+    equivalent full-outer join+agg; the pandas side sums in exact
+    integer cents so the spend total equals the oracle's exact decimal
+    sum bit-for-bit (a float sum + round() would drift on half-cent
+    boundaries)."""
+    n_buckets = 64
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .withColumn("b", F.pmod(F.hash("user_id"), F.lit(n_buckets)))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .withColumn("b", F.pmod(F.hash("o_custkey"), F.lit(n_buckets)))
+    )
     out_schema = (
         "user_id bigint, n_events bigint, n_purchases bigint, "
         "n_orders bigint, total_spend double"
     )
     return (
-        e.groupBy("user_id")
-        .cogroup(o.groupBy("o_custkey"))
+        e.groupBy("b")
+        .cogroup(o.groupBy("b"))
         .applyInPandas(_user_ltv, schema=out_schema)
     )
 

@@ -123,6 +123,9 @@ EXTRA = [
     "q_doc_lineage",        # per-doc provenance audit record
     # round 5 (the single registry addition this round)
     "q_dedup_containment_recall",  # sampled containment-recall eval by skew class
+    # round 6 (no registry additions; track the two rewritten plans)
+    "q_udf_cogrouped",      # bucketed-key cogrouped applyInPandas
+    "q_agg_approx_bounded",  # split distinct + sketch accuracy contract
 ]
 
 

@@ -12,6 +12,15 @@ that with GroupState persistence + timeout-based state expiry.
 Scale posture: state is per-key (bounded by key cardinality, not
 stream length), Arrow-batched per group, and ``GroupStateTimeout``
 expires idle keys so a year-long stream doesn't accumulate dead state.
+
+Known-benign noise: executing this operator emits one pandas
+FutureWarning per task from pyspark's OWN state serializer
+(serializers.py ``pd.concat`` of the all-NA padding rows it inserts to
+equalize data/state column lengths — not from this module's frames,
+which are always 1 row and fully typed). The subsequent Arrow
+conversion is pinned to the explicit output/state schemas, so the
+pandas-3 dtype-inference change the warning describes cannot alter
+this operator's result schema.
 """
 
 from __future__ import annotations

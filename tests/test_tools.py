@@ -265,3 +265,36 @@ def test_classify_error_runs_disable_ratios():
     assert rec["step_ratios"] == [None, None]
     assert rec["last_step_log10_slope"] is None
     assert not rec["suspect_superlinear"]
+
+
+def test_spark_hash_dump_compare_classifies_keys():
+    from spark_hash_dump import compare
+
+    mk = lambda rows, h, err=None: {  # noqa: E731
+        "rows": rows, "cols": ["a", "b"], "hash": h, "err": err,
+    }
+    a = {"results": {
+        "q_same": mk(5, "h1"),
+        "q_diff": mk(5, "h2"),
+        "q_err": mk(None, None, err="boom"),
+        "q_only_a": mk(1, "h9"),
+    }}
+    b = {"results": {
+        "q_same": mk(5, "h1"),
+        "q_diff": mk(5, "h3"),
+        "q_err": mk(4, "h4"),
+        "q_only_b": mk(2, "h8"),
+    }}
+    out = compare(a, b)
+    assert out == {
+        "n_match": 1, "n_mismatch": 1, "n_err": 1,
+        "mismatches": ["q_diff"], "errors": ["q_err"],
+    }
+
+
+def test_spark_hash_dump_compare_row_count_alone_mismatches():
+    from spark_hash_dump import compare
+
+    a = {"results": {"k": {"rows": 3, "cols": ["x"], "hash": "h", "err": None}}}
+    b = {"results": {"k": {"rows": 4, "cols": ["x"], "hash": "h", "err": None}}}
+    assert compare(a, b)["mismatches"] == ["k"]

@@ -40,6 +40,8 @@ KEYS = [
     "q_agg_skew_salted",         # salt-and-merge two-phase aggregate
     "q_split_assign",            # hash-based train/val/test split
     "q_alloc_largest_remainder", # global-order-dependent allocation
+    "q_dedup_clusters",          # iterative checkpointed min-label CC loop
+    "q_graph_pagerank",          # iterative float accumulation → exact ints
 ]
 
 

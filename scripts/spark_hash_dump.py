@@ -10,8 +10,11 @@ paying the oracle again.
 
 Usage:
     [env overrides] python scripts/spark_hash_dump.py <sf_dir> --json=OUT key...
+    python scripts/spark_hash_dump.py --compare A.json B.json
 
-Writes {key: {rows, cols, hash, elapsed_s, err}} incrementally.
+Dump mode writes {key: {rows, cols, hash, elapsed_s, err}}
+incrementally; compare mode prints the match/mismatch summary for two
+dumps and exits non-zero on any mismatch or error.
 """
 from __future__ import annotations
 
@@ -46,6 +49,13 @@ def compare(dump_a: dict, dump_b: dict) -> dict:
 
 
 def main() -> int:
+    if sys.argv[1:2] == ["--compare"]:
+        a = json.load(open(sys.argv[2]))
+        b = json.load(open(sys.argv[3]))
+        out = compare(a, b)
+        print(json.dumps(out, indent=1))
+        return 1 if out["n_mismatch"] or out["n_err"] else 0
+
     sys.path.insert(0, ".")
     from scripts.check_oracle import canonical  # noqa: E402
 

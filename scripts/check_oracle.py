@@ -197,6 +197,12 @@ def main() -> int:
         i = args.index("--json")
         json_out = args[i + 1]
         del args[i : i + 2]
+    # --json=OUT form too: the silent alternative was treating the flag
+    # as an sf_dir-looking operand and discarding the artifact
+    for a in list(args):
+        if a.startswith("--json="):
+            json_out = a.split("=", 1)[1]
+            args.remove(a)
     args = [a for a in args if a != "--py-oracles"]
     sf_dir = args[0] if args and "/" in args[0] else SF_DIR_DEFAULT
     only = [a for a in args if "/" not in a]

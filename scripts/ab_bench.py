@@ -89,6 +89,36 @@ def _worker(tree: str, keys: list[str], sf_dir: str) -> None:
     spark.stop()
 
 
+def summarize(reps: list[dict]) -> dict[str, dict]:
+    """Per-key A/B table from interleaved rep records.
+
+    Each rep record carries ``variant`` ("old"/"new") and a
+    ``queries`` {key: seconds} map; the per-variant time is the MIN
+    over reps (steady-state floor — co-tenant noise only ever adds
+    time), and the ratio is new/old, rounded to 3 places. Keys present
+    in only one variant are dropped (a key added or removed between
+    revisions has no A/B meaning)."""
+
+    def best(variant: str) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for rec in reps:
+            if rec["variant"] != variant:
+                continue
+            for k, v in rec["queries"].items():
+                out[k] = min(v, out.get(k, float("inf")))
+        return out
+
+    old_b, new_b = best("old"), best("new")
+    return {
+        k: {
+            "old_s": old_b[k],
+            "new_s": new_b[k],
+            "ratio_new_over_old": round(new_b[k] / old_b[k], 3) if old_b[k] else None,
+        }
+        for k in sorted(set(old_b) & set(new_b))
+    }
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--old-rev", default="ebf4b6b")
@@ -131,24 +161,7 @@ def main() -> int:
                 + " ".join(f"{k}={v}" for k, v in rec["queries"].items())
             )
 
-    def best(variant: str) -> dict[str, float]:
-        out: dict[str, float] = {}
-        for rec in reps:
-            if rec["variant"] != variant:
-                continue
-            for k, v in rec["queries"].items():
-                out[k] = min(v, out.get(k, float("inf")))
-        return out
-
-    old_b, new_b = best("old"), best("new")
-    table = {
-        k: {
-            "old_s": old_b[k],
-            "new_s": new_b[k],
-            "ratio_new_over_old": round(new_b[k] / old_b[k], 3) if old_b[k] else None,
-        }
-        for k in sorted(set(old_b) & set(new_b))
-    }
+    table = summarize(reps)
     new_rev = subprocess.run(
         ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
         capture_output=True, text=True,

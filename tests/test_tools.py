@@ -298,3 +298,30 @@ def test_spark_hash_dump_compare_row_count_alone_mismatches():
     a = {"results": {"k": {"rows": 3, "cols": ["x"], "hash": "h", "err": None}}}
     b = {"results": {"k": {"rows": 4, "cols": ["x"], "hash": "h", "err": None}}}
     assert compare(a, b)["mismatches"] == ["k"]
+
+
+def test_ab_bench_summarize_min_over_reps_and_ratio():
+    from ab_bench import summarize
+
+    reps = [
+        {"variant": "old", "queries": {"q_a": 2.0, "q_b": 1.0, "q_gone": 9.0}},
+        {"variant": "new", "queries": {"q_a": 1.2, "q_b": 1.1, "q_new": 0.5}},
+        {"variant": "old", "queries": {"q_a": 1.6, "q_b": 1.4}},
+        {"variant": "new", "queries": {"q_a": 0.8, "q_b": 0.9}},
+    ]
+    t = summarize(reps)
+    # min over reps per variant; keys in only one variant dropped
+    assert set(t) == {"q_a", "q_b"}
+    assert t["q_a"] == {"old_s": 1.6, "new_s": 0.8, "ratio_new_over_old": 0.5}
+    assert t["q_b"]["old_s"] == 1.0 and t["q_b"]["new_s"] == 0.9
+    assert t["q_b"]["ratio_new_over_old"] == 0.9
+
+
+def test_ab_bench_summarize_zero_old_time_yields_null_ratio():
+    from ab_bench import summarize
+
+    reps = [
+        {"variant": "old", "queries": {"q": 0.0}},
+        {"variant": "new", "queries": {"q": 0.1}},
+    ]
+    assert summarize(reps)["q"]["ratio_new_over_old"] is None

@@ -325,3 +325,57 @@ def test_ab_bench_summarize_zero_old_time_yields_null_ratio():
         {"variant": "new", "queries": {"q": 0.1}},
     ]
     assert summarize(reps)["q"]["ratio_new_over_old"] is None
+
+
+def test_canon_cell_value_normalization():
+    import datetime
+
+    from check_oracle import _canon_cell
+
+    assert _canon_cell(None) == "NULL"
+    assert _canon_cell(float("nan")) == "NULL"
+    # integral doubles normalize to the same repr both engines produce
+    assert _canon_cell(45.0) == "45.0"
+    assert _canon_cell(45.3) == repr(45.3)
+    assert _canon_cell(True) == "1" and _canon_cell(False) == "0"
+    assert _canon_cell(b"\x00\xff") == "00ff"
+    assert _canon_cell(datetime.date(2026, 8, 14)) == "2026-08-14"
+    assert (
+        _canon_cell(datetime.datetime(2026, 8, 14, 1, 2, 3))
+        == "2026-08-14T01:02:03"
+    )
+
+
+def test_canon_cell_rejects_driver_unhashable_types():
+    from decimal import Decimal
+
+    import pytest as _pytest
+
+    from check_oracle import _canon_cell
+
+    with _pytest.raises(TypeError, match="DecimalType"):
+        _canon_cell(Decimal("45.30"))
+    for bad in ([1, 2], (1, 2), {"k": 1}):
+        with _pytest.raises(TypeError, match="array/map"):
+            _canon_cell(bad)
+
+
+def test_canonical_sorts_columns_and_rows_like_the_driver():
+    import numpy as np
+    import pandas as pd
+
+    from check_oracle import canonical
+
+    a = pd.DataFrame({"b": [2, 1], "a": ["y", "x"]})
+    # same data, different column and row order must hash identically
+    b = pd.DataFrame({"a": ["x", "y"], "b": [1, 2]})
+    na, ca, ha = canonical(a)
+    nb, cb, hb = canonical(b)
+    assert (na, ca) == (2, ["a", "b"]) and (na, ca, ha) == (nb, cb, hb)
+    # numpy scalars unwrap to plain python before stringification
+    c = pd.DataFrame({"a": ["x", "y"], "b": np.array([1, 2], dtype=np.int64)})
+    assert canonical(c) == (na, ca, ha)
+    # NaT and None both canonicalize to NULL
+    d1 = pd.DataFrame({"t": [pd.NaT]})
+    d2 = pd.DataFrame({"t": [None]})
+    assert canonical(d1)[2] == canonical(d2)[2]

@@ -323,8 +323,12 @@ def q_text_tfidf(spark, sf_dir):
     One tf shuffle, then df as COUNT(*) OVER (PARTITION BY term) on the
     tf relation itself — tf rows are unique per (doc, term), so the
     window count IS the distinct-doc frequency, and the former
-    df-groupBy + term join (a second exchange plus a join) disappears
-    (measured 1.5× at sf0.1). Skew note: ANY formulation that attaches
+    df-groupBy + term join (a second exchange plus a join) disappears —
+    plan-wise strictly better (pinned by
+    test_tfidf_single_scan_window_df_no_term_join); recorded benches
+    show a modest ~1.15× boot-normalized effect at sf0.1, where the
+    exchange is cheap — the removed shuffle is what matters at corpus
+    scale. Skew note: ANY formulation that attaches
     df to each (doc, term) row must co-locate a term's rows — the old
     join shuffled tf by term exactly the same way; the window adds only
     a sort. A pathological hot term concentrates in one task either
@@ -1805,8 +1809,11 @@ def q_doc_lineage(spark, sf_dir):
     request needs. Scale shape: ONE scan of the fat text column (md5 +
     tokenize once), projected narrow before a min-over-window keyed on
     the 32-byte content hash resolves each group's canonical — the
-    two-scan groupBy+join formulation paid the text decode twice and
-    measured 2.7× slower at sf0.1; the shuffle payload here is the
+    two-scan groupBy+join formulation paid the text decode twice
+    (plan-wise one scan and one join more, pinned by
+    test_doc_lineage_single_scan_window_canonical; recorded benches
+    show a modest ~1.15× boot-normalized effect at this box's SFs,
+    where the duplicated decode is cheap); the shuffle payload here is the
     ~60-byte projected row, never the document body. Nothing a 100 TB
     corpus doesn't already do in the pipeline itself; emit it alongside
     the corpus write and the audit is free."""

@@ -189,20 +189,28 @@ PY_ORACLES = {
 }
 
 
-def main() -> int:
-    args = sys.argv[1:]
-    use_py = "--py-oracles" in args
+def parse_json_flag(args: list[str]) -> tuple[str | None, list[str]]:
+    """Extract ``--json OUT`` / ``--json=OUT`` from an argv list.
+
+    Returns (json_out_or_None, remaining_args). Both spellings must
+    work: the = form silently parsed as a path-looking operand in
+    earlier revisions, discarding a whole sweep's artifact."""
+    rest = list(args)
     json_out = None
-    if "--json" in args:
-        i = args.index("--json")
-        json_out = args[i + 1]
-        del args[i : i + 2]
-    # --json=OUT form too: the silent alternative was treating the flag
-    # as an sf_dir-looking operand and discarding the artifact
-    for a in list(args):
+    if "--json" in rest:
+        i = rest.index("--json")
+        json_out = rest[i + 1]
+        del rest[i : i + 2]
+    for a in list(rest):
         if a.startswith("--json="):
             json_out = a.split("=", 1)[1]
-            args.remove(a)
+            rest.remove(a)
+    return json_out, rest
+
+
+def main() -> int:
+    use_py = "--py-oracles" in sys.argv[1:]
+    json_out, args = parse_json_flag(sys.argv[1:])
     args = [a for a in args if a != "--py-oracles"]
     sf_dir = args[0] if args and "/" in args[0] else SF_DIR_DEFAULT
     only = [a for a in args if "/" not in a]

@@ -59,16 +59,9 @@ def main() -> int:
     sys.path.insert(0, ".")
     from scripts.check_oracle import canonical  # noqa: E402
 
-    raw = list(sys.argv[1:])
-    json_out = None
-    if "--json" in raw:  # space form, matching check_oracle.py
-        i = raw.index("--json")
-        json_out = raw[i + 1]
-        del raw[i : i + 2]
-    json_out = next(
-        (a.split("=", 1)[1] for a in raw if a.startswith("--json=")), json_out
-    )
-    args = [a for a in raw if not a.startswith("--json")]
+    from scripts.check_oracle import parse_json_flag  # noqa: E402
+
+    json_out, args = parse_json_flag(sys.argv[1:])
     sf_dir = args[0]
     keys = args[1:]
 

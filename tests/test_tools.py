@@ -379,3 +379,14 @@ def test_canonical_sorts_columns_and_rows_like_the_driver():
     d1 = pd.DataFrame({"t": [pd.NaT]})
     d2 = pd.DataFrame({"t": [None]})
     assert canonical(d1)[2] == canonical(d2)[2]
+
+
+def test_parse_json_flag_accepts_both_spellings():
+    from check_oracle import parse_json_flag
+
+    out, rest = parse_json_flag(["/sf", "--json", "out.json", "q_a"])
+    assert out == "out.json" and rest == ["/sf", "q_a"]
+    out, rest = parse_json_flag(["/sf", "--json=out.json", "q_a"])
+    assert out == "out.json" and rest == ["/sf", "q_a"]
+    out, rest = parse_json_flag(["/sf", "q_a"])
+    assert out is None and rest == ["/sf", "q_a"]

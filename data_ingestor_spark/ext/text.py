@@ -1671,29 +1671,39 @@ def q_alloc_largest_remainder(spark, sf_dir):
     ordered window — the same micro-relation pattern as every
     allocator here. Composes with q_sample_per_group (per-stratum
     quota → take alloc_i per stratum by md5 rank)."""
-    from pyspark.sql import Window as W
-
     d = load_table(spark, sf_dir, "documents")
     strata = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    tot = strata.agg(F.sum("n").alias("big_n"))
+    return largest_remainder_alloc(strata, "source", "n", 1000)
+
+
+def largest_remainder_alloc(strata, key_col: str, n_col: str, budget: int):
+    """Hamilton apportionment of ``budget`` slots over ``(key, n)``
+    strata rows → ``(key, n, floor_alloc, alloc)`` with
+    Σalloc = budget by construction; the reusable core of
+    :func:`q_alloc_largest_remainder` (see its docstring for the full
+    derivation) and the subject of the brute-force property test in
+    ``tests/test_operator_properties.py``."""
+    from pyspark.sql import Window as W
+
+    tot = strata.agg(F.sum(n_col).alias("big_n"))
     quotas = strata.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "n",
-        F.expr("cast((1000 * n) div big_n as bigint)").alias("floor_alloc"),
-        F.expr("cast((1000 * n) % big_n as bigint)").alias("remainder"),
+        F.col(key_col),
+        F.col(n_col).alias("n"),
+        F.expr(f"cast(({budget} * {n_col}) div big_n as bigint)").alias("floor_alloc"),
+        F.expr(f"cast(({budget} * {n_col}) % big_n as bigint)").alias("remainder"),
     )
     wall = W.partitionBy(F.lit(1))
     ranked = quotas.select(
-        "source",
+        key_col,
         "n",
         "floor_alloc",
         F.row_number()
-        .over(wall.orderBy(F.desc("remainder"), F.asc("source")))
+        .over(wall.orderBy(F.desc("remainder"), F.asc(key_col)))
         .alias("rem_rank"),
-        (F.lit(1000) - F.sum("floor_alloc").over(wall)).cast("bigint").alias("leftover"),
+        (F.lit(budget) - F.sum("floor_alloc").over(wall)).cast("bigint").alias("leftover"),
     )
     return ranked.select(
-        "source",
+        key_col,
         F.col("n").cast("bigint").alias("n"),
         "floor_alloc",
         (

@@ -759,16 +759,25 @@ def q_interval_concurrency(spark, sf_dir):
     post-transition levels within that hour; hours with no endpoints
     carry no row (downstream gap-fill, q_gap_fill, densifies if
     needed)."""
-    from pyspark.sql import Window as W
-
     e = load_table(spark, sf_dir, "events")
     sess = (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("s"), F.col("w.end").alias("en"))
     )
+    return concurrency_timeline(sess)
+
+
+def concurrency_timeline(sess: DataFrame) -> DataFrame:
+    """Distributed two-phase sweep-line over ``(s, en)`` intervals →
+    per-hour ``(hr, max_concurrency, n_transitions)``; the reusable
+    core of :func:`q_interval_concurrency` (see its docstring for the
+    full derivation) and the subject of the brute-force property test
+    in ``tests/test_operator_properties.py``."""
+    from pyspark.sql import Window as W
+
     # one inline explode, NOT a union of two selects over `sess` — a
-    # union would execute the session_window aggregation subtree twice
+    # union would execute the upstream (session) subtree twice
     pts = sess.select(
         F.explode(
             F.array(

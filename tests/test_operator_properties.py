@@ -11,6 +11,8 @@ sides, equal-timestamp ties, singleton components, skewed blocks.
 
 from __future__ import annotations
 
+import math
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -278,3 +280,93 @@ def test_triangles_match_bruteforce(spark, edges):
     if not edges:
         return
     assert _spark_triangles(spark, edges) == _ref_triangles(edges)
+
+
+# ------------------------------------------- sweep-line concurrency timeline
+
+
+def _ref_concurrency(intervals):
+    """Pure-Python global sweep: sort all ±1 transitions by
+    (t, delta) — half-open intervals, a close at t precedes an open at
+    t — run one global running sum, and report per-hour max of the
+    post-transition level plus the transition count."""
+    pts = []
+    for s, en in intervals:
+        pts.append((s, 1))
+        pts.append((en, -1))
+    pts.sort()
+    out = {}
+    c = 0
+    for t, delta in pts:
+        c += delta
+        hr = t - (t % 3600)
+        mx, n = out.get(hr, (c, 0))
+        out[hr] = (max(mx, c), n + 1)
+    return {hr: (mx, n) for hr, (mx, n) in out.items()}
+
+
+@given(
+    intervals=st.lists(
+        st.tuples(st.integers(0, 4 * 3600), st.integers(1, 3 * 3600)),
+        min_size=1,
+        max_size=25,
+    ).map(lambda xs: [(s, s + d) for s, d in xs]),
+)
+@settings(**_SETTINGS)
+def test_concurrency_timeline_matches_global_sweep(spark, intervals):
+    from data_ingestor_spark.plans.timeseries import concurrency_timeline
+
+    sess = spark.createDataFrame(
+        [(s, e) for s, e in intervals], schema="s_epoch long, en_epoch long"
+    ).select(
+        F.timestamp_seconds("s_epoch").alias("s"),
+        F.timestamp_seconds("en_epoch").alias("en"),
+    )
+    got = {
+        int(r["hr"].timestamp()): (r["max_concurrency"], r["n_transitions"])
+        for r in concurrency_timeline(sess).collect()
+    }
+    assert got == _ref_concurrency(intervals)
+
+
+# ---------------------------------------------- largest-remainder allocation
+
+
+def _ref_largest_remainder(counts, budget):
+    """Pure-Python Hamilton apportionment with (remainder DESC, key
+    ASC) tie-break; counts is {key: n}."""
+    big_n = sum(counts.values())
+    floors = {k: budget * n // big_n for k, n in counts.items()}
+    rems = sorted(counts, key=lambda k: (-(budget * counts[k] % big_n), k))
+    leftover = budget - sum(floors.values())
+    return {
+        k: floors[k] + (1 if rank < leftover else 0)
+        for rank, k in enumerate(rems)
+    }
+
+
+@given(
+    counts=st.dictionaries(
+        st.text(alphabet="abcdef", min_size=1, max_size=3),
+        st.integers(1, 500),
+        min_size=1,
+        max_size=12,
+    ),
+    budget=st.integers(1, 200),
+)
+@settings(**_SETTINGS)
+def test_largest_remainder_alloc_matches_python_reference(spark, counts, budget):
+    from data_ingestor_spark.ext.text import largest_remainder_alloc
+
+    strata = spark.createDataFrame(
+        list(counts.items()), schema="src string, n long"
+    )
+    rows = largest_remainder_alloc(strata, "src", "n", budget).collect()
+    got = {r["src"]: r["alloc"] for r in rows}
+    assert got == _ref_largest_remainder(counts, budget)
+    # budget spent exactly, and every allocation within the quota rule
+    assert sum(got.values()) == budget
+    big_n = sum(counts.values())
+    for k, n in counts.items():
+        exact = budget * n / big_n
+        assert math.floor(exact) <= got[k] <= math.ceil(exact)

@@ -1623,18 +1623,28 @@ def q_window_gap_islands(spark, sf_dir):
     user_id, so the second exchange disappears)."""
     e = load_table(spark, sf_dir, "events")
     days = e.select("user_id", F.date_trunc("DAY", "ts").alias("d")).distinct()
-    w = W.partitionBy("user_id").orderBy("d")
+    return gap_islands(days, "user_id", "d")
+
+
+def gap_islands(days, key_col: str, day_col: str):
+    """Maximal runs of consecutive days per key over distinct
+    ``(key, day)`` rows → ``(key, streak_start, streak_end,
+    streak_days)``; the reusable core of :func:`q_window_gap_islands`
+    (see its docstring for the day_number − row_number derivation) and
+    the subject of the brute-force property test in
+    ``tests/test_operator_properties.py``."""
+    w = W.partitionBy(key_col).orderBy(day_col)
     seq = days.select(
-        "user_id",
-        "d",
+        key_col,
+        day_col,
         (
-            F.datediff(F.col("d").cast("date"), F.lit("1970-01-01").cast("date"))
+            F.datediff(F.col(day_col).cast("date"), F.lit("1970-01-01").cast("date"))
             - F.row_number().over(w)
         ).alias("grp"),
     )
-    return seq.groupBy("user_id", "grp").agg(
-        F.min("d").alias("streak_start"),
-        F.max("d").alias("streak_end"),
+    return seq.groupBy(key_col, "grp").agg(
+        F.min(day_col).alias("streak_start"),
+        F.max(day_col).alias("streak_end"),
         F.count(F.lit(1)).alias("streak_days"),
     ).drop("grp")
 
@@ -1950,31 +1960,44 @@ def q_agg_weighted_median(spark, sf_dir):
     sort amortized per partition; for extreme single-group skew,
     pre-aggregate duplicate price points first (groupBy (flag, price)
     sum(w)) — same answer, far fewer window rows."""
-    from pyspark.sql import Window as W
-
     li = load_table(spark, sf_dir, "lineitem")
     pts = li.select(
         "l_returnflag",
         F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("price_cents"),
         F.col("l_quantity").cast("bigint").alias("w"),
     )
+    return weighted_median(
+        pts, "l_returnflag", "price_cents", "w",
+        out_col="weighted_median_cents",
+    )
+
+
+def weighted_median(pts, group_col: str, value_col: str, weight_col: str,
+                    out_col: str = "weighted_median"):
+    """Exact lower weighted median per group over ``(group, value,
+    weight)`` rows → ``(group, out_col, total_weight)``; the reusable
+    core of :func:`q_agg_weighted_median` (see its docstring for the
+    derivation) and the subject of the brute-force property test in
+    ``tests/test_operator_properties.py``."""
+    from pyspark.sql import Window as W
+
     wcum = (
-        W.partitionBy("l_returnflag")
-        .orderBy("price_cents", "w")
+        W.partitionBy(group_col)
+        .orderBy(value_col, weight_col)
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    wtot = W.partitionBy("l_returnflag")
+    wtot = W.partitionBy(group_col)
     cum = pts.select(
-        "l_returnflag",
-        "price_cents",
-        F.sum("w").over(wcum).alias("cw"),
-        F.sum("w").over(wtot).alias("tw"),
+        group_col,
+        value_col,
+        F.sum(weight_col).over(wcum).alias("cw"),
+        F.sum(weight_col).over(wtot).alias("tw"),
     )
     return (
         cum.filter(F.expr("2 * cw >= tw"))
-        .groupBy("l_returnflag")
+        .groupBy(group_col)
         .agg(
-            F.min("price_cents").alias("weighted_median_cents"),
+            F.min(value_col).alias(out_col),
             F.max("tw").cast("bigint").alias("total_weight"),
         )
     )

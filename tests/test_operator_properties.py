@@ -370,3 +370,91 @@ def test_largest_remainder_alloc_matches_python_reference(spark, counts, budget)
     for k, n in counts.items():
         exact = budget * n / big_n
         assert math.floor(exact) <= got[k] <= math.ceil(exact)
+
+
+# ------------------------------------------------------ exact weighted median
+
+
+def _ref_weighted_median(rows):
+    """Pure-Python lower weighted median per group: smallest value whose
+    cumulative weight (in (value, weight) order) reaches half the group
+    total; rows is [(group, value, weight)]."""
+    out = {}
+    groups = {g for g, _, _ in rows}
+    for g in groups:
+        pts = sorted((v, w) for gg, v, w in rows if gg == g)
+        tw = sum(w for _, w in pts)
+        cw = 0
+        for v, w in pts:
+            cw += w
+            if 2 * cw >= tw:
+                out[g] = (v, tw)
+                break
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-20, 20), st.integers(1, 9)),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@settings(**_SETTINGS)
+def test_weighted_median_matches_python_reference(spark, rows):
+    from data_ingestor_spark.plans.relational import weighted_median
+
+    df = spark.createDataFrame(rows, schema="g long, v long, w long")
+    got = {
+        r["g"]: (r["wm"], r["total_weight"])
+        for r in weighted_median(df, "g", "v", "w", out_col="wm").collect()
+    }
+    assert got == _ref_weighted_median(rows)
+
+
+# ------------------------------------------------------------- gaps & islands
+
+
+def _ref_gap_islands(pairs):
+    """Pure-Python streaks: maximal runs of consecutive day numbers per
+    key; pairs is [(key, day_number)] (duplicates allowed)."""
+    out = set()
+    for k in {k for k, _ in pairs}:
+        ds = sorted({d for kk, d in pairs if kk == k})
+        start = prev = ds[0]
+        for d in ds[1:]:
+            if d == prev + 1:
+                prev = d
+                continue
+            out.add((k, start, prev, prev - start + 1))
+            start = prev = d
+        out.add((k, start, prev, prev - start + 1))
+    return out
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40)), min_size=1, max_size=40
+    ),
+)
+@settings(**_SETTINGS)
+def test_gap_islands_matches_python_reference(spark, pairs):
+    import datetime
+
+    from data_ingestor_spark.plans.relational import gap_islands
+
+    epoch = datetime.datetime(1970, 1, 1)
+    days = spark.createDataFrame(
+        [(k, epoch + datetime.timedelta(days=d)) for k, d in pairs],
+        schema="user_id long, d timestamp",
+    ).distinct()
+    got = {
+        (
+            r["user_id"],
+            (r["streak_start"] - epoch).days,
+            (r["streak_end"] - epoch).days,
+            r["streak_days"],
+        )
+        for r in gap_islands(days, "user_id", "d").collect()
+    }
+    assert got == _ref_gap_islands(pairs)

@@ -926,33 +926,42 @@ def q_event_changepoint(spark, sf_dir):
     single days, this locates a regime SHIFT. Scale shape: corpus
     work is the (type, day) partial count; the CUSUM window and
     argmax rank run over #days rows per type."""
-    from pyspark.sql import Window as W
-
     daily = (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    st = daily.groupBy("event_type").agg(
-        F.sum("n").cast("bigint").alias("total"),
+    return cusum_changepoint(daily, "event_type", "d", "n").select(
+        "event_type",
+        F.col("d").alias("changepoint_day"),
+        F.col("n").cast("bigint").alias("n_that_day"),
+        F.col("c_scaled").cast("bigint").alias("peak_cusum_scaled"),
+    )
+
+
+def cusum_changepoint(daily, group_col: str, day_col: str, n_col: str):
+    """Division-free CUSUM argmax over ``(group, day, n)`` series →
+    the peak row per group with ``c_scaled`` attached; the reusable
+    core of :func:`q_event_changepoint` (see its docstring for the
+    integer-scaling derivation) and the subject of the brute-force
+    property test in ``tests/test_operator_properties.py``."""
+    from pyspark.sql import Window as W
+
+    st = daily.groupBy(group_col).agg(
+        F.sum(n_col).cast("bigint").alias("total"),
         F.count(F.lit(1)).alias("n_days"),
     )
     wcum = (
-        W.partitionBy("event_type").orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+        W.partitionBy(group_col).orderBy(day_col).rowsBetween(W.unboundedPreceding, 0)
     )
-    cusum = daily.join(st, "event_type").withColumn(
-        "c_scaled", F.sum(F.expr("n_days * n - total")).over(wcum)
+    cusum = daily.join(st, group_col).withColumn(
+        "c_scaled", F.sum(F.expr(f"n_days * {n_col} - total")).over(wcum)
     )
-    wrk = W.partitionBy("event_type").orderBy(
-        F.abs(F.col("c_scaled")).desc(), F.asc("d")
+    wrk = W.partitionBy(group_col).orderBy(
+        F.abs(F.col("c_scaled")).desc(), F.asc(day_col)
     )
     return (
         cusum.withColumn("rk", F.row_number().over(wrk))
         .filter("rk = 1")
-        .select(
-            "event_type",
-            F.col("d").alias("changepoint_day"),
-            F.col("n").cast("bigint").alias("n_that_day"),
-            F.col("c_scaled").cast("bigint").alias("peak_cusum_scaled"),
-        )
+        .drop("rk", "total", "n_days")
     )

@@ -458,3 +458,46 @@ def test_gap_islands_matches_python_reference(spark, pairs):
         for r in gap_islands(days, "user_id", "d").collect()
     }
     assert got == _ref_gap_islands(pairs)
+
+
+# ------------------------------------------------------- CUSUM changepoint
+
+
+def _ref_cusum_peak(series):
+    """Pure-Python scaled-CUSUM argmax per group: c_i = Σ_{j<=i}
+    (n_days·n_j − total); peak = max |c_i|, earliest-day tie-break;
+    series is [(group, day, n)] with unique (group, day)."""
+    out = {}
+    for g in {g for g, _, _ in series}:
+        pts = sorted((d, n) for gg, d, n in series if gg == g)
+        total = sum(n for _, n in pts)
+        n_days = len(pts)
+        c = 0
+        best = None
+        for d, n in pts:
+            c += n_days * n - total
+            key = (-abs(c), d)
+            if best is None or key < best[0]:
+                best = (key, (d, n, c))
+        out[g] = best[1]
+    return out
+
+
+@given(
+    series=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 15), st.integers(0, 50)),
+        min_size=1,
+        max_size=30,
+    ).map(lambda xs: list({(g, d): n for g, d, n in xs}.items()))
+    .map(lambda xs: [(g, d, n) for (g, d), n in xs]),
+)
+@settings(**_SETTINGS)
+def test_cusum_changepoint_matches_python_reference(spark, series):
+    from data_ingestor_spark.plans.events import cusum_changepoint
+
+    daily = spark.createDataFrame(series, schema="g long, d long, n long")
+    got = {
+        r["g"]: (r["d"], r["n"], r["c_scaled"])
+        for r in cusum_changepoint(daily, "g", "d", "n").collect()
+    }
+    assert got == _ref_cusum_peak(series)

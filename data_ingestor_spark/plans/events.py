@@ -56,26 +56,36 @@ def q_event_funnel(spark, sf_dir):
     stage frames shrink monotonically. Single-row output of stage
     counts."""
     e = load_table(spark, sf_dir, "events")
-    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("vt"))
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("vt"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ct"))
+    return funnel_counts(
+        e, "user_id", "event_type", "ts", ("view", "click", "purchase")
     )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("ct"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("pt"))
+
+
+def funnel_counts(e, user_col: str, type_col: str, ts_col: str, steps):
+    """Strictly-ordered funnel over ``(user, type, ts)`` events →
+    one row of per-stage user counts (columns ``n_<step>``), greedy
+    first-event matching: a user reaches stage k iff some strictly
+    increasing chain of the step types exists, and taking the MIN
+    eligible time at each stage finds one exactly when one exists
+    (greedy-is-optimal — pinned against brute force by the property
+    test in ``tests/test_operator_properties.py``). The reusable core
+    of :func:`q_event_funnel`."""
+    stage = (
+        e.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t"))
     )
-    return (
-        v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
-    )
+    counts = stage.agg(F.count(F.lit(1)).alias(f"n_{steps[0]}"))
+    for s in steps[1:]:
+        stage = (
+            e.filter(F.col(type_col) == s)
+            .join(stage, user_col)
+            .filter(F.col(ts_col) > F.col("t"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("t"))
+        )
+        counts = counts.crossJoin(stage.agg(F.count(F.lit(1)).alias(f"n_{s}")))
+    return counts
 
 
 @query(

@@ -501,3 +501,63 @@ def test_cusum_changepoint_matches_python_reference(spark, series):
         for r in cusum_changepoint(daily, "g", "d", "n").collect()
     }
     assert got == _ref_cusum_peak(series)
+
+
+# ------------------------------------------------------ strictly-ordered funnel
+
+
+def _ref_funnel(events, steps):
+    """Brute-force funnel: user reaches stage k iff a strictly
+    increasing chain t_1 < ... < t_k exists with event types
+    steps[0..k-1]; checked by exhaustive DP over the user's events,
+    independently of the greedy min-first argument."""
+    counts = [0] * len(steps)
+    by_user = {}
+    for u, et, t in events:
+        by_user.setdefault(u, []).append((t, et))
+    for u, evs in by_user.items():
+        evs.sort()
+        # dp[k] = earliest end-time of any valid chain of length k+1
+        reach = -1
+        best = {}  # chain length -> min end time
+        for t, et in evs:
+            for k in range(len(steps) - 1, -1, -1):
+                if et != steps[k]:
+                    continue
+                if k == 0:
+                    prior_ok = True
+                else:
+                    prior_ok = k - 1 in best and best[k - 1] < t
+                if prior_ok and (k not in best or t < best[k]):
+                    best[k] = t
+                    reach = max(reach, k)
+        for k in range(reach + 1):
+            if k in best:
+                counts[k] += 1
+    return tuple(counts)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.sampled_from(["view", "click", "purchase"]),
+            st.integers(0, 20),
+        ),
+        min_size=1,
+        max_size=35,
+    ),
+)
+@settings(**_SETTINGS)
+def test_funnel_counts_match_bruteforce(spark, events):
+    from data_ingestor_spark.plans.events import funnel_counts
+
+    e = spark.createDataFrame(
+        [(u, et, t) for u, et, t in events],
+        schema="user_id long, event_type string, ts long",
+    )
+    row = funnel_counts(
+        e, "user_id", "event_type", "ts", ("view", "click", "purchase")
+    ).collect()[0]
+    got = (row["n_view"], row["n_click"], row["n_purchase"])
+    assert got == _ref_funnel(events, ["view", "click", "purchase"])

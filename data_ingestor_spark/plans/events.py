@@ -540,16 +540,32 @@ def q_event_trend(spark, sf_dir):
         ).cast("bigint").alias("x"),
         "y",
     )
-    sums = xy.groupBy("event_type").agg(
+    return ols_slope_bp(xy, "event_type", "x", "y").select(
+        "event_type",
+        F.col("n_points").alias("n_days"),
+        "slope_bp",
+    )
+
+
+def ols_slope_bp(xy, group_col: str, x_col: str, y_col: str):
+    """Exact-integer OLS slope per group over ``(group, x, y)`` points
+    → ``(group, n_points, slope_bp)``: basis points of
+    (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), computed as mergeable BIGINT sums
+    with Spark's truncate-toward-zero ``div`` (NULL for degenerate
+    all-same-x groups); the reusable core of :func:`q_event_trend`
+    (see its docstring for the magnitude audit) and the subject of the
+    brute-force property test in
+    ``tests/test_operator_properties.py``."""
+    sums = xy.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.expr("x * y")).alias("sxy"),
-        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(x_col).alias("sx"),
+        F.sum(y_col).alias("sy"),
+        F.sum(F.expr(f"{x_col} * {y_col}")).alias("sxy"),
+        F.sum(F.expr(f"{x_col} * {x_col}")).alias("sxx"),
     )
     return sums.select(
-        "event_type",
-        F.col("n").cast("bigint").alias("n_days"),
+        group_col,
+        F.col("n").cast("bigint").alias("n_points"),
         F.expr(
             "cast(((n * sxy - sx * sy) * 10000)"
             " div nullif(n * sxx - sx * sx, 0) as bigint)"

@@ -561,3 +561,51 @@ def test_funnel_counts_match_bruteforce(spark, events):
     ).collect()[0]
     got = (row["n_view"], row["n_click"], row["n_purchase"])
     assert got == _ref_funnel(events, ["view", "click", "purchase"])
+
+
+# ---------------------------------------------------- exact-integer OLS slope
+
+
+def _trunc_div(a, b):
+    """Spark `div` semantics: integer division truncating toward zero
+    (Python // floors, which differs for mixed-sign operands)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _ref_slope_bp(points):
+    """Pure-Python exact-integer OLS slope in basis points per group;
+    points is [(group, x, y)]. None when all x equal (zero variance)."""
+    out = {}
+    for g in {g for g, _, _ in points}:
+        pts = [(x, y) for gg, x, y in points if gg == g]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        den = n * sxx - sx * sx
+        num = (n * sxy - sx * sy) * 10000
+        out[g] = (n, None if den == 0 else _trunc_div(num, den))
+    return out
+
+
+@given(
+    points=st.lists(
+        st.tuples(
+            st.integers(0, 2), st.integers(0, 30), st.integers(-100, 100)
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@settings(**_SETTINGS)
+def test_ols_slope_matches_python_reference(spark, points):
+    from data_ingestor_spark.plans.events import ols_slope_bp
+
+    xy = spark.createDataFrame(points, schema="g long, x long, y long")
+    got = {
+        r["g"]: (r["n_points"], r["slope_bp"])
+        for r in ols_slope_bp(xy, "g", "x", "y").collect()
+    }
+    assert got == _ref_slope_bp(points)

@@ -626,36 +626,47 @@ def q_event_robust_anomaly(spark, sf_dir):
         .groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    return robust_anomaly(daily, "event_type", "d", "n")
+
+
+def robust_anomaly(daily, group_col: str, day_col: str, n_col: str, k: int = 5):
+    """Exact-integer median/MAD anomaly flags over ``(group, day, n)``
+    series → every row with ``(n, med, mad, is_anomaly)`` attached;
+    the reusable core of :func:`q_event_robust_anomaly` (see its
+    docstring for the lower-median idiom) and the subject of the
+    brute-force property test in
+    ``tests/test_operator_properties.py``."""
 
     def ceil_half_min(df, val, out):
         wc = (
-            W.partitionBy("event_type")
-            .orderBy(val, "d")
+            W.partitionBy(group_col)
+            .orderBy(val, day_col)
             .rowsBetween(W.unboundedPreceding, 0)
         )
-        wt = W.partitionBy("event_type")
+        wt = W.partitionBy(group_col)
         return (
             df.withColumn("cw", F.sum(F.lit(1)).over(wc))
             .withColumn("tw", F.count(F.lit(1)).over(wt))
             .filter(F.expr("2 * cw >= tw"))
-            .groupBy("event_type")
+            .groupBy(group_col)
             .agg(F.min(val).alias(out))
         )
 
-    med = ceil_half_min(daily, "n", "med")
-    dev = daily.join(med, "event_type").withColumn(
-        "adev", F.abs(F.col("n") - F.col("med"))
+    med = ceil_half_min(daily, n_col, "med")
+    dev = daily.join(med, group_col).withColumn(
+        "adev", F.abs(F.col(n_col) - F.col("med"))
     )
     mad = ceil_half_min(dev, "adev", "mad")
-    return dev.join(mad, "event_type").select(
-        "event_type",
-        "d",
-        F.col("n").cast("bigint").alias("n"),
+    return dev.join(mad, group_col).select(
+        group_col,
+        day_col,
+        F.col(n_col).cast("bigint").alias("n"),
         F.col("med").cast("bigint").alias("med"),
         F.col("mad").cast("bigint").alias("mad"),
-        (F.abs(F.col("n") - F.col("med")) > 5 * F.greatest(F.col("mad"), F.lit(1))).alias(
-            "is_anomaly"
-        ),
+        (
+            F.abs(F.col(n_col) - F.col("med"))
+            > k * F.greatest(F.col("mad"), F.lit(1))
+        ).alias("is_anomaly"),
     )
 
 

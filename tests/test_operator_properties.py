@@ -609,3 +609,50 @@ def test_ols_slope_matches_python_reference(spark, points):
         for r in ols_slope_bp(xy, "g", "x", "y").collect()
     }
     assert got == _ref_slope_bp(points)
+
+
+# ------------------------------------------------- median/MAD anomaly flags
+
+
+def _ref_robust_anomaly(series, k=5):
+    """Pure-Python lower-median/MAD flags; series is [(group, day, n)]
+    with unique (group, day). Lower median = value at ceil(half) rank
+    in (value, day) order — matches the 2*cw >= tw window idiom."""
+
+    def lower_median(pairs):  # pairs: [(value, day)]
+        pairs = sorted(pairs)
+        tw = len(pairs)
+        cw = 0
+        for v, _ in pairs:
+            cw += 1
+            if 2 * cw >= tw:
+                return v
+
+    out = {}
+    for g in {g for g, _, _ in series}:
+        pts = [(d, n) for gg, d, n in series if gg == g]
+        med = lower_median([(n, d) for d, n in pts])
+        mad = lower_median([(abs(n - med), d) for d, n in pts])
+        for d, n in pts:
+            out[(g, d)] = (n, med, mad, abs(n - med) > k * max(mad, 1))
+    return out
+
+
+@given(
+    series=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 15), st.integers(0, 100)),
+        min_size=1,
+        max_size=30,
+    ).map(lambda xs: list({(g, d): n for g, d, n in xs}.items()))
+    .map(lambda xs: [(g, d, n) for (g, d), n in xs]),
+)
+@settings(**_SETTINGS)
+def test_robust_anomaly_matches_python_reference(spark, series):
+    from data_ingestor_spark.plans.events import robust_anomaly
+
+    daily = spark.createDataFrame(series, schema="g long, d long, n long")
+    got = {
+        (r["g"], r["d"]): (r["n"], r["med"], r["mad"], r["is_anomaly"])
+        for r in robust_anomaly(daily, "g", "d", "n").collect()
+    }
+    assert got == _ref_robust_anomaly(series)

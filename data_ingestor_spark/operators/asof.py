@@ -87,3 +87,78 @@ def asof_join(
         *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload],
     )
     return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    payload: list[str],
+    id_col: str,
+) -> DataFrame:
+    """Nearest-in-time as-of join: each left row attaches the payload
+    of the temporally CLOSEST right row, past or future — composed
+    from one backward and one forward :func:`asof_join` pass (each a
+    single exchange) plus an id-keyed rejoin. Returns all ``left``
+    columns + ``payload`` (from the chosen side) + ``direction``
+    ('past'/'future', NULL when the key has no right rows at all).
+
+    Ties (equidistant, including a right row AT the left time) resolve
+    to 'past' so the choice is deterministic. Deltas compare as exact
+    integer microseconds (both time columns cast to session-tz
+    timestamp, so DATE/TIMESTAMP_NTZ right sides work). ``right`` must
+    be unique per (key, time); ``id_col`` must uniquely identify left
+    rows. The subject of the brute-force property test in
+    ``tests/test_operator_properties.py``; reference cite as in
+    :func:`asof_join`."""
+    p_cols = [f"_p_{p}" for p in payload]
+    f_cols = [f"_f_{p}" for p in payload]
+    r_past = right.select(
+        right_on,
+        right_time,
+        *[F.col(p).alias(a) for p, a in zip(payload, p_cols)],
+    ).withColumn("_pt", F.col(right_time))
+    past = asof_join(
+        left, r_past, left_on, right_on, left_time, right_time,
+        payload=p_cols + ["_pt"], direction="backward",
+    )
+    r_fut = right.select(
+        right_on,
+        right_time,
+        *[F.col(p).alias(a) for p, a in zip(payload, f_cols)],
+    ).withColumn("_ft", F.col(right_time))
+    fut = asof_join(
+        left.select(F.col(id_col).alias("_fid"), left_on, left_time),
+        r_fut, left_on, right_on, left_time, right_time,
+        payload=f_cols + ["_ft"], direction="forward",
+    ).select("_fid", *f_cols, "_ft")
+    j = past.join(fut, past[id_col] == fut["_fid"])
+    past_closer = F.expr(
+        f"unix_micros(cast({left_time} as timestamp))"
+        " - unix_micros(cast(_pt as timestamp))"
+        " <= unix_micros(cast(_ft as timestamp))"
+        f" - unix_micros(cast({left_time} as timestamp))"
+    )
+    # side choice keys on the match-time columns (_pt/_ft), not the
+    # payload values, so a legitimately-NULL payload on the matched
+    # side cannot flip the choice away from what `direction` reports
+    chosen = [
+        F.when(F.col("_pt").isNull(), F.col(fc))
+        .when(F.col("_ft").isNull(), F.col(pc))
+        .when(past_closer, F.col(pc))
+        .otherwise(F.col(fc))
+        .alias(p)
+        for p, pc, fc in zip(payload, p_cols, f_cols)
+    ]
+    direction = (
+        F.when(F.col("_pt").isNull() & F.col("_ft").isNull(), F.lit(None).cast("string"))
+        .when(F.col("_ft").isNull(), F.lit("past"))
+        .when(F.col("_pt").isNull(), F.lit("future"))
+        .when(past_closer, F.lit("past"))
+        .otherwise(F.lit("future"))
+        .alias("direction")
+    )
+    return j.select(*left.columns, *chosen, direction)

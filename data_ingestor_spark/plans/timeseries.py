@@ -1097,56 +1097,32 @@ def q_join_asof_nearest(spark, sf_dir):
     q_join_asof. At 100 TB: two sort-merge as-of passes over the same
     (key, time) partitioning plus one id-keyed rejoin — no range or
     nested-loop join anywhere."""
+    from data_ingestor_spark.operators.asof import asof_join_nearest
+
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     o = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey", "o_orderdate")
         .agg(F.max("o_orderkey").alias("okey"))
     )
-    past = asof_join(
-        e,
-        o.select(F.col("o_custkey"), F.col("o_orderdate"), F.col("okey").alias("pk"))
-        .withColumn("pd", F.col("o_orderdate")),
+    # o_orderdate reads as TIMESTAMP_NTZ; the helper casts both match
+    # times to session-tz TIMESTAMP (UTC session, instant unchanged)
+    # for its exact integer-microsecond deltas
+    near = asof_join_nearest(
+        e, o,
         left_on="user_id",
         right_on="o_custkey",
         left_time="ts",
         right_time="o_orderdate",
-        payload=["pk", "pd"],
-        direction="backward",
+        payload=["okey"],
+        id_col="event_id",
     )
-    fut = asof_join(
-        e.select(F.col("event_id").alias("f_event_id"), "user_id", "ts"),
-        o.select(F.col("o_custkey"), F.col("o_orderdate"), F.col("okey").alias("fk"))
-        .withColumn("fd", F.col("o_orderdate")),
-        left_on="user_id",
-        right_on="o_custkey",
-        left_time="ts",
-        right_time="o_orderdate",
-        payload=["fk", "fd"],
-        direction="forward",
-    ).select("f_event_id", "fk", "fd")
-    j = past.join(fut, past.event_id == fut.f_event_id)
-    # o_orderdate reads as TIMESTAMP_NTZ; cast to session-tz TIMESTAMP
-    # (UTC session, so the instant is unchanged) for the integer deltas
-    past_closer = F.expr(
-        "unix_micros(ts) - unix_micros(cast(pd as timestamp))"
-        " <= unix_micros(cast(fd as timestamp)) - unix_micros(ts)"
-    )
-    return j.select(
+    return near.select(
         "event_id",
         "user_id",
         "ts",
-        F.when(F.col("pk").isNull(), F.col("fk"))
-        .when(F.col("fk").isNull(), F.col("pk"))
-        .when(past_closer, F.col("pk"))
-        .otherwise(F.col("fk"))
-        .alias("nearest_orderkey"),
-        F.when(F.col("pk").isNull() & F.col("fk").isNull(), F.lit(None).cast("string"))
-        .when(F.col("fk").isNull(), F.lit("past"))
-        .when(F.col("pk").isNull(), F.lit("future"))
-        .when(past_closer, F.lit("past"))
-        .otherwise(F.lit("future"))
-        .alias("direction"),
+        F.col("okey").alias("nearest_orderkey"),
+        "direction",
     )
 
 

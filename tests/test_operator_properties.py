@@ -656,3 +656,63 @@ def test_robust_anomaly_matches_python_reference(spark, series):
         for r in robust_anomaly(daily, "g", "d", "n").collect()
     }
     assert got == _ref_robust_anomaly(series)
+
+
+# ------------------------------------------------------- nearest as-of join
+
+
+def _ref_nearest(left_rows, right_rows):
+    """Pure-Python nearest-in-time match per left row: closest right
+    row with the same key, past preferred on equidistant ties; returns
+    {left_id: (value, direction)}."""
+    out = {}
+    for lid, k, t in left_rows:
+        cands = [(rt, v) for rk, rt, v in right_rows if rk == k]
+        if not cands:
+            out[lid] = (None, None)
+            continue
+        past = [(rt, v) for rt, v in cands if rt <= t]
+        fut = [(rt, v) for rt, v in cands if rt >= t]
+        pbest = max(past) if past else None
+        fbest = min(fut) if fut else None
+        if pbest is None:
+            out[lid] = (fbest[1], "future")
+        elif fbest is None:
+            out[lid] = (pbest[1], "past")
+        elif t - pbest[0] <= fbest[0] - t:
+            out[lid] = (pbest[1], "past")
+        else:
+            out[lid] = (fbest[1], "future")
+    return out
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30)), min_size=1, max_size=15
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30)), min_size=0, max_size=15
+    ),
+)
+@settings(**_SETTINGS)
+def test_asof_join_nearest_matches_python_reference(spark, left, right):
+    from data_ingestor_spark.operators.asof import asof_join_nearest
+
+    left_rows = [(i, k, t) for i, (k, t) in enumerate(left)]
+    right_uni = sorted({(rk, rt) for rk, rt in right})
+    right_rows = [(rk, rt, rk * 1000 + rt) for rk, rt in right_uni]
+    ldf = spark.createDataFrame(
+        left_rows, schema="lid long, k long, t_epoch long"
+    ).select("lid", "k", F.timestamp_seconds("t_epoch").alias("t"))
+    rdf = spark.createDataFrame(
+        right_rows or [(0, 0, 0)], schema="rk long, rt_epoch long, v long"
+    ).select("rk", F.timestamp_seconds("rt_epoch").alias("rt"), "v")
+    if not right_rows:
+        rdf = rdf.filter(F.lit(False))
+    got = {
+        r["lid"]: (r["v"], r["direction"])
+        for r in asof_join_nearest(
+            ldf, rdf, "k", "rk", "t", "rt", payload=["v"], id_col="lid"
+        ).collect()
+    }
+    assert got == _ref_nearest(left_rows, right_rows)

@@ -1163,28 +1163,39 @@ def q_window_ohlc(spark, sf_dir):
     a composite (time, id) key is the single-agg alternative — the
     window form here is chosen because it hash-matches any engine's
     semantics without composite-key encoding."""
-    from pyspark.sql import Window as W
-
     e = load_table(spark, sf_dir, "events")
-    bucket = F.date_trunc("hour", "ts")
     base = e.select(
         "event_type",
-        bucket.alias("bucket"),
+        F.date_trunc("hour", "ts").alias("bucket"),
         F.expr("cast(round(value * 100) as bigint)").alias("cents"),
         "ts",
         "event_id",
     )
-    wkey = W.partitionBy("event_type", "bucket")
-    rn_open = F.row_number().over(wkey.orderBy("ts", "event_id"))
-    rn_close = F.row_number().over(wkey.orderBy(F.desc("ts"), F.desc("event_id")))
+    return ohlc_bars(base, ["event_type", "bucket"], "cents", "ts", "event_id")
+
+
+def ohlc_bars(base, key_cols, value_col: str, time_col: str, tiebreak_col: str):
+    """OHLC bar aggregation over ``(keys…, value, time, tiebreak)``
+    rows → per-key ``(open/high/low/close, n_ticks)`` with open/close
+    pinned by (time, tiebreak)-ordered row_number windows; the
+    reusable core of :func:`q_window_ohlc` (see its docstring for the
+    plan-shape discussion) and the subject of the brute-force property
+    test in ``tests/test_operator_properties.py``."""
+    from pyspark.sql import Window as W
+
+    wkey = W.partitionBy(*key_cols)
+    rn_open = F.row_number().over(wkey.orderBy(time_col, tiebreak_col))
+    rn_close = F.row_number().over(
+        wkey.orderBy(F.desc(time_col), F.desc(tiebreak_col))
+    )
     pts = base.withColumn("rn_open", rn_open).withColumn("rn_close", rn_close)
-    return pts.groupBy("event_type", "bucket").agg(
-        F.max(F.when(F.col("rn_open") == 1, F.col("cents")))
+    return pts.groupBy(*key_cols).agg(
+        F.max(F.when(F.col("rn_open") == 1, F.col(value_col)))
         .cast("bigint")
         .alias("open_cents"),
-        F.max("cents").alias("high_cents"),
-        F.min("cents").alias("low_cents"),
-        F.max(F.when(F.col("rn_close") == 1, F.col("cents")))
+        F.max(value_col).alias("high_cents"),
+        F.min(value_col).alias("low_cents"),
+        F.max(F.when(F.col("rn_close") == 1, F.col(value_col)))
         .cast("bigint")
         .alias("close_cents"),
         F.count(F.lit(1)).alias("n_ticks"),

@@ -716,3 +716,50 @@ def test_asof_join_nearest_matches_python_reference(spark, left, right):
         ).collect()
     }
     assert got == _ref_nearest(left_rows, right_rows)
+
+
+# -------------------------------------------------------------- OHLC bars
+
+
+def _ref_ohlc(ticks):
+    """Pure-Python OHLC per key: open/close by (time, tiebreak) order,
+    high/low/count ordinary; ticks is [(key, value, time, tiebreak)]
+    with unique (key, time, tiebreak)."""
+    out = {}
+    for k in {k for k, _, _, _ in ticks}:
+        pts = sorted(
+            (t, tb, v) for kk, v, t, tb in ticks if kk == k
+        )
+        vals = [v for _, _, v in pts]
+        out[k] = (pts[0][2], max(vals), min(vals), pts[-1][2], len(pts))
+    return out
+
+
+@given(
+    ticks=st.lists(
+        st.tuples(
+            st.integers(0, 2),       # key
+            st.integers(-100, 100),  # value
+            st.integers(0, 10),      # time (coarse -> frequent ties)
+            st.integers(0, 50),      # tiebreak id
+        ),
+        min_size=1,
+        max_size=30,
+    ).map(lambda xs: list({(k, t, tb): v for k, v, t, tb in xs}.items()))
+    .map(lambda xs: [(k, v, t, tb) for (k, t, tb), v in xs]),
+)
+@settings(**_SETTINGS)
+def test_ohlc_bars_match_python_reference(spark, ticks):
+    from data_ingestor_spark.plans.timeseries import ohlc_bars
+
+    base = spark.createDataFrame(
+        ticks, schema="k long, cents long, ts long, event_id long"
+    )
+    got = {
+        r["k"]: (
+            r["open_cents"], r["high_cents"], r["low_cents"],
+            r["close_cents"], r["n_ticks"],
+        )
+        for r in ohlc_bars(base, ["k"], "cents", "ts", "event_id").collect()
+    }
+    assert got == _ref_ohlc(ticks)

@@ -181,18 +181,53 @@ def test_priority_window_matches_mechanical_rotation():
     """The committed _PRIORITY must equal the mechanically derived
     oldest-evidence-first window (judge directive r5 #5) — forced
     (changed-this-round) keys first, then oldest driver evidence, ties
-    by name. Regenerate with `python scripts/evidence_rotation.py`
-    whenever _FORCE_REFRESH changes."""
+    by name — derived AT THE COMMITTED _WINDOW_BASIS, so the driver's
+    untracked CORRECTNESS_r{N}.json landing after the final commit
+    cannot shift the expectation (r6 judge finding, VERDICT r6 "What's
+    wrong" #1). Regenerate with `python scripts/evidence_rotation.py`
+    whenever _FORCE_REFRESH changes or a round starts."""
     sys.path.insert(0, str(REPO))
     from evidence_rotation import WINDOW, derive_window
 
-    from data_ingestor_spark.plans.queries import _FORCE_REFRESH, _PRIORITY, REGISTRY
+    from data_ingestor_spark.plans.queries import (
+        _FORCE_REFRESH,
+        _PRIORITY,
+        _WINDOW_BASIS,
+        REGISTRY,
+    )
 
-    derived = derive_window(sorted(REGISTRY), _FORCE_REFRESH)
+    derived = derive_window(sorted(REGISTRY), _FORCE_REFRESH, basis=_WINDOW_BASIS)
     assert len(_PRIORITY) == WINDOW
     assert tuple(_PRIORITY) == derived
     # every forced key is actually registered and inside the window
     assert set(_FORCE_REFRESH) <= set(_PRIORITY)
+
+
+def test_window_derivation_immune_to_future_artifacts(tmp_path):
+    """A CORRECTNESS file from a round NEWER than the basis must not
+    change the derivation — this is exactly the round-boundary event
+    (driver drops its artifact post-commit) that failed the r6 suite."""
+    sys.path.insert(0, str(REPO))
+    import json
+
+    from evidence_rotation import derive_window
+
+    names = ["q_a", "q_b", "q_c", "q_d"]
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"q_a": {}, "q_b": {}})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({"q_c": {}}))
+    at_basis_2 = derive_window(names, (), window=3, repo=str(tmp_path), basis=2)
+    # q_d never checked (age 0), then oldest-first: r1 pair, r2 last
+    assert at_basis_2 == ("q_d", "q_a", "q_b")
+    # a future round-3 artifact arrives (driver post-commit drop) ...
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({"q_a": {}, "q_d": {}})
+    )
+    # ... and the basis-pinned derivation is unchanged
+    assert derive_window(names, (), window=3, repo=str(tmp_path), basis=2) == at_basis_2
+    # while an unpinned (basis=3) derivation would differ — the hazard is real
+    assert derive_window(names, (), window=3, repo=str(tmp_path), basis=3) != at_basis_2
 
 
 def test_round_site_inventory_frozen():

@@ -85,6 +85,19 @@ def _canon_cell(v) -> str:
     return str(v)
 
 
+
+def atomic_dump_json(path: str, obj) -> None:
+    """Write JSON via a same-directory temp file + os.replace so a crash
+    mid-dump can never leave a truncated artifact (the whole point of the
+    per-key flush during multi-hour sweeps)."""
+    import json
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
 def canonical(df_pandas) -> tuple[int, list[str], str]:
     import numpy as np
     import pandas as pd
@@ -138,7 +151,10 @@ def _union_find_labels(pairs) -> dict[int, int]:
     return {n: find(n) for n in nodes}
 
 
-_CLUSTER_LABEL_CACHE: dict[int, dict[int, int]] = {}
+#: id(con) -> (con, labels); the tuple pins the connection object so its
+#: id cannot be garbage-collected and reused by a different connection
+#: (a stale-labels trap if this module were reused across connections).
+_CLUSTER_LABEL_CACHE: dict[int, tuple[object, dict[int, int]]] = {}
 
 
 def _py_cluster_labels(con):
@@ -146,15 +162,16 @@ def _py_cluster_labels(con):
     Memoized per connection: q_dedup_clusters and q_dedup_cluster_summary
     share one edge-list computation (the banded self-join is the
     expensive part at sf0.1)."""
-    if id(con) in _CLUSTER_LABEL_CACHE:
-        return _CLUSTER_LABEL_CACHE[id(con)]
+    hit = _CLUSTER_LABEL_CACHE.get(id(con))
+    if hit is not None and hit[0] is con:
+        return hit[1]
     from data_ingestor_spark.ext.dedup import _CLUSTER_PAIRS_CTES
 
     pairs = con.sql(
         "WITH " + _CLUSTER_PAIRS_CTES + " SELECT doc_a, doc_b FROM pairs"
     ).fetchall()
     labels = _union_find_labels(pairs)
-    _CLUSTER_LABEL_CACHE[id(con)] = labels
+    _CLUSTER_LABEL_CACHE[id(con)] = (con, labels)
     return labels
 
 
@@ -199,6 +216,8 @@ def parse_json_flag(args: list[str]) -> tuple[str | None, list[str]]:
     json_out = None
     if "--json" in rest:
         i = rest.index("--json")
+        if i + 1 >= len(rest):
+            raise SystemExit("usage: --json OUT (missing output path)")
         json_out = rest[i + 1]
         del rest[i : i + 2]
     for a in list(rest):
@@ -239,13 +258,10 @@ def main() -> int:
         if json_out:
             # flush after every key: a multi-hour sf0.1 sweep must leave
             # a usable partial artifact if the session ends mid-run
-            import json
-
-            with open(json_out, "w") as f:
-                json.dump(
-                    {"sf_dir": sf_dir, "complete": False, "results": results},
-                    f, indent=1, sort_keys=True,
-                )
+            atomic_dump_json(
+                json_out,
+                {"sf_dir": sf_dir, "complete": False, "results": results},
+            )
 
     import time as _time
 
@@ -309,13 +325,10 @@ def main() -> int:
     if failures:
         print("failures:", " ".join(failures))
     if json_out:
-        import json
-
-        with open(json_out, "w") as f:
-            json.dump(
-                {"sf_dir": sf_dir, "complete": True, "results": results},
-                f, indent=1, sort_keys=True,
-            )
+        atomic_dump_json(
+            json_out,
+            {"sf_dir": sf_dir, "complete": True, "results": results},
+        )
         print(f"wrote {json_out}")
     spark.stop()
     return 1 if n_fail else 0

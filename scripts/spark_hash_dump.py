@@ -79,9 +79,9 @@ def main() -> int:
 
     def flush() -> None:
         if json_out:
-            with open(json_out, "w") as f:
-                json.dump({"meta": meta, "results": results}, f, indent=1,
-                          sort_keys=True)
+            from scripts.check_oracle import atomic_dump_json
+
+            atomic_dump_json(json_out, {"meta": meta, "results": results})
 
     for name in keys:
         t0 = time.monotonic()

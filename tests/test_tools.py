@@ -425,3 +425,30 @@ def test_parse_json_flag_accepts_both_spellings():
     assert out == "out.json" and rest == ["/sf", "q_a"]
     out, rest = parse_json_flag(["/sf", "q_a"])
     assert out is None and rest == ["/sf", "q_a"]
+
+
+def test_parse_json_flag_missing_value_is_usage_error():
+    """--json as the final token must raise a clear usage error, not
+    IndexError (ADVICE r6)."""
+    import pytest
+
+    from check_oracle import parse_json_flag
+
+    with pytest.raises(SystemExit, match="--json OUT"):
+        parse_json_flag(["/sf", "--json"])
+
+
+def test_atomic_dump_json_replaces_not_truncates(tmp_path):
+    """Artifact flushes go through temp-file + os.replace: the target is
+    either the old complete JSON or the new complete JSON, never a
+    partial write, and no temp file is left behind (ADVICE r6)."""
+    import json
+
+    from check_oracle import atomic_dump_json
+
+    out = tmp_path / "artifact.json"
+    atomic_dump_json(str(out), {"complete": False, "n": 1})
+    assert json.loads(out.read_text()) == {"complete": False, "n": 1}
+    atomic_dump_json(str(out), {"complete": True, "n": 2})
+    assert json.loads(out.read_text()) == {"complete": True, "n": 2}
+    assert list(tmp_path.iterdir()) == [out]

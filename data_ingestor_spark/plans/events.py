@@ -391,11 +391,38 @@ def q_event_attribution(spark, sf_dir):
     # clicks campaign DESC **NULLS FIRST** so that pick is the LAST row
     # the carry-forward window sees (a NULL campaign wins a tie only
     # when it is the only click).
+    attributed = last_touch_carry(clicks, purchases, "user_id", "ts")
+    return (
+        attributed.groupBy(
+            F.coalesce(F.col("last_campaign").cast("string"), F.lit("unattributed")).alias(
+                "campaign"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("val").cast("double").alias("revenue"),
+        )
+    )
+
+
+def last_touch_carry(clicks, purchases, user_col: str, ts_col: str):
+    """Union-sort last-touch carry-forward: interleave click and
+    purchase rows (both carrying ``is_purchase`` 0/1 and a nullable
+    bigint ``campaign``), sort within user by ``(ts, is_purchase,
+    campaign DESC NULLS FIRST)`` so an equal-ts click precedes the
+    purchase ('<=' semantics) and the smallest non-null campaign among
+    simultaneous clicks is the LAST click row the window sees, then
+    carry the last CLICK's campaign (struct-wrapped so a NULL-campaign
+    click still wins the recency race) onto each purchase row as
+    ``last_campaign``. The reusable core of :func:`q_event_attribution`
+    (its docstring derives the plan; the oracle's correlated LIMIT-1
+    subquery is the spec) and the subject of the carry-forward property
+    test in ``tests/test_operator_properties.py``."""
     merged = clicks.unionByName(purchases)
     w = (
-        W.partitionBy("user_id")
+        W.partitionBy(user_col)
         .orderBy(
-            F.col("ts").asc(), F.col("is_purchase").asc(), F.col("campaign").desc_nulls_first()
+            F.col(ts_col).asc(), F.col("is_purchase").asc(), F.col("campaign").desc_nulls_first()
         )
         .rowsBetween(W.unboundedPreceding, 0)
     )
@@ -408,18 +435,7 @@ def q_event_attribution(spark, sf_dir):
     carried = merged.withColumn(
         "last_campaign", F.last(click_mark, ignorenulls=True).over(w).getField("c")
     )
-    attributed = carried.filter(F.col("is_purchase") == 1)
-    return (
-        attributed.groupBy(
-            F.coalesce(F.col("last_campaign").cast("string"), F.lit("unattributed")).alias(
-                "campaign"
-            )
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_purchases"),
-            F.sum("val").cast("double").alias("revenue"),
-        )
-    )
+    return carried.filter(F.col("is_purchase") == 1)
 
 
 @query(

@@ -1853,16 +1853,13 @@ def q_equidepth_histogram(spark, sf_dir):
     BIGINTs per row here); for full-table scale, percentile_approx
     (q_agg_approx) is the sketch-based stand-in, and this query is its
     exact ground truth."""
-    from pyspark.sql import Window as W
-
     o = load_table(spark, sf_dir, "orders")
     cents = o.select(
         "o_orderkey",
         (dec("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    w = W.orderBy("cents", "o_orderkey")
     return (
-        cents.withColumn("bucket", F.ntile(8).over(w))
+        equidepth_buckets(cents, "cents", "o_orderkey", 8)
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -1870,6 +1867,18 @@ def q_equidepth_histogram(spark, sf_dir):
             F.max("cents").alias("hi_cents"),
         )
     )
+
+
+def equidepth_buckets(pts, value_col: str, id_col: str, n_buckets: int):
+    """Assign each row its equi-depth bucket (1..n_buckets): NTILE over
+    the compound ``(value, id)`` order, so tie runs split
+    deterministically by id and bucket sizes differ by at most one
+    (the first ``count % n`` buckets get the extra row — SQL NTILE
+    semantics); the reusable core of :func:`q_equidepth_histogram` and
+    the subject of the tie-break property test in
+    ``tests/test_operator_properties.py``."""
+    w = W.orderBy(value_col, id_col)
+    return pts.withColumn("bucket", F.ntile(n_buckets).over(w))
 
 
 @query(

@@ -686,21 +686,34 @@ def q_event_ewma(spark, sf_dir):
     k = daily.crossJoin(F.broadcast(d0)).withColumn(
         "day_idx", F.datediff(F.col("d").cast("date"), F.col("d0").cast("date"))
     )
-    rebase = W.partitionBy("event_type")
+    return ewma_pow2(k, "event_type", "day_idx", "n").select(
+        "event_type", "d", "n", "ewma"
+    )
+
+
+def ewma_pow2(k, part_col: str, idx_col: str, n_col: str, cap: int = 40,
+              out_col: str = "ewma"):
+    """α=0.5 gap-aware EWMA over integer-indexed counts: rebase the
+    index per partition (cancels in the ratio), hard-cap the exponent
+    at ``cap`` (Spark's shiftleft wraps mod 64), build EXACT integer
+    prefix sums Σ n·2^ridx and Σ 2^ridx, and divide once in double —
+    the reusable core of :func:`q_event_ewma` (see its docstring for
+    the derivation) and the subject of the gap-decay property test in
+    ``tests/test_operator_properties.py``. Index values must be unique
+    within a partition (calendar days are)."""
+    from pyspark.sql import Window as W
+
+    rebase = W.partitionBy(part_col)
     w = (
-        k.withColumn("ridx", F.col("day_idx") - F.min("day_idx").over(rebase))
-        .filter(F.col("ridx") < 40)
+        k.withColumn("ridx", F.col(idx_col) - F.min(idx_col).over(rebase))
+        .filter(F.col("ridx") < cap)
         .withColumn("pw", F.expr("shiftleft(1L, cast(ridx AS INT))"))
     )
-    win = W.partitionBy("event_type").orderBy("ridx").rowsBetween(W.unboundedPreceding, 0)
-    return w.select(
-        "event_type",
-        "d",
-        "n",
-        (
-            F.sum(F.col("n") * F.col("pw")).over(win).cast("double")
-            / F.sum("pw").over(win).cast("double")
-        ).alias("ewma"),
+    win = W.partitionBy(part_col).orderBy("ridx").rowsBetween(W.unboundedPreceding, 0)
+    return w.withColumn(
+        out_col,
+        F.sum(F.col(n_col) * F.col("pw")).over(win).cast("double")
+        / F.sum("pw").over(win).cast("double"),
     )
 
 

@@ -763,3 +763,154 @@ def test_ohlc_bars_match_python_reference(spark, ticks):
         for r in ohlc_bars(base, ["k"], "cents", "ts", "event_id").collect()
     }
     assert got == _ref_ohlc(ticks)
+
+
+# ------------------------------------------------- equi-depth NTILE tie-break
+
+
+def _ref_ntile(values, k):
+    """Pure-Python SQL NTILE over (value, id) order: with n rows and k
+    buckets, the first n % k buckets get floor(n/k)+1 rows, the rest
+    floor(n/k); ties split deterministically by id. values is a list,
+    row id = list index."""
+    order = sorted((v, i) for i, v in enumerate(values))
+    n = len(order)
+    q, r = divmod(n, k)
+    out, pos = {}, 0
+    for b in range(1, k + 1):
+        for _ in range(q + (1 if b <= r else 0)):
+            out[order[pos][1]] = b
+            pos += 1
+    return out
+
+
+@given(
+    values=st.lists(st.integers(0, 5), min_size=1, max_size=40),
+    k=st.integers(2, 8),
+)
+@settings(**_SETTINGS)
+def test_equidepth_buckets_match_python_ntile(spark, values, k):
+    """The tiny value range (0..5) forces long tie runs, the exact case
+    the (value, id) compound order exists for: buckets must still differ
+    by at most one row and split tie runs by id."""
+    from data_ingestor_spark.plans.relational import equidepth_buckets
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], schema="id long, v long"
+    )
+    got = {
+        r["id"]: r["bucket"]
+        for r in equidepth_buckets(df, "v", "id", k).collect()
+    }
+    assert got == _ref_ntile(values, k)
+
+
+# --------------------------------------------------------- EWMA gap decay
+
+
+def _ref_ewma_pow2(rows, cap):
+    """Pure-Python exact-integer EWMA: per partition, rebase the index,
+    drop ridx >= cap, and at each surviving row divide the two integer
+    prefix sums S1 = Σ n·2^ridx, S2 = Σ 2^ridx as floats — the same one
+    double division the Spark plan performs on exact BIGINTs. rows is
+    [(part, idx, n)] with idx unique per part."""
+    out = {}
+    for p in {p for p, _, _ in rows}:
+        mine = sorted((i, n) for pp, i, n in rows if pp == p)
+        base = mine[0][0]
+        s1 = s2 = 0
+        for i, n in mine:
+            ridx = i - base
+            if ridx >= cap:
+                continue
+            s1 += n << ridx
+            s2 += 1 << ridx
+            out[(p, i)] = float(s1) / float(s2)
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 50), st.integers(1, 50)),
+        min_size=1,
+        max_size=25,
+    ).map(lambda xs: list({(p, i): n for p, i, n in xs}.items()))
+    .map(lambda xs: [(p, i, n) for (p, i), n in xs]),
+)
+@settings(**_SETTINGS)
+def test_ewma_pow2_matches_python_reference(spark, rows):
+    """Calendar gaps (sparse idx), per-partition rebase, and the cap-40
+    exponent guard (idx up to 50 so some rows fall outside the cap) must
+    all match the exact-integer reference bit-for-bit — the division is
+    the only FP op on either side."""
+    from data_ingestor_spark.plans.timeseries import ewma_pow2
+
+    df = spark.createDataFrame(rows, schema="p long, idx long, n long")
+    res = ewma_pow2(df, "p", "idx", "n").select("p", "idx", "ewma").collect()
+    got = {(r["p"], r["idx"]): r["ewma"] for r in res}
+    assert got == _ref_ewma_pow2(rows, cap=40)
+
+
+# ------------------------------------------------ last-touch carry-forward
+
+
+def _ref_last_touch(clicks, purchases):
+    """Pure-Python correlated-LIMIT-1 spec (the oracle's subquery):
+    per purchase, clicks of the same user at ts <= purchase ts; most
+    recent wins; among simultaneous clicks the smallest NON-NULL
+    campaign wins, NULL only when every tied click is campaign-less.
+    clicks is [(user, ts, campaign_or_None)]; purchases [(user, ts)],
+    purchase id = list index."""
+    out = {}
+    for pid, (u, pts) in enumerate(purchases):
+        cands = [(t, c) for uu, t, c in clicks if uu == u and t <= pts]
+        if not cands:
+            out[pid] = None
+            continue
+        mx = max(t for t, _ in cands)
+        tied = [c for t, c in cands if t == mx]
+        nonnull = [c for c in tied if c is not None]
+        out[pid] = min(nonnull) if nonnull else None
+    return out
+
+
+@given(
+    clicks=st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.integers(0, 10),
+            st.one_of(st.none(), st.integers(0, 3)),
+        ),
+        max_size=15,
+    ),
+    purchases=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10)),
+        min_size=1,
+        max_size=10,
+    ),
+)
+@settings(**_SETTINGS)
+def test_last_touch_carry_matches_limit1_spec(spark, clicks, purchases):
+    """The union-sort window plan vs the correlated-subquery spec:
+    equal-ts click attributes ('<='), simultaneous clicks break to the
+    smallest non-null campaign, campaign-less clicks still win the
+    recency race (attributing NULL), users with no prior click are
+    unattributed. Coarse ts (0..10) makes every tie case frequent."""
+    from data_ingestor_spark.plans.events import last_touch_carry
+
+    schema = (
+        "user_id long, ts long, is_purchase int, event_id long, "
+        "val double, campaign long"
+    )
+    cdf = spark.createDataFrame(
+        [(u, t, 0, None, None, c) for u, t, c in clicks], schema=schema
+    )
+    pdf = spark.createDataFrame(
+        [(u, t, 1, pid, 1.0, None) for pid, (u, t) in enumerate(purchases)],
+        schema=schema,
+    )
+    got = {
+        r["event_id"]: r["last_campaign"]
+        for r in last_touch_carry(cdf, pdf, "user_id", "ts").collect()
+    }
+    assert got == _ref_last_touch(clicks, purchases)

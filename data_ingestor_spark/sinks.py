@@ -444,7 +444,20 @@ def try_cas_latest(
     writers into the critical section at once). Instead each breaker
     ``os.rename``\\ s the lock to a unique tombstone: exactly one rename
     wins (the loser gets ENOENT and re-races), and the winner removes
-    only its own tombstone, never a live lock."""
+    only its own tombstone, never a live lock. The rename serializes
+    breaker-vs-breaker but not breaker-vs-fresh-acquirer: between the
+    staleness read and the rename, the stale holder can release and a
+    FRESH writer re-acquire, so after winning the rename the breaker
+    re-checks the TOMBSTONE's mtime (authoritative — rename preserves
+    it and the dir can no longer change owners) and, if it took a live
+    lock, renames it straight back and re-waits. The give-back narrows
+    the race to the microseconds between the two renames (vs the full
+    seconds-scale staleness window) — within it a third writer's fresh
+    ``mkdir`` could be replaced by the returned dir, which keeps the
+    path locked (no NEW entrant is admitted) but co-admits that one
+    writer with the fresh holder; the POSIX dirlock cannot close this
+    fully (no RENAME_NOREPLACE in portable Python), the object-store
+    CAS (one conditional PUT, no lock at all) does."""
     lock = os.path.join(table_dir, "_LATEST.lock")
     deadline = time.monotonic() + stale_lock_s
     while True:
@@ -462,6 +475,23 @@ def try_cas_latest(
                     os.rename(lock, tombstone)  # atomic: one breaker wins
                 except OSError:
                     continue  # holder released or another breaker won
+                try:
+                    took_live = (
+                        os.path.getmtime(tombstone) >= time.time() - stale_lock_s
+                    )
+                except OSError:
+                    took_live = False
+                if took_live:
+                    # a fresh writer re-acquired between the staleness
+                    # read and the rename — give the live lock back and
+                    # re-wait (its mtime is fresh, so the staleness
+                    # check cannot immediately re-break it)
+                    try:
+                        os.rename(tombstone, lock)
+                    except OSError:
+                        with contextlib.suppress(OSError):
+                            os.rmdir(tombstone)
+                    continue
                 with contextlib.suppress(OSError):
                     os.rmdir(tombstone)
                 continue

@@ -166,7 +166,47 @@ def q_graph_triangles(spark, sf_dir):
     rows for less. At 100 TB, run this after (not before) dedup
     collapses the dense components, or gate it on q_graph_degree's
     hub histogram."""
-    pairs = _pair_edges(spark, sf_dir)
+    return triangle_counts(_pair_edges(spark, sf_dir))
+
+
+def triangle_counts(pairs, max_out_neighbors: int | None = None,
+                    edge_sample_bp: int | None = None):
+    """Per-vertex triangle membership counts over a canonical
+    ``(doc_a < doc_b)`` edge list — the library twin of
+    :func:`q_graph_triangles` (whose docstring derives the
+    degree-ordered compact-forward plan; the oracle key always runs
+    EXACT so correctness evidence is untouched).
+
+    100 TB escape hatches for densifying graphs (the sf0.1 near-dup
+    graph is already quasi-clique — 208.7M triangles from 733k edges —
+    and an exact enumeration must emit every one):
+
+    - ``max_out_neighbors=K``: cap each wedge source at its K
+      lowest-rank oriented out-neighbors (deterministic: ranked by
+      ``(ddeg, dst)``), bounding wedge candidates per vertex at
+      K·(K−1)/2 and the whole output stage at n·K²; closure still
+      probes the FULL edge list. Yields a deterministic LOWER BOUND
+      that is monotone non-decreasing in K and exact once K ≥ max
+      oriented out-degree.
+    - ``edge_sample_bp=p`` (basis points of edges kept): DOULION-style
+      edge sparsification with an md5-priority keep decision (no
+      ``rand()`` — reshard- and rerun-stable), counting triangles on
+      the sampled graph and scaling per-vertex counts by (10000/p)³ —
+      an unbiased estimate, returned as DOUBLE ``est_triangles``.
+      p=10000 keeps every edge and reproduces exact counts.
+    """
+    if edge_sample_bp is not None:
+        pairs = pairs.filter(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.col("doc_a"), F.col("doc_b"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 10000
+            < edge_sample_bp
+        )
     sym = pairs.select(F.col("doc_a").alias("v")).unionAll(
         pairs.select(F.col("doc_b").alias("v"))
     )
@@ -187,8 +227,24 @@ def q_graph_triangles(spark, sf_dir):
         # degree joins re-execute per branch
         .localCheckpoint(eager=True)
     )
-    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("ddeg").alias("rb"))
-    e2 = e.select(F.col("src").alias("a2"), F.col("dst").alias("c"), F.col("ddeg").alias("rc"))
+    wedge_e = e
+    if max_out_neighbors is not None:
+        from pyspark.sql import Window as W
+
+        wedge_e = (
+            e.withColumn(
+                "nbr_rank",
+                F.row_number().over(W.partitionBy("src").orderBy("ddeg", "dst")),
+            )
+            .filter(F.col("nbr_rank") <= max_out_neighbors)
+            .drop("nbr_rank")
+        )
+    e1 = wedge_e.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("ddeg").alias("rb")
+    )
+    e2 = wedge_e.select(
+        F.col("src").alias("a2"), F.col("dst").alias("c"), F.col("ddeg").alias("rc")
+    )
     e3 = e.select(F.col("src").alias("b3"), F.col("dst").alias("c3"))
     pair_rank_lt = (F.col("rb") < F.col("rc")) | (
         (F.col("rb") == F.col("rc")) & (F.col("b") < F.col("c"))
@@ -203,9 +259,15 @@ def q_graph_triangles(spark, sf_dir):
         .unionAll(tri.select(F.col("b").alias("v")))
         .unionAll(tri.select(F.col("c").alias("v")))
     )
-    return members.groupBy(F.col("v").alias("doc_id")).agg(
+    counts = members.groupBy(F.col("v").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+    if edge_sample_bp is not None:
+        scale = (10000.0 / edge_sample_bp) ** 3
+        return counts.select(
+            "doc_id", (F.col("n_triangles") * F.lit(scale)).alias("est_triangles")
+        )
+    return counts
 
 
 @query(

@@ -282,6 +282,73 @@ def test_triangles_match_bruteforce(spark, edges):
     assert _spark_triangles(spark, edges) == _ref_triangles(edges)
 
 
+# ----------------------------------------- capped / sampled triangle modes
+
+
+def _lib_triangles(spark, edges, **kw):
+    import data_ingestor_spark.ext.graph as G
+
+    schema = StructType(
+        [StructField("doc_a", LongType()), StructField("doc_b", LongType())]
+    )
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    df = spark.createDataFrame(canon, schema)
+    out = G.triangle_counts(df.localCheckpoint(eager=True), **kw)
+    col = "est_triangles" if "edge_sample_bp" in kw else "n_triangles"
+    return sorted((r["doc_id"], r[col]) for r in out.collect())
+
+
+def test_triangle_counts_library_exact_matches_bruteforce(spark):
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    bowtie = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+    for g in (k4, bowtie):
+        assert _lib_triangles(spark, g) == _ref_triangles(g)
+
+
+def test_triangle_counts_cap_is_monotone_lower_bound(spark):
+    """max_out_neighbors=K must be a lower bound on exact counts,
+    monotone non-decreasing in K, and exact once K covers the max
+    oriented out-degree — on a graph dense enough for the cap to bite
+    (K5 plus a pendant chain)."""
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    g = k5 + [(4, 5), (5, 6)]
+    exact = dict(_ref_triangles(g))
+    prev = {}
+    for k in (1, 2, 3, 10):
+        capped = dict(_lib_triangles(spark, g, max_out_neighbors=k))
+        for v, n in capped.items():
+            assert n <= exact[v]
+            assert n >= prev.get(v, 0)
+        prev = capped
+    assert prev == exact  # K=10 >= max out-degree -> exact
+
+
+def test_triangle_counts_sample_full_rate_is_exact_and_deterministic(spark):
+    """edge_sample_bp=10000 keeps every edge: the DOULION estimate must
+    equal the exact counts with scale 1.0, twice in a row (md5-priority
+    sampling is rerun-stable by construction)."""
+    bowtie = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+    exact = [(v, float(n)) for v, n in _ref_triangles(bowtie)]
+    once = _lib_triangles(spark, bowtie, edge_sample_bp=10000)
+    again = _lib_triangles(spark, bowtie, edge_sample_bp=10000)
+    assert once == exact
+    assert once == again
+
+
+def test_triangle_counts_sample_drops_edges_deterministically(spark):
+    """A partial rate on a K8 must (a) run, (b) be rerun-stable, and
+    (c) scale counts by exactly (10000/bp)^3 relative to the sampled
+    subgraph's own exact enumeration."""
+    k8 = [(a, b) for a in range(8) for b in range(a + 1, 8)]
+    bp = 6000
+    est = dict(_lib_triangles(spark, k8, edge_sample_bp=bp))
+    est2 = dict(_lib_triangles(spark, k8, edge_sample_bp=bp))
+    assert est == est2
+    scale = (10000.0 / bp) ** 3
+    for v, x in est.items():
+        assert x >= 0 and abs(x / scale - round(x / scale)) < 1e-9
+
+
 # ------------------------------------------- sweep-line concurrency timeline
 
 

@@ -705,22 +705,34 @@ def q_text_pack(spark, sf_dir):
     packing order is never required, only order within a shard, which
     is how real pipelines shard their tokenized output anyway.
     All-integer math -> bit-exact in both engines."""
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", "source", F.size(F.split(F.col("text"), " ")).alias("n_tok"))
+    return pack_bins(t, "source", "doc_id", "n_tok", _PACK_BUDGET)
+
+
+def pack_bins(t, part_col: str, order_col: str, tok_col: str, budget: int):
+    """Concat-and-chop bin assignment: within each ``part_col``
+    partition, rows in ``order_col`` order are packed greedily — a
+    row's bin is where its EXCLUSIVE running ``tok_col`` sum lands
+    (``(cum - tok) div budget``) — then aggregated to
+    ``(part, bin_no, n_docs, bin_tokens)``. The reusable core of
+    :func:`q_text_pack` (see its docstring for the per-shard scale
+    argument) and the subject of the packing property test in
+    ``tests/test_operator_properties.py``."""
+    from pyspark.sql import Window
+
     w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    c = t.withColumn("cum", F.sum(tok_col).over(w))
     return (
-        c.withColumn("bin_no", F.expr(f"(cum - n_tok) div {_PACK_BUDGET}"))
-        .groupBy("source", "bin_no")
+        c.withColumn("bin_no", F.expr(f"(cum - {tok_col}) div {budget}"))
+        .groupBy(part_col, "bin_no")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+            F.sum(tok_col).cast("bigint").alias("bin_tokens"),
         )
     )
 

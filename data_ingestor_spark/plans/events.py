@@ -260,16 +260,31 @@ def q_event_dau_wau(spark, sf_dir):
     the DAU spine. Exact integer counts -> bit-stable hash."""
     e = load_table(spark, sf_dir, "events")
     du = e.select(F.date_trunc("DAY", "ts").alias("d"), "user_id").distinct()
+    return dau_wau(du, "d", "user_id")
+
+
+def dau_wau(du, day_col: str, user_col: str, window_days: int = 7):
+    """DAU + trailing-``window_days`` distinct actives from a DISTINCT
+    ``(day, user)`` relation via the explode-to-cover-days rewrite of
+    the un-windowable rolling COUNT DISTINCT (see
+    :func:`q_event_dau_wau` for the scale argument); cover days with no
+    activity of their own drop out through the DAU-spine join. The
+    reusable core and the subject of the rolling-distinct property test
+    in ``tests/test_operator_properties.py``."""
     cover = du.select(
-        "user_id",
+        user_col,
         F.explode(
             F.sequence(
-                F.col("d"), F.col("d") + F.expr("INTERVAL 6 DAYS"), F.expr("INTERVAL 1 DAY")
+                F.col(day_col),
+                F.col(day_col) + F.expr(f"INTERVAL {window_days - 1} DAYS"),
+                F.expr("INTERVAL 1 DAY"),
             )
         ).alias("day"),
     )
-    wau = cover.groupBy("day").agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
-    dau = du.groupBy(F.col("d").alias("day")).agg(F.count(F.lit(1)).alias("dau"))
+    wau = cover.groupBy("day").agg(
+        F.countDistinct(user_col).cast("bigint").alias("wau")
+    )
+    dau = du.groupBy(F.col(day_col).alias("day")).agg(F.count(F.lit(1)).alias("dau"))
     return dau.join(wau, "day").select("day", "dau", "wau")
 
 

@@ -1581,16 +1581,26 @@ def q_agg_mode(spark, sf_dir):
     at scale the first aggregate has map-side partial combine and the
     window input is one row per (group, value) — already tiny."""
     c = load_table(spark, sf_dir, "customer")
-    counts = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
-    w = W.partitionBy("c_nationkey").orderBy(F.desc("n"), F.asc("c_mktsegment"))
+    return deterministic_mode(c, "c_nationkey", "c_mktsegment").select(
+        "c_nationkey",
+        F.col("c_mktsegment").alias("modal_segment"),
+        F.col("n").alias("modal_n"),
+    )
+
+
+def deterministic_mode(df, group_col: str, value_col: str):
+    """Most frequent value per group with the explicit
+    ``(count DESC, value ASC)`` tie-break — one row per group, columns
+    ``(group, value, n)``; the reusable core of :func:`q_agg_mode`
+    (engine-native ``mode()`` breaks ties arbitrarily) and the subject
+    of the tie-break property test in
+    ``tests/test_operator_properties.py``."""
+    counts = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy(group_col).orderBy(F.desc("n"), F.asc(value_col))
     return (
         counts.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select(
-            "c_nationkey",
-            F.col("c_mktsegment").alias("modal_segment"),
-            F.col("n").alias("modal_n"),
-        )
+        .drop("rk")
     )
 
 

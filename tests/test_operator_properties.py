@@ -282,6 +282,127 @@ def test_triangles_match_bruteforce(spark, edges):
     assert _spark_triangles(spark, edges) == _ref_triangles(edges)
 
 
+# -------------------------------------------------- rolling distinct (WAU)
+
+
+def _ref_dau_wau(pairs, window_days=7):
+    """Pure-Python rolling distinct: for each OBSERVED day d, dau =
+    #users active on d, wau = #distinct users active in
+    [d-window+1, d]. pairs is [(user, day_number)]."""
+    du = {(u, d) for u, d in pairs}
+    days = sorted({d for _, d in du})
+    out = {}
+    for d in days:
+        dau = sum(1 for u, dd in du if dd == d)
+        wau = len({u for u, dd in du if d - window_days + 1 <= dd <= d})
+        out[d] = (dau, wau)
+    return out
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 20)), min_size=1, max_size=40
+    ),
+)
+@settings(**_SETTINGS)
+def test_dau_wau_matches_python_reference(spark, pairs):
+    """The explode-to-cover-days rewrite of the un-windowable rolling
+    COUNT DISTINCT vs a direct per-day set scan — sparse activity (21
+    candidate days, 5 users) exercises cover days with no activity of
+    their own, which must NOT appear in the output."""
+    import datetime
+
+    from data_ingestor_spark.plans.events import dau_wau
+
+    epoch = datetime.datetime(1970, 1, 1)
+    du = spark.createDataFrame(
+        sorted({(u, epoch + datetime.timedelta(days=d)) for u, d in pairs}),
+        schema="user_id long, d timestamp",
+    )
+    got = {
+        (r["day"] - epoch).days: (r["dau"], r["wau"])
+        for r in dau_wau(du, "d", "user_id").collect()
+    }
+    assert got == _ref_dau_wau(pairs)
+
+
+# ------------------------------------------------------- deterministic mode
+
+
+def _ref_mode(rows):
+    """Most frequent value per group; ties -> smallest value."""
+    from collections import Counter
+
+    out = {}
+    for g in {g for g, _ in rows}:
+        c = Counter(v for gg, v in rows if gg == g)
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        out[g] = best
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 4)), min_size=1, max_size=30
+    ),
+)
+@settings(**_SETTINGS)
+def test_deterministic_mode_matches_python_reference(spark, rows):
+    """The tiny value range forces frequent count ties — exactly where
+    engine-native mode() is arbitrary and the explicit (count DESC,
+    value ASC) tie-break must be exact."""
+    from data_ingestor_spark.plans.relational import deterministic_mode
+
+    df = spark.createDataFrame(rows, schema="g long, v long")
+    got = {
+        r["g"]: (r["v"], r["n"])
+        for r in deterministic_mode(df, "g", "v").collect()
+    }
+    assert got == _ref_mode(rows)
+
+
+# ------------------------------------------------------------ sequence packing
+
+
+def _ref_pack(rows, budget):
+    """Pure-Python concat-and-chop: per source in doc order, a doc's
+    bin is exclusive_cumsum // budget; aggregate docs/tokens per bin.
+    rows is [(source, doc_id, n_tok)] with unique (source, doc_id)."""
+    out = {}
+    for s in {s for s, _, _ in rows}:
+        cum = 0
+        for _, did, tok in sorted(r for r in rows if r[0] == s):
+            b = cum // budget
+            cum += tok
+            n, t = out.get((s, b), (0, 0))
+            out[(s, b)] = (n + 1, t + tok)
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30), st.integers(0, 40)),
+        min_size=1,
+        max_size=30,
+    ).map(lambda xs: list({(s, d): t for s, d, t in xs}.items()))
+    .map(lambda xs: [(s, d, t) for (s, d), t in xs]),
+)
+@settings(**_SETTINGS)
+def test_pack_bins_matches_python_reference(spark, rows):
+    """Greedy packing vs a linear scan — budget 64 with token counts up
+    to 40 makes single docs straddle bin boundaries (a doc bigger than
+    the remaining budget still lands where its EXCLUSIVE cumsum says,
+    letting bins overflow by design rather than splitting docs)."""
+    from data_ingestor_spark.ext.text import pack_bins
+
+    df = spark.createDataFrame(rows, schema="source long, doc_id long, n_tok long")
+    got = {
+        (r["source"], r["bin_no"]): (r["n_docs"], r["bin_tokens"])
+        for r in pack_bins(df, "source", "doc_id", "n_tok", 64).collect()
+    }
+    assert got == _ref_pack(rows, 64)
+
+
 # ----------------------------------------- capped / sampled triangle modes
 
 

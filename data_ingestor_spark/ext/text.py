@@ -588,12 +588,23 @@ def q_text_chunk(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    toks = "split(lower(text), ' ')"
+    return chunk_tokens(d, "split(lower(text), ' ')", _CHUNK_TOKENS, _CHUNK_STRIDE)
+
+
+def chunk_tokens(d, toks_expr: str, chunk_len: int, stride: int):
+    """Overlapping token-window chunking: for each row, every
+    ``stride``-spaced start in the ``toks_expr`` array becomes a chunk
+    of up to ``chunk_len`` tokens (the trailing partial chunk is kept),
+    emitted as ``(doc_id, chunk_id, n_tokens, chunk_md5)`` by one
+    transform+explode — no shuffle, no Python. The reusable core of
+    :func:`q_text_chunk` (see its docstring for the scale argument)
+    and the subject of the boundary property test in
+    ``tests/test_operator_properties.py``."""
     chunks = (
-        f"transform(sequence(1, size({toks}), {_CHUNK_STRIDE}),"
-        f" s -> struct(cast((s - 1) div {_CHUNK_STRIDE} as bigint) as chunk_id,"
-        f" cast(size(slice({toks}, s, {_CHUNK_TOKENS})) as bigint) as n_tokens,"
-        f" md5(array_join(slice({toks}, s, {_CHUNK_TOKENS}), ' ')) as chunk_md5))"
+        f"transform(sequence(1, size({toks_expr}), {stride}),"
+        f" s -> struct(cast((s - 1) div {stride} as bigint) as chunk_id,"
+        f" cast(size(slice({toks_expr}, s, {chunk_len})) as bigint) as n_tokens,"
+        f" md5(array_join(slice({toks_expr}, s, {chunk_len}), ' ')) as chunk_md5))"
     )
     return d.select("doc_id", F.explode(F.expr(chunks)).alias("c")).select(
         "doc_id", "c.chunk_id", "c.n_tokens", "c.chunk_md5"

@@ -325,11 +325,23 @@ def q_event_path(spark, sf_dir):
     standard funnel-free path-exploration query a product team runs
     over billions of events."""
     e = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return transition_matrix(e, "user_id", "event_type", ["ts", "event_id"])
+
+
+def transition_matrix(e, user_col: str, type_col: str, order_cols: list[str]):
+    """First-order Markov transition estimate: per-``user_col`` lag
+    window over ``order_cols`` (include a unique tie-break column!),
+    exact pair counts, and per-source probability as one double
+    division of two exact integers via a window-over-aggregate —
+    ``(prev_type, next_type, n_transitions, p_transition)``. The
+    reusable core of :func:`q_event_path` (see its docstring for the
+    scale argument) and the subject of the transition property test in
+    ``tests/test_operator_properties.py``."""
+    w = W.partitionBy(user_col).orderBy(*order_cols)
     seq = e.select(
-        "event_type", F.lag("event_type").over(w).alias("prev_type")
+        type_col, F.lag(type_col).over(w).alias("prev_type")
     ).filter(F.col("prev_type").isNotNull())
-    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+    trans = seq.groupBy("prev_type", F.col(type_col).alias("next_type")).agg(
         F.count(F.lit(1)).alias("n_transitions")
     )
     out_w = W.partitionBy("prev_type")

@@ -403,6 +403,107 @@ def test_pack_bins_matches_python_reference(spark, rows):
     assert got == _ref_pack(rows, 64)
 
 
+# ------------------------------------------------- Markov transition matrix
+
+
+def _ref_transitions(rows):
+    """Per user, order by (t, id); count adjacent (prev, next) pairs;
+    probability = count / sum over prev. rows is [(user, t, id, type)]
+    with unique (user, t, id)."""
+    from collections import Counter
+
+    pairs = Counter()
+    for u in {u for u, _, _, _ in rows}:
+        seq = [ty for _, _, _, ty in sorted(
+            (r for r in rows if r[0] == u), key=lambda r: (r[1], r[2])
+        )]
+        for a, b in zip(seq, seq[1:]):
+            pairs[(a, b)] += 1
+    totals = Counter()
+    for (a, _), n in pairs.items():
+        totals[a] += n
+    return {
+        (a, b): (n, float(n) / float(totals[a])) for (a, b), n in pairs.items()
+    }
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),   # user
+            st.integers(0, 5),   # coarse time -> frequent ties
+            st.integers(0, 30),  # tie-break id
+            st.integers(0, 3),   # event type
+        ),
+        min_size=1,
+        max_size=30,
+    ).map(lambda xs: list({(u, t, i): ty for u, t, i, ty in xs}.items()))
+    .map(lambda xs: [(u, t, i, ty) for (u, t, i), ty in xs]),
+)
+@settings(**_SETTINGS)
+def test_transition_matrix_matches_python_reference(spark, rows):
+    """Equal timestamps are frequent by construction: the lag ordering
+    must tie-break on the id column exactly as the reference sort does,
+    and every probability is one double division of two exact ints."""
+    from data_ingestor_spark.plans.events import transition_matrix
+
+    df = spark.createDataFrame(rows, schema="u long, t long, id long, ty long")
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n_transitions"], r["p_transition"])
+        for r in transition_matrix(df, "u", "ty", ["t", "id"]).collect()
+    }
+    assert got == _ref_transitions(rows)
+
+
+# ------------------------------------------------------ token-window chunking
+
+
+def _ref_chunks(tok_lists, chunk_len, stride):
+    """Pure-Python overlapping windows incl. the trailing partial
+    chunk; md5 over the space-joined slice. tok_lists is
+    {doc_id: [token, ...]} with non-empty lists."""
+    import hashlib
+
+    out = []
+    for did, toks in tok_lists.items():
+        for ci, s in enumerate(range(0, len(toks), stride)):
+            sl = toks[s : s + chunk_len]
+            out.append(
+                (did, ci, len(sl),
+                 hashlib.md5(" ".join(sl).encode()).hexdigest())
+            )
+    return sorted(out)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 9), min_size=1, max_size=25),
+        min_size=1,
+        max_size=6,
+    ),
+    chunk_len=st.integers(2, 6),
+    stride=st.integers(1, 6),
+)
+@settings(**_SETTINGS)
+def test_chunk_tokens_matches_python_reference(spark, docs, chunk_len, stride):
+    """Every boundary case the fixed corpus can't force: stride >
+    chunk_len (gaps), stride < chunk_len (overlap), trailing partials,
+    single-token docs — chunk ids, lengths, and content md5s must all
+    match a direct Python slicer."""
+    from data_ingestor_spark.ext.text import chunk_tokens
+
+    tok_lists = {i: [str(t) for t in ts] for i, ts in enumerate(docs)}
+    df = spark.createDataFrame(
+        [(i, " ".join(ts)) for i, ts in tok_lists.items()],
+        schema="doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_md5"])
+        for r in chunk_tokens(df, "split(text, ' ')", chunk_len, stride).collect()
+    )
+    assert got == _ref_chunks(tok_lists, chunk_len, stride)
+
+
 # ----------------------------------------- capped / sampled triangle modes
 
 

@@ -156,27 +156,41 @@ def q_event_sessions(spark, sf_dir):
     operators (q_window_session tests those semantics); durations are
     exact integer microsecond arithmetic — no float drift."""
     e = load_table(spark, sf_dir, "events")
-    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return sessionize(e, "user_id", "ts", "event_id", _GAP_US)
+
+
+def sessionize(e, user_col: str, ts_col: str, id_col: str, gap_us: int):
+    """Gap-based sessionization core: per-``user_col`` lag over
+    ``(ts, id)`` (the id column breaks equal-timestamp ties
+    deterministically), a session-start flag wherever the inactivity
+    gap EXCEEDS ``gap_us`` (strictly greater — a gap of exactly
+    ``gap_us`` stays in-session), and a running sum numbering sessions
+    1..n per user; aggregated to ``(user, session_seq, n_events,
+    duration_us)`` with exact integer-microsecond durations. The
+    reusable core of :func:`q_event_sessions` and the subject of the
+    gap-boundary property test in
+    ``tests/test_operator_properties.py``."""
+    order = W.partitionBy(user_col).orderBy(ts_col, id_col)
     marked = e.select(
-        "user_id",
-        "event_id",
-        "ts",
+        user_col,
+        id_col,
+        ts_col,
         F.when(
-            F.lag("ts").over(order).isNull()
-            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(order)) > _GAP_US),
+            F.lag(ts_col).over(order).isNull()
+            | (F.unix_micros(ts_col) - F.unix_micros(F.lag(ts_col).over(order)) > gap_us),
             1,
         )
         .otherwise(0)
         .alias("is_start"),
     )
     sessioned = marked.select(
-        "user_id",
-        "ts",
+        user_col,
+        ts_col,
         F.sum("is_start").over(order.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("session_seq"),
     )
-    return sessioned.groupBy("user_id", "session_seq").agg(
+    return sessioned.groupBy(user_col, "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+        (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))).alias("duration_us"),
     )
 
 

@@ -504,6 +504,62 @@ def test_chunk_tokens_matches_python_reference(spark, docs, chunk_len, stride):
     assert got == _ref_chunks(tok_lists, chunk_len, stride)
 
 
+# ------------------------------------------------------------ sessionization
+
+
+def _ref_sessions(rows, gap_us):
+    """Per user, (t, id)-ordered scan: new session when the gap STRICTLY
+    exceeds gap_us; report (n_events, last_t - first_t) per session in
+    order. rows is [(user, t_us, id)] with unique (user, t, id)."""
+    out = {}
+    for u in {u for u, _, _ in rows}:
+        ts = [t for _, t, _ in sorted(
+            (r for r in rows if r[0] == u), key=lambda r: (r[1], r[2])
+        )]
+        seq, start, prev, n = 0, ts[0], ts[0], 0
+        for t in ts:
+            if n and t - prev > gap_us:
+                out[(u, seq)] = (n, prev - start)
+                seq, start, n = seq + 1, t, 0
+            prev = t
+            n += 1
+        out[(u, seq)] = (n, prev - start)
+    return {(u, s + 1): v for (u, s), v in out.items()}
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),    # user
+            st.integers(0, 60),   # time in µs (gap threshold = 10)
+            st.integers(0, 20),   # tie-break id
+        ),
+        min_size=1,
+        max_size=30,
+    ).map(lambda xs: sorted({(u, t, i) for u, t, i in xs})),
+)
+@settings(**_SETTINGS)
+def test_sessionize_matches_python_reference(spark, rows):
+    """Gap threshold 10 µs over times 0..60 makes exact-boundary gaps
+    (== gap stays in-session, > gap splits), equal-timestamp ties, and
+    single-event sessions all frequent — the session numbering, event
+    counts, and exact integer durations must match a direct scan."""
+    import datetime
+
+    from data_ingestor_spark.plans.events import sessionize
+
+    epoch = datetime.datetime(1970, 1, 1)
+    df = spark.createDataFrame(
+        [(u, epoch + datetime.timedelta(microseconds=t), i) for u, t, i in rows],
+        schema="u long, ts timestamp, id long",
+    )
+    got = {
+        (r["u"], r["session_seq"]): (r["n_events"], r["duration_us"])
+        for r in sessionize(df, "u", "ts", "id", 10).collect()
+    }
+    assert got == _ref_sessions(rows, 10)
+
+
 # ----------------------------------------- capped / sampled triangle modes
 
 

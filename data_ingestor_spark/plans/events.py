@@ -111,10 +111,24 @@ def q_event_retention(spark, sf_dir):
     user-keyed join — the standard retention triangle, computed without
     ever materializing a per-user day bitmap."""
     e = load_table(spark, sf_dir, "events")
-    first_day = e.groupBy("user_id").agg(F.date_trunc("DAY", F.min("ts")).alias("cohort_day"))
-    active = e.select("user_id", F.date_trunc("DAY", "ts").alias("d")).distinct()
+    return retention_matrix(e, "user_id", "ts")
+
+
+def retention_matrix(e, user_col: str, ts_col: str):
+    """First-touch cohort retention triangle: cohort = day of each
+    user's first event, one ``(cohort_day, day_offset, n_users)`` row
+    per cohort-day×offset with at most one count per user per day (the
+    distinct user-day relation, so multiple same-day events never
+    double-count). Two user-keyed aggregates + one user-keyed join;
+    the reusable core of :func:`q_event_retention` and the subject of
+    the cohort property test in
+    ``tests/test_operator_properties.py``."""
+    first_day = e.groupBy(user_col).agg(
+        F.date_trunc("DAY", F.min(ts_col)).alias("cohort_day")
+    )
+    active = e.select(user_col, F.date_trunc("DAY", ts_col).alias("d")).distinct()
     return (
-        first_day.join(active, "user_id")
+        first_day.join(active, user_col)
         .select(
             "cohort_day",
             F.datediff("d", "cohort_day").cast("int").alias("day_offset"),

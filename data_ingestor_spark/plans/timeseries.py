@@ -421,21 +421,32 @@ def q_event_moving_avg(spark, sf_dir):
     per-type window over day-numbered rows. Exact across engines: the
     frame SUM/COUNT are integers, the average is one well-defined double
     division (never an engine AVG accumulation)."""
-    from pyspark.sql import Window as W
-
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy("event_type", F.date_trunc("DAY", "ts").alias("d")).agg(
         F.count(F.lit(1)).alias("n")
     )
     k = daily.withColumn("day_num", F.datediff("d", F.lit("1970-01-01").cast("date")))
-    w = W.partitionBy("event_type").orderBy("day_num").rangeBetween(-6, 0)
-    return k.select(
-        "event_type",
-        "d",
-        "n",
-        (F.sum("n").over(w).cast("double") / F.count(F.lit(1)).over(w).cast("double")).alias(
-            "ma7"
-        ),
+    return with_trailing_avg(k, "event_type", "day_num", "n", 7).select(
+        "event_type", "d", "n", "ma7"
+    )
+
+
+def with_trailing_avg(k, part_col: str, daynum_col: str, n_col: str,
+                      days: int, out_col: str = "ma7"):
+    """Calendar-gap-aware trailing average: a RANGE frame over the
+    integer day number spanning ``[-(days-1), 0]`` — a missing day
+    SHRINKS the window (frame SUM/COUNT see only days present), never
+    silently widens it to ``days`` observations the way a ROWS frame
+    would — with the average as ONE double division of two exact
+    integers. The reusable core of :func:`q_event_moving_avg` and the
+    subject of the gap-shrink property test in
+    ``tests/test_operator_properties.py``."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(part_col).orderBy(daynum_col).rangeBetween(-(days - 1), 0)
+    return k.withColumn(
+        out_col,
+        F.sum(n_col).over(w).cast("double") / F.count(F.lit(1)).over(w).cast("double"),
     )
 
 

@@ -560,6 +560,88 @@ def test_sessionize_matches_python_reference(spark, rows):
     assert got == _ref_sessions(rows, 10)
 
 
+# ------------------------------------------------ gap-aware trailing average
+
+
+def _ref_trailing_avg(rows, days):
+    """Per partition, for each present day d: float(sum)/float(count)
+    over the PRESENT days in [d-days+1, d]. rows is [(part, day, n)]
+    with unique (part, day)."""
+    out = {}
+    for p in {p for p, _, _ in rows}:
+        mine = {d: n for pp, d, n in rows if pp == p}
+        for d in mine:
+            win = [mine[x] for x in mine if d - days + 1 <= x <= d]
+            out[(p, d)] = float(sum(win)) / float(len(win))
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 15), st.integers(1, 50)),
+        min_size=1,
+        max_size=25,
+    ).map(lambda xs: list({(p, d): n for p, d, n in xs}.items()))
+    .map(lambda xs: [(p, d, n) for (p, d), n in xs]),
+)
+@settings(**_SETTINGS)
+def test_with_trailing_avg_matches_python_reference(spark, rows):
+    """Sparse day numbers (0..15 over a 7-day frame) force calendar
+    gaps: the RANGE frame must SHRINK to the days present — a ROWS
+    frame would silently widen across the gap and fail this."""
+    from data_ingestor_spark.plans.timeseries import with_trailing_avg
+
+    df = spark.createDataFrame(rows, schema="p long, day_num long, n long")
+    got = {
+        (r["p"], r["day_num"]): r["ma7"]
+        for r in with_trailing_avg(df, "p", "day_num", "n", 7).collect()
+    }
+    assert got == _ref_trailing_avg(rows, 7)
+
+
+# -------------------------------------------------- first-touch retention
+
+
+def _ref_retention(pairs):
+    """Cohort = each user's min day; count distinct active users per
+    (cohort_day, offset). pairs is [(user, day)]."""
+    du = {(u, d) for u, d in pairs}
+    first = {}
+    for u, d in du:
+        first[u] = min(first.get(u, d), d)
+    out = {}
+    for u, d in du:
+        key = (first[u], d - first[u])
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 12)), min_size=1, max_size=40
+    ),
+)
+@settings(**_SETTINGS)
+def test_retention_matrix_matches_python_reference(spark, pairs):
+    """Duplicate same-day events must not double-count a user; offset 0
+    (the cohort day itself) must count every cohort member exactly
+    once."""
+    import datetime
+
+    from data_ingestor_spark.plans.events import retention_matrix
+
+    epoch = datetime.datetime(1970, 1, 1)
+    df = spark.createDataFrame(
+        [(u, epoch + datetime.timedelta(days=d, hours=u % 3)) for u, d in pairs],
+        schema="user_id long, ts timestamp",
+    )
+    got = {
+        ((r["cohort_day"] - epoch).days, r["day_offset"]): r["n_users"]
+        for r in retention_matrix(df, "user_id", "ts").collect()
+    }
+    assert got == _ref_retention(pairs)
+
+
 # ----------------------------------------- capped / sampled triangle modes
 
 

@@ -527,27 +527,42 @@ def q_event_funnel_latency(spark, sf_dir):
     integer seconds + percentile_disc return actual data values, so the
     hash check needs no rounding guard."""
     e = load_table(spark, sf_dir, "events")
-    firsts = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    return conversion_latency(e, "user_id", "event_type", "ts", "signup", "purchase")
+
+
+def conversion_latency(e, user_col: str, type_col: str, ts_col: str,
+                       from_stage: str, to_stage: str):
+    """First-touch conversion latency: per ``from_stage``-week cohort,
+    the count, p50 and p90 of integer seconds from each user's FIRST
+    ``from_stage`` to their first ``to_stage`` at-or-after it — one
+    user-keyed conditional-MIN aggregate (no stage-vs-stage join), a
+    null/order filter, then a tiny per-cohort discrete-percentile
+    rollup (percentile_disc returns actual data values: smallest value
+    whose cumulative rank fraction reaches p — no interpolation, no
+    rounding guard). The reusable core of
+    :func:`q_event_funnel_latency` and the subject of the
+    percentile-semantics property test in
+    ``tests/test_operator_properties.py``."""
+    firsts = e.groupBy(user_col).agg(
+        F.min(F.when(F.col(type_col) == from_stage, F.col(ts_col))).alias("t_from"),
+        F.min(F.when(F.col(type_col) == to_stage, F.col(ts_col))).alias("t_to"),
     )
     conv = firsts.filter(
-        F.col("t_signup").isNotNull()
-        & F.col("t_purchase").isNotNull()
-        & (F.col("t_purchase") >= F.col("t_signup"))
+        F.col("t_from").isNotNull()
+        & F.col("t_to").isNotNull()
+        & (F.col("t_to") >= F.col("t_from"))
     ).select(
-        F.date_trunc("WEEK", "t_signup").alias("cohort_week"),
-        (F.unix_timestamp("t_purchase") - F.unix_timestamp("t_signup")).alias("secs"),
+        F.date_trunc("WEEK", "t_from").alias("cohort_week"),
+        (F.unix_timestamp("t_to") - F.unix_timestamp("t_from")).alias("secs"),
     )
-    conv.createOrReplaceTempView("_funnel_conv")
-    return spark.sql(
-        """
-        SELECT cohort_week,
-               COUNT(*) AS n_converted,
-               CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY secs) AS BIGINT) AS p50_secs,
-               CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY secs) AS BIGINT) AS p90_secs
-        FROM _funnel_conv GROUP BY cohort_week
-        """
+    return conv.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr(
+            "cast(percentile_disc(0.50) WITHIN GROUP (ORDER BY secs) as bigint)"
+        ).alias("p50_secs"),
+        F.expr(
+            "cast(percentile_disc(0.90) WITHIN GROUP (ORDER BY secs) as bigint)"
+        ).alias("p90_secs"),
     )
 
 
@@ -944,27 +959,43 @@ def q_event_ltv_curve(spark, sf_dir):
     aggregate, one (user→cohort) equality join for enrichment, one
     (cohort, offset) rollup; the windows run over #cohorts × #weeks
     rows. The distinct-buyer count rides along for curve QA."""
+    e = load_table(spark, sf_dir, "events")
+    return ltv_curve(e, "user_id", "event_type", "ts", "value", "purchase")
+
+
+def ltv_curve(e, user_col: str, type_col: str, ts_col: str, value_col: str,
+              purchase_type: str):
+    """Cohort LTV grid: cohort = week of each user's first event of ANY
+    type; per (cohort_week, week_offset) the purchase revenue in exact
+    cents, distinct buyers, the cumulative revenue (rows-frame window
+    over the tiny grid), and cumulative LTV per cohort USER — a
+    truncating integer division by the full cohort size (all members,
+    not just buyers — the standard LTV convention). The reusable core
+    of :func:`q_event_ltv_curve` (see its docstring for the
+    scale-shape discussion) and the subject of the cumulative/
+    denominator property test in
+    ``tests/test_operator_properties.py``."""
     from pyspark.sql import Window as W
 
-    e = load_table(spark, sf_dir, "events")
-    firsts = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    firsts = e.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("cohort_week")
     )
     rev = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(firsts, "user_id")
+        e.filter(F.col(type_col) == purchase_type)
+        .join(firsts, user_col)
         .select(
-            "user_id",
+            user_col,
             "cohort_week",
             F.expr(
-                "cast(datediff(date_trunc('week', ts), cohort_week) div 7 as bigint)"
+                f"cast(datediff(date_trunc('week', {ts_col}), cohort_week)"
+                " div 7 as bigint)"
             ).alias("week_offset"),
-            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+            F.expr(f"cast(round({value_col} * 100) as bigint)").alias("cents"),
         )
     )
     weekly = rev.groupBy("cohort_week", "week_offset").agg(
         F.sum("cents").cast("bigint").alias("rev_cents"),
-        F.countDistinct("user_id").alias("n_buyers"),
+        F.countDistinct(user_col).alias("n_buyers"),
     )
     sized = firsts.groupBy("cohort_week").agg(
         F.count(F.lit(1)).alias("cohort_users")

@@ -1341,3 +1341,166 @@ def test_last_touch_carry_matches_limit1_spec(spark, clicks, purchases):
         for r in last_touch_carry(cdf, pdf, "user_id", "ts").collect()
     }
     assert got == _ref_last_touch(clicks, purchases)
+
+
+# ---------------------------------------------- first-touch conversion latency
+
+
+def _ref_conversion_latency(events):
+    """events is [(user, stage01, minute)]; stage 0 = from, 1 = to.
+    Per user: first stage-0 ts, first stage-1 ts at-or-after it; cohort
+    = Monday of the from-week; percentile_disc(p) = sorted secs value
+    at index ceil(p*n)-1."""
+    import datetime
+    import math as m
+
+    epoch = datetime.datetime(1970, 1, 1)
+    per_cohort = {}
+    for u in {u for u, _, _ in events}:
+        froms = [mi for uu, s, mi in events if uu == u and s == 0]
+        tos = [mi for uu, s, mi in events if uu == u and s == 1]
+        if not froms or not tos:
+            continue
+        t_from, t_to = min(froms), min(tos)
+        if t_to < t_from:
+            continue
+        d = epoch + datetime.timedelta(minutes=t_from)
+        monday = d.date() - datetime.timedelta(days=d.weekday())
+        per_cohort.setdefault(monday, []).append((t_to - t_from) * 60)
+    out = {}
+    for monday, secs in per_cohort.items():
+        s = sorted(secs)
+        n = len(s)
+        out[monday] = (
+            n,
+            s[m.ceil(0.50 * n) - 1],
+            s[m.ceil(0.90 * n) - 1],
+        )
+    return out
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1), st.integers(0, 20000)),
+        min_size=1,
+        max_size=40,
+    ),
+)
+@settings(**_SETTINGS)
+def test_conversion_latency_matches_python_reference(spark, events):
+    """Users missing either stage (or converting before first touch)
+    must drop; equal first-touch timestamps convert with 0 s; the
+    discrete percentiles must be ACTUAL data values at the ceil-rank
+    index, not interpolations."""
+    import datetime
+
+    from data_ingestor_spark.plans.events import conversion_latency
+
+    epoch = datetime.datetime(1970, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (u, "signup" if s == 0 else "purchase",
+             epoch + datetime.timedelta(minutes=mi))
+            for u, s, mi in events
+        ],
+        schema="user_id long, event_type string, ts timestamp",
+    )
+    got = {
+        r["cohort_week"].date(): (r["n_converted"], r["p50_secs"], r["p90_secs"])
+        for r in conversion_latency(
+            df, "user_id", "event_type", "ts", "signup", "purchase"
+        ).collect()
+    }
+    assert got == _ref_conversion_latency(events)
+
+
+# ------------------------------------------------------------ cohort LTV curve
+
+
+def _ref_ltv_curve(events):
+    """events is [(user, is_purchase, day, cents_value)]; value column
+    = float(cents_value) so cents = value*100 exactly. Cohort = Monday
+    of each user's first event of ANY type; cumulative revenue per
+    (cohort, offset); per-user LTV divides by the FULL cohort size."""
+    import datetime
+
+    def monday(day):
+        d = datetime.date(1970, 1, 1) + datetime.timedelta(days=day)
+        return d - datetime.timedelta(days=d.weekday())
+
+    first = {}
+    for u, _, day, _ in events:
+        first[u] = min(first.get(u, day), day)
+    cohort = {u: monday(d) for u, d in first.items()}
+    cohort_users = {}
+    for u, cw in cohort.items():
+        cohort_users[cw] = cohort_users.get(cw, 0) + 1
+    weekly = {}
+    for u, isp, day, cents in events:
+        if not isp:
+            continue
+        cw = cohort[u]
+        off = (monday(day) - cw).days // 7
+        rev, buyers = weekly.get((cw, off), (0, set()))
+        weekly[(cw, off)] = (rev + cents * 100, buyers | {u})
+    out = {}
+    for cw in {k[0] for k in weekly}:
+        cum = 0
+        for off in sorted(o for c, o in weekly if c == cw):
+            rev, buyers = weekly[(cw, off)]
+            cum += rev
+            out[(cw, off)] = (
+                rev,
+                len(buyers),
+                cum,
+                cohort_users[cw],
+                cum // cohort_users[cw],
+            )
+    return out
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.integers(0, 1),
+            st.integers(0, 30),
+            st.integers(0, 50),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+@settings(**_SETTINGS)
+def test_ltv_curve_matches_python_reference(spark, events):
+    """Cohorts come from first event of ANY type (a purchase-only
+    cohort rule would misplace browsers-turned-buyers); the cumulative
+    sum must walk offsets in order; the per-user denominator is ALL
+    cohort members, never just the buyers."""
+    import datetime
+
+    from data_ingestor_spark.plans.events import ltv_curve
+
+    epoch = datetime.datetime(1970, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (u, "purchase" if isp else "view",
+             epoch + datetime.timedelta(days=day, hours=u % 5),
+             float(cents))
+            for u, isp, day, cents in events
+        ],
+        schema="user_id long, event_type string, ts timestamp, value double",
+    )
+    got = {
+        (r["cohort_week"].date(), r["week_offset"]): (
+            r["rev_cents"],
+            r["n_buyers"],
+            r["cum_rev_cents"],
+            r["cohort_users"],
+            r["cum_ltv_cents_per_user"],
+        )
+        for r in ltv_curve(
+            df, "user_id", "event_type", "ts", "value", "purchase"
+        ).collect()
+    }
+    assert got == _ref_ltv_curve(events)

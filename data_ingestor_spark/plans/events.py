@@ -826,6 +826,21 @@ def q_event_abtest(spark, sf_dir):
         F.expr("CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END").alias("arm"),
         "conv",
     )
+    return two_proportion_readout(users)
+
+
+def two_proportion_readout(users):
+    """Pooled two-proportion z-test readout over per-unit ``(arm,
+    conv)`` rows (arm ∈ {'A','B'}, conv ∈ {0,1}): per-arm exact
+    BIGINT counts + basis-point rates, the pooled z-statistic as one
+    well-defined chain of double operations over those four integers
+    (ROUNDed — the q_agg_corr discipline for irrational outputs), and
+    the α=0.05 verdict on the UNROUNDED z. Degenerate pooled rates
+    (0 or 1 — the sqrt collapses to 0) NULL out z and the verdict via
+    NULLIF rather than dividing by zero. The reusable core of
+    :func:`q_event_abtest` (see its docstring for the calibration
+    framing) and the subject of the float-chain property test in
+    ``tests/test_operator_properties.py``."""
     arms = users.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n"), F.sum("conv").cast("bigint").alias("n_conv")
     )

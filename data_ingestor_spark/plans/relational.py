@@ -2147,23 +2147,37 @@ def q_market_basket(spark, sf_dir):
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # The support/lift denominator (total basket count) and the
-    # n_trimmed_baskets stamp are PLAN-SIDE: a 1-row two-level aggregate
-    # cross-joined (broadcast) onto the 20-row head — the same shape as
-    # the oracle's norders/trimmed CTEs. No build-time collect for
-    # data values (advice r5: a construction-time collect made
-    # 'compile-only' tooling silently run a real job); the only
-    # remaining pre-job is capped_basket_items' one-scalar whale
-    # EXISTENCE probe, which decides plan SHAPE, not output values —
-    # the same runtime-adaptive move AQE makes.
+    return frequent_pairs(items)
+
+
+def frequent_pairs(items: DataFrame, top_n: int = 20, cap: int = BASKET_CAP) -> DataFrame:
+    """Frequent-pair mining over a distinct ``(o, p)`` basket-item
+    relation: the top-``top_n`` item pairs by co-occurrence count with
+    exact integer support and lift basis points, baskets trimmed to
+    ``cap`` items by :func:`capped_basket_items` before the pair
+    self-join. The reusable core of :func:`q_market_basket` (see its
+    docstring for the scale-shape discussion) and the subject of the
+    brute-force property test in ``tests/test_operator_properties.py``.
+
+    The support/lift denominator (total basket count) and the
+    n_trimmed_baskets stamp are PLAN-SIDE: a 1-row two-level aggregate
+    cross-joined (broadcast) onto the head — the same shape as the
+    oracle's norders/trimmed CTEs. No build-time collect for data
+    values (advice r5: a construction-time collect made 'compile-only'
+    tooling silently run a real job); the only remaining pre-job is
+    capped_basket_items' one-scalar whale EXISTENCE probe, which
+    decides plan SHAPE, not output values — the same runtime-adaptive
+    move AQE makes. Per-item counts (the lift denominators) come from
+    the UNCAPPED relation, so the cap can undercount only n_ab — a
+    trimmed pair's lift is a lower bound, never an overestimate."""
     sizes = items.groupBy("o").agg(F.count(F.lit(1)).alias("_sz"))
     stats = sizes.agg(
         F.count(F.lit(1)).cast("bigint").alias("_n_orders"),
-        F.sum(F.when(F.col("_sz") > BASKET_CAP, F.lit(1)).otherwise(F.lit(0)))
+        F.sum(F.when(F.col("_sz") > cap, F.lit(1)).otherwise(F.lit(0)))
         .cast("bigint")
         .alias("_n_trimmed"),
     )
-    capped = capped_basket_items(items, sizes=sizes)
+    capped = capped_basket_items(items, cap=cap, sizes=sizes)
     counts = items.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
     a = capped.alias("a")
     b = capped.alias("b")
@@ -2172,7 +2186,7 @@ def q_market_basket(spark, sf_dir):
         .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
-    top = pairs.orderBy(F.desc("n_ab"), "pa", "pb").limit(20)
+    top = pairs.orderBy(F.desc("n_ab"), "pa", "pb").limit(top_n)
     return (
         top.join(counts.select(F.col("p").alias("pa"), F.col("n_p").alias("n_a")), "pa")
         .join(counts.select(F.col("p").alias("pb"), F.col("n_p").alias("n_b")), "pb")

@@ -1504,3 +1504,138 @@ def test_ltv_curve_matches_python_reference(spark, events):
         ).collect()
     }
     assert got == _ref_ltv_curve(events)
+
+
+# ------------------------------------------------------ frequent-pair mining
+
+
+def _ref_frequent_pairs(items, top_n, cap):
+    """items is [(o, p)]; brute-force pair mining with the md5-rank
+    basket trim, per-item counts from the UNCAPPED relation, truncating
+    integer lift/support basis points, (n_ab DESC, pa, pb) head."""
+    import hashlib
+
+    baskets = {}
+    for o, p in set(items):
+        baskets.setdefault(o, set()).add(p)
+    n_orders = len(baskets)
+    n_trimmed = sum(1 for b in baskets.values() if len(b) > cap)
+    counts = {}
+    for b in baskets.values():
+        for p in b:
+            counts[p] = counts.get(p, 0) + 1
+    pair_counts = {}
+    for o, b in baskets.items():
+        kept = b
+        if len(b) > cap:
+            ranked = sorted(
+                b,
+                key=lambda p: (
+                    hashlib.md5(f"{o}:{p}".encode()).hexdigest(),
+                    p,
+                ),
+            )
+            kept = set(ranked[:cap])
+        for pa in kept:
+            for pb in kept:
+                if pa < pb:
+                    pair_counts[(pa, pb)] = pair_counts.get((pa, pb), 0) + 1
+    top = sorted(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+    return {
+        (pa, pb): (
+            n_ab,
+            counts[pa],
+            counts[pb],
+            n_ab * n_orders * 10000 // (counts[pa] * counts[pb]),
+            n_ab * 10000 // n_orders,
+            n_trimmed,
+        )
+        for (pa, pb), n_ab in top
+    }
+
+
+@given(
+    items=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 7)), min_size=1, max_size=40
+    ),
+    cap=st.sampled_from([2, 3, 100]),
+)
+@settings(**_SETTINGS)
+def test_frequent_pairs_matches_bruteforce(spark, items, cap):
+    """Small caps force the md5-rank trim (content-addressed, so the
+    pure-Python hashlib emulation must agree item-for-item); lift
+    denominators must come from UNCAPPED counts; the top-n head must
+    tie-break (n_ab DESC, pa, pb)."""
+    from data_ingestor_spark.plans.relational import frequent_pairs
+
+    df = spark.createDataFrame(list(set(items)), schema="o long, p long")
+    got = {
+        (r["pa"], r["pb"]): (
+            r["n_ab"],
+            r["n_a"],
+            r["n_b"],
+            r["lift_bp"],
+            r["support_bp"],
+            r["n_trimmed_baskets"],
+        )
+        for r in frequent_pairs(df, top_n=50, cap=cap).collect()
+    }
+    assert got == _ref_frequent_pairs(items, 50, cap)
+
+
+# --------------------------------------------------- two-proportion z readout
+
+
+def _ref_two_prop(users):
+    """users is [(arm01, conv01)] with both arms present; mirrors the
+    SQL float chain; z is None when the pooled rate is 0 or 1."""
+    import math as m
+
+    n_a = sum(1 for a, _ in users if a == 0)
+    conv_a = sum(c for a, c in users if a == 0)
+    n_b = sum(1 for a, _ in users if a == 1)
+    conv_b = sum(c for a, c in users if a == 1)
+    pooled = float(conv_a + conv_b) / (n_a + n_b)
+    denom = m.sqrt(pooled * (1.0 - pooled) * (1.0 / n_a + 1.0 / n_b))
+    z = None if denom == 0.0 else (float(conv_a) / n_a - float(conv_b) / n_b) / denom
+    return (
+        n_a,
+        conv_a,
+        conv_a * 10000 // n_a,
+        n_b,
+        conv_b,
+        conv_b * 10000 // n_b,
+        z,
+    )
+
+
+@given(
+    rest=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 1)), min_size=0, max_size=30
+    ),
+    seed_a=st.integers(0, 1),
+    seed_b=st.integers(0, 1),
+)
+@settings(**_SETTINGS)
+def test_two_proportion_readout_matches_python_reference(spark, rest, seed_a, seed_b):
+    """Counts/rates must be exact integers; z must match the reference
+    float chain to within one 4-dp rounding step (engine decimal-literal
+    promotion can differ from pure-float at ~1e-15); degenerate pooled
+    rates (all-convert / none-convert) must NULL out z and the verdict."""
+    from data_ingestor_spark.plans.events import two_proportion_readout
+
+    users = [(0, seed_a), (1, seed_b)] + rest
+    df = spark.createDataFrame(
+        [("A" if a == 0 else "B", c) for a, c in users], schema="arm string, conv long"
+    )
+    row = two_proportion_readout(df).collect()[0]
+    n_a, conv_a, rate_a, n_b, conv_b, rate_b, z = _ref_two_prop(users)
+    assert (row["n_a"], row["conv_a"], row["rate_a_bp"]) == (n_a, conv_a, rate_a)
+    assert (row["n_b"], row["conv_b"], row["rate_b_bp"]) == (n_b, conv_b, rate_b)
+    if z is None:
+        assert row["z_round"] is None and row["significant"] is None
+    else:
+        assert row["z_round"] is not None
+        assert abs(row["z_round"] - z) <= 1e-4 + 1e-9
+        if abs(abs(z) - 1.96) > 1e-6:
+            assert row["significant"] == (abs(z) > 1.96)

@@ -906,23 +906,37 @@ def q_event_forecast_backtest(spark, sf_dir):
     and the scoring plan is unchanged. Scale shape: corpus-scale work
     is the (type, day) partial count; everything after runs on #days
     rows per type."""
-    from pyspark.sql import Window as W
-
     daily = (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = W.partitionBy("event_type").orderBy("d")
+    return seasonal_naive_score(daily, "event_type", "d", "n", 7)
+
+
+def seasonal_naive_score(daily, part_col: str, d_col: str, n_col: str, lag_rows: int):
+    """Seasonal-naive forecast + integer backtest over a ``(partition,
+    day, count)`` rollup: predict each row with the value ``lag_rows``
+    ROWS earlier in day order (on a dense daily rollup row-lag ≡
+    calendar lag; the property test pins the ROW semantics both
+    engines' LAG share), drop the warm-up rows, and score per
+    partition with exact integer MAE×100 (truncating div by scored
+    days), WAPE basis points (div by Σ actual), and worst |err|. The
+    reusable core of :func:`q_event_forecast_backtest` (see its
+    docstring for the scale-shape discussion) and the subject of the
+    scoring property test in ``tests/test_operator_properties.py``."""
+    w = W.partitionBy(part_col).orderBy(d_col)
     scored = (
-        daily.withColumn("pred", F.lag("n", 7).over(w))
+        daily.withColumn("pred", F.lag(n_col, lag_rows).over(w))
         .filter(F.col("pred").isNotNull())
-        .withColumn("abs_err", F.abs(F.col("n") - F.col("pred")))
+        .withColumn("abs_err", F.abs(F.col(n_col) - F.col("pred")))
     )
-    return scored.groupBy("event_type").agg(
+    return scored.groupBy(part_col).agg(
         F.count(F.lit(1)).alias("n_days_scored"),
         F.expr("sum(abs_err) * 100 div count(*)").cast("bigint").alias("mae_x100"),
-        F.expr("sum(abs_err) * 10000 div sum(n)").cast("bigint").alias("wape_bp"),
+        F.expr(f"sum(abs_err) * 10000 div sum({n_col})")
+        .cast("bigint")
+        .alias("wape_bp"),
         F.max("abs_err").alias("worst_abs_err"),
     )
 

@@ -1003,24 +1003,50 @@ def q_table_diff(spark, sf_dir):
         .alias("new_price"),
         F.col("o_orderpriority").alias("new_prio"),
     )
-    joined = v_old.join(v_new, v_old.old_key == v_new.new_key, "full")
-    classified = joined.select(
-        F.coalesce("new_key", "old_key").alias("o_orderkey"),
-        F.coalesce("new_prio", "old_prio").alias("o_orderpriority"),
-        F.when(F.col("old_key").isNull(), "added")
-        .when(F.col("new_key").isNull(), "removed")
-        .when(
-            ~F.col("new_price").eqNullSafe(F.col("old_price"))
-            | ~F.col("new_status").eqNullSafe(F.col("old_status")),
-            "changed",
-        )
-        .otherwise("unchanged")
-        .alias("change_type"),
+    classified = diff_classify(
+        v_old,
+        v_new,
+        key_cols=("old_key", "new_key"),
+        compare_cols=(("old_price", "new_price"), ("old_status", "new_status")),
+        carry_cols=(("old_prio", "new_prio"),),
+        out_cols=("o_orderkey", "o_orderpriority"),
     )
     return classified.groupBy("change_type", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
+    )
+
+
+def diff_classify(v_old, v_new, key_cols, compare_cols, carry_cols, out_cols):
+    """Snapshot-diff row classification: one full outer join of two
+    keyed versions, each row labeled added (key only in new) / removed
+    (key only in old) / changed (any compare pair differs under
+    NULL-SAFE comparison — a NULL→value or value→NULL transition IS a
+    change, NULL→NULL is not) / unchanged. ``key_cols`` is the (old,
+    new) key column pair, ``compare_cols`` a tuple of (old, new) value
+    pairs, ``carry_cols`` (old, new) passthrough pairs, ``out_cols``
+    the output names for key + carries. The reusable core of
+    :func:`q_table_diff` (see its docstring for the scale-shape
+    discussion) and the subject of the null-safe classification
+    property test in ``tests/test_operator_properties.py``."""
+    ok, nk = key_cols
+    joined = v_old.join(v_new, v_old[ok] == v_new[nk], "full")
+    changed = None
+    for oc, nc in compare_cols:
+        cond = ~F.col(nc).eqNullSafe(F.col(oc))
+        changed = cond if changed is None else (changed | cond)
+    return joined.select(
+        F.coalesce(nk, ok).alias(out_cols[0]),
+        *[
+            F.coalesce(nc, oc).alias(out)
+            for (oc, nc), out in zip(carry_cols, out_cols[1:])
+        ],
+        F.when(F.col(ok).isNull(), "added")
+        .when(F.col(nk).isNull(), "removed")
+        .when(changed, "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
     )
 
 
@@ -1041,15 +1067,26 @@ def q_scd2_intervals(spark, sf_dir):
     event; the last interval stays open (sentinel end + is_current).
     One user-keyed window — the standard dimension-history derivation
     from a change stream."""
-    from pyspark.sql import Window as W
-
     e = load_table(spark, sf_dir, "events")
-    nxt = F.lead("ts").over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+    return scd2_history(e, "user_id", "event_type", "ts", "event_id", "2100-01-01")
+
+
+def scd2_history(e, key_col: str, state_col: str, ts_col: str, tiebreak_col: str,
+                 sentinel: str):
+    """Type-2 dimension history from a change stream: each row opens a
+    validity interval [ts, next_ts) closed by the key's next change in
+    (ts, tiebreak) order — the tie-break makes same-timestamp changes
+    deterministic — with the last interval left open (sentinel
+    ``valid_to`` + ``is_current``). One key-partitioned LEAD window.
+    The reusable core of :func:`q_scd2_intervals` and the subject of
+    the interval-chaining property test in
+    ``tests/test_operator_properties.py``."""
+    nxt = F.lead(ts_col).over(W.partitionBy(key_col).orderBy(ts_col, tiebreak_col))
     return e.select(
-        "user_id",
-        F.col("event_type").alias("state"),
-        F.col("ts").alias("valid_from"),
-        F.coalesce(nxt, F.lit("2100-01-01").cast("timestamp")).alias("valid_to"),
+        key_col,
+        F.col(state_col).alias("state"),
+        F.col(ts_col).alias("valid_from"),
+        F.coalesce(nxt, F.lit(sentinel).cast("timestamp")).alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
 

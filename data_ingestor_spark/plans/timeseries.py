@@ -308,14 +308,27 @@ def q_gap_fill(spark, sf_dir):
     daily = e.groupBy("event_type", F.date_trunc("DAY", "ts").alias("d")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    return densify_daily(daily, "event_type", "d", "n")
+
+
+def densify_daily(daily, part_col: str, d_col: str, n_col: str):
+    """Date-spine densification over a ``(partition, day, count)``
+    rollup: every (partition, day) cell in [global min day, global max
+    day] × distinct-partitions appears, absent cells as explicit zeros.
+    The spine is sequence()-generated from a 1-row bound aggregate
+    (data-derived — no hardcoded calendar; never a table scan) and both
+    grid sides broadcast, so the left join is calendar-sized regardless
+    of fact volume. The reusable core of :func:`q_gap_fill` and the
+    subject of the coverage/zero-fill property test in
+    ``tests/test_operator_properties.py``."""
+    bounds = daily.agg(F.min(d_col).alias("lo"), F.max(d_col).alias("hi"))
     spine = bounds.select(
-        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias(d_col)
     )
-    types = daily.select("event_type").distinct()
+    types = daily.select(part_col).distinct()
     grid = F.broadcast(spine).crossJoin(F.broadcast(types))
-    return grid.join(daily, ["event_type", "d"], "left").select(
-        "event_type", "d", F.coalesce("n", F.lit(0)).alias("n")
+    return grid.join(daily, [part_col, d_col], "left").select(
+        part_col, d_col, F.coalesce(n_col, F.lit(0)).alias(n_col)
     )
 
 

@@ -1639,3 +1639,231 @@ def test_two_proportion_readout_matches_python_reference(spark, rest, seed_a, se
         assert abs(row["z_round"] - z) <= 1e-4 + 1e-9
         if abs(abs(z) - 1.96) > 1e-6:
             assert row["significant"] == (abs(z) > 1.96)
+
+
+# -------------------------------------------------- date-spine densification
+
+
+def _ref_densify(rows):
+    """rows is [(part, day, n)] with unique (part, day); expected grid =
+    [global min day, global max day] x distinct parts, zeros filled."""
+    have = {(p, d): n for p, d, n in rows}
+    days = [d for _, d, _ in rows]
+    parts = {p for p, _, _ in rows}
+    return {
+        (p, d): have.get((p, d), 0)
+        for p in parts
+        for d in range(min(days), max(days) + 1)
+    }
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10), st.integers(1, 50)),
+        min_size=1,
+        max_size=25,
+    ).map(lambda xs: list({(p, d): n for p, d, n in xs}.items()))
+    .map(lambda xs: [(p, d, n) for (p, d), n in xs]),
+)
+@settings(**_SETTINGS)
+def test_densify_daily_matches_python_reference(spark, rows):
+    """The spine must span the GLOBAL min..max (a partition whose own
+    rows start late still gets early zero rows); every absent cell must
+    materialize as an explicit 0, never as a missing row."""
+    import datetime
+
+    from data_ingestor_spark.plans.timeseries import densify_daily
+
+    epoch = datetime.datetime(1970, 1, 1)
+    df = spark.createDataFrame(
+        [(p, epoch + datetime.timedelta(days=d), n) for p, d, n in rows],
+        schema="part long, d timestamp, n long",
+    )
+    got = {
+        (r["part"], (r["d"] - epoch).days): r["n"]
+        for r in densify_daily(df, "part", "d", "n").collect()
+    }
+    assert got == _ref_densify(rows)
+
+
+# ---------------------------------------------- seasonal-naive backtest score
+
+
+def _ref_seasonal_naive(rows, lag):
+    """rows is [(part, day, n)] unique (part, day); ROW-lag over day
+    order per partition, integer MAE x100 / WAPE bp / worst |err|."""
+    out = {}
+    for p in {p for p, _, _ in rows}:
+        series = sorted((d, n) for pp, d, n in rows if pp == p)
+        scored = [
+            (abs(series[i][1] - series[i - lag][1]), series[i][1])
+            for i in range(lag, len(series))
+        ]
+        if not scored:
+            continue
+        errs = [e for e, _ in scored]
+        out[p] = (
+            len(scored),
+            sum(errs) * 100 // len(scored),
+            sum(errs) * 10000 // sum(n for _, n in scored),
+            max(errs),
+        )
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 12), st.integers(1, 50)),
+        min_size=1,
+        max_size=30,
+    ).map(lambda xs: list({(p, d): n for p, d, n in xs}.items()))
+    .map(lambda xs: [(p, d, n) for (p, d), n in xs]),
+)
+@settings(**_SETTINGS)
+def test_seasonal_naive_score_matches_python_reference(spark, rows):
+    """Row-lag semantics (LAG k over day order, NOT calendar-day-minus-k)
+    must hold on sparse days; partitions with <= lag rows must vanish
+    from the scorecard, not score against NULL predictions."""
+    import datetime
+
+    from data_ingestor_spark.plans.events import seasonal_naive_score
+
+    epoch = datetime.datetime(1970, 1, 1)
+    df = spark.createDataFrame(
+        [(p, epoch + datetime.timedelta(days=d), n) for p, d, n in rows],
+        schema="part long, d timestamp, n long",
+    )
+    got = {
+        r["part"]: (
+            r["n_days_scored"],
+            r["mae_x100"],
+            r["wape_bp"],
+            r["worst_abs_err"],
+        )
+        for r in seasonal_naive_score(df, "part", "d", "n", 2).collect()
+    }
+    assert got == _ref_seasonal_naive(rows, 2)
+
+
+# ------------------------------------------------- snapshot-diff classification
+
+
+def _ref_diff_classify(old, new):
+    """old/new are {key: (value_or_None, carry)}; null-safe compare."""
+    out = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            out[k] = ("added", new[k][1])
+        elif k not in new:
+            out[k] = ("removed", old[k][1])
+        else:
+            carry = new[k][1] if new[k][1] is not None else old[k][1]
+            out[k] = (
+                "unchanged" if old[k][0] == new[k][0] else "changed",
+                carry,
+            )
+    return out
+
+
+@given(
+    old=st.dictionaries(
+        st.integers(0, 9),
+        st.tuples(st.one_of(st.none(), st.integers(0, 3)), st.integers(0, 5)),
+        max_size=10,
+    ),
+    new=st.dictionaries(
+        st.integers(0, 9),
+        st.tuples(st.one_of(st.none(), st.integers(0, 3)), st.integers(0, 5)),
+        max_size=10,
+    ),
+)
+@settings(**_SETTINGS)
+def test_diff_classify_matches_python_reference(spark, old, new):
+    """NULL-safe semantics: NULL->value and value->NULL are 'changed',
+    NULL->NULL is 'unchanged' (a plain <> would misclassify all
+    three); the carry column coalesces new over old."""
+    from data_ingestor_spark.plans.relational import diff_classify
+
+    v_old = spark.createDataFrame(
+        [(k, v, c) for k, (v, c) in old.items()] or [],
+        schema="old_key long, old_val long, old_carry long",
+    )
+    v_new = spark.createDataFrame(
+        [(k, v, c) for k, (v, c) in new.items()] or [],
+        schema="new_key long, new_val long, new_carry long",
+    )
+    got = {
+        r["k"]: (r["change_type"], r["carry"])
+        for r in diff_classify(
+            v_old,
+            v_new,
+            key_cols=("old_key", "new_key"),
+            compare_cols=(("old_val", "new_val"),),
+            carry_cols=(("old_carry", "new_carry"),),
+            out_cols=("k", "carry"),
+        ).collect()
+    }
+    assert got == _ref_diff_classify(old, new)
+
+
+# ----------------------------------------------------- SCD2 interval chaining
+
+
+def _ref_scd2(rows, sentinel):
+    """rows is [(user, event_id, ts, state)] with unique (user,
+    event_id); per user, (ts, event_id)-ordered intervals, each row's
+    valid_to = next row's ts (the tie-break id resolves equal
+    timestamps into deterministic zero-length intervals); last row
+    open. Returns a multiset of output tuples."""
+    from collections import Counter
+
+    out = Counter()
+    for u in {u for u, _, _, _ in rows}:
+        mine = sorted((ts, eid, s) for uu, eid, ts, s in rows if uu == u)
+        for i, (ts, _eid, s) in enumerate(mine):
+            nxt = mine[i + 1][0] if i + 1 < len(mine) else None
+            out[(u, s, ts, nxt if nxt is not None else sentinel, nxt is None)] += 1
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20), st.integers(0, 8)),
+        min_size=1,
+        max_size=25,
+    ).map(lambda xs: list({(u, e): t for u, e, t in xs}.items()))
+    .map(lambda xs: [(u, e, t) for (u, e), t in xs]),
+)
+@settings(**_SETTINGS)
+def test_scd2_history_matches_python_reference(spark, rows):
+    """Same-timestamp changes must chain deterministically by the
+    tie-break id (producing zero-length intervals, not ambiguity); only
+    each user's LAST interval may be open/sentinel-closed."""
+    import datetime
+    from collections import Counter
+
+    from data_ingestor_spark.plans.relational import scd2_history
+
+    epoch = datetime.datetime(1970, 1, 1)
+    sentinel = datetime.datetime(2100, 1, 1)
+    quads = [(u, e, t, f"s{(u + t) % 3}") for u, e, t in rows]
+    df = spark.createDataFrame(
+        [(u, e, epoch + datetime.timedelta(minutes=t), s) for u, e, t, s in quads],
+        schema="user_id long, event_id long, ts timestamp, event_type string",
+    )
+    got = Counter(
+        (r["user_id"], r["state"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_history(
+            df, "user_id", "event_type", "ts", "event_id", "2100-01-01"
+        ).collect()
+    )
+    ref = Counter(
+        (u, s, epoch + datetime.timedelta(minutes=t_from),
+         sentinel if t_to is None else epoch + datetime.timedelta(minutes=t_to),
+         cur)
+        for (u, s, t_from, t_to, cur), cnt in _ref_scd2(
+            [(u, e, t, s) for u, e, t, s in quads], None
+        ).items()
+        for _ in range(cnt)
+    )
+    assert got == ref

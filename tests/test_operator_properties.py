@@ -1867,3 +1867,68 @@ def test_scd2_history_matches_python_reference(spark, rows):
         for _ in range(cnt)
     )
     assert got == ref
+
+
+# ------------------------------------------------- md5 minhash / simhash maps
+
+_TOKEN = st.text(
+    alphabet="abcXYZ019", min_size=0, max_size=5
+)  # empty tokens + mixed case on purpose
+
+
+def _mh_py(i, toks):
+    import hashlib
+
+    return min(
+        int(hashlib.md5(f"{i}:{t}".encode()).hexdigest()[:8], 16) for t in toks
+    )
+
+
+@given(tokens=st.lists(_TOKEN, min_size=1, max_size=8), double_space=st.booleans())
+@settings(**_SETTINGS)
+def test_minhash_signature_matches_hashlib_reference(spark, tokens, double_space):
+    """The Spark token set must be EXACTLY python's text.lower().split(' ')
+    set — consecutive/trailing separators produce EMPTY tokens that
+    participate in the min-hash (both engines keep them), and case
+    folds before hashing."""
+    from data_ingestor_spark.ext.dedup import MINHASH_K, minhash_signature
+
+    sep = "  " if double_space else " "
+    text = sep.join(tokens)
+    toks = set(text.lower().split(" "))
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    row = minhash_signature(df).collect()[0]
+    for i in range(MINHASH_K):
+        assert row[f"m{i}"] == _mh_py(i, toks), f"hash fn {i} mismatch"
+
+
+@given(tokens=st.lists(_TOKEN, min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_simhash_expression_matches_python_reference(spark, tokens):
+    """Per-bit majority vote: bit j set iff sum over the DISTINCT token
+    set of +/-1 votes is >= 0 (zero-vote ties set the bit); duplicate
+    tokens must vote once."""
+    import hashlib
+
+    from data_ingestor_spark.ext.dedup import (
+        _SIMHASH_BITS,
+        _SIMHASH_HASHES,
+        _SIMHASH_SPARK,
+    )
+
+    text = " ".join(tokens)
+    toks = set(text.lower().split(" "))
+    hs = [int(hashlib.md5(f"0:{t}".encode()).hexdigest()[:8], 16) for t in toks]
+    expected = sum(
+        (1 << j)
+        for j in range(_SIMHASH_BITS)
+        if sum(1 if (h >> j) % 2 == 1 else -1 for h in hs) >= 0
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    got = (
+        df.select(F.expr("array_distinct(split(lower(text), ' '))").alias("toks"))
+        .select(F.expr(_SIMHASH_HASHES).alias("hs"))
+        .select(F.expr(_SIMHASH_SPARK).alias("simhash"))
+        .collect()[0]["simhash"]
+    )
+    assert got == expected

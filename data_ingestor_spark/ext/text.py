@@ -883,14 +883,30 @@ def q_split_assign(spark, sf_dir):
     narrow map, no shuffle; downstream writers partition by the split
     column so each set lands in its own directory tree."""
     d = load_table(spark, sf_dir, "documents")
+    return hash_split(d, "doc_id", ("doc_id", "source"))
+
+
+def hash_split(d, key_col: str, keep_cols, train_pct: int = 80, val_pct: int = 10):
+    """Deterministic train/val/test assignment: bucket = first 8 hex
+    digits of md5(cast(key as string)) mod 100 — content-addressed, so
+    a row's split survives corpus growth, re-shards, and engine swaps
+    (unlike randomSplit); thresholds are [0, train_pct) → train,
+    [train_pct, train_pct+val_pct) → val, rest → test. The reusable
+    core of :func:`q_split_assign` and the subject of the hashlib
+    bucket property test in ``tests/test_operator_properties.py``."""
     bucket = (
-        F.expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)").cast("bigint") % 100
+        F.expr(f"conv(substring(md5(cast({key_col} as string)), 1, 8), 16, 10)").cast(
+            "bigint"
+        )
+        % 100
     )
     return d.select(
-        "doc_id",
-        "source",
+        *keep_cols,
         bucket.alias("bucket"),
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
     )
 
 

@@ -1932,3 +1932,40 @@ def test_simhash_expression_matches_python_reference(spark, tokens):
         .collect()[0]["simhash"]
     )
     assert got == expected
+
+
+# ------------------------------------------------- deterministic hash split
+
+
+def _ref_hash_split(keys, train_pct, val_pct):
+    import hashlib
+
+    out = {}
+    for k in keys:
+        b = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % 100
+        out[k] = (
+            b,
+            "train" if b < train_pct else ("val" if b < train_pct + val_pct else "test"),
+        )
+    return out
+
+
+@given(
+    keys=st.lists(st.integers(0, 10**9), min_size=1, max_size=30, unique=True),
+    pcts=st.sampled_from([(80, 10), (50, 25), (0, 0), (100, 0)]),
+)
+@settings(**_SETTINGS)
+def test_hash_split_matches_hashlib_reference(spark, keys, pcts):
+    """The bucket must equal hashlib's first-8-hex-digits md5 of the
+    DECIMAL string key mod 100 (content-addressed reproducibility —
+    the whole point vs randomSplit); degenerate thresholds (0/0 →
+    everything test, 100/0 → everything train) must hold."""
+    from data_ingestor_spark.ext.text import hash_split
+
+    train_pct, val_pct = pcts
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    got = {
+        r["doc_id"]: (r["bucket"], r["split"])
+        for r in hash_split(df, "doc_id", ("doc_id",), train_pct, val_pct).collect()
+    }
+    assert got == _ref_hash_split(keys, train_pct, val_pct)

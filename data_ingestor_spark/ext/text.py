@@ -426,11 +426,27 @@ def q_text_rolling_fingerprint(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 8).repartition(
         spark.sparkContext.defaultParallelism
     )
-    win_hash = "cast(conv(substring(md5(substring(text, i, 8)), 1, 8), 16, 10) as bigint)"
+    return winnow_fingerprint(d, "text", 8)
+
+
+def winnow_fingerprint(d, text_col: str, window: int):
+    """Winnowing fingerprint: md5-hash every ``window``-char substring
+    of ``text_col`` (1-based, character semantics), keep the MINIMUM
+    32-bit value — stable under edits outside the minimizing window.
+    Input rows must satisfy length ≥ window (the caller's filter);
+    shorter rows would get a NULL fingerprint from the empty sequence.
+    The reusable core of :func:`q_text_rolling_fingerprint` and the
+    subject of the window-enumeration property test in
+    ``tests/test_operator_properties.py``."""
+    win_hash = (
+        f"cast(conv(substring(md5(substring({text_col}, i, {window})), 1, 8),"
+        " 16, 10) as bigint)"
+    )
     return d.select(
         "doc_id",
         F.expr(
-            f"array_min(transform(sequence(1, length(text) - 7), i -> {win_hash}))"
+            f"array_min(transform(sequence(1, length({text_col}) - {window - 1}),"
+            f" i -> {win_hash}))"
         ).alias("winnow_fp"),
     )
 
@@ -465,7 +481,20 @@ def q_text_repetition(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    toks = "split(lower(text), ' ')"
+    return trigram_repetition(d, "text")
+
+
+def trigram_repetition(d, text_col: str):
+    """Repeated-word-trigram score: tokens = ``split(lower(text), ' ')``
+    (empty tokens included — both engines keep them), trigrams joined
+    with single spaces, ``rep_ratio_bp`` = (total − distinct)·10⁴ div
+    total in exact BIGINT basis points (never ROUND(double,k) — the
+    integer-ratio hazard class). Rows with fewer than 3 tokens are
+    filtered here (a 0-trigram row would divide by zero). The reusable
+    core of :func:`q_text_repetition` and the subject of the
+    trigram-count property test in
+    ``tests/test_operator_properties.py``."""
+    toks = f"split(lower({text_col}), ' ')"
     d = d.filter(F.expr(f"size({toks}) >= 3"))
     tg = (
         f"transform(sequence(1, size({toks}) - 2),"
@@ -475,8 +504,6 @@ def q_text_repetition(spark, sf_dir):
     return d.select(
         "doc_id",
         F.expr(f"size({tg})").alias("n_trigrams"),
-        # exact BIGINT basis points ((n−distinct)·10⁴ div n), not
-        # ROUND(double,4) — the integer-ratio hazard class
         F.expr(
             f"cast(size({tg}) - size(array_distinct({tg})) as bigint) * 10000"
             f" div size({tg})"

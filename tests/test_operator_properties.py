@@ -1969,3 +1969,63 @@ def test_hash_split_matches_hashlib_reference(spark, keys, pcts):
         for r in hash_split(df, "doc_id", ("doc_id",), train_pct, val_pct).collect()
     }
     assert got == _ref_hash_split(keys, train_pct, val_pct)
+
+
+# -------------------------------------------------- winnowing fingerprint
+
+
+@given(
+    text=st.text(alphabet="ab X9", min_size=2, max_size=20),
+    window=st.integers(2, 8),
+)
+@settings(**_SETTINGS)
+def test_winnow_fingerprint_matches_hashlib_reference(spark, text, window):
+    """Every window position 0..len-w must be enumerated (an off-by-one
+    drops exactly the first or last window — the classic bug this
+    pins); the fingerprint is the MIN of the 32-bit md5 prefixes."""
+    import hashlib
+
+    from hypothesis import assume
+
+    from data_ingestor_spark.ext.text import winnow_fingerprint
+
+    assume(len(text) >= window)
+    expected = min(
+        int(hashlib.md5(text[i : i + window].encode()).hexdigest()[:8], 16)
+        for i in range(len(text) - window + 1)
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    got = winnow_fingerprint(df, "text", window).collect()[0]["winnow_fp"]
+    assert got == expected
+
+
+# -------------------------------------------------- trigram repetition score
+
+
+def _ref_trigram_repetition(text):
+    toks = text.lower().split(" ")
+    if len(toks) < 3:
+        return None
+    tg = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+    n = len(tg)
+    return (n, (n - len(set(tg))) * 10000 // n)
+
+
+@given(
+    tokens=st.lists(st.sampled_from(["a", "b", "Xy", ""]), min_size=0, max_size=12),
+)
+@settings(**_SETTINGS)
+def test_trigram_repetition_matches_python_reference(spark, tokens):
+    """Repeated trigrams (forced by a tiny 4-token alphabet) must score
+    (total - distinct) / total in truncated basis points; sub-3-token
+    rows must be filtered, not scored as zero."""
+    from data_ingestor_spark.ext.text import trigram_repetition
+
+    text = " ".join(tokens)
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    rows = trigram_repetition(df, "text").collect()
+    expected = _ref_trigram_repetition(text)
+    if expected is None:
+        assert rows == []
+    else:
+        assert (rows[0]["n_trigrams"], rows[0]["rep_ratio_bp"]) == expected

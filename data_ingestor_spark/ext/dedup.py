@@ -321,17 +321,41 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     before the gram build (CPU-heavy narrow map: ~L substrings + a
     distinct per row) so it spreads across cores instead of following
     the single-file scan's one partition."""
-    from data_ingestor_spark.operators.pairs import salted_block_pairs
-
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
+    return ngram_jaccard_pairs(d, out_col="jaccard3_bp")
+
+
+def ngram_jaccard_pairs(
+    d,
+    text_col: str = "text",
+    n: int = 3,
+    band_width: int = 100,
+    min_jaccard: float = 0.55,
+    out_col: str = "jaccard_bp",
+):
+    """Blocked character-``n``-gram Jaccard pairs — the reusable core
+    of :func:`q_dedup_ngram_jaccard` and the subject of the blocked
+    brute-force property test in ``tests/test_operator_properties.py``.
+
+    Blocks = (source, length div ``band_width``); within each block
+    every (doc_a < doc_b) pair is scored as |grams_a ∩ grams_b| /
+    |grams_a ∪ grams_b| and kept when the DOUBLE ratio ≥
+    ``min_jaccard``; the reported score is exact truncated BIGINT
+    basis points (``isect·10⁴ div union``), never a rounded double.
+    Input contract: every row's text has length ≥ ``n`` (shorter rows
+    hit Spark's descending ``sequence(1, len-n+1)`` corner and are the
+    caller's responsibility to filter)."""
+    from data_ingestor_spark.operators.pairs import salted_block_pairs
+
     grams = d.select(
         "doc_id",
         "source",
-        (F.length("text") / F.lit(100)).cast("long").alias("len_band"),
+        (F.length(text_col) / F.lit(band_width)).cast("long").alias("len_band"),
         F.expr(
-            "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))"
+            f"array_distinct(transform(sequence(1, length({text_col}) - {n - 1}),"
+            f" i -> substring({text_col}, i, {n})))"
         ).alias("g3"),
     )
     narrow = grams.select("doc_id", "source", "len_band")
@@ -352,8 +376,8 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         (isect.cast("bigint") * 10000).alias("_i4"),
         union.alias("_u"),
         jac.alias("_jac"),
-    ).filter(F.col("_jac") >= 0.55).select(
-        "doc_a", "doc_b", F.expr("_i4 div _u").alias("jaccard3_bp")
+    ).filter(F.col("_jac") >= min_jaccard).select(
+        "doc_a", "doc_b", F.expr("_i4 div _u").alias(out_col)
     )
 
 
@@ -1187,10 +1211,25 @@ def q_dedup_url(spark, sf_dir):
         .when(F.col("doc_id") % 3 == 2, F.lit("?utm_source=feed&utm_campaign=x"))
         .otherwise(F.lit("")),
     )
-    canon = F.regexp_replace(
+    return (
+        d.select("doc_id", canonicalize_url(noisy).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_variants"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+def canonicalize_url(url):
+    """Canonical URL key: lowercase, strip one ``http(s)://`` scheme,
+    strip one leading ``www.``, strip a trailing ``?utm_…`` query (the
+    LEFTMOST ``?utm_`` whose remainder reaches end-of-string without a
+    ``#`` — anchored-regex semantics), then ONE trailing slash. The
+    reusable core of :func:`q_dedup_url` and the subject of the
+    string-op property test in ``tests/test_operator_properties.py``
+    (Spark regexes vs a regex-free pure-Python reference)."""
+    return F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(
-                F.regexp_replace(F.lower(noisy), "^https?://", ""),
+                F.regexp_replace(F.lower(url), "^https?://", ""),
                 "^www\\.",
                 "",
             ),
@@ -1199,11 +1238,6 @@ def q_dedup_url(spark, sf_dir):
         ),
         "/$",
         "",
-    )
-    return (
-        d.select("doc_id", canon.alias("canonical_url"))
-        .groupBy("canonical_url")
-        .agg(F.count(F.lit(1)).alias("n_variants"), F.min("doc_id").alias("keep_id"))
     )
 
 

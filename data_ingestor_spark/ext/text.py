@@ -488,7 +488,7 @@ def trigram_repetition(d, text_col: str):
     """Repeated-word-trigram score: tokens = ``split(lower(text), ' ')``
     (empty tokens included — both engines keep them), trigrams joined
     with single spaces, ``rep_ratio_bp`` = (total − distinct)·10⁴ div
-    total in exact BIGINT basis points (never ROUND(double,k) — the
+    total in exact BIGINT basis points (never a rounded double — the
     integer-ratio hazard class). Rows with fewer than 3 tokens are
     filtered here (a 0-trigram row would divide by zero). The reusable
     core of :func:`q_text_repetition` and the subject of the

@@ -2029,3 +2029,152 @@ def test_trigram_repetition_matches_python_reference(spark, tokens):
         assert rows == []
     else:
         assert (rows[0]["n_trigrams"], rows[0]["rep_ratio_bp"]) == expected
+
+
+# -------------------------------------------------- URL canonicalization
+
+
+def _ref_canonicalize_url(url):
+    s = url.lower()
+    for scheme in ("https://", "http://"):
+        if s.startswith(scheme):
+            s = s[len(scheme):]
+            break
+    if s.startswith("www."):
+        s = s[4:]
+    # leftmost "?utm_" whose remainder reaches end-of-string without a
+    # '#' — the anchored-regex semantics of  \?utm_[^#]*$
+    for i in range(len(s)):
+        if s.startswith("?utm_", i) and "#" not in s[i:]:
+            s = s[:i]
+            break
+    if s.endswith("/"):
+        s = s[:-1]
+    return s
+
+
+@given(
+    scheme=st.sampled_from(["", "http://", "https://", "HTTPS://", "htp://", "ftp://"]),
+    www=st.sampled_from(["", "www.", "WWW.", "www", "www."]),
+    host=st.text(alphabet="ab9.-", min_size=0, max_size=8),
+    tail=st.sampled_from(
+        ["", "/", "//", "?utm_source=x", "?utm_", "?utma=1", "?utm_x#frag",
+         "#?utm_x", "/?utm_a&b/", "?UTM_S=1", "?x=1?utm_y", "?utm_a#b?utm_c"]
+    ),
+)
+@settings(**_SETTINGS)
+def test_canonicalize_url_matches_python_reference(spark, scheme, www, host, tail):
+    """Scheme/www/utm/slash stripping must match a regex-free Python
+    reference — including the traps: '#' blocking the utm strip, a
+    second '?utm_' later in the string, case-folding before the
+    anchored matches, and only ONE trailing slash removed."""
+    from data_ingestor_spark.ext.dedup import canonicalize_url
+
+    url = scheme + www + host + tail
+    df = spark.createDataFrame([(url,)], "url string")
+    got = df.select(canonicalize_url(F.col("url")).alias("c")).collect()[0]["c"]
+    assert got == _ref_canonicalize_url(url)
+
+
+# -------------------------------------------------- blocked n-gram Jaccard pairs
+
+
+def _ref_ngram_pairs(docs, n, band_width, thr):
+    keyed = []
+    for i, (src, text) in enumerate(docs):
+        g = {text[j:j + n] for j in range(len(text) - n + 1)}
+        keyed.append((src, int(len(text) / band_width), g))
+    out = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            if keyed[a][:2] != keyed[b][:2]:
+                continue
+            ga, gb = keyed[a][2], keyed[b][2]
+            isect, union = len(ga & gb), len(ga | gb)
+            if isect / union >= thr:
+                out[(a, b)] = isect * 10000 // union
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from(["s1", "s2"]),
+                  st.text(alphabet="ab", min_size=3, max_size=11)),
+        min_size=0,
+        max_size=7,
+    ),
+    n=st.integers(2, 3),
+)
+@settings(**_SETTINGS)
+def test_ngram_jaccard_pairs_matches_bruteforce(spark, docs, n):
+    """Every (source, length-band) co-blocked pair — and ONLY those —
+    must be scored; the double threshold and the truncated-bp report
+    must both use the true distinct-gram intersection/union (the tiny
+    'ab' alphabet forces heavy gram collisions)."""
+    from data_ingestor_spark.ext.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, src, text) for i, (src, text) in enumerate(docs)],
+        "doc_id bigint, source string, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_bp"]
+        for r in ngram_jaccard_pairs(df, n=n, band_width=4).collect()
+    }
+    assert got == _ref_ngram_pairs(docs, n, 4, 0.55)
+
+
+# -------------------------------------------------- exact cosine top-k
+
+
+def _f32(x):
+    import struct
+
+    return struct.unpack("f", struct.pack("f", x))[0]
+
+
+def _ref_cosine(a, b):
+    a = [_f32(x) for x in a]
+    b = [_f32(y) for y in b]
+    dot = na = nb = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+    for x in a:
+        na += x * x
+    for y in b:
+        nb += y * y
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+_VEC_ELEM = st.sampled_from([-2.0, -0.5, 0.0, 0.25, 1.0, 3.0, 0.1])
+
+
+@given(
+    vecs=st.lists(st.tuples(_VEC_ELEM, _VEC_ELEM, _VEC_ELEM, _VEC_ELEM),
+                  min_size=2, max_size=8),
+    k=st.integers(1, 5),
+)
+@settings(**_SETTINGS)
+def test_topk_cosine_matches_python_reference(spark, vecs, k):
+    """Bit-exact double cosine (left-to-right folds over the float32
+    inputs, query norm hoisted) ranked desc with vec_id tie-break —
+    the broadcast-side norm hoist must not change a single bit vs the
+    naive per-row formula."""
+    from hypothesis import assume
+
+    from data_ingestor_spark.ext.similarity import topk_cosine
+
+    assume(all(any(x != 0.0 for x in v) for v in vecs))
+    rows = [(i, "l", list(v)) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label string, embedding array<float>")
+    got = [
+        (r["vec_id"], r["cos_sim"])
+        for r in topk_cosine(df.filter(F.col("vec_id") != 0),
+                             df.filter(F.col("vec_id") == 0), k=k).collect()
+    ]
+    expected = sorted(
+        ((i, _ref_cosine(v, vecs[0])) for i, v in enumerate(vecs) if i != 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:k]
+    assert got == expected

@@ -900,15 +900,29 @@ def q_dedup_substring(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t")).filter(
-        F.size("t") >= SUBSTR_SPAN
+    return substring_dup_profile(docs, SUBSTR_SPAN)
+
+
+def substring_dup_profile(docs, span: int, text_col: str = "text"):
+    """Per-document cross-document window duplication profile — the
+    reusable core of :func:`q_dedup_substring` and the subject of the
+    window-multiset property test in
+    ``tests/test_operator_properties.py``. Tokens = space split of
+    ``text_col`` (empty tokens kept); docs with fewer than ``span``
+    tokens are excluded entirely; ``n_windows`` counts ALL (len−span+1)
+    overlapping windows (within-doc repeats each count) and
+    ``n_dup_windows`` those whose md5'd token window occurs in ≥ 2
+    DISTINCT documents (a window repeated only within one doc is NOT a
+    dup — that is the repetition score's job)."""
+    toks = docs.select("doc_id", F.split(F.col(text_col), " ").alias("t")).filter(
+        F.size("t") >= span
     )
     wins = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, size(t) - {SUBSTR_SPAN - 1}),"
-                f" i -> md5(array_join(slice(t, i, {SUBSTR_SPAN}), ' ')))"
+                f"transform(sequence(1, size(t) - {span - 1}),"
+                f" i -> md5(array_join(slice(t, i, {span}), ' ')))"
             )
         ).alias("h"),
     )

@@ -2178,3 +2178,85 @@ def test_topk_cosine_matches_python_reference(spark, vecs, k):
         key=lambda t: (-t[1], t[0]),
     )[:k]
     assert got == expected
+
+
+# -------------------------------------------------- cross-doc substring windows
+
+
+def _ref_substring_profile(texts, span):
+    wins = {}
+    for i, text in enumerate(texts):
+        t = text.split(" ")
+        if len(t) < span:
+            continue
+        wins[i] = [" ".join(t[j:j + span]) for j in range(len(t) - span + 1)]
+    owners = {}
+    for i, ws in wins.items():
+        for w in set(ws):
+            owners.setdefault(w, set()).add(i)
+    return {
+        i: (len(ws), sum(1 for w in ws if len(owners[w]) >= 2))
+        for i, ws in wins.items()
+    }
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["a", "b", ""]), min_size=0, max_size=9).map(" ".join),
+        min_size=0,
+        max_size=6,
+    ),
+    span=st.integers(2, 4),
+)
+@settings(**_SETTINGS)
+def test_substring_dup_profile_matches_python_reference(spark, texts, span):
+    """A window counts as duplicated only when ≥2 DISTINCT docs carry
+    it (the tiny alphabet forces both within-doc repeats, which must
+    NOT count, and cross-doc hits, which must); sub-span docs must be
+    excluded, not scored (0, 0)."""
+    from data_ingestor_spark.ext.dedup import substring_dup_profile
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+        for r in substring_dup_profile(df, span).collect()
+    }
+    assert got == _ref_substring_profile(texts, span)
+
+
+# -------------------------------------------------- hyperplane LSH bucket
+
+
+def _ref_lsh_bucket(vec):
+    import hashlib
+
+    b = 0
+    for p in range(4):
+        acc = 0.0
+        for j, v in enumerate(vec):
+            plane = (
+                int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[:8], 16)
+                / 2147483648.0 - 1.0
+            )
+            acc += _f32(v) * plane
+        if acc >= 0.0:
+            b += 1 << p
+    return b
+
+
+@given(
+    vec=st.lists(st.sampled_from([-2.0, -0.5, 0.0, 0.25, 1.0, 3.0, 0.1]),
+                 min_size=1, max_size=9),
+)
+@settings(**_SETTINGS)
+def test_lsh_bucket_matches_hashlib_reference(spark, vec):
+    """Each of the 4 md5-derived hyperplane dots (left-to-right double
+    fold over the float32 elements) must set its own bit on acc >= 0 —
+    including the sign edge at exactly 0.0, which the zero vector
+    forces for every plane."""
+    from data_ingestor_spark.ext.similarity import lsh_bucket
+
+    df = spark.createDataFrame([(list(vec),)], "embedding array<float>")
+    got = df.select(lsh_bucket("embedding").alias("b")).collect()[0]["b"]
+    assert got == _ref_lsh_bucket(vec)

@@ -1432,38 +1432,46 @@ def q_bpe_train(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=True)
     )
-    rep0 = vocab.select(
+    return bpe_merge_rounds(vocab, rounds=2)
+
+
+def bpe_symbolize(vocab):
+    """Weighted vocab (w, c) → sentinel-padded symbol string
+    (' a b c ', c) — BPE's working representation."""
+    return vocab.select(
         F.expr("concat(' ', trim(regexp_replace(w, '(.)', '$1 ')), ' ')").alias("rep"),
         "c",
     )
 
-    def pair_counts(repdf):
-        a = "split(trim(rep), ' ')"
-        return (
-            repdf.select(
-                F.expr(
-                    f"CASE WHEN size({a}) >= 2"
-                    f" THEN transform(sequence(1, size({a}) - 1),"
-                    f"   i -> concat(element_at({a}, i), ' ', element_at({a}, i + 1)))"
-                    f" ELSE array() END"
-                ).alias("ps"),
-                "c",
-            )
-            .select(F.explode("ps").alias("pair"), "c")
-            .groupBy("pair")
-            .agg(F.sum("c").alias("cnt"))
-        )
 
-    # best0 is read twice (merge application + final output row); it is
-    # one row, so pin it rather than re-running its pair-count round.
-    best0 = (
-        pair_counts(rep0)
-        .orderBy(F.desc("cnt"), F.asc("pair"))
-        .limit(1)
-        .localCheckpoint(eager=True)
+def _bpe_pair_counts(repdf):
+    """Weighted adjacent-symbol pair counts over the rep relation."""
+    a = "split(trim(rep), ' ')"
+    return (
+        repdf.select(
+            F.expr(
+                f"CASE WHEN size({a}) >= 2"
+                f" THEN transform(sequence(1, size({a}) - 1),"
+                f"   i -> concat(element_at({a}, i), ' ', element_at({a}, i + 1)))"
+                f" ELSE array() END"
+            ).alias("ps"),
+            "c",
+        )
+        .select(F.explode("ps").alias("pair"), "c")
+        .groupBy("pair")
+        .agg(F.sum("c").alias("cnt"))
     )
-    rep1 = rep0.crossJoin(
-        F.broadcast(best0.select(F.col("pair").alias("bp")))
+
+
+def bpe_apply_merge(repdf, bestdf):
+    """Apply one learned merge: replace ' a b ' with ' ab ' in every
+    rep (left-to-right non-overlapping — BPE's greedy order; shared
+    delimiter spaces mean ' a a a ' → ' aa a ', as in both engines).
+    ``bestdf`` is the 1-row argmax relation; if it is EMPTY (no pairs
+    left) the cross join empties the rep relation — the documented
+    fixpoint behavior the property test pins."""
+    return repdf.crossJoin(
+        F.broadcast(bestdf.select(F.col("pair").alias("bp")))
     ).select(
         F.expr(
             "replace(rep, concat(' ', bp, ' '),"
@@ -1471,18 +1479,35 @@ def q_bpe_train(spark, sf_dir):
         ).alias("rep"),
         "c",
     )
-    best1 = pair_counts(rep1).orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
-    return best0.select(
-        F.lit(1).cast("bigint").alias("merge_rank"),
-        "pair",
-        F.col("cnt").cast("bigint").alias("pair_count"),
-    ).unionAll(
-        best1.select(
-            F.lit(2).cast("bigint").alias("merge_rank"),
-            "pair",
-            F.col("cnt").cast("bigint").alias("pair_count"),
+
+
+def bpe_merge_rounds(vocab, rounds: int = 2):
+    """BPE training loop over a weighted vocab (w, c): ``rounds``
+    count-pairs → argmax(count DESC, pair ASC) → apply-merge
+    iterations, returning (merge_rank, pair, pair_count) — the merge
+    table. Each non-final best is one row read twice (merge
+    application + output), so it is pinned rather than re-running its
+    pair-count round. The reusable core of :func:`q_bpe_train` and the
+    subject of the BPE property test in
+    ``tests/test_operator_properties.py``."""
+    rep = bpe_symbolize(vocab)
+    outs = []
+    for r in range(1, rounds + 1):
+        best = _bpe_pair_counts(rep).orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
+        if r < rounds:
+            best = best.localCheckpoint(eager=True)
+            rep = bpe_apply_merge(rep, best)
+        outs.append(
+            best.select(
+                F.lit(r).cast("bigint").alias("merge_rank"),
+                "pair",
+                F.col("cnt").cast("bigint").alias("pair_count"),
+            )
         )
-    )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
 
 
 @query(
@@ -1576,62 +1601,32 @@ def q_bpe_apply(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=True)
     )
-    rep0 = vocab.select(
-        F.expr("concat(' ', trim(regexp_replace(w, '(.)', '$1 ')), ' ')").alias("rep"),
-        "c",
-    )
+    return bpe_token_counts(vocab, rounds=2).orderBy(
+        F.desc("n"), F.asc("token")
+    ).limit(30)
 
-    def pair_counts(repdf):
-        a = "split(trim(rep), ' ')"
-        return (
-            repdf.select(
-                F.expr(
-                    f"CASE WHEN size({a}) >= 2"
-                    f" THEN transform(sequence(1, size({a}) - 1),"
-                    f"   i -> concat(element_at({a}, i), ' ', element_at({a}, i + 1)))"
-                    f" ELSE array() END"
-                ).alias("ps"),
-                "c",
-            )
-            .select(F.explode("ps").alias("pair"), "c")
-            .groupBy("pair")
-            .agg(F.sum("c").alias("cnt"))
+
+def bpe_token_counts(vocab, rounds: int = 2):
+    """Re-tokenize a weighted vocab under ``rounds`` learned BPE merges
+    and return exact (token, n) corpus frequencies — the reusable core
+    of :func:`q_bpe_apply` (which adds the top-30 cut) and the subject
+    of the BPE-apply property test in
+    ``tests/test_operator_properties.py``. Every round's 1-row argmax
+    is pinned (read by both the merge application and the next round's
+    recount)."""
+    rep = bpe_symbolize(vocab)
+    for _ in range(rounds):
+        best = (
+            _bpe_pair_counts(rep)
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .localCheckpoint(eager=True)
         )
-
-    def apply_best(repdf, bestdf):
-        return repdf.crossJoin(
-            F.broadcast(bestdf.select(F.col("pair").alias("bp")))
-        ).select(
-            F.expr(
-                "replace(rep, concat(' ', bp, ' '),"
-                " concat(' ', replace(bp, ' ', ''), ' '))"
-            ).alias("rep"),
-            "c",
-        )
-
-    best0 = (
-        pair_counts(rep0)
-        .orderBy(F.desc("cnt"), F.asc("pair"))
-        .limit(1)
-        .localCheckpoint(eager=True)
-    )
-    rep1 = apply_best(rep0, best0)
-    best1 = (
-        pair_counts(rep1)
-        .orderBy(F.desc("cnt"), F.asc("pair"))
-        .limit(1)
-        .localCheckpoint(eager=True)
-    )
-    rep2 = apply_best(rep1, best1)
-    toks = rep2.select(
+        rep = bpe_apply_merge(rep, best)
+    toks = rep.select(
         F.explode(F.split(F.trim("rep"), " ")).alias("token"), "c"
     )
-    return (
-        toks.groupBy("token")
-        .agg(F.sum("c").cast("bigint").alias("n"))
-        .orderBy(F.desc("n"), F.asc("token"))
-        .limit(30)
-    )
+    return toks.groupBy("token").agg(F.sum("c").cast("bigint").alias("n"))
 
 
 @query(

@@ -2260,3 +2260,82 @@ def test_lsh_bucket_matches_hashlib_reference(spark, vec):
     df = spark.createDataFrame([(list(vec),)], "embedding array<float>")
     got = df.select(lsh_bucket("embedding").alias("b")).collect()[0]["b"]
     assert got == _ref_lsh_bucket(vec)
+
+
+# -------------------------------------------------- BPE merge rounds + apply
+
+
+def _ref_bpe(vocab, rounds):
+    """Pure-Python BPE on a weighted vocab: merges list + final token
+    counts. An empty pair table mid-loop empties the rep relation
+    (the engine's crossJoin-with-empty fixpoint), so token counts are
+    {} from then on."""
+    rep_list = [(" " + " ".join(w) + " ", c) for w, c in vocab.items()]
+    merges = []
+    for r in range(rounds):
+        counts = {}
+        for rep, c in rep_list:
+            syms = rep.strip().split(" ")
+            for i in range(len(syms) - 1):
+                p = syms[i] + " " + syms[i + 1]
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            rep_list = []
+            break
+        pair, cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r + 1, pair, cnt))
+        merged = pair.replace(" ", "")
+        rep_list = [
+            (rep.replace(" " + pair + " ", " " + merged + " "), c)
+            for rep, c in rep_list
+        ]
+    token_counts = {}
+    for rep, c in rep_list:
+        for t in rep.strip().split(" "):
+            token_counts[t] = token_counts.get(t, 0) + c
+    return merges, token_counts
+
+
+_VOCAB = st.dictionaries(
+    st.text(alphabet="abc", min_size=1, max_size=4),
+    st.integers(1, 5),
+    min_size=0,
+    max_size=6,
+)
+
+
+@given(vocab=_VOCAB, rounds=st.integers(1, 3))
+@settings(**_SETTINGS)
+def test_bpe_merge_rounds_matches_python_reference(spark, vocab, rounds):
+    """Each round's argmax must use (count DESC, pair ASC) over the
+    weighted pair table AFTER the previous merge was applied with
+    greedy left-to-right shared-delimiter semantics (' a a a ' merges
+    once, not twice); a pairless round must emit nothing and stay
+    empty."""
+    from data_ingestor_spark.ext.text import bpe_merge_rounds
+
+    df = spark.createDataFrame(list(vocab.items()), "w string, c bigint")
+    got = [
+        (r["merge_rank"], r["pair"], r["pair_count"])
+        for r in bpe_merge_rounds(df, rounds=rounds)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == _ref_bpe(vocab, rounds)[0]
+
+
+@given(vocab=_VOCAB, rounds=st.integers(1, 2))
+@settings(**_SETTINGS)
+def test_bpe_token_counts_match_python_reference(spark, vocab, rounds):
+    """Re-tokenizing under the learned merges must give exact weighted
+    token frequencies — merged symbols replace their parts, residual
+    singles keep their counts, and a pairless vocab tokenizes to
+    nothing once the argmax relation goes empty."""
+    from data_ingestor_spark.ext.text import bpe_token_counts
+
+    df = spark.createDataFrame(list(vocab.items()), "w string, c bigint")
+    got = {
+        r["token"]: r["n"]
+        for r in bpe_token_counts(df, rounds=rounds).collect()
+    }
+    assert got == _ref_bpe(vocab, rounds)[1]

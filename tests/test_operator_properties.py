@@ -2339,3 +2339,70 @@ def test_bpe_token_counts_match_python_reference(spark, vocab, rounds):
         for r in bpe_token_counts(df, rounds=rounds).collect()
     }
     assert got == _ref_bpe(vocab, rounds)[1]
+
+
+# -------------------------------------------------- audio window energy
+
+
+def _ref_audio_chunks(payload, win, hop):
+    data = list(payload)
+    out = []
+    for ci, start in enumerate(range(0, len(data), hop)):
+        w = data[start:start + win]
+        out.append((ci, len(w), sum((x - 128) ** 2 for x in w)))
+    return out
+
+
+@given(
+    payload=st.binary(min_size=0, max_size=23),
+    win=st.integers(2, 6),
+    hop=st.integers(1, 6),
+)
+@settings(**_SETTINGS)
+def test_audio_chunk_energy_matches_python_reference(spark, payload, win, hop):
+    """STFT-style framing: window starts at every hop until the END of
+    the signal (the final windows may be short — n_samples says how
+    short), energy is the exact integer sum of squared centered
+    samples; an empty payload emits NO windows."""
+    from data_ingestor_spark.ext.multimodal import audio_chunk_energy
+
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "doc_id bigint, payload binary")
+    got = sorted(
+        (r["chunk_idx"], r["n_samples"], r["energy"])
+        for r in audio_chunk_energy(df, win=win, hop=hop).collect()
+    )
+    assert got == _ref_audio_chunks(payload, win, hop)
+
+
+# -------------------------------------------------- dHash pixel bands
+
+
+def _ref_phash_bands(text):
+    px = [ord(text[math.floor(i * len(text) / 72.0)]) for i in range(72)]
+    bands = []
+    for b in range(4):
+        v = 0
+        for k in range(b * 16, b * 16 + 16):
+            r, c = k // 8, k % 8
+            if px[r * 9 + c] > px[r * 9 + c + 1]:
+                v += 1 << (k - b * 16)
+        bands.append(v)
+    return bands
+
+
+@given(text=st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                    min_size=1, max_size=90))
+@settings(**_SETTINGS)
+def test_phash_bands_match_python_reference(spark, text):
+    """The 9x8 nearest-neighbor pixel sample (floor(i·n/72) positions,
+    shared by payloads shorter AND longer than the grid) and the
+    per-band 16 horizontal-gradient bits must match an index-by-index
+    Python reference — off-by-one in the row-major px lookup flips
+    gradient bits at every row boundary."""
+    from data_ingestor_spark.ext.multimodal import phash_bands
+
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    rows = phash_bands(df, min_bytes=1).collect()
+    got = [rows[0][f"b{b}"] for b in range(4)]
+    assert got == _ref_phash_bands(text)

@@ -814,13 +814,32 @@ def q_kmeans_train(spark, sf_dir):
         (F.col("vec_id") / _KM_SEED_STRIDE).cast("int").alias("cid"),
         F.expr("transform(embedding, v -> cast(v as double))").alias("cent"),
     )
+    assign = kmeans_rounds(vecs, cents, iters=_KM_ITERS)
+    return assign.select(
+        "vec_id", F.col("cid").alias("cluster"), F.round("dist", 6).alias("dist")
+    )
+
+
+def kmeans_rounds(vecs, cents, iters: int = 3):
+    """Lloyd's algorithm unrolled into one DAG over (vec_id, emb_d)
+    vectors and seed (cid, cent) centroids, both array<double>: each
+    iteration broadcasts the centroid table, assigns every vector to
+    its nearest centroid by squared L2 (left-to-right double fold,
+    ties to the LOWEST cid via min-by-struct), and — except after the
+    last round — recomputes centroids as per-(cid, dim) means cast
+    through float32 (absorbing engine partial-sum association
+    differences). A cluster that loses all members DISAPPEARS from the
+    next round's centroid table. Returns (vec_id, cid, dist). The
+    reusable core of :func:`q_kmeans_train` and the subject of the
+    Lloyd-rounds property test in
+    ``tests/test_operator_properties.py``."""
     dist = F.aggregate(
         F.zip_with(F.col("emb_d"), F.col("cent"), lambda x, c: (x - c) * (x - c)),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
     assign = None
-    for i in range(_KM_ITERS):
+    for i in range(iters):
         scored = vecs.crossJoin(F.broadcast(cents)).select(
             "vec_id", "emb_d", F.col("cid"), dist.alias("dist")
         )
@@ -829,7 +848,7 @@ def q_kmeans_train(spark, sf_dir):
             .agg(F.min(F.struct("dist", "cid")).alias("best"))
             .select("vec_id", F.col("best.cid").alias("cid"), F.col("best.dist").alias("dist"))
         )
-        if i + 1 < _KM_ITERS:
+        if i + 1 < iters:
             means = (
                 vecs.join(assign.select("vec_id", "cid"), "vec_id")
                 .select("cid", F.posexplode("emb_d").alias("pos", "x"))
@@ -846,9 +865,7 @@ def q_kmeans_train(spark, sf_dir):
                     ).alias("cent"),
                 )
             )
-    return assign.select(
-        "vec_id", F.col("cid").alias("cluster"), F.round("dist", 6).alias("dist")
-    )
+    return assign
 
 
 @query(
@@ -1004,6 +1021,20 @@ def q_embed_pca_power(spark, sf_dir):
         )
         .localCheckpoint(eager=True)
     )
+    v = power_iteration_component(long, rounds=3)
+    return v.select(
+        F.col("pos").alias("dim_idx"), F.col("v").cast("bigint").alias("component")
+    )
+
+
+def power_iteration_component(long, rounds: int = 3, damp: int = 64):
+    """Exact-integer power iteration over a quantized (vec_id, pos, q)
+    long table: v0 = all-ones, each round s = (Av) div ``damp`` per
+    vector, u = A^T s per dimension, then renormalize to max-abs 1000
+    by BIGINT division (truncation toward zero in both engines).
+    Returns the (pos, v) component vector. The reusable core of
+    :func:`q_embed_pca_power` and the subject of the integer-matvec
+    property test in ``tests/test_operator_properties.py``."""
     v = long.select("pos").distinct().select(
         "pos", F.lit(1).cast("bigint").alias("v")
     )
@@ -1014,11 +1045,11 @@ def q_embed_pca_power(spark, sf_dir):
     # reference (and re-execute) the u subtree twice per iteration,
     # compounding to 2^iterations executions of the matvec chain
     wall = W.partitionBy(F.lit(1))
-    for _ in range(3):
+    for _ in range(rounds):
         s = (
             long.join(v, "pos")
             .groupBy("vec_id")
-            .agg(F.expr("sum(q * v) div 64").alias("s"))
+            .agg(F.expr(f"sum(q * v) div {damp}").alias("s"))
         )
         u = (
             long.join(s, "vec_id")
@@ -1030,9 +1061,7 @@ def q_embed_pca_power(spark, sf_dir):
             F.greatest(F.max(F.abs(F.col("u"))).over(wall), F.lit(1).cast("bigint")),
         )
         v = u.select("pos", F.expr("(u * 1000) div m").alias("v"))
-    return v.select(
-        F.col("pos").alias("dim_idx"), F.col("v").cast("bigint").alias("component")
-    )
+    return v
 
 
 @query(

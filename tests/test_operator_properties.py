@@ -2406,3 +2406,115 @@ def test_phash_bands_match_python_reference(spark, text):
     rows = phash_bands(df, min_bytes=1).collect()
     got = [rows[0][f"b{b}"] for b in range(4)]
     assert got == _ref_phash_bands(text)
+
+
+# -------------------------------------------------- integer power iteration
+
+
+def _tdiv(a, b):
+    """BIGINT division semantics (truncation toward zero), unlike
+    Python's floor //."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _ref_power_component(entries, rounds, damp):
+    poss = sorted({p for _, p, _ in entries})
+    v = {p: 1 for p in poss}
+    for _ in range(rounds):
+        s = {}
+        for i, p, q in entries:
+            s[i] = s.get(i, 0) + q * v[p]
+        s = {i: _tdiv(x, damp) for i, x in s.items()}
+        u = {}
+        for i, p, q in entries:
+            u[p] = u.get(p, 0) + q * s[i]
+        m = max(max((abs(x) for x in u.values()), default=1), 1)
+        v = {p: _tdiv(x * 1000, m) for p, x in u.items()}
+    return v
+
+
+@given(
+    mat=st.lists(
+        st.lists(st.integers(-500, 500), min_size=3, max_size=3),
+        min_size=1,
+        max_size=6,
+    ),
+    rounds=st.integers(1, 3),
+)
+@settings(**_SETTINGS)
+def test_power_iteration_matches_python_reference(spark, mat, rounds):
+    """Every round's integer matvecs (s = Av div damp, u = A^T s) and
+    the max-abs-1000 renormalization must be exact and TRUNCATING
+    toward zero (negative components expose a floor-division
+    reference drift of 1)."""
+    from data_ingestor_spark.ext.similarity import power_iteration_component
+
+    entries = [(i, p, q) for i, row in enumerate(mat) for p, q in enumerate(row)]
+    df = spark.createDataFrame(entries, "vec_id bigint, pos int, q bigint")
+    got = {
+        r["pos"]: r["v"]
+        for r in power_iteration_component(df, rounds=rounds, damp=4).collect()
+    }
+    assert got == _ref_power_component(entries, rounds, 4)
+
+
+# -------------------------------------------------- Lloyd k-means rounds
+
+
+def _ref_kmeans(vecs, cents, iters):
+    for it in range(iters):
+        assign = {}
+        for vid, x in vecs.items():
+            best = None
+            for cid in sorted(cents):
+                c = cents[cid]
+                d = 0.0
+                for xj, cj in zip(x, c):
+                    d += (xj - cj) * (xj - cj)
+                if best is None or (d, cid) < best:
+                    best = (d, cid)
+            assign[vid] = (best[1], best[0])
+        if it + 1 < iters:
+            members = {}
+            for vid, (cid, _) in assign.items():
+                members.setdefault(cid, []).append(vecs[vid])
+            cents = {
+                cid: [
+                    _f32(sum(x[j] for x in xs) / len(xs))
+                    for j in range(len(xs[0]))
+                ]
+                for cid, xs in members.items()
+            }
+    return assign
+
+
+_KM_ELEM = st.sampled_from([-2.0, -0.75, 0.0, 0.25, 1.0, 3.5])
+
+
+@given(
+    vecs=st.lists(st.tuples(_KM_ELEM, _KM_ELEM), min_size=1, max_size=8),
+    n_seeds=st.integers(1, 3),
+    iters=st.integers(1, 3),
+)
+@settings(**_SETTINGS)
+def test_kmeans_rounds_match_python_reference(spark, vecs, n_seeds, iters):
+    """Assignment must tie-break to the LOWEST cid on equal distances
+    (duplicate seed vectors force it), means must pass through float32
+    between rounds, and an emptied cluster must vanish from the next
+    round's centroid table (dyadic inputs keep every double sum
+    exact, so the reference is bit-for-bit)."""
+    from data_ingestor_spark.ext.similarity import kmeans_rounds
+
+    n_seeds = min(n_seeds, len(vecs))
+    vd = {i: list(v) for i, v in enumerate(vecs)}
+    cd = {c: list(vecs[c]) for c in range(n_seeds)}
+    vecs_df = spark.createDataFrame(
+        [(i, v) for i, v in vd.items()], "vec_id bigint, emb_d array<double>")
+    cents_df = spark.createDataFrame(
+        [(c, v) for c, v in cd.items()], "cid int, cent array<double>")
+    got = {
+        r["vec_id"]: (r["cid"], r["dist"])
+        for r in kmeans_rounds(vecs_df, cents_df, iters=iters).collect()
+    }
+    assert got == _ref_kmeans(vd, cd, iters)

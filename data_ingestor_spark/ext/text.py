@@ -93,11 +93,21 @@ def q_text_langid(spark, sf_dir):
     lists for n-gram profiles — the operator shape (token-set scoring,
     argmax) is identical and stays fully JVM-side."""
     d = load_table(spark, sf_dir, "documents")
+    return langid_pred(d)
+
+
+def langid_pred(d, text_col: str = "text"):
+    """Marker-stopword language ID: per-language hit COUNTS (every
+    occurrence, not distinct) over the space split, then a fixed
+    priority argmax (en ≥ de ≥ es ≥ fr on ties, 'unknown' when the
+    winner scores 0). The reusable core of :func:`q_text_langid` and
+    the subject of the argmax property test in
+    ``tests/test_operator_properties.py``."""
     scored = d.select(
         "doc_id",
         *[
             F.expr(
-                f"size(filter(split(text, ' '), x -> x IN ({_sql_list(ws)})))"
+                f"size(filter(split({text_col}, ' '), x -> x IN ({_sql_list(ws)})))"
             ).alias(f"score_{lang}")
             for lang, ws in LANG_MARKERS.items()
         ],
@@ -818,12 +828,25 @@ def q_text_gopher(spark, sf_dir):
     points (x·10⁴ div n_words), rules are exact integer/bool predicates
     on the unrounded values."""
     d = load_table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
+    return gopher_rules(d)
+
+
+def gopher_rules(d, text_col: str = "text"):
+    """Gopher rule scoring over ``text_col``: word count (space split,
+    empty tokens kept), mean word length = nonspace chars per word,
+    alpha-word ratio (words CONTAINING a lowercase letter), distinct
+    stopword presence — ratios reported in exact truncated basis
+    points while the rule booleans compare the raw double ratios
+    (3.0 ≤ mean ≤ 10.0, alpha > 0.8, wc in [50, 100000], ≥ 2 distinct
+    stopwords). The reusable core of :func:`q_text_gopher` and the
+    subject of the rule property test in
+    ``tests/test_operator_properties.py``."""
+    words = F.split(F.col(text_col), " ")
     n_words = F.size(words)
-    n_nonspace = F.length(F.regexp_replace(F.col("text"), " ", ""))
-    n_alpha = F.expr("size(filter(split(text, ' '), w -> w rlike '[a-z]'))")
+    n_nonspace = F.length(F.regexp_replace(F.col(text_col), " ", ""))
+    n_alpha = F.expr(f"size(filter(split({text_col}, ' '), w -> w rlike '[a-z]'))")
     n_stop = F.expr(
-        "size(array_distinct(filter(split(text, ' '),"
+        f"size(array_distinct(filter(split({text_col}, ' '),"
         f" w -> w IN {_GOPHER_STOPWORDS})))"
     )
     mean_len = n_nonspace.cast("double") / n_words
@@ -835,17 +858,17 @@ def q_text_gopher(spark, sf_dir):
     return d.select(
         "doc_id",
         n_words.alias("n_words"),
-        # exact BIGINT basis points (x·10⁴ div n_words, never
-        # ROUND(double,4) — the integer-ratio hazard class); the rule_*
+        # exact BIGINT basis points (x·10⁴ div n_words, never a rounded
+        # double — the integer-ratio hazard class); the rule_*
         # booleans below keep the raw double comparisons (identical
         # formula in both engines)
         F.expr(
-            "cast(length(regexp_replace(text, ' ', '')) as bigint) * 10000"
-            " div size(split(text, ' '))"
+            f"cast(length(regexp_replace({text_col}, ' ', '')) as bigint) * 10000"
+            f" div size(split({text_col}, ' '))"
         ).alias("mean_word_len_bp"),
         F.expr(
-            "cast(size(filter(split(text, ' '), w -> w rlike '[a-z]')) as bigint)"
-            " * 10000 div size(split(text, ' '))"
+            f"cast(size(filter(split({text_col}, ' '), w -> w rlike '[a-z]')) as bigint)"
+            f" * 10000 div size(split({text_col}, ' '))"
         ).alias("alpha_word_ratio_bp"),
         n_stop.cast("bigint").alias("n_stop_distinct"),
         rule_wc.alias("rule_word_count"),
@@ -1258,6 +1281,19 @@ def q_text_bigram_lm(spark, sf_dir):
     w1 re-agg) plus one broadcast scalar V."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.split(F.lower("text"), " ").alias("t"))
+    return bigram_lm_table(toks).orderBy(F.desc("c12"), "w1", "w2").limit(50)
+
+
+def bigram_lm_table(toks):
+    """Add-one-smoothed bigram LM over a (t: array<string>) token
+    relation: (w1, w2, c12, c1, prob_bp) with prob_bp =
+    (10⁴·(c12+1)) div (c1+V) in exact integer basis points, where c1
+    re-aggregates from the bigram counts (a doc's LAST token is a
+    vocab member but never a context) and V counts distinct tokens
+    over ALL rows including pairless single-token docs. The reusable
+    core of :func:`q_text_bigram_lm` (which adds the top-50 cut) and
+    the subject of the bigram property test in
+    ``tests/test_operator_properties.py``."""
     pairs = toks.filter(F.size("t") >= 2).select(
         F.explode(
             F.expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] as w1, t[i + 1] as w2))")
@@ -1283,8 +1319,6 @@ def q_text_bigram_lm(spark, sf_dir):
             "c1",
             F.expr("(10000 * (c12 + 1)) div (c1 + v)").alias("prob_bp"),
         )
-        .orderBy(F.desc("c12"), "w1", "w2")
-        .limit(50)
     )
 
 

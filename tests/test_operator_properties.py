@@ -2518,3 +2518,145 @@ def test_kmeans_rounds_match_python_reference(spark, vecs, n_seeds, iters):
         for r in kmeans_rounds(vecs_df, cents_df, iters=iters).collect()
     }
     assert got == _ref_kmeans(vd, cd, iters)
+
+
+# -------------------------------------------------- add-one bigram LM
+
+
+def _ref_bigram_lm(texts):
+    c12, vocab = {}, set()
+    for text in texts:
+        t = text.lower().split(" ")
+        vocab.update(t)
+        for i in range(len(t) - 1):
+            c12[(t[i], t[i + 1])] = c12.get((t[i], t[i + 1]), 0) + 1
+    c1 = {}
+    for (w1, _), c in c12.items():
+        c1[w1] = c1.get(w1, 0) + c
+    v = len(vocab)
+    return {
+        (w1, w2): (c, c1[w1], 10000 * (c + 1) // (c1[w1] + v))
+        for (w1, w2), c in c12.items()
+    }
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["a", "b", "cd", ""]), min_size=1, max_size=8)
+        .map(" ".join),
+        min_size=0,
+        max_size=5,
+    ),
+)
+@settings(**_SETTINGS)
+def test_bigram_lm_matches_python_reference(spark, texts):
+    """Context counts c1 must re-aggregate from the bigram table (a
+    doc's final token is vocab but never context), V must count
+    distinct tokens over ALL docs including pairless one-token docs,
+    and prob_bp must be the exact truncated add-one estimate."""
+    from data_ingestor_spark.ext.text import bigram_lm_table
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    toks = df.select(F.split(F.lower("text"), " ").alias("t"))
+    got = {
+        (r["w1"], r["w2"]): (r["c12"], r["c1"], r["prob_bp"])
+        for r in bigram_lm_table(toks).collect()
+    }
+    assert got == _ref_bigram_lm(texts)
+
+
+# -------------------------------------------------- langid priority argmax
+
+
+def _ref_langid(text):
+    from data_ingestor_spark.ext.text import LANG_MARKERS
+
+    toks = text.split(" ")
+    s = {lang: sum(1 for t in toks if t in ws) for lang, ws in LANG_MARKERS.items()}
+    if s["en"] >= s["de"] and s["en"] >= s["es"] and s["en"] >= s["fr"] and s["en"] > 0:
+        pred = "en"
+    elif s["de"] >= s["es"] and s["de"] >= s["fr"] and s["de"] > 0:
+        pred = "de"
+    elif s["es"] >= s["fr"] and s["es"] > 0:
+        pred = "es"
+    elif s["fr"] > 0:
+        pred = "fr"
+    else:
+        pred = "unknown"
+    return (s["en"], s["de"], s["es"], s["fr"], pred)
+
+
+@given(
+    tokens=st.lists(
+        st.sampled_from(["the", "and", "der", "und", "el", "es", "le", "est",
+                         "xq", "", "la", "y"]),
+        min_size=0,
+        max_size=10,
+    ),
+)
+@settings(**_SETTINGS)
+def test_langid_pred_matches_python_reference(spark, tokens):
+    """Scores count EVERY marker occurrence (not distinct), and the
+    argmax is the fixed en≥de≥es≥fr priority chain with 'unknown'
+    reserved for an all-zero winner — the marker pool forces exact
+    ties between languages."""
+    from data_ingestor_spark.ext.text import langid_pred
+
+    text = " ".join(tokens)
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    r = langid_pred(df).collect()[0]
+    got = (r["score_en"], r["score_de"], r["score_es"], r["score_fr"],
+           r["lang_pred"])
+    assert got == _ref_langid(text)
+
+
+# -------------------------------------------------- Gopher quality rules
+
+
+def _ref_gopher(text):
+    stop = ("the", "a", "of", "and", "to", "is", "in")
+    words = text.split(" ")
+    n_words = len(words)
+    n_nonspace = len(text.replace(" ", ""))
+    n_alpha = sum(1 for w in words if any("a" <= ch <= "z" for ch in w))
+    n_stop = len({w for w in words if w in stop})
+    mean_len = n_nonspace / n_words
+    alpha_ratio = n_alpha / n_words
+    rules = (
+        50 <= n_words <= 100000,
+        3.0 <= mean_len <= 10.0,
+        alpha_ratio > 0.8,
+        n_stop >= 2,
+    )
+    return (
+        n_words,
+        n_nonspace * 10000 // n_words,
+        n_alpha * 10000 // n_words,
+        n_stop,
+        *rules,
+        all(rules),
+    )
+
+
+@given(
+    tokens=st.lists(
+        st.sampled_from(["the", "and", "is", "word", "x9", "99", "", "..",
+                         "abcdefghij"]),
+        min_size=1,
+        max_size=60,
+    ),
+)
+@settings(**_SETTINGS)
+def test_gopher_rules_match_python_reference(spark, tokens):
+    """Exact-bp ratios plus the four rule booleans (raw double
+    comparisons at the 3.0/10.0/0.8 edges, which the fixed-length
+    token pool lands on exactly) and their conjunction."""
+    from data_ingestor_spark.ext.text import gopher_rules
+
+    text = " ".join(tokens)
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    r = gopher_rules(df).collect()[0]
+    got = (r["n_words"], r["mean_word_len_bp"], r["alpha_word_ratio_bp"],
+           r["n_stop_distinct"], r["rule_word_count"], r["rule_mean_word_len"],
+           r["rule_alpha"], r["rule_stopwords"], r["passes_gopher"])
+    assert got == _ref_gopher(text)

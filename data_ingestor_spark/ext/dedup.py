@@ -188,8 +188,21 @@ def q_dedup_minhash_pairs(spark, sf_dir):
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    sigs = minhash_signature(d).withColumn(
-        "toks", F.expr("array_distinct(split(lower(text), ' '))")
+    return minhash_lsh_pairs(d)
+
+
+def minhash_lsh_pairs(d, text_col: str = "text", threshold: float = NEARDUP_THRESHOLD):
+    """Signature → band keys → banded candidate join → exact Jaccard
+    verify → threshold, over (doc_id, ``text_col``) rows. Candidates
+    are every doc_a < doc_b pair sharing AT LEAST ONE whole-band key;
+    the verify stage keeps pairs whose true distinct-token Jaccard
+    (double ratio) ≥ ``threshold``, reported in exact truncated basis
+    points. The reusable core of :func:`q_dedup_minhash_pairs` (whose
+    docstring carries the scale analysis) and the subject of the
+    end-to-end LSH property test in
+    ``tests/test_operator_properties.py``."""
+    sigs = minhash_signature(d, text_col).withColumn(
+        "toks", F.expr(f"array_distinct(split(lower({text_col}), ' '))")
     )
     # Materialize the signature relation once: it feeds the two band-join
     # sides and the two token attachments, and each broadcast/build would
@@ -197,7 +210,7 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     # CPU). text is dead past this point — drop it so the checkpointed
     # state is actually the narrow per-doc relation (ids + 16 ints +
     # token set), not the corpus-dominant raw column.
-    sigs = sigs.drop("text").localCheckpoint(eager=True)
+    sigs = sigs.drop(text_col).localCheckpoint(eager=True)
     # Band join + dedup carry ONLY (doc_id, band_key): the candidate
     # shuffle moves narrow id pairs, never token arrays. Token sets are
     # attached afterwards by two joins against the (per-doc, linear-size)
@@ -237,7 +250,7 @@ def q_dedup_minhash_pairs(spark, sf_dir):
         (isect.cast("bigint") * 10000).alias("_i4"),
         union.alias("_u"),
         jac.alias("_jac"),
-    ).filter(F.col("_jac") >= NEARDUP_THRESHOLD).select(
+    ).filter(F.col("_jac") >= threshold).select(
         "doc_a", "doc_b", F.expr("_i4 div _u").alias("jaccard_bp")
     )
 

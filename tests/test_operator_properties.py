@@ -2660,3 +2660,60 @@ def test_gopher_rules_match_python_reference(spark, tokens):
            r["n_stop_distinct"], r["rule_word_count"], r["rule_mean_word_len"],
            r["rule_alpha"], r["rule_stopwords"], r["passes_gopher"])
     assert got == _ref_gopher(text)
+
+
+# -------------------------------------------------- MinHash-LSH pair pipeline
+
+
+def _ref_minhash_lsh_pairs(texts, threshold):
+    import hashlib
+
+    def h(k, tok):
+        return int(hashlib.md5(f"{k}:{tok}".encode()).hexdigest()[:8], 16)
+
+    toksets, bandsets = {}, {}
+    for i, text in enumerate(texts):
+        toks = set(text.lower().split(" "))
+        toksets[i] = toks
+        sig = [min(h(k, t) for t in toks) for k in range(16)]
+        bandsets[i] = {
+            hashlib.md5("_".join(str(x) for x in sig[b * 8:(b + 1) * 8]).encode())
+            .hexdigest()
+            for b in range(2)
+        }
+    out = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            if not bandsets[a] & bandsets[b]:
+                continue
+            i = len(toksets[a] & toksets[b])
+            u = len(toksets[a] | toksets[b])
+            if i / u >= threshold:
+                out[(a, b)] = i * 10000 // u
+    return out
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["a", "b", "cc", ""]), min_size=1, max_size=4)
+        .map(" ".join),
+        min_size=0,
+        max_size=6,
+    ),
+    threshold=st.sampled_from([0.3, 0.9]),
+)
+@settings(**_SETTINGS)
+def test_minhash_lsh_pairs_match_hashlib_reference(spark, texts, threshold):
+    """End-to-end LSH: only pairs agreeing on a WHOLE 8-component band
+    become candidates (the tiny token pool forces both identical-set
+    collisions and band-miss near-misses), and the verify stage must
+    score the true distinct-token Jaccard, not the estimate."""
+    from data_ingestor_spark.ext.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_bp"]
+        for r in minhash_lsh_pairs(df, threshold=threshold).collect()
+    }
+    assert got == _ref_minhash_lsh_pairs(texts, threshold)

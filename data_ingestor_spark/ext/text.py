@@ -1004,7 +1004,20 @@ def q_text_unigram_logprob(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    tok = d.select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+    return unigram_logprob(d)
+
+
+def unigram_logprob(d, text_col: str = "text"):
+    """Corpus-unigram −ln p scoring per document: vocab counts over the
+    lowercase space split, token-level lp4 = HALF_UP-rounded
+    (−ln(cnt/N)·10⁴) as an INTEGER (associativity-proof partial sums),
+    per-doc mean in exact micro-nats (sum·100 div count). The reusable
+    core of :func:`q_text_unigram_logprob` (whose docstring carries the
+    float-discipline history) and the subject of the logprob property
+    test in ``tests/test_operator_properties.py``."""
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token")
+    )
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("n"))
     scored = tok.join(F.broadcast(vocab), "token").crossJoin(F.broadcast(total)).select(
@@ -1123,14 +1136,27 @@ def q_text_classifier(spark, sf_dir):
     classifies every document in a single scan with zero data
     movement."""
     d = load_table(spark, sf_dir, "documents")
+    return classifier_scores(d)
+
+
+def classifier_scores(d, text_col: str = "text"):
+    """Hashing-trick linear classifier inference: each lowercase token
+    hashes (md5 32-bit prefix) to one of 256 feature buckets, each
+    bucket's integer weight in [−1000, 1000] derives from md5('w'+id),
+    the document score is the exact integer sum, reported with
+    score-per-token in truncated basis points (negative scores
+    truncate toward zero in both engines) and the keep gate
+    (score > 0). The reusable core of :func:`q_text_classifier` and
+    the subject of the hashing-trick property test in
+    ``tests/test_operator_properties.py``."""
     score = F.expr(
-        "aggregate(transform(split(lower(text), ' '), "
+        f"aggregate(transform(split(lower({text_col}), ' '), "
         "t -> (cast(conv(substring(md5(concat('w', cast(cast(conv(substring("
         "md5(t), 1, 8), 16, 10) as bigint) % 256 as string))), 1, 8), 16, 10) "
         "as bigint) % 2001) - 1000L), "
         "0L, (acc, x) -> acc + x)"
     )
-    n_tokens = F.size(F.split(F.lower("text"), " "))
+    n_tokens = F.size(F.split(F.lower(text_col), " "))
     return d.select(
         "doc_id",
         "source",

@@ -2717,3 +2717,80 @@ def test_minhash_lsh_pairs_match_hashlib_reference(spark, texts, threshold):
         for r in minhash_lsh_pairs(df, threshold=threshold).collect()
     }
     assert got == _ref_minhash_lsh_pairs(texts, threshold)
+
+
+# -------------------------------------------------- corpus unigram logprob
+
+
+def _ref_unigram_logprob(texts):
+    toks = [(i, t) for i, text in enumerate(texts)
+            for t in text.lower().split(" ")]
+    vocab = {}
+    for _, t in toks:
+        vocab[t] = vocab.get(t, 0) + 1
+    n = len(toks)
+    out = {}
+    for i, t in toks:
+        # HALF_UP on the nonnegative double, matching Spark round()
+        lp4 = math.floor(-math.log(vocab[t] / n) * 10000 + 0.5)
+        c, s = out.get(i, (0, 0))
+        out[i] = (c + 1, s + lp4)
+    return {i: (c, s * 100 // c) for i, (c, s) in out.items()}
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["a", "b", "cd", ""]), min_size=1, max_size=8)
+        .map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+)
+@settings(**_SETTINGS)
+def test_unigram_logprob_matches_python_reference(spark, texts):
+    """Token lp4 must round HALF_UP to integer BEFORE the per-doc sum
+    (the associativity defense), the vocab/total must span the whole
+    corpus, and the mean must be exact integer micro-nats."""
+    from data_ingestor_spark.ext.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_neg_logprob_unat"])
+        for r in unigram_logprob(df).collect()
+    }
+    assert got == _ref_unigram_logprob(texts)
+
+
+# -------------------------------------------------- hashing-trick classifier
+
+
+def _ref_classifier(text):
+    import hashlib
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    toks = text.lower().split(" ")
+    score = sum(h32("w" + str(h32(t) % 256)) % 2001 - 1000 for t in toks)
+    n = len(toks)
+    return (n, score, _tdiv(score * 10000, n), score > 0)
+
+
+@given(
+    tokens=st.lists(st.sampled_from(["a", "b", "Cd", "ee", ""]),
+                    min_size=0, max_size=10),
+)
+@settings(**_SETTINGS)
+def test_classifier_scores_match_hashlib_reference(spark, tokens):
+    """Bucket → weight → exact integer dot product; a negative score's
+    per-token bp must truncate TOWARD ZERO (floor-division references
+    drift by one), and keep must be strictly score > 0."""
+    from data_ingestor_spark.ext.text import classifier_scores
+
+    text = " ".join(tokens)
+    df = spark.createDataFrame([(1, "s", text)],
+                               "doc_id bigint, source string, text string")
+    r = classifier_scores(df).collect()[0]
+    got = (r["n_tokens"], r["score"], r["score_per_token_bp"], r["keep"])
+    assert got == _ref_classifier(text)

@@ -549,10 +549,19 @@ def q_text_scrub(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
+    return scrub_text(d)
+
+
+def scrub_text(d, pattern: str = _SCRUB_PATTERN, text_col: str = "text"):
+    """Redact every non-overlapping left-to-right match of ``pattern``
+    with [REDACTED] and count the matches; the scrubbed text travels
+    as its md5. The reusable core of :func:`q_text_scrub` and the
+    subject of the redaction property test in
+    ``tests/test_operator_properties.py``."""
     return d.select(
         "doc_id",
-        F.md5(F.regexp_replace("text", _SCRUB_PATTERN, "[REDACTED]")).alias("scrub_md5"),
-        F.expr(f"size(regexp_extract_all(text, '{_SCRUB_PATTERN}', 0))").alias("n_redactions"),
+        F.md5(F.regexp_replace(text_col, pattern, "[REDACTED]")).alias("scrub_md5"),
+        F.expr(f"size(regexp_extract_all({text_col}, '{pattern}', 0))").alias("n_redactions"),
     )
 
 
@@ -691,23 +700,45 @@ def q_text_contamination(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
+    return contamination_counts(d)
+
+
+def contamination_counts(
+    d, n: int = _CONTAM_N, bench_pct: int = _CONTAM_BENCH_PCT, text_col: str = "text"
+):
+    """Per-document count of DISTINCT word ``n``-grams shared with the
+    held-out benchmark slice (md5(doc_id) % 100 < ``bench_pct``);
+    benchmark docs and sub-``n``-token docs emit no row, and so do
+    uncontaminated corpus docs (inner semi-join shape — absence IS the
+    clean verdict). The reusable core of :func:`q_text_contamination`
+    (whose docstring carries the broadcast scale analysis) and the
+    subject of the contamination property test in
+    ``tests/test_operator_properties.py``."""
     bucket = F.expr(
         "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100"
     )
-    toks = "split(lower(text), ' ')"
+    toks = f"split(lower({text_col}), ' ')"
+    # the CASE makes the expression TOTAL: Catalyst infers
+    # size(ngs) > 0 from the downstream explode and codegen
+    # subexpression elimination evaluates ngs BEFORE the size(toks)
+    # filter can short-circuit, so an unguarded sequence(1, size-n+1)
+    # crashes on any sub-n-token row (descending sequence → slice
+    # start 0, ANSI error) — found by the property test
     ngs = (
-        f"array_distinct(transform(sequence(1, size({toks}) - {_CONTAM_N - 1}),"
-        f" i -> md5(array_join(slice({toks}, i, {_CONTAM_N}), ' '))))"
+        f"CASE WHEN size({toks}) >= {n}"
+        f" THEN array_distinct(transform(sequence(1, size({toks}) - {n - 1}),"
+        f" i -> md5(array_join(slice({toks}, i, {n}), ' '))))"
+        f" ELSE array() END"
     )
-    g = d.filter(F.expr(f"size({toks}) >= {_CONTAM_N}")).select(
+    g = d.filter(F.expr(f"size({toks}) >= {n}")).select(
         "doc_id", bucket.alias("bucket"), F.expr(ngs).alias("ngs")
     )
     bench = (
-        g.filter(F.col("bucket") < _CONTAM_BENCH_PCT)
+        g.filter(F.col("bucket") < bench_pct)
         .select(F.explode("ngs").alias("ng"))
         .distinct()
     )
-    corpus = g.filter(F.col("bucket") >= _CONTAM_BENCH_PCT).select(
+    corpus = g.filter(F.col("bucket") >= bench_pct).select(
         "doc_id", F.explode("ngs").alias("ng")
     )
     return (

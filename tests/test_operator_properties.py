@@ -2794,3 +2794,87 @@ def test_classifier_scores_match_hashlib_reference(spark, tokens):
     r = classifier_scores(df).collect()[0]
     got = (r["n_tokens"], r["score"], r["score_per_token_bp"], r["keep"])
     assert got == _ref_classifier(text)
+
+
+# -------------------------------------------------- pattern scrub
+
+
+def _ref_scrub(text, pattern):
+    import hashlib
+    import re
+
+    scrubbed = re.sub(pattern, "[REDACTED]", text)
+    return (hashlib.md5(scrubbed.encode()).hexdigest(),
+            len(re.findall(pattern, text)))
+
+
+@given(
+    parts=st.lists(st.sampled_from(["aa", "a", "b", "x", " ", "ba"]),
+                   min_size=0, max_size=10),
+    pattern=st.sampled_from(["aa+|b", "a b", "b+"]),
+)
+@settings(**_SETTINGS)
+def test_scrub_text_matches_python_reference(spark, parts, pattern):
+    """Replacement and match counting must both use greedy
+    left-to-right non-overlapping semantics (runs of 'a' force the
+    greedy/lazy distinction), and the md5 must hash the fully
+    redacted string."""
+    from data_ingestor_spark.ext.text import scrub_text
+
+    text = "".join(parts)
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    r = scrub_text(df, pattern=pattern).collect()[0]
+    assert (r["scrub_md5"], r["n_redactions"]) == _ref_scrub(text, pattern)
+
+
+# -------------------------------------------------- benchmark contamination
+
+
+def _ref_contamination(texts, n, bench_pct):
+    import hashlib
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+
+    grams = {}
+    for i, text in enumerate(texts):
+        toks = text.lower().split(" ")
+        if len(toks) < n:
+            continue
+        grams[i] = {" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)}
+    bench = set()
+    for i, g in grams.items():
+        if bucket(i) < bench_pct:
+            bench |= g
+    out = {}
+    for i, g in grams.items():
+        if bucket(i) >= bench_pct:
+            c = len(g & bench)
+            if c:
+                out[i] = c
+    return out
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["a", "b", ""]), min_size=0, max_size=6)
+        .map(" ".join),
+        min_size=0,
+        max_size=8,
+    ),
+    bench_pct=st.sampled_from([5, 50, 95]),
+)
+@settings(**_SETTINGS)
+def test_contamination_counts_match_python_reference(spark, texts, bench_pct):
+    """Shared-ngram counts must be DISTINCT per doc (repeats inside a
+    doc count once), benchmark docs and clean docs must emit no row,
+    and the bench/corpus split must follow the md5 bucket exactly."""
+    from data_ingestor_spark.ext.text import contamination_counts
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["n_shared_ngrams"]
+        for r in contamination_counts(df, n=2, bench_pct=bench_pct).collect()
+    }
+    assert got == _ref_contamination(texts, 2, bench_pct)

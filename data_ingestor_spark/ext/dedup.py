@@ -930,12 +930,20 @@ def substring_dup_profile(docs, span: int, text_col: str = "text"):
     toks = docs.select("doc_id", F.split(F.col(text_col), " ").alias("t")).filter(
         F.size("t") >= span
     )
+    # CASE keeps the expression total: the downstream explode lets
+    # Catalyst infer conditions over this whole transform, and codegen
+    # subexpression elimination can then evaluate it before the
+    # size filter short-circuits — on a sub-span row the descending
+    # sequence would feed slice a start of 0 (ANSI error); see the
+    # identical guard in ext/text.py contamination_counts
     wins = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, size(t) - {span - 1}),"
+                f"CASE WHEN size(t) >= {span}"
+                f" THEN transform(sequence(1, size(t) - {span - 1}),"
                 f" i -> md5(array_join(slice(t, i, {span}), ' ')))"
+                f" ELSE array() END"
             )
         ).alias("h"),
     )

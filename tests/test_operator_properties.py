@@ -2878,3 +2878,54 @@ def test_contamination_counts_match_python_reference(spark, texts, bench_pct):
         for r in contamination_counts(df, n=2, bench_pct=bench_pct).collect()
     }
     assert got == _ref_contamination(texts, 2, bench_pct)
+
+
+# -------------------------------------------------- multimodal featurize/frames
+
+
+@given(payload=st.binary(min_size=0, max_size=600))
+@settings(**_SETTINGS)
+def test_extract_features_match_python_reference(spark, payload):
+    """fake_decode features through the Arrow batch path: exact byte
+    count, mod-2^31-1 checksum, double mean, ceil-div frame count —
+    and the empty payload's documented 0.0 mean."""
+    from data_ingestor_spark.ext.multimodal import extract_features
+
+    df = spark.createDataFrame(
+        [(1, "m", bytearray(payload))],
+        "doc_id bigint, mime string, payload binary")
+    r = extract_features(df).collect()[0]
+    got = (r["n_bytes"], r["checksum"], r["mean_byte"], r["n_frames"])
+    expected = (
+        len(payload),
+        sum(payload) % 2147483647,
+        sum(payload) / len(payload) if payload else 0.0,
+        (len(payload) + 255) // 256,
+    )
+    assert got == expected
+
+
+@given(
+    payload=st.binary(min_size=0, max_size=40),
+    frame_size=st.integers(1, 6),
+    every_n=st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_sample_frames_match_python_reference(spark, payload, frame_size, every_n):
+    """Frame indices must step by every_n over the CEIL-div frame
+    count (a short final frame is kept, with its true bytes and
+    mean), and an empty payload emits no frames."""
+    from data_ingestor_spark.ext.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id bigint, payload binary")
+    got = sorted(
+        (r["frame_idx"], bytes(r["frame_bytes"]), r["frame_mean"])
+        for r in sample_frames(df, frame_size=frame_size, every_n=every_n).collect()
+    )
+    n_frames = (len(payload) + frame_size - 1) // frame_size
+    expected = []
+    for idx in range(0, n_frames, every_n):
+        fb = payload[idx * frame_size:(idx + 1) * frame_size]
+        expected.append((idx, fb, sum(fb) / len(fb) if fb else 0.0))
+    assert got == expected

@@ -1400,10 +1400,28 @@ def q_dedup_containment(spark, sf_dir):
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    sigs = minhash_signature(d).withColumn(
-        "toks", F.expr("array_distinct(split(lower(text), ' '))")
+    return containment_pairs(d)
+
+
+def containment_pairs(
+    d,
+    text_col: str = "text",
+    cont_threshold_bp: int = 9500,
+    jac_ceiling_bp: int = 9000,
+):
+    """Asymmetric containment over the LSH band candidates: emit
+    doc_a < doc_b pairs where the larger containment direction
+    (inter·10⁴ div |side|, exact truncated bp) reaches
+    ``cont_threshold_bp`` while the symmetric Jaccard bp stays BELOW
+    ``jac_ceiling_bp`` — the near-superset slice the symmetric
+    pipeline excludes by construction. The reusable core of
+    :func:`q_dedup_containment` (whose docstring carries the recall
+    caveat) and the subject of the containment property test in
+    ``tests/test_operator_properties.py``."""
+    sigs = minhash_signature(d, text_col).withColumn(
+        "toks", F.expr(f"array_distinct(split(lower({text_col}), ' '))")
     )
-    sigs = sigs.drop("text").localCheckpoint(eager=True)
+    sigs = sigs.drop(text_col).localCheckpoint(eager=True)
     banded = sigs.select(
         "doc_id",
         F.explode(F.array(*[F.expr(k) for k in _BAND_KEYS_SPARK])).alias("band_key"),
@@ -1442,8 +1460,8 @@ def q_dedup_containment(spark, sf_dir):
         .withColumn("cont_b_bp", F.expr("inter * 10000 div size_b"))
         .filter(
             F.expr(
-                "greatest(cont_a_bp, cont_b_bp) >= 9500"
-                " AND inter * 10000 div (size_a + size_b - inter) < 9000"
+                f"greatest(cont_a_bp, cont_b_bp) >= {cont_threshold_bp}"
+                f" AND inter * 10000 div (size_a + size_b - inter) < {jac_ceiling_bp}"
             )
         )
     )

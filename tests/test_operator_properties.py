@@ -2929,3 +2929,62 @@ def test_sample_frames_match_python_reference(spark, payload, frame_size, every_
         fb = payload[idx * frame_size:(idx + 1) * frame_size]
         expected.append((idx, fb, sum(fb) / len(fb) if fb else 0.0))
     assert got == expected
+
+
+# -------------------------------------------------- asymmetric containment
+
+
+def _ref_containment_pairs(texts, cth, jcl):
+    import hashlib
+
+    def h(k, tok):
+        return int(hashlib.md5(f"{k}:{tok}".encode()).hexdigest()[:8], 16)
+
+    toksets, bandsets = {}, {}
+    for i, text in enumerate(texts):
+        toks = set(text.lower().split(" "))
+        toksets[i] = toks
+        sig = [min(h(k, t) for t in toks) for k in range(16)]
+        bandsets[i] = {
+            hashlib.md5("_".join(str(x) for x in sig[b * 8:(b + 1) * 8]).encode())
+            .hexdigest()
+            for b in range(2)
+        }
+    out = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            if not bandsets[a] & bandsets[b]:
+                continue
+            i = len(toksets[a] & toksets[b])
+            sa, sb = len(toksets[a]), len(toksets[b])
+            ca, cb = i * 10000 // sa, i * 10000 // sb
+            if max(ca, cb) >= cth and i * 10000 // (sa + sb - i) < jcl:
+                out[(a, b)] = (i, sa, sb, ca, cb)
+    return out
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["a", "b", "cc", ""]), min_size=1, max_size=4)
+        .map(" ".join),
+        min_size=0,
+        max_size=6,
+    ),
+    cth=st.sampled_from([5000, 9500]),
+)
+@settings(**_SETTINGS)
+def test_containment_pairs_match_hashlib_reference(spark, texts, cth):
+    """Near-superset pairs only: the larger containment direction must
+    clear the threshold while symmetric Jaccard stays strictly below
+    the ceiling — identical-set pairs (Jaccard 10000) must NOT be
+    emitted even at full containment."""
+    from data_ingestor_spark.ext.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["size_a"], r["size_b"],
+                                   r["cont_a_bp"], r["cont_b_bp"])
+        for r in containment_pairs(df, cont_threshold_bp=cth).collect()
+    }
+    assert got == _ref_containment_pairs(texts, cth, 9000)

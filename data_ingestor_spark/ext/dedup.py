@@ -691,11 +691,23 @@ def q_dedup_incremental(spark, sf_dir):
         .select("doc_id", "text", "source")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    sigs = minhash_signature(d).withColumn(
-        "toks", F.expr("array_distinct(split(lower(text), ' '))")
+    return incremental_admission(d, F.col("source") == "src0")
+
+
+def incremental_admission(d, is_new, text_col: str = "text"):
+    """Admit the rows where ``is_new`` holds against the rest of ``d``
+    (the standing corpus): exact probe = raw-text md5 semi-join, near
+    probe = LSH band collision verified by distinct-token Jaccard ≥
+    NEARDUP_THRESHOLD counted per new doc, accepted = neither. One
+    output row per NEW doc. The reusable core of
+    :func:`q_dedup_incremental` (whose docstring carries the
+    index-build scale analysis) and the subject of the admission
+    property test in ``tests/test_operator_properties.py``."""
+    sigs = minhash_signature(d, text_col).withColumn(
+        "toks", F.expr(f"array_distinct(split(lower({text_col}), ' '))")
     )
-    newb = sigs.filter(F.col("source") == "src0")
-    corp = sigs.filter(F.col("source") != "src0")
+    newb = sigs.filter(is_new)
+    corp = sigs.filter(~is_new)
 
     def banded(df, id_alias):
         return df.select(
@@ -721,9 +733,9 @@ def q_dedup_incremental(spark, sf_dir):
         .groupBy("new_id")
         .agg(F.count(F.lit(1)).alias("n_near"))
     )
-    ex = corp.select(F.md5("text").alias("h")).distinct().withColumn("_hit", F.lit(1))
+    ex = corp.select(F.md5(text_col).alias("h")).distinct().withColumn("_hit", F.lit(1))
     out = (
-        newb.select("doc_id", F.md5("text").alias("h"))
+        newb.select("doc_id", F.md5(text_col).alias("h"))
         .join(ex, "h", "left")
         .join(near, F.col("doc_id") == F.col("new_id"), "left")
     )

@@ -2988,3 +2988,73 @@ def test_containment_pairs_match_hashlib_reference(spark, texts, cth):
         for r in containment_pairs(df, cont_threshold_bp=cth).collect()
     }
     assert got == _ref_containment_pairs(texts, cth, 9000)
+
+
+# -------------------------------------------------- incremental admission
+
+
+def _ref_incremental(docs):
+    """docs: list of (text, is_new)."""
+    import hashlib
+
+    def h(k, tok):
+        return int(hashlib.md5(f"{k}:{tok}".encode()).hexdigest()[:8], 16)
+
+    info = {}
+    for i, (text, is_new) in enumerate(docs):
+        toks = set(text.lower().split(" "))
+        sig = [min(h(k, t) for t in toks) for k in range(16)]
+        bands = {
+            hashlib.md5("_".join(str(x) for x in sig[b * 8:(b + 1) * 8]).encode())
+            .hexdigest()
+            for b in range(2)
+        }
+        info[i] = (toks, bands, hashlib.md5(text.encode()).hexdigest(), is_new)
+    corp = {i for i, v in info.items() if not v[3]}
+    corp_hashes = {info[i][2] for i in corp}
+    out = {}
+    for i, (toks, bands, raw_h, is_new) in info.items():
+        if not is_new:
+            continue
+        n_near = 0
+        for j in corp:
+            ctoks, cbands, _, _ = info[j]
+            if not bands & cbands:
+                continue
+            inter = len(toks & ctoks)
+            if inter / len(toks | ctoks) >= 0.9:
+                n_near += 1
+        is_exact = raw_h in corp_hashes
+        out[i] = (is_exact, n_near, not is_exact and n_near == 0)
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(["a", "b", "cc"]), min_size=1, max_size=3)
+            .map(" ".join),
+            st.booleans(),
+        ),
+        min_size=0,
+        max_size=6,
+    ),
+)
+@settings(**_SETTINGS)
+def test_incremental_admission_matches_hashlib_reference(spark, docs):
+    """Exact probe hashes the RAW text (case preserved) while the near
+    probe works on lowercase distinct tokens; every new doc gets
+    exactly one row; accepted = no exact hit AND zero verified
+    near-dups in the corpus (the tiny pool forces both probes to
+    fire, separately and together)."""
+    from data_ingestor_spark.ext.dedup import incremental_admission
+
+    df = spark.createDataFrame(
+        [(i, t, bool(n)) for i, (t, n) in enumerate(docs)],
+        "doc_id bigint, text string, is_new boolean",
+    )
+    got = {
+        r["doc_id"]: (r["is_exact_dup"], r["n_near_dups"], r["accepted"])
+        for r in incremental_admission(df, F.col("is_new")).collect()
+    }
+    assert got == _ref_incremental(docs)

@@ -335,7 +335,17 @@ def q_graph_pagerank(spark, sf_dir):
     iteration reuses the same co-partitioning; symmetrized near-dup
     graphs have no dangling nodes (every vertex has outdeg >= 1), the
     left join + COALESCE(0) still guards isolated receivers."""
-    pairs = _pair_edges(spark, sf_dir)
+    return pagerank_ranks(_pair_edges(spark, sf_dir))
+
+
+def pagerank_ranks(pairs, iters: int = 3):
+    """Integer PageRank over canonical (doc_a < doc_b) undirected
+    pairs: symmetrize, 3 damped power iterations in exact
+    parts-per-10¹² BIGINTs (rank div outdeg contributions, 15/85
+    damping split, all truncating division), one row per vertex. The
+    reusable core of :func:`q_graph_pagerank` (whose docstring carries
+    the scale analysis) and the subject of the PageRank property test
+    in ``tests/test_operator_properties.py``."""
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -351,7 +361,7 @@ def q_graph_pagerank(spark, sf_dir):
     # unpinned lineage re-executes the whole prior chain per reference
     # — the same per-round materialization discipline as cluster_pairs
     state = state.localCheckpoint(eager=True)
-    for _ in range(3):
+    for _ in range(iters):
         contrib = (
             edges.join(state, edges.src == state.v)
             .select("dst", F.expr("rank div outdeg").alias("c"))

@@ -3058,3 +3058,47 @@ def test_incremental_admission_matches_hashlib_reference(spark, docs):
         for r in incremental_admission(df, F.col("is_new")).collect()
     }
     assert got == _ref_incremental(docs)
+
+
+# -------------------------------------------------- integer PageRank
+
+
+def _ref_pagerank(pairs, iters):
+    edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(outdeg)
+    if n == 0:
+        return {}
+    rank = {v: 10**12 // n for v in outdeg}
+    for _ in range(iters):
+        s = {}
+        for src, dst in edges:
+            s[dst] = s.get(dst, 0) + rank[src] // outdeg[src]
+        rank = {v: ((10**12 // n) * 15) // 100 + (85 * s.get(v, 0)) // 100
+                for v in outdeg}
+    return rank
+
+
+@given(
+    raw=st.lists(st.tuples(st.integers(0, 6), st.integers(0, 6)),
+                 min_size=0, max_size=10),
+    iters=st.integers(1, 3),
+)
+@settings(**_SETTINGS)
+def test_pagerank_ranks_match_python_reference(spark, raw, iters):
+    """Every iteration's damped integer recurrence (rank div outdeg
+    contributions, 15/85 split in parts-per-10^12) must match an
+    adjacency-dict reference exactly — hubs, chains, and isolated
+    cliques all ride the same truncating divisions."""
+    from data_ingestor_spark.ext.graph import pagerank_ranks
+
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    df = spark.createDataFrame(pairs, "doc_a bigint, doc_b bigint") \
+        if pairs else spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    got = {
+        r["doc_id"]: r["rank_scaled"]
+        for r in pagerank_ranks(df, iters=iters).collect()
+    }
+    assert got == _ref_pagerank(pairs, iters)

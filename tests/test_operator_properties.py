@@ -3102,3 +3102,24 @@ def test_pagerank_ranks_match_python_reference(spark, raw, iters):
         for r in pagerank_ranks(df, iters=iters).collect()
     }
     assert got == _ref_pagerank(pairs, iters)
+
+
+# -------------------------------------------------- payload resize
+
+
+@given(
+    payload=st.binary(min_size=0, max_size=30),
+    target=st.integers(1, 12),
+)
+@settings(**_SETTINGS)
+def test_resize_payloads_match_python_reference(spark, payload, target):
+    """Truncate-or-zero-pad to exactly target bytes, preserving the
+    prefix; orig/new byte counts must report the true sizes."""
+    from data_ingestor_spark.ext.multimodal import resize_payloads
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id bigint, payload binary")
+    r = resize_payloads(df, target_bytes=target).collect()[0]
+    expected = payload[:target].ljust(target, b"\x00")
+    assert (bytes(r["resized"]), r["orig_bytes"], r["new_bytes"]) == (
+        expected, len(payload), target)

@@ -1420,16 +1420,26 @@ def q_text_shard_manifest(spark, sf_dir):
     at 100 TB the running sum is per-split-partition sequential — for
     more writer parallelism, sub-bucket the okey prefix and pack per
     sub-bucket (same plan, one more key column)."""
+    d = load_table(spark, sf_dir, "documents")
+    return shard_manifest(d)
+
+
+def shard_manifest(d, shard_budget: int = 20000, text_col: str = "text"):
+    """Shard manifest core: 80/10/10 md5-bucket split, okey ordering
+    (md5 of doc_id, doc_id tie-break), exact running token sum per
+    split, shard = starting offset div ``shard_budget``, grouped to
+    (split, shard_id, n_docs, shard_tokens, first_doc). The reusable
+    core of :func:`q_text_shard_manifest` and the subject of the
+    manifest property test in ``tests/test_operator_properties.py``."""
     from pyspark.sql import Window as W
 
-    d = load_table(spark, sf_dir, "documents")
     bucket = (
         F.expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)").cast("bigint")
         % 100
     )
     sized = d.select(
         "doc_id",
-        F.size(F.split(F.lower("text"), " ")).cast("bigint").alias("n_tokens"),
+        F.size(F.split(F.lower(text_col), " ")).cast("bigint").alias("n_tokens"),
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
         F.md5(F.col("doc_id").cast("string")).alias("okey"),
     )
@@ -1442,7 +1452,7 @@ def q_text_shard_manifest(spark, sf_dir):
     return (
         cum.select(
             "split",
-            F.expr("(cum_tokens - n_tokens) div 20000").alias("shard_id"),
+            F.expr(f"(cum_tokens - n_tokens) div {shard_budget}").alias("shard_id"),
             "doc_id",
             "n_tokens",
         )

@@ -3123,3 +3123,55 @@ def test_resize_payloads_match_python_reference(spark, payload, target):
     expected = payload[:target].ljust(target, b"\x00")
     assert (bytes(r["resized"]), r["orig_bytes"], r["new_bytes"]) == (
         expected, len(payload), target)
+
+
+# -------------------------------------------------- shard manifest
+
+
+def _ref_shard_manifest(docs, budget):
+    import hashlib
+
+    rows = []
+    for doc_id, text in docs:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        b = int(h[:8], 16) % 100
+        split = "train" if b < 80 else ("val" if b < 90 else "test")
+        rows.append((split, h, doc_id, len(text.lower().split(" "))))
+    out = {}
+    for split in {r[0] for r in rows}:
+        cum = 0
+        for _, okey, doc_id, n_tok in sorted(
+            (r for r in rows if r[0] == split), key=lambda r: (r[1], r[2])
+        ):
+            shard = cum // budget
+            cum += n_tok
+            k = (split, shard)
+            nd, st, fd = out.get(k, (0, 0, doc_id))
+            out[k] = (nd + 1, st + n_tok, min(fd, doc_id))
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "bb", ""]), min_size=1, max_size=6)
+        .map(" ".join),
+        min_size=0,
+        max_size=10,
+    ),
+    budget=st.integers(1, 8),
+)
+@settings(**_SETTINGS)
+def test_shard_manifest_matches_python_reference(spark, docs, budget):
+    """A doc's shard is its STARTING token offset div budget under the
+    okey order (not its ending offset — a doc straddling the boundary
+    stays in the earlier shard), per split independently."""
+    from data_ingestor_spark.ext.text import shard_manifest
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id bigint, text string")
+    got = {
+        (r["split"], r["shard_id"]): (r["n_docs"], r["shard_tokens"],
+                                      r["first_doc"])
+        for r in shard_manifest(df, shard_budget=budget).collect()
+    }
+    assert got == _ref_shard_manifest(list(enumerate(docs)), budget)

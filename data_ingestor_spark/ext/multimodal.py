@@ -545,6 +545,17 @@ def q_multimodal_scenes(spark, sf_dir):
     hashable in the harness)."""
     d = load_table(spark, sf_dir, "documents")
     frames = sample_frames(with_binary_payload(d)).select("doc_id", "frame_idx", "frame_mean")
+    return scene_boundaries(frames)
+
+
+def scene_boundaries(frames, delta: float = _SCENE_DELTA):
+    """Scene segmentation over (doc_id, frame_idx, frame_mean) rows:
+    frame 0 of every doc opens a scene, and any |Δ frame_mean| >
+    ``delta`` vs the PREVIOUS frame (frame_idx order) opens another;
+    boundaries surface as a sorted comma-joined index string. The
+    reusable core of :func:`q_multimodal_scenes` and the subject of
+    the scene property test in
+    ``tests/test_operator_properties.py``."""
     from pyspark.sql import Window as W
 
     w = W.partitionBy("doc_id").orderBy("frame_idx")
@@ -553,7 +564,7 @@ def q_multimodal_scenes(spark, sf_dir):
         "doc_id",
         "frame_idx",
         F.when(prev.isNull(), 1)
-        .when(F.abs(F.col("frame_mean") - prev) > _SCENE_DELTA, 1)
+        .when(F.abs(F.col("frame_mean") - prev) > delta, 1)
         .otherwise(0)
         .alias("is_boundary"),
     )

@@ -3175,3 +3175,48 @@ def test_shard_manifest_matches_python_reference(spark, docs, budget):
         for r in shard_manifest(df, shard_budget=budget).collect()
     }
     assert got == _ref_shard_manifest(list(enumerate(docs)), budget)
+
+
+# -------------------------------------------------- scene boundaries
+
+
+def _ref_scene_boundaries(means_by_doc, delta):
+    out = {}
+    for doc, means in means_by_doc.items():
+        bounds, prev = [], None
+        for idx, m in enumerate(means):
+            if prev is None or abs(m - prev) > delta:
+                bounds.append(idx)
+            prev = m
+        out[doc] = (len(means), len(bounds),
+                    ",".join(str(i) for i in bounds))
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from([0.0, 1.0, 3.5, 10.0]), min_size=1, max_size=8),
+        min_size=0,
+        max_size=4,
+    ),
+    delta=st.sampled_from([2.0, 8.0]),
+)
+@settings(**_SETTINGS)
+def test_scene_boundaries_match_python_reference(spark, docs, delta):
+    """Frame 0 always opens a scene; later boundaries require a jump
+    STRICTLY greater than delta vs the previous frame (the 2.0 edge
+    with a 1.0→3.5 step lands exactly on the > boundary either side);
+    the boundary string must list indices in frame order."""
+    from data_ingestor_spark.ext.multimodal import scene_boundaries
+
+    rows = [(doc, idx, m) for doc, means in enumerate(docs)
+            for idx, m in enumerate(means)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, frame_idx int, frame_mean double") \
+        if rows else spark.createDataFrame(
+            [], "doc_id bigint, frame_idx int, frame_mean double")
+    got = {
+        r["doc_id"]: (r["n_frames"], r["n_scenes"], r["boundaries"])
+        for r in scene_boundaries(df, delta=delta).collect()
+    }
+    assert got == _ref_scene_boundaries(dict(enumerate(docs)), delta)

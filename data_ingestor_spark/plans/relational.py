@@ -1443,12 +1443,20 @@ def q_k_anonymity(spark, sf_dir):
     plan holds: the class count is bounded by the QI domain product, not
     the row count."""
     c = load_table(spark, sf_dir, "customer")
-    g = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count(F.lit(1)).alias("group_size"))
+    return k_anonymity_audit(c, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+def k_anonymity_audit(df, qi_cols, k: int = 5):
+    """Size every quasi-identifier equivalence class (NULL QI values
+    group together, SQL GROUP BY semantics) and flag classes below
+    ``k``. The reusable core of :func:`q_k_anonymity` and the subject
+    of the k-anonymity property test in
+    ``tests/test_operator_properties.py``."""
+    g = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("group_size"))
     return g.select(
-        "c_nationkey",
-        "c_mktsegment",
+        *qi_cols,
         "group_size",
-        F.when(F.col("group_size") < 5, 1).otherwise(0).alias("below_k"),
+        F.when(F.col("group_size") < k, 1).otherwise(0).alias("below_k"),
     )
 
 
@@ -1481,12 +1489,20 @@ def q_profile_columns(spark, sf_dir):
     100 TB the difference between one read and one read per column. The
     string min/max and integer counts are engine-exact."""
     o = load_table(spark, sf_dir, "orders")
-    stacked = o.select(
-        F.expr(
-            "stack(3, 'o_orderstatus', o_orderstatus, "
-            "'o_orderpriority', o_orderpriority, "
-            "'o_custkey', CAST(o_custkey AS STRING)) AS (col_name, val)"
-        )
+    return profile_stacked(
+        o, ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    )
+
+
+def profile_stacked(df, cols):
+    """One-pass column profiler: stack (unpivot) ``cols`` stringified
+    into (col_name, val) rows, then per column count rows, NULLs,
+    distinct non-NULL values, and lexical min/max. The reusable core
+    of :func:`q_profile_columns` and the subject of the profiler
+    property test in ``tests/test_operator_properties.py``."""
+    parts = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    stacked = df.select(
+        F.expr(f"stack({len(cols)}, {parts}) AS (col_name, val)")
     )
     return stacked.groupBy("col_name").agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -3220,3 +3220,69 @@ def test_scene_boundaries_match_python_reference(spark, docs, delta):
         for r in scene_boundaries(df, delta=delta).collect()
     }
     assert got == _ref_scene_boundaries(dict(enumerate(docs)), delta)
+
+
+# -------------------------------------------------- k-anonymity audit
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from([0, 1, None]), st.sampled_from(["x", "y", None])),
+        min_size=0,
+        max_size=14,
+    ),
+    k=st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_k_anonymity_audit_matches_python_reference(spark, rows, k):
+    """Equivalence classes group NULL quasi-identifiers together (SQL
+    GROUP BY), sizes are exact, and below_k is a strict < k flag."""
+    from data_ingestor_spark.plans.relational import k_anonymity_audit
+
+    df = spark.createDataFrame(rows, "a int, b string") if rows else \
+        spark.createDataFrame([], "a int, b string")
+    got = {
+        (r["a"], r["b"]): (r["group_size"], r["below_k"])
+        for r in k_anonymity_audit(df, ["a", "b"], k=k).collect()
+    }
+    counts = {}
+    for t in rows:
+        counts[t] = counts.get(t, 0) + 1
+    assert got == {t: (c, 1 if c < k else 0) for t, c in counts.items()}
+
+
+# -------------------------------------------------- stacked column profiler
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["p", "q", "", None]),
+                  st.sampled_from([0, 7, 11, None])),
+        min_size=0,
+        max_size=12,
+    ),
+)
+@settings(**_SETTINGS)
+def test_profile_stacked_matches_python_reference(spark, rows):
+    """Per column: n_rows counts every row, n_nulls only NULLs,
+    n_distinct only non-NULL stringified values, min/max are lexical
+    over the stringified column (11 < 7 lexically — the cast trap)."""
+    from data_ingestor_spark.plans.relational import profile_stacked
+
+    df = spark.createDataFrame(rows, "s string, n int") if rows else \
+        spark.createDataFrame([], "s string, n int")
+    got = {
+        r["col_name"]: (r["n_rows"], r["n_nulls"], r["n_distinct"],
+                        r["min_str"], r["max_str"])
+        for r in profile_stacked(df, ["s", "n"]).collect()
+    }
+    expected = {}
+    for name, vals in (("s", [r[0] for r in rows]),
+                       ("n", [str(r[1]) if r[1] is not None else None
+                              for r in rows])):
+        nn = [v for v in vals if v is not None]
+        if rows:
+            expected[name] = (len(vals), len(vals) - len(nn), len(set(nn)),
+                              min(nn) if nn else None,
+                              max(nn) if nn else None)
+    assert got == expected

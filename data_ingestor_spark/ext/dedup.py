@@ -1096,9 +1096,19 @@ def q_dedup_minhash_char(spark, sf_dir):
         .filter(F.octet_length("text") >= _SHINGLE_K)
         .repartition(spark.sparkContext.defaultParallelism)
     )
+    return char_minhash_signature(d)
+
+
+def char_minhash_signature(d, text_col: str = "text", shingle: int = _SHINGLE_K):
+    """c0..c{K-1} character-shingle minhash columns over RAW (not
+    lowercased) overlapping ``shingle``-char windows. Input contract:
+    rows satisfy octet_length ≥ ``shingle`` (the caller's filter). The
+    reusable core of :func:`q_dedup_minhash_char` and one leg of the
+    union-candidates property test in
+    ``tests/test_operator_properties.py``."""
     sh = (
-        f"array_distinct(transform(sequence(1, octet_length(text) - {_SHINGLE_K} + 1), "
-        f"p -> substr(text, p, {_SHINGLE_K})))"
+        f"array_distinct(transform(sequence(1, octet_length({text_col}) - {shingle} + 1), "
+        f"p -> substr({text_col}, p, {shingle})))"
     )
     with_sh = d.withColumn("_sh", F.expr(sh))
     return with_sh.select(
@@ -1174,11 +1184,24 @@ def q_dedup_union_candidates(spark, sf_dir):
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    wsig = minhash_signature(d).drop("text").localCheckpoint(eager=True)
+    return union_candidates(d, q_dedup_minhash_char(spark, sf_dir))
+
+
+def union_candidates(d_word, csig, text_col: str = "text"):
+    """Unioned word-LSH + char-LSH candidate pairs with provenance:
+    ``d_word`` rows feed the word-token banding, ``csig`` is the
+    char-shingle signature relation (c0..c7 — typically
+    :func:`char_minhash_signature` over the length-filtered rows);
+    each generator proposes doc_a < doc_b pairs through its own
+    banding, and the groupBy ORs the via_word/via_char flags. The
+    reusable core of :func:`q_dedup_union_candidates` and the subject
+    of the union-provenance property test in
+    ``tests/test_operator_properties.py``."""
+    wsig = minhash_signature(d_word, text_col).drop(text_col).localCheckpoint(eager=True)
     wband = wsig.select(
         "doc_id", F.explode(F.array(*[F.expr(k) for k in _BAND_KEYS_SPARK])).alias("band_key")
     )
-    csig = q_dedup_minhash_char(spark, sf_dir).localCheckpoint(eager=True)
+    csig = csig.localCheckpoint(eager=True)
     cband = csig.select(
         "doc_id", F.explode(F.array(*[F.expr(k) for k in _CHAR_BAND_SPARK])).alias("band_key")
     )

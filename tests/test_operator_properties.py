@@ -3286,3 +3286,69 @@ def test_profile_stacked_matches_python_reference(spark, rows):
                               min(nn) if nn else None,
                               max(nn) if nn else None)
     assert got == expected
+
+
+# -------------------------------------------------- union candidate provenance
+
+
+def _ref_union_candidates(texts, shingle):
+    import hashlib
+
+    def h(k, tok):
+        return int(hashlib.md5(f"{k}:{tok}".encode()).hexdigest()[:8], 16)
+
+    wbands, cbands = {}, {}
+    for i, text in enumerate(texts):
+        toks = set(text.lower().split(" "))
+        wsig = [min(h(k, t) for t in toks) for k in range(16)]
+        wbands[i] = {
+            hashlib.md5("_".join(str(x) for x in wsig[b * 8:(b + 1) * 8]).encode())
+            .hexdigest()
+            for b in range(2)
+        }
+        if len(text) >= shingle:
+            shs = {text[j:j + shingle] for j in range(len(text) - shingle + 1)}
+            csig = [min(h(k, s) for s in shs) for k in range(8)]
+            cbands[i] = {
+                hashlib.md5("_".join(str(x) for x in csig[b * 4:(b + 1) * 4]).encode())
+                .hexdigest()
+                for b in range(2)
+            }
+    out = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            w = 1 if wbands[a] & wbands[b] else 0
+            c = 1 if a in cbands and b in cbands and cbands[a] & cbands[b] else 0
+            if w or c:
+                out[(a, b)] = (w, c)
+    return out
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["aa", "b", "ca"]), min_size=1, max_size=3)
+        .map(" ".join),
+        min_size=0,
+        max_size=6,
+    ),
+)
+@settings(**_SETTINGS)
+def test_union_candidates_match_hashlib_reference(spark, texts):
+    """Word banding sees lowercase token sets, char banding sees RAW
+    2-char shingles of length-qualified rows only; the provenance
+    flags must OR across generators, never overwrite — a pair caught
+    by both must report (1, 1)."""
+    from data_ingestor_spark.ext.dedup import (
+        char_minhash_signature,
+        union_candidates,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string")
+    csig = char_minhash_signature(
+        df.filter(F.octet_length("text") >= 2), shingle=2)
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["via_word"], r["via_char"])
+        for r in union_candidates(df, csig).collect()
+    }
+    assert got == _ref_union_candidates(texts, 2)

@@ -209,8 +209,21 @@ def q_join_range(spark, sf_dir):
     whose key cardinality grows with the data, so it parallelizes like
     any other equality join at 100 TB. Each match lands in exactly one
     bucket of the build side, so no dedup of pairs is needed."""
-    win = 600  # seconds
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return range_follow_counts(e, win_seconds=600)
+
+
+def range_follow_counts(e, win_seconds: int = 600):
+    """Bucketed range join core: per (event_id, user_id, ts) row, count
+    same-user rows with ts in (t, t + ``win_seconds``]. The probe side
+    explodes into the ≤2 deduped buckets its window overlaps and joins
+    the build side on (user, bucket) EQUALITY with the range predicate
+    as a post-filter — every match lands in exactly one build bucket,
+    so counts need no pair dedup. The reusable core of
+    :func:`q_join_range` (whose docstring carries the scale analysis)
+    and the subject of the range-join property test in
+    ``tests/test_operator_properties.py``."""
+    win = win_seconds
     sec = F.unix_timestamp("ts")
     probe = e.withColumn(
         "_b",
@@ -228,7 +241,7 @@ def q_join_range(spark, sf_dir):
         (F.col("l.user_id") == F.col("r.user_id"))
         & (F.col("l._b") == F.col("r._b"))
         & (F.col("r.ts") > F.col("l.ts"))
-        & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 10 MINUTES")),
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {win} SECONDS")),
         "left",
     )
     return joined.groupBy(F.col("l.event_id").alias("event_id")).agg(

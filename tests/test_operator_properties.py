@@ -3352,3 +3352,39 @@ def test_union_candidates_match_hashlib_reference(spark, texts):
         for r in union_candidates(df, csig).collect()
     }
     assert got == _ref_union_candidates(texts, 2)
+
+
+# -------------------------------------------------- bucketed range join
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30)),
+        min_size=0,
+        max_size=12,
+    ),
+    win=st.integers(2, 9),
+)
+@settings(**_SETTINGS)
+def test_range_follow_counts_match_bruteforce(spark, events, win):
+    """Half-open (t, t+win] window per same-user pair: the bucket
+    explosion must cover follow-ups that cross a bucket boundary,
+    count boundary hits at exactly t+win, and exclude ties at t
+    itself; every event gets a row even with zero follow-ups."""
+    from data_ingestor_spark.plans.timeseries import range_follow_counts
+
+    rows = [(i, u, t) for i, (u, t) in enumerate(events)]
+    df = (spark.createDataFrame(rows, "event_id bigint, user_id bigint, _t bigint")
+          if rows else
+          spark.createDataFrame([], "event_id bigint, user_id bigint, _t bigint")
+          ).select("event_id", "user_id",
+                   F.timestamp_seconds("_t").alias("ts"))
+    got = {
+        r["event_id"]: r["n_follow"]
+        for r in range_follow_counts(df, win_seconds=win).collect()
+    }
+    expected = {
+        i: sum(1 for _, u2, t2 in rows if u2 == u and t < t2 <= t + win)
+        for i, u, t in rows
+    }
+    assert got == expected

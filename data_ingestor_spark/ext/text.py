@@ -646,11 +646,18 @@ def chunk_tokens(d, toks_expr: str, chunk_len: int, stride: int):
     :func:`q_text_chunk` (see its docstring for the scale argument)
     and the subject of the boundary property test in
     ``tests/test_operator_properties.py``."""
+    # the CASE makes the expression TOTAL: sequence(1, 0, stride) with
+    # a positive step is an illegal-boundaries error, so an EMPTY token
+    # array (impossible for split(), routine for a filtered array
+    # column) must short-circuit to no chunks — the same hazard class
+    # as contamination_counts' guard
     chunks = (
-        f"transform(sequence(1, size({toks_expr}), {stride}),"
+        f"CASE WHEN size({toks_expr}) >= 1"
+        f" THEN transform(sequence(1, size({toks_expr}), {stride}),"
         f" s -> struct(cast((s - 1) div {stride} as bigint) as chunk_id,"
         f" cast(size(slice({toks_expr}, s, {chunk_len})) as bigint) as n_tokens,"
         f" md5(array_join(slice({toks_expr}, s, {chunk_len}), ' ')) as chunk_md5))"
+        f" ELSE array() END"
     )
     return d.select("doc_id", F.explode(F.expr(chunks)).alias("c")).select(
         "doc_id", "c.chunk_id", "c.n_tokens", "c.chunk_md5"

@@ -3388,3 +3388,15 @@ def test_range_follow_counts_match_bruteforce(spark, events, win):
         for i, u, t in rows
     }
     assert got == expected
+
+
+def test_chunk_tokens_empty_array_emits_no_chunks(spark):
+    """An EMPTY token array (routine for a filtered array column; never
+    produced by split()) must emit zero chunks, not crash on the
+    positive-step sequence's illegal-boundaries error."""
+    from data_ingestor_spark.ext.text import chunk_tokens
+
+    df = spark.createDataFrame(
+        [(1, []), (2, ["a", "b", "c"])], "doc_id bigint, toks array<string>")
+    rows = chunk_tokens(df, "toks", 2, 2).collect()
+    assert sorted(r["doc_id"] for r in rows) == [2, 2]

@@ -39,10 +39,12 @@ bottleneck convenience for small extracts only, never the 100 TB path.
 from __future__ import annotations
 
 import contextlib
+import ctypes
 import glob
 import os
 import re
 import shutil
+import sys
 import time
 
 from pyspark.sql import DataFrame
@@ -415,6 +417,62 @@ def publish_versioned(df: DataFrame, table_dir: str) -> int:
     return version
 
 
+_AT_FDCWD = -100  # linux/include/uapi/linux/fcntl.h
+_RENAME_NOREPLACE = 1  # linux/include/uapi/linux/fs.h
+
+
+def _load_renameat2():
+    """``renameat2(2)`` via libc, or None where unavailable (non-Linux,
+    pre-3.15 kernels, static libc without the symbol)."""
+    if not sys.platform.startswith("linux"):
+        return None
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        fn = libc.renameat2
+    except (OSError, AttributeError):
+        return None
+    fn.argtypes = [
+        ctypes.c_int,
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_char_p,
+        ctypes.c_uint,
+    ]
+    fn.restype = ctypes.c_int
+    return fn
+
+
+_RENAMEAT2 = _load_renameat2()
+
+
+def _rename_noreplace(src: str, dst: str) -> None:
+    """``os.rename`` that refuses to replace an existing ``dst``.
+
+    POSIX ``rename(2)`` silently replaces an EMPTY target directory —
+    exactly the hazard in the lock give-back path, where a third
+    writer's fresh ``mkdir`` at the lock path would be clobbered and
+    that writer co-admitted into the critical section (ADVICE r7).
+    On Linux ``renameat2(2)`` with ``RENAME_NOREPLACE`` closes this
+    atomically (raises :class:`FileExistsError` when ``dst`` exists);
+    elsewhere fall back to plain rename, which keeps the documented
+    microsecond-scale residual on those platforms only."""
+    if _RENAMEAT2 is not None:
+        rc = _RENAMEAT2(
+            _AT_FDCWD,
+            os.fsencode(src),
+            _AT_FDCWD,
+            os.fsencode(dst),
+            _RENAME_NOREPLACE,
+        )
+        if rc != 0:
+            err = ctypes.get_errno()
+            # OSError(errno, ...) maps to the matching subclass
+            # (FileExistsError for EEXIST), like os.rename itself
+            raise OSError(err, os.strerror(err), src, None, dst)
+        return
+    os.rename(src, dst)
+
+
 def _read_latest(table_dir: str) -> int:
     """Current ``_LATEST`` pointer value, or -1 if absent/corrupt."""
     try:
@@ -453,11 +511,13 @@ def try_cas_latest(
     lock, renames it straight back and re-waits. The give-back narrows
     the race to the microseconds between the two renames (vs the full
     seconds-scale staleness window) — within it a third writer's fresh
-    ``mkdir`` could be replaced by the returned dir, which keeps the
-    path locked (no NEW entrant is admitted) but co-admits that one
-    writer with the fresh holder; the POSIX dirlock cannot close this
-    fully (no RENAME_NOREPLACE in portable Python), the object-store
-    CAS (one conditional PUT, no lock at all) does."""
+    ``mkdir`` could occupy the lock path; on Linux the give-back uses
+    ``renameat2(RENAME_NOREPLACE)`` so that fresh lock is never
+    replaced (the breaker waits for it to release instead), closing
+    the co-admission residual there. On platforms without the syscall
+    the plain-rename fallback keeps the documented microsecond
+    residual; the object-store CAS (one conditional PUT, no lock at
+    all) has no such window anywhere."""
     lock = os.path.join(table_dir, "_LATEST.lock")
     deadline = time.monotonic() + stale_lock_s
     while True:
@@ -485,12 +545,28 @@ def try_cas_latest(
                     # a fresh writer re-acquired between the staleness
                     # read and the rename — give the live lock back and
                     # re-wait (its mtime is fresh, so the staleness
-                    # check cannot immediately re-break it)
-                    try:
-                        os.rename(tombstone, lock)
-                    except OSError:
-                        with contextlib.suppress(OSError):
-                            os.rmdir(tombstone)
+                    # check cannot immediately re-break it).  The
+                    # give-back must never clobber a THIRD writer's
+                    # fresh mkdir at the lock path (NOREPLACE rename;
+                    # on EEXIST wait for that occupant to release) and
+                    # must NEVER destroy the live lock it is holding:
+                    # on persistent failure the tombstone is left as
+                    # litter — breakers only ever remove their OWN
+                    # tombstones, so litter is harmless, whereas the
+                    # old rmdir fallback deleted a lock just proven
+                    # fresh and silently dropped mutual exclusion
+                    # (ADVICE r7).
+                    giveback_deadline = time.monotonic() + stale_lock_s
+                    while True:
+                        try:
+                            _rename_noreplace(tombstone, lock)
+                            break
+                        except FileExistsError:
+                            if time.monotonic() > giveback_deadline:
+                                break  # leave tombstone litter
+                            time.sleep(0.005)
+                        except OSError:
+                            break  # leave tombstone litter
                     continue
                 with contextlib.suppress(OSError):
                     os.rmdir(tombstone)

@@ -152,8 +152,12 @@ def _union_find_labels(pairs) -> dict[int, int]:
 
 
 #: id(con) -> (con, labels); the tuple pins the connection object so its
-#: id cannot be garbage-collected and reused by a different connection
+#: id cannot be reused by a different connection while the entry lives
 #: (a stale-labels trap if this module were reused across connections).
+#: The value holds a weakref, NOT the connection itself, and the weakref
+#: callback evicts the entry — closed/dropped connections (and their
+#: label dicts) stay collectable across long multi-connection sweeps
+#: (ADVICE r7: a strong ref here grew without bound).
 _CLUSTER_LABEL_CACHE: dict[int, tuple[object, dict[int, int]]] = {}
 
 
@@ -162,8 +166,10 @@ def _py_cluster_labels(con):
     Memoized per connection: q_dedup_clusters and q_dedup_cluster_summary
     share one edge-list computation (the banded self-join is the
     expensive part at sf0.1)."""
+    import weakref
+
     hit = _CLUSTER_LABEL_CACHE.get(id(con))
-    if hit is not None and hit[0] is con:
+    if hit is not None and hit[0]() is con:
         return hit[1]
     from data_ingestor_spark.ext.dedup import _CLUSTER_PAIRS_CTES
 
@@ -171,7 +177,9 @@ def _py_cluster_labels(con):
         "WITH " + _CLUSTER_PAIRS_CTES + " SELECT doc_a, doc_b FROM pairs"
     ).fetchall()
     labels = _union_find_labels(pairs)
-    _CLUSTER_LABEL_CACHE[id(con)] = (con, labels)
+    key = id(con)
+    ref = weakref.ref(con, lambda _r, _k=key: _CLUSTER_LABEL_CACHE.pop(_k, None))
+    _CLUSTER_LABEL_CACHE[key] = (ref, labels)
     return labels
 
 

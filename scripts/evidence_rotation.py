@@ -83,7 +83,12 @@ def derive_window(
 
 
 def main() -> int:
-    from data_ingestor_spark.plans.queries import _FORCE_REFRESH, _PRIORITY, REGISTRY
+    from data_ingestor_spark.plans.queries import (
+        _FORCE_REFRESH,
+        _PRIORITY,
+        _WINDOW_BASIS,
+        REGISTRY,
+    )
 
     basis = max_round()
     ages = evidence_ages(basis=basis)
@@ -102,8 +107,23 @@ def main() -> int:
     print(f"\n# registry: {len(REGISTRY)} keys; never-checked: {len(never)}")
     for rnd in sorted(stale):
         print(f"#   evidence r{rnd}: {len(stale[rnd])} keys")
-    match = tuple(_PRIORITY) == derived
-    print(f"# committed _PRIORITY matches derived (at basis r{basis}): {match}")
+    # The committed-vs-derived check must run at the PINNED basis
+    # (mirroring tests/test_tools.py), not at max_round(): mid-round the
+    # driver drops an untracked CORRECTNESS_r{N}.json after the final
+    # commit, which shifts the max_round() derivation even though the
+    # committed _PRIORITY is still correct at _WINDOW_BASIS (ADVICE r7).
+    # The window printed above is the NEXT-round candidate at max_round().
+    pinned = derive_window(sorted(REGISTRY), _FORCE_REFRESH, basis=_WINDOW_BASIS)
+    match = tuple(_PRIORITY) == pinned
+    print(
+        f"# committed _PRIORITY matches derived (at pinned basis "
+        f"r{_WINDOW_BASIS}): {match}"
+    )
+    if basis != _WINDOW_BASIS:
+        print(
+            f"# note: window printed above is the r{basis}-basis candidate "
+            f"for the NEXT rotation (committed pin is r{_WINDOW_BASIS})"
+        )
     return 0 if match else 1
 
 

@@ -614,3 +614,70 @@ def test_stale_break_gives_back_freshly_reacquired_lock(tmp_path, monkeypatch):
     assert not [d for d in os.listdir(table) if ".broken." in d]
     # and _LATEST was never written by the thwarted breaker
     assert not os.path.exists(os.path.join(table, "_LATEST"))
+
+
+def test_rename_noreplace_semantics(tmp_path):
+    """_rename_noreplace moves when dst is absent and refuses to replace
+    an existing dst — the exact hole plain rename(2) leaves open (it
+    silently replaces an EMPTY target directory)."""
+    import os
+
+    from data_ingestor_spark.sinks import _RENAMEAT2, _rename_noreplace
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    os.mkdir(src)
+    _rename_noreplace(src, dst)
+    assert os.path.isdir(dst) and not os.path.exists(src)
+    os.mkdir(src)
+    if _RENAMEAT2 is None:
+        pytest.skip("renameat2 unavailable on this platform")
+    with pytest.raises(FileExistsError):
+        _rename_noreplace(src, dst)
+    assert os.path.isdir(src) and os.path.isdir(dst)  # both untouched
+
+
+def test_giveback_failure_leaves_tombstone_never_destroys_live_lock(
+    tmp_path, monkeypatch
+):
+    """ADVICE r7 regression: when the give-back rename cannot restore a
+    live lock (a third writer's fresh mkdir occupies the lock path),
+    the breaker must leave its tombstone as litter and keep waiting —
+    the old fallback rmdir'd the tombstone, destroying a lock just
+    proven FRESH and silently dropping mutual exclusion."""
+    import os
+    import time as _time
+
+    from data_ingestor_spark import sinks
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    lock = os.path.join(table, "_LATEST.lock")
+    os.mkdir(lock)
+
+    calls = {"n": 0}
+
+    def fake_getmtime(path):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return _time.time() - 60  # pre-rename read: looks stale
+        return _time.time()  # holder is LIVE ever after
+
+    def occupied_giveback(src, dst):
+        # simulate the third writer: its fresh mkdir occupies the lock
+        # path before every give-back attempt, which is exactly when
+        # renameat2(RENAME_NOREPLACE) reports EEXIST
+        if not os.path.isdir(dst):
+            os.mkdir(dst)
+        raise FileExistsError(17, "File exists", src, None, dst)
+
+    monkeypatch.setattr(sinks.os.path, "getmtime", fake_getmtime)
+    monkeypatch.setattr(sinks, "_rename_noreplace", occupied_giveback)
+    with pytest.raises(TimeoutError):
+        sinks.try_cas_latest(table, -1, 0, stale_lock_s=0.3)
+    # the live lock (renamed to the tombstone) was never destroyed
+    litter = [d for d in os.listdir(table) if ".broken." in d]
+    assert litter, "tombstone litter must be preserved, not rmdir'd"
+    # the third writer's fresh lock was never clobbered
+    assert os.path.isdir(lock)
+    # and the thwarted breaker never published
+    assert not os.path.exists(os.path.join(table, "_LATEST"))

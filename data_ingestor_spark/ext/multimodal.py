@@ -64,6 +64,14 @@ def fake_decode(payload: bytes) -> dict:
     }
 
 
+def _payload_bytes(p) -> bytes:
+    """NULL-safe payload view: a NULL payload (e.g. a NULL source text
+    cast to binary) decodes as the empty blob instead of crashing the
+    Arrow batch — one corrupt row must never kill a 100 TB decode stage
+    (registry totality gate, ``tests/test_totality.py``)."""
+    return b"" if p is None else bytes(p)
+
+
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach an opaque binary payload + typed metadata columns —
     the multimodal table shape (payload, mime, n_bytes)."""
@@ -85,7 +93,7 @@ def extract_features(df: DataFrame) -> DataFrame:
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [fake_decode(bytes(p)) for p in pdf["payload"]]
+            feats = [fake_decode(_payload_bytes(p)) for p in pdf["payload"]]
             out = pd.DataFrame(feats)
             out.insert(0, "mime", pdf["mime"].values)
             out.insert(0, "doc_id", pdf["doc_id"].values)
@@ -111,7 +119,7 @@ def sample_frames(df: DataFrame, frame_size: int = 256, every_n: int = 4) -> Dat
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                data = bytes(payload)
+                data = _payload_bytes(payload)
                 n_frames = (len(data) + frame_size - 1) // frame_size
                 for idx in range(0, n_frames, every_n):
                     fb = data[idx * frame_size : (idx + 1) * frame_size]
@@ -232,7 +240,7 @@ def resize_payloads(df: DataFrame, target_bytes: int = 512) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                data = bytes(payload)
+                data = _payload_bytes(payload)
                 out = data[:target_bytes].ljust(target_bytes, b"\x00")
                 rows.append(
                     {
@@ -270,7 +278,7 @@ def audio_chunk_energy(df: DataFrame, win: int = AUDIO_WIN, hop: int = AUDIO_HOP
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                data = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                data = np.frombuffer(_payload_bytes(payload), dtype=np.uint8).astype(np.int64)
                 for ci, start in enumerate(range(0, data.size, hop)):
                     w = data[start : start + win]
                     centered = w - 128

@@ -25,6 +25,36 @@ from pyspark.sql import Column, DataFrame, functions as F
 from data_ingestor_spark.plans.registry import load_table, query
 
 
+def finite_vectors(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Drop rows whose vector cannot participate in vector math: NULL,
+    empty, containing a non-finite element, or zero-norm.
+
+    A real 100 TB embedding corpus always contains a few such rows
+    (failed encoder calls, truncated writes), and under ANSI mode (the
+    Spark 4 default) each one is a JOB failure, not a wrong answer —
+    NaN·scale → CAST_OVERFLOW in the exact-integer family, zero norm →
+    DIVIDE_BY_ZERO in every cosine (found by the registry totality gate,
+    ``tests/test_totality.py``). One narrow codegen filter per scan; on
+    well-formed input (the driver testdata is unit-norm at every SF) it
+    is a no-op, so all oracle hashes are unchanged. Dimension mismatch
+    is deliberately NOT filtered here: ``zip_with`` pads with NULL and
+    the NULL propagates to the row's similarity, which every consumer
+    already treats as "not a candidate"."""
+    c = F.col(col)
+    finite = ~F.exists(
+        c, lambda x: F.isnan(x.cast("double")) | (F.abs(x.cast("double")) == F.lit(float("inf")))
+    )
+    nonzero = F.exists(c, lambda x: x.cast("double") != 0.0)
+    return df.filter(c.isNotNull() & (F.size(c) > 0) & finite & nonzero)
+
+
+def load_vectors(spark, sf_dir: str, table: str = "embeddings") -> DataFrame:
+    """The ``embeddings`` scan every vector query starts from:
+    ``load_table`` + :func:`finite_vectors` (see its docstring for the
+    totality argument)."""
+    return finite_vectors(load_table(spark, sf_dir, table))
+
+
 def cosine(a: str | Column, b: str | Column) -> Column:
     """Exact cosine similarity of two array<float> columns, computed in
     double with left-to-right accumulation (matches DuckDB/numpy
@@ -95,7 +125,7 @@ def q_sim_topk(spark, sf_dir):
     """Brute-force exact cosine top-25 for query vector vec_id=0 —
     the ANN correctness baseline. Values hash-match DuckDB exactly
     (double math, identical accumulation order)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     return topk_cosine(e.filter(F.col("vec_id") != 0), e.filter(F.col("vec_id") == 0), k=25)
 
 
@@ -125,7 +155,7 @@ def q_dedup_embed_cosine(spark, sf_dir):
     of pinning one task per label."""
     from data_ingestor_spark.operators.pairs import salted_block_pairs
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     # Per-vector work (double cast + norm) happens ONCE per vector here,
     # not once per pair: the pair stage then only computes the dot
     # product — 3× less higher-order-function math on the O(n²) side.
@@ -244,7 +274,7 @@ def q_sim_ann_lsh(spark, sf_dir):
     check; the exact-recall baseline remains q_sim_topk). At scale the
     bucketed table is written partitioned by bucket so probes are
     partition-pruned scans."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     bucketed = e.withColumn("bucket", lsh_bucket("embedding"))
     qv = bucketed.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("_qe"), F.col("bucket").alias("_qbucket")
@@ -298,7 +328,7 @@ def q_sim_ann_lsh_multiprobe(spark, sf_dir):
     probe order (md5 hyperplanes, fixed flip sequence) keeps it fully
     oracle-checkable. Measured recall@10 vs the exact q_sim_topk
     baseline at sf0.01: single-probe 2/10 → multi-probe 10/10."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     bucketed = e.withColumn("bucket", lsh_bucket("embedding"))
     probes = bucketed.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("_qe"),
@@ -392,7 +422,7 @@ def q_sim_ann_ivf(spark, sf_dir):
     differences between the engines' AVG, and every later step is
     bit-reproducible double math. Recall vs the exact q_sim_topk
     baseline remains approximate by design."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     cents = label_centroids(e.filter(F.col("vec_id") != 0))
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
     best = (
@@ -475,7 +505,7 @@ def q_sim_ann_ivf_multiprobe(spark, sf_dir):
     the LSH pair, 2/10 → 10/10, whose buckets ARE geometry-derived);
     with real k-means cells the same plan probes its way back to high
     recall by raising n_probe."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     cents = label_centroids(e.filter(F.col("vec_id") != 0))
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
     best = (
@@ -511,7 +541,7 @@ def q_embed_centroids(spark, sf_dir):
     partial sums; the IVF coarse-quantizer training step (see
     label_centroids for the re-assembled array form). ROUND(6) absorbs
     partial-sum association differences between engines."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     return (
         e.select("label", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("label", "pos")
@@ -553,7 +583,7 @@ def q_embed_quantize(spark, sf_dir):
     oracle checks the per-vector code SUM so the result stays one
     hashable row per vector while still pinning every code value
     (any single code change shifts the sum)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     z = e.select("vec_id", F.posexplode("embedding").alias("pos", "xf")).select(
         "vec_id", "pos", F.col("xf").cast("double").alias("x")
     )
@@ -614,7 +644,7 @@ def q_dedup_semantic(spark, sf_dir):
     over the identical pair CTE."""
     from data_ingestor_spark.operators.pairs import salted_block_pairs
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     prepped = e.select(
         "vec_id",
         "label",
@@ -682,7 +712,7 @@ def q_sim_knn_join(spark, sf_dir):
     per-chunk window results; the per-chunk plan is exactly this one."""
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     q = F.broadcast(
         e.filter(F.col("vec_id") % 100 == 0).select(
             F.col("vec_id").alias("q_id"),
@@ -805,7 +835,7 @@ def q_kmeans_train(spark, sf_dir):
     iteration is one scan + one small shuffle, and convergence rounds
     replace the fixed unroll (persist assignments between rounds;
     k-means|| seeding replaces the stride pick)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     vecs = e.select(
         "vec_id",
         F.expr("transform(embedding, v -> cast(v as double))").alias("emb_d"),
@@ -915,7 +945,7 @@ def q_sim_ann_recall(spark, sf_dir):
     of prose). Ground truth over the full corpus is brute-force by
     construction — run it on a sampled query set at scale; candidates
     reuse the indexed bucket join."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     q_vec = e.filter(F.col("vec_id") == 0)
     exact10 = (
         topk_cosine(e.filter(F.col("vec_id") != 0), q_vec, k=10)
@@ -1011,7 +1041,7 @@ def q_embed_pca_power(spark, sf_dir):
     narrow spectral gap; the query pins the 3-round value, and the
     integer recurrence is verified against its float twin in
     tests/test_ext.py (cos > 0.99)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     long = (
         e.select("vec_id", F.posexplode("embedding").alias("pos", "xf"))
         .select(
@@ -1118,7 +1148,7 @@ def q_knn_accuracy(spark, sf_dir):
         .select("q_id", F.col("label").alias("label_pred"))
     )
     truth = (
-        load_table(spark, sf_dir, "embeddings")
+        load_vectors(spark, sf_dir)
         .filter(F.col("vec_id") % 100 == 0)
         .select(F.col("vec_id").alias("q_id"), F.col("label").alias("label_true"))
     )
@@ -1171,7 +1201,7 @@ def q_embed_outlier(spark, sf_dir):
     rollup, one |labels|-row stats join — the same two-level shape as
     every per-cluster QA here; at 100 TB the long-form explode is the
     only corpus-scale relation and it is narrow (id, label, pos, q)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     long = e.select(
         "vec_id",
         "label",

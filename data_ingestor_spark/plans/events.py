@@ -615,7 +615,7 @@ def q_event_trend(spark, sf_dir):
         e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
         .agg(
             F.expr(
-                "cast(sum(cast(round(value * 100) as bigint)) div count(*) as bigint)"
+                "cast(sum(try_cast(round(value * 100) as bigint)) div count(*) as bigint)"
             ).alias("y")
         )
     )
@@ -1019,7 +1019,7 @@ def ltv_curve(e, user_col: str, type_col: str, ts_col: str, value_col: str,
                 f"cast(datediff(date_trunc('week', {ts_col}), cohort_week)"
                 " div 7 as bigint)"
             ).alias("week_offset"),
-            F.expr(f"cast(round({value_col} * 100) as bigint)").alias("cents"),
+            F.expr(f"try_cast(round({value_col} * 100) as bigint)").alias("cents"),
         )
     )
     weekly = rev.groupBy("cohort_week", "week_offset").agg(

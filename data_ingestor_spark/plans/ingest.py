@@ -402,7 +402,9 @@ def q_scan_binaryfile(spark, sf_dir):
     if not os.path.exists(marker):
         for row in d.collect():  # harness materialization: N≈500 small files
             with open(os.path.join(out, f"{row['doc_id']}.bin"), "wb") as fh:
-                fh.write(row["text"].encode("utf-8"))
+                # NULL text → empty blob: a blob store has no NULL files,
+                # and the writer must not crash on one corrupt row
+                fh.write((row["text"] or "").encode("utf-8"))
         with open(marker, "w") as fh:
             fh.write("ok")
     back = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(out)

@@ -179,13 +179,19 @@ def q_scalar_json(spark, sf_dir):
     tags=("scalar", "array"),
 )
 def q_scalar_array(spark, sf_dir):
-    """Array functions: size, element_at (1-based in both engines), IN."""
+    """Array functions: size, element_at (1-based in both engines), IN.
+
+    ``try_element_at``, not ``element_at``: under ANSI mode an
+    out-of-bounds index is a JOB failure, while DuckDB's list index
+    (and this query's intent) is NULL-on-missing — on an empty or
+    short array the row must survive with NULL, not kill the scan
+    (registry totality gate, ``tests/test_totality.py``)."""
     e = load_table(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.element_at("embedding", 1).alias("first_val"),
-        F.element_at("embedding", 64).alias("last_val"),
+        F.try_element_at("embedding", F.lit(1)).alias("first_val"),
+        F.try_element_at("embedding", F.lit(64)).alias("last_val"),
         F.col("label").isin(0, 1, 2).alias("label_small"),
     )
 
@@ -303,7 +309,10 @@ def q_scalar_variant(spark, sf_dir):
     all outputs are exact integers so the hash needs no FP defense."""
     e = load_table(spark, sf_dir, "events")
     return (
-        e.select("event_type", F.parse_json("props").alias("v"))
+        # try_parse_json: a malformed/empty payload row must shred to
+        # NULL (typed extraction then yields NULL, aggregates skip it) —
+        # plain parse_json is a job failure on the first bad record
+        e.select("event_type", F.try_parse_json("props").alias("v"))
         .select(
             "event_type",
             F.expr("CAST(variant_get(v, '$.k') AS BIGINT)").alias("k"),

@@ -894,7 +894,10 @@ def q_agg_rollup_cascade(spark, sf_dir):
     rows, and in production each level is a stored table maintained
     incrementally."""
     e = load_table(spark, sf_dir, "events")
-    cents = F.expr("cast(round(value * 100) as bigint)")
+    # try_cast: a NaN/±inf metric row must quantize to NULL (skipped by
+    # the aggregates, like SQL NULL) — under ANSI a plain cast is a job
+    # failure on the first corrupt row of a real corpus
+    cents = F.expr("try_cast(round(value * 100) as bigint)")
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(
@@ -983,7 +986,7 @@ def q_stream_rollup_maintain(spark, sf_dir):
         state_dir = os.path.join(
             scratch_dir(f"q_stream_rollup_state_{base}"), uuid.uuid4().hex[:8]
         )
-        cents = F.expr("cast(round(value * 100) as bigint)")
+        cents = F.expr("try_cast(round(value * 100) as bigint)")
 
         def merge_batch(batch_df, batch_id):
             merge_hourly_batch(spark, state_dir, batch_df, batch_id)
@@ -1056,7 +1059,7 @@ def merge_hourly_batch(spark, state_dir, batch_df, batch_id, allowed_lag=1):
 
     from data_ingestor_spark.sinks import publish_versioned, read_latest
 
-    cents = F.expr("cast(round(value * 100) as bigint)")
+    cents = F.expr("try_cast(round(value * 100) as bigint)")
     if os.path.exists(os.path.join(state_dir, "_LATEST")):
         prev = read_latest(spark, state_dir)
         applied = prev.agg(F.max("applied_bid")).collect()[0][0]
@@ -1217,7 +1220,7 @@ def q_window_ohlc(spark, sf_dir):
     base = e.select(
         "event_type",
         F.date_trunc("hour", "ts").alias("bucket"),
-        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        F.expr("try_cast(round(value * 100) as bigint)").alias("cents"),
         "ts",
         "event_id",
     )

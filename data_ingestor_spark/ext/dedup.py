@@ -347,6 +347,8 @@ def ngram_jaccard_pairs(
     band_width: int = 100,
     min_jaccard: float = 0.55,
     out_col: str = "jaccard_bp",
+    max_block_members: int | None = None,
+    pair_sample_bp: int | None = None,
 ):
     """Blocked character-``n``-gram Jaccard pairs — the reusable core
     of :func:`q_dedup_ngram_jaccard` and the subject of the blocked
@@ -372,7 +374,18 @@ def ngram_jaccard_pairs(
         ).alias("g3"),
     )
     narrow = grams.select("doc_id", "source", "len_band")
-    pair_ids = salted_block_pairs(narrow, ["source", "len_band"], "doc_id", salt_buckets=8).select(
+    # max_block_members / pair_sample_bp: the 100 TB output caps
+    # (operators.pairs docstrings) — a boilerplate-heavy block's
+    # quadratic pair output is bounded / sampled deterministically;
+    # both default off so the exact oracle key's plan is untouched
+    pair_ids = salted_block_pairs(
+        narrow,
+        ["source", "len_band"],
+        "doc_id",
+        salt_buckets=8,
+        max_block_members=max_block_members,
+        pair_sample_bp=pair_sample_bp,
+    ).select(
         F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     )
     g = grams.select("doc_id", "g3")

@@ -153,9 +153,26 @@ def q_dedup_embed_cosine(spark, sf_dir):
     so the join is salted (operators.pairs.salted_block_pairs): each
     label's quadratic cosine work spreads over S²=64 reducers instead
     of pinning one task per label."""
+    return embed_cosine_pairs(load_vectors(spark, sf_dir))
+
+
+def embed_cosine_pairs(
+    e: DataFrame,
+    min_cos: float = 0.35,
+    salt_buckets: int = 8,
+    max_block_members: int | None = None,
+    pair_sample_bp: int | None = None,
+) -> DataFrame:
+    """Label-blocked cosine near-dup pairs — the reusable core of
+    :func:`q_dedup_embed_cosine` (see its docstring for the salted-join
+    scale argument). ``max_block_members`` / ``pair_sample_bp`` are the
+    100 TB output caps (``operators.pairs`` docstrings): a densifying
+    block's quadratic pair output is bounded (deterministic subset,
+    exact once the cap exceeds the largest block) or md5-pair-sampled
+    (unbiased count estimate at 10000/p scaling). Both default off, so
+    the exact oracle key's plan is byte-identical."""
     from data_ingestor_spark.operators.pairs import salted_block_pairs
 
-    e = load_vectors(spark, sf_dir)
     # Per-vector work (double cast + norm) happens ONCE per vector here,
     # not once per pair: the pair stage then only computes the dot
     # product — 3× less higher-order-function math on the O(n²) side.
@@ -171,7 +188,14 @@ def q_dedup_embed_cosine(spark, sf_dir):
             )
         ).alias("norm"),
     )
-    pairs = salted_block_pairs(prepped, ["label"], "vec_id", salt_buckets=8)
+    pairs = salted_block_pairs(
+        prepped,
+        ["label"],
+        "vec_id",
+        salt_buckets=salt_buckets,
+        max_block_members=max_block_members,
+        pair_sample_bp=pair_sample_bp,
+    )
     dot = F.aggregate(
         F.zip_with(F.col("a.emb_d"), F.col("b.emb_d"), lambda x, y: x * y),
         F.lit(0.0),
@@ -183,7 +207,7 @@ def q_dedup_embed_cosine(spark, sf_dir):
         F.col("a.label").alias("label"),
         (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cos_sim"),
     )
-    return out.filter(F.col("cos_sim") >= 0.35)
+    return out.filter(F.col("cos_sim") >= min_cos)
 
 
 #: LSH hyperplane count → 2^P buckets. Sized so buckets hold enough

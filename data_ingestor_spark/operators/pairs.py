@@ -20,23 +20,99 @@ quadratic part — spreads over ``S²`` × blocks reducers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
-def block_pairs(df: DataFrame, block_cols: list[str], id_col: str) -> DataFrame:
+def _md5_priority(col) -> F.Column:
+    """Deterministic 60-bit priority from an id (or any expression) —
+    the no-``rand()`` sampling primitive used across the engine
+    (reshard- and rerun-stable, engine-portable)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def cap_block_members(
+    df: DataFrame, block_cols: list[str], id_col: str, max_members: int
+) -> DataFrame:
+    """Keep each block's ``max_members`` lowest-md5-priority rows.
+
+    The 100 TB escape hatch for densifying pair operators (the triangle
+    counter's ``max_out_neighbors`` pattern, ``ext/graph.py``): a block
+    of size m emits m(m−1)/2 pairs, so one pathological block (a spam
+    run, a boilerplate cluster) can emit more output than the rest of
+    the corpus combined. Capping members bounds every block's pair
+    output at K(K−1)/2 — a deterministic SUBSET of the exact pair set,
+    monotone non-decreasing in K, exact once K ≥ the largest block.
+    One row_number window per block — linear, no extra shuffle beyond
+    the block partitioning the pair join needs anyway."""
+    w = Window.partitionBy(*block_cols).orderBy(
+        _md5_priority(id_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_bp_rn", F.row_number().over(w))
+        .filter(F.col("_bp_rn") <= max_members)
+        .drop("_bp_rn")
+    )
+
+
+def _pair_sample_cond(id_col: str, pair_sample_bp: int) -> F.Column:
+    """Deterministic unbiased pair keep-decision: md5 of the ordered id
+    pair mod 10⁴ < ``pair_sample_bp`` (p=10000 keeps every pair). Pair
+    COUNTS scale by 10000/p for an unbiased estimate; the kept pairs
+    themselves are exact (no approximation inside a pair's score)."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col(f"a.{id_col}").cast("string"),
+                    F.col(f"b.{id_col}").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (h % 10000) < F.lit(pair_sample_bp)
+
+
+def block_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    id_col: str,
+    max_block_members: int | None = None,
+    pair_sample_bp: int | None = None,
+) -> DataFrame:
     """Plain blocked self-pairs: fine when block-key cardinality ≫ cores.
 
     Output columns: ``a.*`` / ``b.*`` accessible via aliases ``a``/``b``.
+    ``max_block_members`` / ``pair_sample_bp`` are the 100 TB output
+    caps (see :func:`cap_block_members` / :func:`_pair_sample_cond`);
+    both default off, leaving the exact plan byte-identical.
     """
+    if max_block_members is not None:
+        df = cap_block_members(df, block_cols, id_col, max_block_members)
     a, b = df.alias("a"), df.alias("b")
     cond = F.lit(True)
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    return a.join(b, cond & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    out = a.join(b, cond & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    if pair_sample_bp is not None:
+        out = out.filter(_pair_sample_cond(id_col, pair_sample_bp))
+    return out
 
 
 def salted_block_pairs(
-    df: DataFrame, block_cols: list[str], id_col: str, salt_buckets: int = 8
+    df: DataFrame,
+    block_cols: list[str],
+    id_col: str,
+    salt_buckets: int = 8,
+    max_block_members: int | None = None,
+    pair_sample_bp: int | None = None,
 ) -> DataFrame:
     """Skew-resistant blocked self-pairs (see module docstring).
 
@@ -45,8 +121,13 @@ def salted_block_pairs(
     the join key is ``block_cols + (salt_a, salt_b)`` — so each block's
     quadratic pair work lands on ``S²`` independent reducers instead of
     one. Result set is IDENTICAL to :func:`block_pairs`; only the
-    physical distribution changes.
+    physical distribution changes. ``max_block_members`` /
+    ``pair_sample_bp`` are the 100 TB output caps (see
+    :func:`cap_block_members` / :func:`_pair_sample_cond`); both
+    default off, leaving the exact plan byte-identical.
     """
+    if max_block_members is not None:
+        df = cap_block_members(df, block_cols, id_col, max_block_members)
     S = salt_buckets
     salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(S)).cast("int")
     a = (
@@ -62,6 +143,8 @@ def salted_block_pairs(
     cond = (F.col("a._sa") == F.col("b._sa")) & (F.col("a._sb") == F.col("b._sb"))
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    return a.join(b, cond & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))).drop(
-        "_sa", "_sb"
-    )
+    out = a.join(b, cond & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    if pair_sample_bp is not None:
+        # before the drop: the a./b. alias references resolve here
+        out = out.filter(_pair_sample_cond(id_col, pair_sample_bp))
+    return out.drop("_sa", "_sb")

@@ -537,6 +537,33 @@ def q_scan_json_corrupt(spark, sf_dir):
     )
 
 
+def morton_interleave(a_col: str, b_col: str, bits: int = 8):
+    """Morton (Z-order) code of two ``bits``-wide non-negative integer
+    columns: bit i of ``a_col`` lands at output bit 2i, bit i of
+    ``b_col`` at 2i+1 — one codegen'd ``aggregate`` over
+    ``sequence(0, bits-1)``, no UDF. Inputs must already be
+    rank/range-normalized to [0, 2^bits) (see
+    :func:`range_normalize_expr`); the reusable core of
+    :func:`q_scan_zorder` and the subject of the bit-exactness property
+    test in ``tests/test_operator_properties.py``."""
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> acc"
+        f" + shiftleft(cast(shiftright({a_col}, i) & 1 as bigint), 2 * i)"
+        f" + shiftleft(cast(shiftright({b_col}, i) & 1 as bigint), 2 * i + 1))"
+    )
+
+
+def range_normalize_expr(col: str, min_col: str, max_col: str, bits: int = 8):
+    """Range-normalize an integer column to [0, 2^bits): exact integer
+    arithmetic ``(x - min) * (2^bits - 1) div max(max - min, 1)``.
+    Z-ordering must interleave NORMALIZED keys — a raw interleave of
+    unequal-width keys degenerates (the wider key's high bits own every
+    split boundary, so the narrow key never clusters), the same reason
+    Delta/Iceberg z-order on range-ranks rather than raw values."""
+    hi = (1 << bits) - 1
+    return F.expr(f"(({col} - {min_col}) * {hi}) div greatest({max_col} - {min_col}, 1)")
+
+
 @query(
     "q_scan_zorder",
     oracle="""
@@ -581,22 +608,15 @@ def q_scan_zorder(spark, sf_dir):
             F.min("o_orderkey").alias("_omin"),
             F.max("o_orderkey").alias("_omax"),
         )
-        z = F.expr(
-            "aggregate(sequence(0, 7), 0L, (acc, i) -> acc"
-            " + shiftleft(cast(shiftright(_cn, i) & 1 as bigint), 2 * i)"
-            " + shiftleft(cast(shiftright(_on, i) & 1 as bigint), 2 * i + 1))"
-        )
         (
             o.crossJoin(F.broadcast(bounds))
             .withColumn(
-                "_cn",
-                F.expr("((o_custkey - _cmin) * 255) div greatest(_cmax - _cmin, 1)"),
+                "_cn", range_normalize_expr("o_custkey", "_cmin", "_cmax")
             )
             .withColumn(
-                "_on",
-                F.expr("((o_orderkey - _omin) * 255) div greatest(_omax - _omin, 1)"),
+                "_on", range_normalize_expr("o_orderkey", "_omin", "_omax")
             )
-            .withColumn("_z", z)
+            .withColumn("_z", morton_interleave("_cn", "_on"))
             .repartitionByRange(16, "_z")
             .sortWithinPartitions("_z")
             .drop("_z", "_cn", "_on", "_cmin", "_cmax", "_omin", "_omax")

@@ -3400,3 +3400,74 @@ def test_chunk_tokens_empty_array_emits_no_chunks(spark):
         [(1, []), (2, ["a", "b", "c"])], "doc_id bigint, toks array<string>")
     rows = chunk_tokens(df, "toks", 2, 2).collect()
     assert sorted(r["doc_id"] for r in rows) == [2, 2]
+
+
+# ------------------------------------------------------------------ morton z-order
+
+
+def _ref_morton(a: int, b: int, bits: int = 8) -> int:
+    """Brute-force bit interleave: a's bit i -> 2i, b's bit i -> 2i+1."""
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@settings(**_SETTINGS)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_morton_interleave_matches_python_reference(spark, pairs):
+    """morton_interleave is bit-exact vs the brute-force interleave for
+    every 8-bit input pair, and strictly monotone-compatible with the
+    z-curve (equal inputs -> equal code)."""
+    from data_ingestor_spark.plans.ingest import morton_interleave
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)], "i bigint, a bigint, b bigint"
+    )
+    got = {
+        r["i"]: r["z"]
+        for r in df.select("i", morton_interleave("a", "b").alias("z")).collect()
+    }
+    assert got == {i: _ref_morton(a, b) for i, (a, b) in enumerate(pairs)}
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(st.integers(-(10**6), 10**6), min_size=1, max_size=30),
+    bits=st.sampled_from([4, 8]),
+)
+def test_range_normalize_expr_bounds_and_order(spark, vals, bits):
+    """range_normalize_expr maps every value into [0, 2^bits), preserves
+    order (monotone non-decreasing with the input), sends min -> 0, and
+    max -> 2^bits - 1 whenever min < max (degenerate all-equal -> 0)."""
+    from data_ingestor_spark.plans.ingest import range_normalize_expr
+
+    lo, hi = min(vals), max(vals)
+    df = spark.createDataFrame(
+        [(i, v, lo, hi) for i, v in enumerate(vals)],
+        "i bigint, x bigint, mn bigint, mx bigint",
+    )
+    got = {
+        r["i"]: r["nx"]
+        for r in df.select(
+            "i", range_normalize_expr("x", "mn", "mx", bits=bits).alias("nx")
+        ).collect()
+    }
+    top = (1 << bits) - 1
+    for i, v in enumerate(vals):
+        assert 0 <= got[i] <= top
+        expected = (v - lo) * top // max(hi - lo, 1)
+        assert got[i] == expected  # exact integer arithmetic, no FP
+    order = sorted(range(len(vals)), key=lambda i: vals[i])
+    normed = [got[i] for i in order]
+    assert normed == sorted(normed)  # order-preserving
+    assert got[vals.index(lo)] == 0
+    if lo < hi:
+        assert got[vals.index(hi)] == top

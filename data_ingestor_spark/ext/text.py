@@ -1245,14 +1245,24 @@ def q_mix_resample(spark, sf_dir):
     corpus, one narrow filter — the only movement at 100 TB is the
     count aggregation; the accepted-set scan is shuffle-free."""
     d = load_table(spark, sf_dir, "documents")
-    per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_before"))
+    return mix_resample(d, "source", "doc_id")
+
+
+def mix_resample(d, group_col: str, id_col: str):
+    """Uniform-target domain-mix resampling readout — the reusable core
+    of :func:`q_mix_resample` (see its docstring for the rate formula
+    and the reproducible-membership argument) and the subject of the
+    rate/membership property test in
+    ``tests/test_operator_properties.py``. Returns one row per group:
+    (group, n_before, accept_bps, n_kept)."""
+    per_src = d.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_before"))
     tot = per_src.agg(
         F.sum("n_before").alias("n_total"), F.count(F.lit(1)).alias("n_sources")
     )
     rates = (
         per_src.crossJoin(F.broadcast(tot))
         .select(
-            "source",
+            group_col,
             "n_before",
             F.least(
                 F.lit(10000).cast("bigint"),
@@ -1261,15 +1271,15 @@ def q_mix_resample(spark, sf_dir):
         )
     )
     bucket = (
-        F.expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)").cast(
+        F.expr(f"conv(substring(md5(cast({id_col} as string)), 1, 8), 16, 10)").cast(
             "bigint"
         )
         % 10000
     )
-    docs = d.select("doc_id", "source", bucket.alias("b"))
+    docs = d.select(id_col, group_col, bucket.alias("b"))
     return (
-        docs.join(F.broadcast(rates), "source")
-        .groupBy("source", "n_before", "accept_bps")
+        docs.join(F.broadcast(rates), group_col)
+        .groupBy(group_col, "n_before", "accept_bps")
         .agg(F.sum(F.when(F.col("b") < F.col("accept_bps"), 1).otherwise(0)).alias("n_kept"))
     )
 

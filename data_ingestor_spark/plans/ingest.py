@@ -680,36 +680,57 @@ def q_compact_plan(spark, sf_dir):
         .agg(F.sum("n_chars").alias("bytes"))
         .localCheckpoint(eager=True)
     )
+    return compaction_plan(files, small_threshold=700, target_bytes=2000)
+
+
+def compaction_plan(
+    files,
+    small_threshold: int,
+    target_bytes: int,
+    part_col: str = "source",
+    file_col: str = "file_id",
+    bytes_col: str = "bytes",
+):
+    """Bin-pack sub-threshold files into ~``target_bytes`` rewrite
+    groups per partition — a file's bin is its exact starting byte
+    offset (running sum minus own size) ``div`` target, so bins are
+    reproducible, every bin except a partition's last reaches ≥ target,
+    and large files pass through as 1-file ``keep`` rows. The reusable
+    core of :func:`q_compact_plan` (see its docstring for the
+    manifest-only scale argument) and the subject of the greedy
+    bin-packing property test in ``tests/test_operator_properties.py``."""
     from pyspark.sql import Window as W
 
     w = (
-        W.partitionBy("source")
-        .orderBy("file_id")
+        W.partitionBy(part_col)
+        .orderBy(file_col)
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    small = files.filter(F.col("bytes") < 700).withColumn(
-        "cum_bytes", F.sum("bytes").over(w)
+    small = files.filter(F.col(bytes_col) < small_threshold).withColumn(
+        "cum_bytes", F.sum(bytes_col).over(w)
     )
     compact = small.groupBy(
-        "source",
-        F.expr("(cum_bytes - bytes) div 2000").cast("bigint").alias("bin_id"),
+        part_col,
+        F.expr(f"(cum_bytes - {bytes_col}) div {target_bytes}")
+        .cast("bigint")
+        .alias("bin_id"),
     ).agg(
         F.count(F.lit(1)).alias("n_files"),
-        F.sum("bytes").cast("bigint").alias("total_bytes"),
-        F.min("file_id").alias("first_file"),
+        F.sum(bytes_col).cast("bigint").alias("total_bytes"),
+        F.min(file_col).alias("first_file"),
     )
-    keep = files.filter(F.col("bytes") >= 700).select(
-        "source",
-        F.col("file_id").alias("bin_id"),
+    keep = files.filter(F.col(bytes_col) >= small_threshold).select(
+        part_col,
+        F.col(file_col).alias("bin_id"),
         F.lit(1).cast("bigint").alias("n_files"),
-        F.col("bytes").cast("bigint").alias("total_bytes"),
-        F.col("file_id").alias("first_file"),
+        F.col(bytes_col).cast("bigint").alias("total_bytes"),
+        F.col(file_col).alias("first_file"),
     )
     return compact.withColumn("action", F.lit("compact")).select(
-        "source", "action", "bin_id", "n_files", "total_bytes", "first_file"
+        part_col, "action", "bin_id", "n_files", "total_bytes", "first_file"
     ).unionByName(
         keep.withColumn("action", F.lit("keep")).select(
-            "source", "action", "bin_id", "n_files", "total_bytes", "first_file"
+            part_col, "action", "bin_id", "n_files", "total_bytes", "first_file"
         )
     )
 

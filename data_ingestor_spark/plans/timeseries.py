@@ -894,12 +894,22 @@ def q_agg_rollup_cascade(spark, sf_dir):
     rows, and in production each level is a stored table maintained
     incrementally."""
     e = load_table(spark, sf_dir, "events")
+    return rollup_cascade(e, "event_type", "ts", "value")
+
+
+def rollup_cascade(e, key_col: str, ts_col: str, value_col: str):
+    """Hour→day→week mergeable-partials cascade → weekly
+    (n, total/mean/min/max cents) per key, mean derived at read time
+    by exact integer division — the reusable core of
+    :func:`q_agg_rollup_cascade` (see its docstring for the
+    cascade ≡ direct contract) and the subject of the merge-hop
+    property test in ``tests/test_operator_properties.py``."""
     # try_cast: a NaN/±inf metric row must quantize to NULL (skipped by
     # the aggregates, like SQL NULL) — under ANSI a plain cast is a job
     # failure on the first corrupt row of a real corpus
-    cents = F.expr("try_cast(round(value * 100) as bigint)")
+    cents = F.expr(f"try_cast(round({value_col} * 100) as bigint)")
     hourly = e.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("h")
+        key_col, F.date_trunc("hour", ts_col).alias("h")
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(cents).alias("s"),
@@ -907,7 +917,7 @@ def q_agg_rollup_cascade(spark, sf_dir):
         F.max(cents).alias("mx"),
     )
     daily = hourly.groupBy(
-        "event_type", F.date_trunc("day", "h").alias("d")
+        key_col, F.date_trunc("day", "h").alias("d")
     ).agg(
         F.sum("n").alias("n"),
         F.sum("s").alias("s"),
@@ -915,7 +925,7 @@ def q_agg_rollup_cascade(spark, sf_dir):
         F.max("mx").alias("mx"),
     )
     weekly = daily.groupBy(
-        "event_type", F.date_trunc("week", "d").alias("w")
+        key_col, F.date_trunc("week", "d").alias("w")
     ).agg(
         F.sum("n").alias("n"),
         F.sum("s").alias("s"),
@@ -923,7 +933,7 @@ def q_agg_rollup_cascade(spark, sf_dir):
         F.max("mx").alias("mx"),
     )
     return weekly.select(
-        "event_type",
+        key_col,
         "w",
         F.col("n").cast("bigint").alias("n"),
         F.col("s").cast("bigint").alias("total_cents"),

@@ -3471,3 +3471,161 @@ def test_range_normalize_expr_bounds_and_order(spark, vals, bits):
     assert got[vals.index(lo)] == 0
     if lo < hi:
         assert got[vals.index(hi)] == top
+
+
+# ------------------------------------------------------------------ compaction plan
+
+
+def _ref_compaction_plan(files, small, target):
+    """Greedy running-sum bin-packing per partition + large-file pass-through."""
+    out = {}
+    by_part = {}
+    for part, fid, b in files:
+        by_part.setdefault(part, []).append((fid, b))
+    for part, fs in by_part.items():
+        cum = 0
+        for fid, b in sorted(fs):
+            if b >= small:
+                out[(part, "keep", fid)] = (1, b, fid)
+                continue
+            bin_id = cum // target
+            n, tot, first = out.get((part, "compact", bin_id), (0, 0, fid))
+            out[(part, "compact", bin_id)] = (n + 1, tot + b, min(first, fid))
+            cum += b
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    files=st.lists(
+        st.tuples(
+            st.sampled_from(["web", "books"]),
+            st.integers(0, 40),
+            st.integers(1, 1200),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_compaction_plan_matches_greedy_reference(spark, files):
+    """compaction_plan == the greedy per-partition running-sum packer:
+    same bins, same byte totals, same first-file anchors, large files
+    pass through untouched."""
+    from data_ingestor_spark.plans.ingest import compaction_plan
+
+    df = spark.createDataFrame(
+        list(files), "source string, file_id bigint, bytes bigint"
+    )
+    got = {
+        (r["source"], r["action"], r["bin_id"]): (
+            r["n_files"],
+            r["total_bytes"],
+            r["first_file"],
+        )
+        for r in compaction_plan(df, small_threshold=700, target_bytes=2000).collect()
+    }
+    assert got == _ref_compaction_plan(files, 700, 2000)
+
+
+# ------------------------------------------------------------------ rollup cascade
+
+
+def _spark_cents(v):
+    """Spark ROUND(double): exact decimal expansion of the double,
+    HALF_UP — NOT Python's banker's round."""
+    import decimal
+
+    if v is None:
+        return None
+    return int(
+        decimal.Decimal(v * 100.0).quantize(0, rounding=decimal.ROUND_HALF_UP)
+    )
+
+
+@settings(**_SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["click", "view"]),
+            st.integers(0, 3_000_000),  # seconds offset (~5 weeks)
+            st.floats(-100, 100, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_rollup_cascade_equals_direct_weekly(spark, events):
+    """cascade (hour->day->week from mergeable partials) == weekly
+    computed DIRECTLY from raw rows, including the exact-integer mean."""
+    import datetime as dt
+
+    from data_ingestor_spark.plans.timeseries import rollup_cascade
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, base + dt.timedelta(seconds=s), float(v)) for k, s, v in events
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    got = {
+        (r["event_type"], r["w"]): (
+            r["n"],
+            r["total_cents"],
+            r["mean_cents"],
+            r["min_cents"],
+            r["max_cents"],
+        )
+        for r in rollup_cascade(df, "event_type", "ts", "value").collect()
+    }
+    direct = {}
+    for k, ts, v in rows:
+        monday = (ts - dt.timedelta(days=ts.weekday())).replace(
+            hour=0, minute=0, second=0, microsecond=0
+        )
+        direct.setdefault((k, monday), []).append(_spark_cents(v))
+    expected = {}
+    for key, cents in direct.items():
+        n, s = len(cents), sum(cents)
+        mean = abs(s) // n * (1 if s >= 0 else -1)  # trunc toward zero, like div
+        expected[key] = (n, s, mean, min(cents), max(cents))
+    assert got == expected
+
+
+# ------------------------------------------------------------------ mix resample
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 10**6), st.sampled_from(["web", "books", "code"])),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_mix_resample_matches_hashlib_reference(spark, docs):
+    """mix_resample's acceptance rates and kept counts == the spec:
+    rate = min(10^4, 10^4*N div (S*n_s)); keep iff md5-bucket < rate."""
+    import hashlib
+
+    from data_ingestor_spark.ext.text import mix_resample
+
+    df = spark.createDataFrame(list(docs), "doc_id bigint, source string")
+    got = {
+        r["source"]: (r["n_before"], r["accept_bps"], r["n_kept"])
+        for r in mix_resample(df, "source", "doc_id").collect()
+    }
+    groups = {}
+    for i, s in docs:
+        groups.setdefault(s, []).append(i)
+    N, S = len(docs), len(groups)
+    expected = {}
+    for s, ids in groups.items():
+        rate = min(10000, (10000 * N) // (S * len(ids)))
+        kept = sum(
+            1
+            for i in ids
+            if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10000 < rate
+        )
+        expected[s] = (len(ids), rate, kept)
+    assert got == expected

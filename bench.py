@@ -195,7 +195,17 @@ def main() -> None:
         return warm, first
 
     timings, cold = time_set(HEADLINE)
-    extra, _ = time_set(EXTRA)
+    # Local idle-box variant (judge directive r8 #7): with
+    # SPARK_GRAFT_FULL_EXTRAS=1 the extras tail covers EVERY registry
+    # key outside the headline — the per-key anchors that adjudicate
+    # driver-box outliers mechanically. The driver's own invocation
+    # (no env) keeps the stable round-over-round extras list.
+    extra_names = list(EXTRA)
+    if os.environ.get("SPARK_GRAFT_FULL_EXTRAS"):
+        extra_names += [
+            k for k in q.REGISTRY if k not in HEADLINE and k not in EXTRA
+        ]
+    extra, _ = time_set(extra_names)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -211,6 +221,12 @@ def main() -> None:
                 "host_load_avg_1m": round(os.getloadavg()[0], 2),
                 "host_load_avg_1m_start": load_start,
                 "cpu_cal_s": cpu_cal_s,
+                # validity bit for idle-box anchor records: per-query
+                # numbers are only comparable ACROSS rounds when the box
+                # was quiet before the first query ran (BASELINE.md's
+                # matched-load discipline, made mechanical)
+                "idle_box_valid": load_start < 0.5,
+                "n_keys_timed": len(timings) + len(extra),
                 "note": "per-query steady-state (best of 2); cold_first_run includes one-time codegen compile; extra_queries are round-2+ operators timed identically but excluded from the headline total for round-over-round comparability; host_load_avg_1m is the 1-minute load average at report time and _start before any query ran — the bench's own 32-core work raises the end value, so _start is the idle-box indicator; co-tenant load inflates every query uniformly (compare per-query RATIOS across rounds, not absolutes, when either is high); cpu_cal_s is a fixed single-thread md5 workload timed before any query — boots differ up to ~1.2× on identical code, so normalize cross-round ratios by cal_old/cal_new",
             }
         )
@@ -228,6 +244,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "host_load_avg_1m_start": load_start,
+                "idle_box_valid": load_start < 0.5,
                 # cpu_cal_s must ride the compact line too: when the
                 # driver's tail window truncates the big diagnostic line
                 # above, bench_compare's boot-speed normalization would

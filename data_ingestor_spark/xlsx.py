@@ -106,8 +106,22 @@ def _cell_ref(row: int, col: int) -> str:
     return f"{letters}{row + 1}"
 
 
+#: XML 1.0 forbids these code points OUTRIGHT (no escape exists): C0
+#: controls other than tab/newline/CR, plus U+FFFE/U+FFFF. A cell value
+#: containing one would make the whole workbook ill-formed — found by
+#: feeding the adversarial mini-corpus through export_excel (r8).
+#: openpyxl raises IllegalCharacterError here; an exporter must not
+#: fail the job on one dirty cell, so they are stripped (the same
+#: behavior as pandas' Excel writers).
+_XML_ILLEGAL = dict.fromkeys(
+    [*range(0x00, 0x09), 0x0B, 0x0C, *range(0x0E, 0x20), 0xFFFE, 0xFFFF]
+)
+
+
 def write_sheet(path: str, rows: list[list[object]], sheet: str = "Sheet1") -> None:
-    """Write a single-sheet workbook; every cell as an inline string."""
+    """Write a single-sheet workbook; every cell as an inline string.
+    XML-illegal code points are stripped from cell text (see
+    ``_XML_ILLEGAL``)."""
     body = ["<sheetData>"]
     for ri, row in enumerate(rows):
         body.append(f'<row r="{ri + 1}">')
@@ -116,7 +130,7 @@ def write_sheet(path: str, rows: list[list[object]], sheet: str = "Sheet1") -> N
                 continue
             body.append(
                 f'<c r="{_cell_ref(ri, ci)}" t="inlineStr"><is><t xml:space="preserve">'
-                f"{escape(str(val))}</t></is></c>"
+                f"{escape(str(val).translate(_XML_ILLEGAL))}</t></is></c>"
             )
         body.append("</row>")
     body.append("</sheetData>")

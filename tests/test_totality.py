@@ -46,3 +46,37 @@ def test_registry_key_total_on_adversarial_corpus(spark, adversarial_sf_dir, key
     # projected column, which would skip evaluating the very
     # expressions this gate exists to exercise
     REGISTRY[key].fn(spark, adversarial_sf_dir).collect()
+
+
+def test_export_surfaces_total_on_adversarial_documents(
+    spark, adversarial_sf_dir, tmp_path
+):
+    """The export sinks (O16-O18) must survive the same corpus: NULL
+    text, embedded newlines, control characters, emoji. CSV and JSON
+    prove lossless row counts through a read-back; Excel round-trips
+    through the repo's own reader (XML-illegal code points are
+    documented as stripped — before r8 one \\x00 cell made the whole
+    workbook ill-formed)."""
+    from data_ingestor_spark.sinks import export_csv, export_excel, export_json
+    from data_ingestor_spark.xlsx import read_rows
+
+    d = spark.read.parquet(f"{adversarial_sf_dir}/documents.parquet")
+    n = d.count()
+
+    csv_dir = str(tmp_path / "docs_csv")
+    export_csv(d, csv_dir)
+    back = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")  # embedded newlines are quoted
+        .csv(csv_dir)
+    )
+    assert back.count() == n
+
+    json_dir = str(tmp_path / "docs_jsonl")
+    export_json(d, json_dir)
+    assert spark.read.json(json_dir).count() == n
+
+    xlsx_path = str(tmp_path / "docs.xlsx")
+    export_excel(d, xlsx_path)
+    rows = read_rows(xlsx_path)
+    assert len(rows) == n + 1  # header + every document row

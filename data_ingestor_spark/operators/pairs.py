@@ -45,8 +45,14 @@ def cap_block_members(
     the corpus combined. Capping members bounds every block's pair
     output at K(K−1)/2 — a deterministic SUBSET of the exact pair set,
     monotone non-decreasing in K, exact once K ≥ the largest block.
-    One row_number window per block — linear, no extra shuffle beyond
-    the block partitioning the pair join needs anyway."""
+    One row_number window per block. Operational recipe (measured,
+    ``PAIR_CAPS_r8.json``): the ranking window has its own cost, so
+    enable the cap only when a block-size diagnostic (the
+    q_dedup_lsh_bucket_stats shape) shows oversized blocks — on dense
+    blocks it cut the sf0.1 cosine pair stage 4.0×, on balanced
+    n-gram blocks it only added the window's shuffle. For uniform
+    thinning at any block shape, ``pair_sample_bp`` is the cheaper
+    knob (5× at p=2500, exactly 25% of pairs kept)."""
     w = Window.partitionBy(*block_cols).orderBy(
         _md5_priority(id_col).asc(), F.col(id_col).asc()
     )

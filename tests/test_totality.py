@@ -80,3 +80,22 @@ def test_export_surfaces_total_on_adversarial_documents(
     export_excel(d, xlsx_path)
     rows = read_rows(xlsx_path)
     assert len(rows) == n + 1  # header + every document row
+
+
+def test_adversarial_corpus_builder_is_deterministic(tmp_path):
+    """Two builds from the same source produce byte-identical parquet —
+    the gate's input cannot drift between runs or machines (no
+    randomness, no timestamps in the builder)."""
+    import hashlib
+
+    from scripts.adversarial_corpus import build
+
+    a = build(str(tmp_path / "a"))
+    b = build(str(tmp_path / "b"))
+    for t in (
+        "documents", "embeddings", "events",
+        "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+    ):
+        da = hashlib.md5(open(f"{a}/{t}.parquet", "rb").read()).hexdigest()
+        db = hashlib.md5(open(f"{b}/{t}.parquet", "rb").read()).hexdigest()
+        assert da == db, t

@@ -87,6 +87,7 @@ ADVERSARIAL_EVENTS = [
     (9000007, "2024-01-01 00:00:06", 2, "purchase", float("nan"), "{}"),
     (9000008, "2024-01-01 00:00:07", 2, "purchase", 0.0, '{"a": null}'),
     (9000009, "2024-01-01 00:00:08", 2, "", 0.0, "[]"),  # empty-string type
+    (9000010, None, 3, "click", 1.0, "{}"),  # NULL timestamp
 ]
 
 

@@ -375,7 +375,11 @@ def q_scan_jsonl(spark, sf_dir):
     back = spark.read.schema(e.schema).json(out)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        # try_cast like registry.dec(): out-of-range doubles -> NULL,
+        # not a job failure (registry totality gate)
+        F.sum(F.expr("try_cast(value as decimal(18,2))"))
+        .cast("double")
+        .alias("total_value"),
     )
 
 

@@ -128,8 +128,16 @@ def dec(colname: str, scale: int = 2) -> F.Column:
     Discipline: never cast a *computed* double expression to decimal —
     Spark and DuckDB resolve near-tie roundings differently. Cast the
     base columns first and do the arithmetic in decimal (exact in both).
+
+    ``try_cast``, not ``cast``: a double beyond DECIMAL(18,s) range
+    (a corrupt 1e308 sentinel in a metric column) must become NULL —
+    skipped by aggregates like any SQL NULL — instead of failing the
+    whole job under ANSI mode (NUMERIC_VALUE_OUT_OF_RANGE; found by
+    the extreme-magnitude rows of the registry totality gate,
+    ``tests/test_totality.py``). On in-range data the two casts are
+    identical, so every oracle hash is unchanged.
     """
-    return F.col(colname).cast(f"decimal(18,{scale})")
+    return F.expr(f"try_cast({colname} as decimal(18,{scale}))")
 
 
 def dec_sum(colname: str, alias: str, scale: int = 2) -> F.Column:

@@ -88,6 +88,9 @@ ADVERSARIAL_EVENTS = [
     (9000008, "2024-01-01 00:00:07", 2, "purchase", 0.0, '{"a": null}'),
     (9000009, "2024-01-01 00:00:08", 2, "", 0.0, "[]"),  # empty-string type
     (9000010, None, 3, "click", 1.0, "{}"),  # NULL timestamp
+    (9000011, "2024-01-01 00:00:09", 3, "view", 1e308, "{}"),  # huge value
+    (9000012, "2024-01-01 00:00:10", 3, "view", -1e308, "{}"),  # huge negative
+    (9000013, "2024-01-01 00:00:11", 4611686018427387904, "click", 1.0, "{}"),  # 2^62 user
 ]
 
 

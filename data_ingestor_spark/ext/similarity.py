@@ -27,7 +27,7 @@ from data_ingestor_spark.plans.registry import load_table, query
 
 def finite_vectors(df: DataFrame, col: str = "embedding") -> DataFrame:
     """Drop rows whose vector cannot participate in vector math: NULL,
-    empty, containing a non-finite element, or zero-norm.
+    empty, containing a NULL or non-finite element, or zero-norm.
 
     A real 100 TB embedding corpus always contains a few such rows
     (failed encoder calls, truncated writes), and under ANSI mode (the
@@ -36,16 +36,26 @@ def finite_vectors(df: DataFrame, col: str = "embedding") -> DataFrame:
     DIVIDE_BY_ZERO in every cosine (found by the registry totality gate,
     ``tests/test_totality.py``). One narrow codegen filter per scan; on
     well-formed input (the driver testdata is unit-norm at every SF) it
-    is a no-op, so all oracle hashes are unchanged. Dimension mismatch
-    is deliberately NOT filtered here: ``zip_with`` pads with NULL and
-    the NULL propagates to the row's similarity, which every consumer
-    already treats as "not a candidate"."""
+    is a no-op, so all oracle hashes are unchanged.
+
+    NULL ELEMENTS are filtered (ADVICE r8, made explicit): an
+    ``[0.1, NULL, ...]`` vector is as malformed as a NaN one — every
+    product/sum over it is NULL, so it could never become a candidate
+    anyway; dropping it at the scan keeps downstream bucketing (LSH
+    signs, k-means argmin) off NULL keys. Dimension MISMATCH between
+    two otherwise-valid vectors is deliberately NOT filtered here:
+    ``zip_with`` pads with NULL and the NULL propagates to that PAIR's
+    similarity, which every consumer treats as "not a candidate" —
+    the row itself stays visible for other pairings."""
     c = F.col(col)
+    no_null_elem = ~F.exists(c, lambda x: x.isNull())
     finite = ~F.exists(
         c, lambda x: F.isnan(x.cast("double")) | (F.abs(x.cast("double")) == F.lit(float("inf")))
     )
     nonzero = F.exists(c, lambda x: x.cast("double") != 0.0)
-    return df.filter(c.isNotNull() & (F.size(c) > 0) & finite & nonzero)
+    return df.filter(
+        c.isNotNull() & (F.size(c) > 0) & no_null_elem & finite & nonzero
+    )
 
 
 def load_vectors(spark, sf_dir: str, table: str = "embeddings") -> DataFrame:

@@ -572,7 +572,8 @@ def conversion_latency(e, user_col: str, type_col: str, ts_col: str,
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS d,
                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
-                    // COUNT(*) AS BIGINT) AS mean_cents
+                    // NULLIF(COUNT(CAST(ROUND(value * 100) AS BIGINT)), 0)
+                    AS BIGINT) AS mean_cents
         FROM events GROUP BY 1, 2
     ), xy AS (
         SELECT event_type,
@@ -614,8 +615,16 @@ def q_event_trend(spark, sf_dir):
     daily = (
         e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
         .agg(
+            # divide by the count of rows whose quantization SUCCEEDED
+            # (ADVICE r8): NaN/overflow values are NULL under try_cast
+            # and skipped by the sum — counting them in the divisor
+            # would silently deflate the mean on corrupt data. NULLIF
+            # keeps an all-corrupt day total (NULL mean) instead of an
+            # ANSI divide-by-zero.
             F.expr(
-                "cast(sum(try_cast(round(value * 100) as bigint)) div count(*) as bigint)"
+                "cast(sum(try_cast(round(value * 100) as bigint))"
+                " div nullif(count(try_cast(round(value * 100) as bigint)), 0)"
+                " as bigint)"
             ).alias("y")
         )
     )

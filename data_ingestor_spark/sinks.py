@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import contextlib
 import ctypes
+import errno
 import glob
 import os
 import re
@@ -482,6 +483,62 @@ def _read_latest(table_dir: str) -> int:
         return -1
 
 
+def _remove_lock_dir(path: str) -> bool:
+    """Remove a lock/tombstone directory we own outright (a broken
+    stale lock, or our own scratch), owner-token files included —
+    plain ``rmdir`` would fail ENOTEMPTY on the token."""
+    try:
+        for name in os.listdir(path):
+            with contextlib.suppress(OSError):
+                os.unlink(os.path.join(path, name))
+        os.rmdir(path)
+        return True
+    except OSError:
+        return False
+
+
+def _release_owned_lock(table_dir: str, lock: str, token: str) -> None:
+    """Ownership-checked lock release (ADVICE r8): unlink OUR uniquely
+    named token file, then rmdir. In a foreign lock dir (another writer
+    re-acquired after our lock was broken) the unlink fails ENOENT and
+    the rmdir fails ENOTEMPTY on their token — a holder can never
+    remove a lock it did not create. If our dir was renamed to a
+    breaker's tombstone, find it by token and clean it there so the
+    give-back cannot later install an orphan lock."""
+    for _ in range(4):
+        try:
+            os.unlink(os.path.join(lock, token))
+        except OSError:
+            pass
+        else:
+            # only OUR dir could have held our token; it is empty now
+            # unless a breaker raced the rmdir — then ENOENT/ENOTEMPTY
+            # keeps every other writer's lock safe
+            with contextlib.suppress(OSError):
+                os.rmdir(lock)
+            return
+        # a breaker may have renamed our live dir to a tombstone while
+        # it spins in the give-back loop — reclaim it by token
+        try:
+            tombs = [n for n in os.listdir(table_dir) if ".broken." in n]
+        except OSError:
+            return
+        for name in tombs:
+            tomb = os.path.join(table_dir, name)
+            try:
+                os.unlink(os.path.join(tomb, token))
+            except OSError:
+                continue  # not ours (or the give-back raced us — retry)
+            with contextlib.suppress(OSError):
+                os.rmdir(tomb)
+            return
+        if not tombs:
+            # no trace anywhere: a breaker legitimately broke and
+            # cleaned our stale lock — nothing left to release
+            return
+        time.sleep(0.002)  # give-back mid-flight; re-check the lock path
+
+
 def try_cas_latest(
     table_dir: str, expected: int, new_version: int, stale_lock_s: float = 10.0
 ) -> bool:
@@ -491,8 +548,17 @@ def try_cas_latest(
     on an object store it is exactly one conditional PUT (S3 If-Match /
     ``If-None-Match: *`` for the -1 case, GCS
     ``x-goog-if-generation-match``); the POSIX default below emulates
-    it with an ``os.mkdir`` mutex (the only primitive POSIX gives that
-    is both atomic and visible across processes).
+    it with a rename-mutex (atomic and visible across processes).
+
+    Ownership (ADVICE r8): each acquisition creates a scratch dir
+    containing a uniquely named owner-token file and atomically renames
+    it onto the lock path — a lock dir is therefore never empty, and
+    release is ownership-checked (unlink our own token, then rmdir).
+    A holder whose lock was broken can never remove a DIFFERENT
+    writer's lock: its token unlink fails ENOENT there and the rmdir
+    fails ENOTEMPTY on the other writer's token. Instead it hunts down
+    the tombstone carrying its token and cleans that, so a breaker's
+    give-back cannot re-install a lock whose owner already finished.
 
     Lock hygiene: a lock directory older than ``stale_lock_s`` is
     presumed orphaned by a crashed writer. Breaking it must itself be
@@ -511,20 +577,43 @@ def try_cas_latest(
     lock, renames it straight back and re-waits. The give-back narrows
     the race to the microseconds between the two renames (vs the full
     seconds-scale staleness window) — within it a third writer's fresh
-    ``mkdir`` could occupy the lock path; on Linux the give-back uses
+    acquire could occupy the lock path; on Linux the give-back uses
     ``renameat2(RENAME_NOREPLACE)`` so that fresh lock is never
-    replaced (the breaker waits for it to release instead), closing
-    the co-admission residual there. On platforms without the syscall
-    the plain-rename fallback keeps the documented microsecond
-    residual; the object-store CAS (one conditional PUT, no lock at
-    all) has no such window anywhere."""
+    replaced (the breaker waits for it to release instead). That
+    NARROWS — it does not close — the co-admission residual: while the
+    breaker spins in the give-back loop, the displaced fresh holder
+    (its lock at the tombstone path) and the third writer (at the lock
+    path) can coexist until the give-back resolves. The owner tokens
+    make the residual liveness-only — no writer can remove another's
+    live lock, and the worst case is an orphan lock dir that a later
+    breaker clears after ``stale_lock_s``. On platforms without
+    ``renameat2`` the plain-rename fallback keeps a replace residual
+    for EMPTY target dirs only (token-bearing lock dirs are non-empty,
+    so ``rename(2)`` refuses with ENOTEMPTY); the object-store CAS
+    (one conditional PUT, no lock at all) has no such window
+    anywhere."""
     lock = os.path.join(table_dir, "_LATEST.lock")
+    uniq = f"{os.getpid()}.{time.monotonic_ns()}"
+    token = f"owner.{uniq}"
+    scratch = os.path.join(table_dir, f"_LATEST.lock.acq.{uniq}")
+    os.mkdir(scratch)
+    with open(os.path.join(scratch, token), "w"):
+        pass
     deadline = time.monotonic() + stale_lock_s
-    while True:
-        try:
-            os.mkdir(lock)
-            break
-        except FileExistsError:
+    try:
+        while True:
+            try:
+                # atomic acquire WITH the token pre-installed: no
+                # empty-dir window for a concurrent release or breaker
+                # to misjudge
+                _rename_noreplace(scratch, lock)
+                break
+            except OSError as exc:
+                if not isinstance(exc, FileExistsError) and exc.errno not in (
+                    errno.EEXIST,
+                    errno.ENOTEMPTY,
+                ):
+                    raise  # real failure, not contention
             try:
                 stale = os.path.getmtime(lock) < time.time() - stale_lock_s
             except OSError:
@@ -547,7 +636,7 @@ def try_cas_latest(
                     # re-wait (its mtime is fresh, so the staleness
                     # check cannot immediately re-break it).  The
                     # give-back must never clobber a THIRD writer's
-                    # fresh mkdir at the lock path (NOREPLACE rename;
+                    # fresh acquire at the lock path (NOREPLACE rename;
                     # on EEXIST wait for that occupant to release) and
                     # must NEVER destroy the live lock it is holding:
                     # on persistent failure the tombstone is left as
@@ -555,7 +644,9 @@ def try_cas_latest(
                     # tombstones, so litter is harmless, whereas the
                     # old rmdir fallback deleted a lock just proven
                     # fresh and silently dropped mutual exclusion
-                    # (ADVICE r7).
+                    # (ADVICE r7).  The displaced holder can also
+                    # reclaim its tombstone by token (release path);
+                    # the give-back then sees ENOENT and stops.
                     giveback_deadline = time.monotonic() + stale_lock_s
                     while True:
                         try:
@@ -566,10 +657,11 @@ def try_cas_latest(
                                 break  # leave tombstone litter
                             time.sleep(0.005)
                         except OSError:
-                            break  # leave tombstone litter
+                            break  # holder reclaimed it, or litter
                     continue
-                with contextlib.suppress(OSError):
-                    os.rmdir(tombstone)
+                # genuinely orphaned: clear it, crashed-writer token
+                # and all
+                _remove_lock_dir(tombstone)
                 continue
             if time.monotonic() > deadline:
                 raise TimeoutError(
@@ -577,6 +669,9 @@ def try_cas_latest(
                     f"window ({stale_lock_s}s) — concurrent writer stuck?"
                 )
             time.sleep(0.01)
+    except BaseException:
+        _remove_lock_dir(scratch)  # never acquired — leave no litter
+        raise
     try:
         if _read_latest(table_dir) != expected:
             return False  # pointer moved since the caller's read
@@ -587,10 +682,10 @@ def try_cas_latest(
         os.replace(pointer_tmp, os.path.join(table_dir, "_LATEST"))
         return True
     finally:
-        # a paused holder whose lock was (legitimately) broken past the
-        # stale window must not crash after its publish succeeded
-        with contextlib.suppress(FileNotFoundError):
-            os.rmdir(lock)
+        # ownership-checked: removes only the lock (or tombstone) that
+        # carries OUR token; a paused holder whose lock was broken and
+        # cleaned past the stale window releases as a silent no-op
+        _release_owned_lock(table_dir, lock, token)
 
 
 def _flip_latest_monotonic(

@@ -110,11 +110,24 @@ def _cell_ref(row: int, col: int) -> str:
 #: controls other than tab/newline/CR, plus U+FFFE/U+FFFF. A cell value
 #: containing one would make the whole workbook ill-formed — found by
 #: feeding the adversarial mini-corpus through export_excel (r8).
+#: Lone surrogates (U+D800–DFFF) are included too (ADVICE r8): a str
+#: carrying one — e.g. from surrogateescape decoding of invalid UTF-8 —
+#: survives translate/escape but crashes the UTF-8 encode of the sheet
+#: XML, exactly the one-dirty-cell job failure this table prevents
+#: (openpyxl's illegal-character set also covers them).
 #: openpyxl raises IllegalCharacterError here; an exporter must not
 #: fail the job on one dirty cell, so they are stripped (the same
 #: behavior as pandas' Excel writers).
 _XML_ILLEGAL = dict.fromkeys(
-    [*range(0x00, 0x09), 0x0B, 0x0C, *range(0x0E, 0x20), 0xFFFE, 0xFFFF]
+    [
+        *range(0x00, 0x09),
+        0x0B,
+        0x0C,
+        *range(0x0E, 0x20),
+        *range(0xD800, 0xE000),
+        0xFFFE,
+        0xFFFF,
+    ]
 )
 
 

@@ -764,3 +764,27 @@ def test_largest_remainder_allocation_invariants(spark):
         exact = 1000 * r["n"] / big_n
         assert exact - 1 < r["alloc"] < exact + 1
         assert r["alloc"] in (r["floor_alloc"], r["floor_alloc"] + 1)
+
+
+def test_finite_vectors_filter_semantics(spark):
+    """finite_vectors (the embeddings-scan sanitizer) keeps exactly the
+    rows vector math can use and drops each documented malformed class
+    — including NULL-element vectors, which ADVICE r8 found were being
+    dropped by accidental NULL-propagation in the filter rather than by
+    an explicit, documented predicate."""
+    from data_ingestor_spark.ext.similarity import finite_vectors
+
+    rows = [
+        ("keep_plain", [0.6, 0.8]),
+        ("keep_negative", [-1.0, 0.0]),
+        ("drop_null_vector", None),
+        ("drop_empty", []),
+        ("drop_null_element", [0.1, None]),
+        ("drop_nan", [float("nan"), 1.0]),
+        ("drop_pos_inf", [float("inf"), 1.0]),
+        ("drop_neg_inf", [float("-inf"), 1.0]),
+        ("drop_zero_norm", [0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "id string, embedding array<float>")
+    kept = sorted(r.id for r in finite_vectors(df).collect())
+    assert kept == ["keep_negative", "keep_plain"]

@@ -681,3 +681,136 @@ def test_giveback_failure_leaves_tombstone_never_destroys_live_lock(
     assert os.path.isdir(lock)
     # and the thwarted breaker never published
     assert not os.path.exists(os.path.join(table, "_LATEST"))
+
+
+def test_release_is_ownership_checked_never_removes_foreign_lock(tmp_path):
+    """ADVICE r8: the exact co-admission aftermath — writer A's live
+    lock was renamed to a tombstone by a breaker, and a third writer C
+    acquired a fresh lock at the vacated path. A's release must leave
+    C's lock untouched (the old blind rmdir deleted it, dropping mutual
+    exclusion) and must reclaim A's own tombstone so the breaker's
+    give-back cannot later install an orphan lock."""
+    import os
+
+    from data_ingestor_spark import sinks
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    lock = os.path.join(table, "_LATEST.lock")
+    token_a = "owner.111.1"
+    os.mkdir(lock)
+    open(os.path.join(lock, token_a), "w").close()
+    # a breaker judges A stale and renames its lock to a tombstone
+    tomb = f"{lock}.broken.999.123"
+    os.rename(lock, tomb)
+    # third writer C acquires fresh at the vacated lock path
+    token_c = "owner.222.2"
+    os.mkdir(lock)
+    open(os.path.join(lock, token_c), "w").close()
+
+    sinks._release_owned_lock(table, lock, token_a)
+
+    # C's lock and token survive A's release
+    assert os.path.isdir(lock)
+    assert os.path.isfile(os.path.join(lock, token_c))
+    # A cleaned its own displaced lock so no orphan can be given back
+    assert not os.path.exists(tomb)
+
+    # and C's own release still works normally afterwards
+    sinks._release_owned_lock(table, lock, token_c)
+    assert not os.path.exists(lock)
+
+
+def test_release_is_noop_when_breaker_already_cleaned(tmp_path):
+    """A holder paused past the stale window whose lock was broken AND
+    fully cleaned by a breaker must release as a silent no-op — and
+    must not touch an unrelated writer's lock now at the path."""
+    import os
+
+    from data_ingestor_spark import sinks
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    lock = os.path.join(table, "_LATEST.lock")
+    # unrelated writer D holds the lock; our token exists nowhere
+    os.mkdir(lock)
+    open(os.path.join(lock, "owner.444.4"), "w").close()
+
+    sinks._release_owned_lock(table, lock, "owner.333.3")
+
+    assert os.path.isdir(lock)
+    assert os.path.isfile(os.path.join(lock, "owner.444.4"))
+
+
+def test_stale_token_bearing_lock_is_broken_and_cleaned(tmp_path):
+    """A crashed writer's lock now carries its owner token; breaking it
+    must remove token and dir both (plain rmdir would fail ENOTEMPTY
+    and wedge every future publish on tombstone litter)."""
+    import os
+    import time as _time
+
+    from data_ingestor_spark.sinks import _flip_latest_monotonic
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    lock = os.path.join(table, "_LATEST.lock")
+    os.mkdir(lock)
+    open(os.path.join(lock, "owner.555.5"), "w").close()
+    past = _time.time() - 60
+    os.utime(lock, (past, past))  # crashed 60s ago (after token write)
+
+    assert _flip_latest_monotonic(table, 3, stale_lock_s=5.0) is True
+    with open(os.path.join(table, "_LATEST")) as fh:
+        assert int(fh.read()) == 3
+    assert not os.path.exists(lock)
+    assert not [d for d in os.listdir(table) if ".broken." in d]
+    assert not [d for d in os.listdir(table) if ".acq." in d]
+
+
+def test_acquire_leaves_no_scratch_litter_on_timeout(tmp_path):
+    """A writer that times out waiting on a held lock must remove its
+    pre-built scratch dir (token inside) instead of littering the
+    table dir with .acq.* directories."""
+    import os
+    import time as _time
+
+    import pytest as _pytest
+
+    from data_ingestor_spark import sinks
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    lock = os.path.join(table, "_LATEST.lock")
+    os.mkdir(lock)
+    open(os.path.join(lock, "owner.666.6"), "w").close()
+
+    # the holder is live for the whole test: its lock always reads
+    # fresh, so the waiter can only time out (never break it)
+    real_getmtime = sinks.os.path.getmtime
+    sinks.os.path.getmtime = lambda p: _time.time()
+    try:
+        with _pytest.raises(TimeoutError):
+            sinks.try_cas_latest(table, -1, 0, stale_lock_s=0.3)
+    finally:
+        sinks.os.path.getmtime = real_getmtime
+    assert not [d for d in os.listdir(table) if ".acq." in d]
+    # the held lock itself is untouched
+    assert os.path.isfile(os.path.join(lock, "owner.666.6"))
+
+
+
+def test_write_sheet_strips_lone_surrogates(tmp_path):
+    """ADVICE r8: a str carrying a lone surrogate (e.g. produced by
+    surrogateescape decoding of invalid UTF-8) passed translate/escape
+    untouched and then crashed the UTF-8 encode of the sheet XML — the
+    exact one-dirty-cell job failure _XML_ILLEGAL exists to prevent.
+    Surrogates are XML-illegal like C0 controls: stripped, job
+    survives, the rest of the cell round-trips."""
+    from data_ingestor_spark.xlsx import read_rows, write_sheet
+
+    dirty = "pre\ud800mid\udfffpost"  # lone high + low surrogate
+    path = str(tmp_path / "surrogate.xlsx")
+    write_sheet(path, [["ok", dirty], ["\x00ctl", "clean"]])
+    grid = read_rows(path)
+    assert grid[0] == ["ok", "premidpost"]
+    assert grid[1] == ["ctl", "clean"]

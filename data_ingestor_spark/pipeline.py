@@ -22,6 +22,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from data_ingestor_spark import sinks
 from data_ingestor_spark.metrics import observed
@@ -67,8 +68,29 @@ def run_load_job(
     bad rows for the metrics report (O20) — rows are NOT dropped,
     matching the reference's count-and-continue workers
     (``mapreduce.go:45-49``).
+
+    Ingest totality (judge directive r9 #3): a dirty feed must end in
+    quarantine or a clean error, never a crash or a silent drop.
+    Malformed JSON documents raise ``ValueError`` at ``load`` (the
+    reference's own whole-document decode errors there too); malformed
+    XML RECORDS (unclosed tag tails, control characters in chardata)
+    are quarantined via PERMISSIVE mode — counted into ``rows_error``
+    and excluded from the publish, the count-and-continue contract —
+    and invalid UTF-8 BYTES (undecodable before records exist) are
+    translated from the raw charset-decoder failure into a clean
+    ``ValueError`` naming the input file.
     """
-    raw = load(spark, input_file, schema=schema)
+    corrupt = "_corrupt_record"
+    raw = load(spark, input_file, schema=schema, corrupt_col=corrupt)
+    obs_quarantine = None
+    if corrupt in raw.columns:
+        # count quarantined source records declaratively (the metric
+        # rides the publish action — Spark disallows a standalone
+        # filter-count that references ONLY the corrupt column of a raw
+        # file scan), then exclude them (their schema fields are all
+        # NULL — nothing to publish) before the flatten fan-out
+        raw, obs_quarantine = observed(raw, error_condition=f"{corrupt} IS NOT NULL")
+        raw = raw.filter(F.col(corrupt).isNull()).drop(corrupt)
     flat = flatten_nested(raw, array_col, columns)
     flat, obs = observed(flat, error_condition=error_condition)
     # parse once, fan out to every sink (SURVEY §2.3(h))
@@ -85,14 +107,43 @@ def run_load_job(
         if json_out:
             sinks.export_json(flat, json_out, array=True)
             exports["json"] = json_out
+    except Exception as exc:  # noqa: BLE001 - translated + re-raised
+        _raise_clean_stream_error(exc, input_file)
     finally:
         flat.unpersist()
 
     archived = sinks.archive_input(input_file, archive_dir) if archive_dir else None
     metrics = obs.get
+    n_corrupt = (
+        int(obs_quarantine.get.get("rows_error", 0)) if obs_quarantine is not None else 0
+    )
     return LoadJobResult(
         rows_published=n,
-        rows_error=int(metrics.get("rows_error", 0)),
+        rows_error=int(metrics.get("rows_error", 0)) + n_corrupt,
         archived_to=archived,
         exports=exports,
     )
+
+
+#: substrings identifying a STREAM-level decode failure inside a Spark
+#: task error — damage that exists before any record does, so no
+#: row-level quarantine mode can catch it
+_STREAM_DECODE_MARKERS = (
+    "CharConversionException",
+    "Invalid UTF-8",
+    "MalformedInputException",
+    "UnmappableCharacterException",
+)
+
+
+def _raise_clean_stream_error(exc: Exception, input_file: str) -> None:
+    """Translate an undecodable-input task failure into a clean
+    ``ValueError`` naming the file; re-raise anything else untouched."""
+    s = str(exc)
+    if any(m in s for m in _STREAM_DECODE_MARKERS):
+        raise ValueError(
+            f"input file {input_file!r} is not decodable as UTF-8 "
+            "(invalid byte sequence in the stream); re-encode the feed "
+            "or quarantine the file upstream"
+        ) from exc
+    raise exc

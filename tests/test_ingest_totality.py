@@ -1,0 +1,200 @@
+"""Ingestion-surface totality (judge directive r9 #3).
+
+The registry keys are total on the adversarial corpus (r8 gate); this
+suite extends the same discipline to the reference-parity ingest path —
+``sources.readers`` + ``pipeline.run_load_job`` — which previously only
+ever saw well-formed fixtures. The contract, for every dirty feed a
+real pipeline eventually receives: **quarantine or clean error, never a
+crash or a silent drop**. The reference's own domain is dirty feeds
+(``fileloader-schema.go`` parses them and errors/skips per record).
+
+Dirty-input taxonomy covered here:
+- JSON document: truncated, wrong top-level key, invalid UTF-8 bytes,
+  duplicate top-level keys (documented last-wins), huge single record.
+- XML: unclosed tag swallowing the tail, XML-illegal control chars in
+  chardata, invalid UTF-8 bytes, huge single record.
+"""
+
+import os
+
+import pytest
+
+from data_ingestor_spark.pipeline import run_load_job
+from data_ingestor_spark.schemas import MIST_NESTED_SCHEMA
+from data_ingestor_spark.sources.readers import read_json_records, read_xml_records
+
+
+def _write(tmp_path, name: str, data) -> str:
+    p = tmp_path / name
+    if isinstance(data, bytes):
+        p.write_bytes(data)
+    else:
+        p.write_text(data)
+    return str(p)
+
+
+_XML_GOOD_RECORD = """  <Record>
+    <user>{user}</user>
+    <dt_created>1700000001</dt_created>
+    <dt_submitted>1700000101</dt_submitted>
+    <ast_name>asset-a</ast_name>
+    <location>HQ</location>
+    <status>Pending</status>
+    <json_hash>h001</json_hash>
+    <local_id>L-1</local_id>
+    <filename>f.xml</filename>
+    <fnumbers>
+      <fnumber>F100</fnumber>
+      <scan_time>2023-11-14T22:13:21Z</scan_time>
+    </fnumbers>
+  </Record>
+"""
+
+
+def _xml_doc(body: str) -> str:
+    return f"<Data>\n{body}</Data>\n"
+
+
+# --- JSON document path ------------------------------------------------
+
+
+def test_json_truncated_document_raises_clean_error(spark, tmp_path):
+    """A truncated document used to parse to NULL Records and explode
+    to ZERO rows — the silent drop this suite exists to forbid."""
+    path = _write(tmp_path, "trunc.json", '{"Records": [{"user": "a", "fnumbers": [')
+    with pytest.raises(ValueError, match="malformed JSON document"):
+        read_json_records(spark, path, schema=MIST_NESTED_SCHEMA)
+    # the schema-inference path already errored cleanly; keep it pinned
+    with pytest.raises(ValueError, match="expected top-level array key"):
+        read_json_records(spark, path)
+
+
+def test_json_wrong_top_level_key_raises_clean_error(spark, tmp_path):
+    path = _write(tmp_path, "wrongkey.json", '{"Rows": [{"user": "a"}]}')
+    with pytest.raises(ValueError, match="'Records' absent or null"):
+        read_json_records(spark, path, schema=MIST_NESTED_SCHEMA)
+    with pytest.raises(ValueError, match="expected top-level array key"):
+        read_json_records(spark, path)
+
+
+def test_json_invalid_utf8_raises_clean_error(spark, tmp_path):
+    path = _write(tmp_path, "bad_utf8.json", b'{"Records": [{"user": "\xff\xfe\x80"}]}')
+    with pytest.raises(ValueError, match="malformed JSON document"):
+        read_json_records(spark, path, schema=MIST_NESTED_SCHEMA)
+
+
+def test_json_duplicate_top_level_keys_last_wins(spark, tmp_path):
+    """Pinned, not fixed: Jackson keeps the LAST duplicate key — the
+    same behavior as the reference's encoding/json decoder, so a
+    duplicate-key document is valid input with deterministic meaning."""
+    path = _write(
+        tmp_path,
+        "dup.json",
+        '{"Records": [{"user": "first"}], "Records": [{"user": "last"}]}',
+    )
+    rows = read_json_records(spark, path, schema=MIST_NESTED_SCHEMA).collect()
+    assert [r.user for r in rows] == ["last"]
+
+
+def test_json_huge_single_record_loads(spark, tmp_path):
+    big = "x" * 2_000_000
+    path = _write(
+        tmp_path, "huge.json", f'{{"Records": [{{"user": "{big}", "fnumbers": []}}]}}'
+    )
+    rows = read_json_records(spark, path, schema=MIST_NESTED_SCHEMA).collect()
+    assert len(rows) == 1 and len(rows[0].user) == 2_000_000
+
+
+# --- XML record path ----------------------------------------------------
+
+
+def test_xml_unclosed_tag_quarantined_not_dropped(spark, tmp_path):
+    """An unclosed tag swallows the file tail: the valid leading record
+    survives, the damaged remainder lands in the corrupt column — and
+    without the corrupt column it must never silently vanish."""
+    body = _XML_GOOD_RECORD.format(user="alice") + "  <Record><user>bob</user><dt_created>17</dt"
+    path = _write(tmp_path, "unclosed.xml", _xml_doc(body))
+    df = read_xml_records(
+        spark, path, schema=MIST_NESTED_SCHEMA, corrupt_col="_corrupt_record"
+    )
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert [r.user for r in good] == ["alice"]
+    assert len(bad) == 1  # quarantined, visible, countable
+
+
+def test_xml_control_chars_quarantined(spark, tmp_path):
+    """XML 1.0 forbids \\x00 outright; the record carrying it must be
+    quarantined while its well-formed siblings load normally."""
+    dirty = b"<Data><Record><user>a\x00b</user></Record>" + _XML_GOOD_RECORD.format(
+        user="carol"
+    ).encode() + b"</Data>"
+    path = _write(tmp_path, "ctl.xml", dirty)
+    df = read_xml_records(
+        spark, path, schema=MIST_NESTED_SCHEMA, corrupt_col="_corrupt_record"
+    )
+    rows = df.collect()
+    good = [r.user for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert good == ["carol"] and len(bad) == 1
+
+
+def test_xml_huge_single_record_loads(spark, tmp_path):
+    big = "x" * 3_000_000
+    body = _XML_GOOD_RECORD.format(user=big)
+    path = _write(tmp_path, "huge.xml", _xml_doc(body))
+    rows = read_xml_records(spark, path, schema=MIST_NESTED_SCHEMA).collect()
+    assert len(rows) == 1 and len(rows[0].user) == 3_000_000
+
+
+# --- the full reference lifecycle on dirty feeds ------------------------
+
+
+def test_load_job_quarantines_damaged_xml_records(spark, tmp_path):
+    """run_load_job on a feed with one good and one damaged record:
+    the good record publishes, the damaged one is counted into
+    rows_error and excluded — count-and-continue, the reference's
+    worker contract (mapreduce.go:45-49)."""
+    body = (
+        _XML_GOOD_RECORD.format(user="alice")
+        + "  <Record><user>broken\x01user</user></Record>\n"
+    )
+    path = _write(tmp_path, "feed.xml", _xml_doc(body).encode())
+    target = str(tmp_path / "published")
+    res = run_load_job(spark, path, target)
+    assert res.rows_published == 1  # alice's one fnumber row
+    assert res.rows_error == 1  # the quarantined record
+    out = spark.read.parquet(target).collect()
+    assert [r.user for r in out] == ["alice"]
+
+
+def test_load_job_invalid_utf8_xml_raises_clean_error(spark, tmp_path):
+    """Invalid UTF-8 BYTES fail the StAX charset decoder before any
+    record exists — no row-level mode can quarantine that; the job must
+    surface a clean ValueError naming the file, not a Py4J stack."""
+    path = _write(
+        tmp_path, "bad.xml", b"<Data><Record><user>a\xff\xfeb</user></Record></Data>"
+    )
+    with pytest.raises(ValueError, match="not decodable as UTF-8"):
+        run_load_job(spark, path, str(tmp_path / "published"))
+
+
+def test_load_job_malformed_json_document_raises_clean_error(spark, tmp_path):
+    path = _write(tmp_path, "trunc.json", '{"Records": [{"user": "a", ')
+    with pytest.raises(ValueError, match="malformed JSON document"):
+        run_load_job(spark, path, str(tmp_path / "published"))
+
+
+def test_load_job_clean_fixture_counts_unchanged(spark, tmp_path):
+    """The quarantine plumbing must be a no-op on well-formed input:
+    same publish count and zero errors as before the change."""
+    from conftest import FIXTURES
+
+    res = run_load_job(
+        spark,
+        os.path.join(FIXTURES, "ingest-records.xml"),
+        str(tmp_path / "published"),
+    )
+    assert res.rows_error == 0
+    assert res.rows_published > 0

@@ -194,14 +194,21 @@ def main() -> None:
             warm[name] = min(runs)
         return warm, first
 
+    # The headline 16 are timed STRICTLY FIRST — before any extras — so
+    # their numbers are comparable across rounds by construction no
+    # matter how long the extras tail is (judge directive r9 #2: the r8
+    # idle-anchor read was confounded by the first full-extras run; the
+    # mode is now recorded in the artifact so a comparison across
+    # differently-moded records is mechanically detectable).
     timings, cold = time_set(HEADLINE)
     # Local idle-box variant (judge directive r8 #7): with
     # SPARK_GRAFT_FULL_EXTRAS=1 the extras tail covers EVERY registry
     # key outside the headline — the per-key anchors that adjudicate
     # driver-box outliers mechanically. The driver's own invocation
     # (no env) keeps the stable round-over-round extras list.
+    full_extras = bool(os.environ.get("SPARK_GRAFT_FULL_EXTRAS"))
     extra_names = list(EXTRA)
-    if os.environ.get("SPARK_GRAFT_FULL_EXTRAS"):
+    if full_extras:
         extra_names += [
             k for k in q.REGISTRY if k not in HEADLINE and k not in EXTRA
         ]
@@ -227,6 +234,14 @@ def main() -> None:
                 # matched-load discipline, made mechanical)
                 "idle_box_valid": load_start < 0.5,
                 "n_keys_timed": len(timings) + len(extra),
+                # measurement-mode stamp (judge directive r9 #2): the
+                # headline block is always timed first, before any
+                # extras, so headline numbers are mode-independent;
+                # full_extras records whether the tail covered the
+                # whole registry so cross-record extras comparisons
+                # can check like-for-like
+                "full_extras": full_extras,
+                "headline_timed_first": True,
                 "note": "per-query steady-state (best of 2); cold_first_run includes one-time codegen compile; extra_queries are round-2+ operators timed identically but excluded from the headline total for round-over-round comparability; host_load_avg_1m is the 1-minute load average at report time and _start before any query ran — the bench's own 32-core work raises the end value, so _start is the idle-box indicator; co-tenant load inflates every query uniformly (compare per-query RATIOS across rounds, not absolutes, when either is high); cpu_cal_s is a fixed single-thread md5 workload timed before any query — boots differ up to ~1.2× on identical code, so normalize cross-round ratios by cal_old/cal_new",
             }
         )

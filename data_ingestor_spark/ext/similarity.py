@@ -46,15 +46,23 @@ def finite_vectors(df: DataFrame, col: str = "embedding") -> DataFrame:
     two otherwise-valid vectors is deliberately NOT filtered here:
     ``zip_with`` pads with NULL and the NULL propagates to that PAIR's
     similarity, which every consumer treats as "not a candidate" —
-    the row itself stays visible for other pairings."""
+    the row itself stays visible for other pairings.
+
+    Cost (measured same-boot, AB r9): the first cut of this filter
+    spent two ``exists`` traversals on top of the scoring math and put
+    +19% on q_sim_topk, whose per-row cost IS array traversals. The
+    whole predicate collapses into ONE traversal: the squared norm maps
+    every malformed class to a distinguishable value — NULL vector or
+    NULL element → NULL, empty or all-zero → 0.0, NaN element → NaN,
+    ±inf element (or finite elements overflowing the square) → +inf —
+    so "usable" ⇔ "squared norm is a positive finite double", which is
+    precisely the precondition every downstream cosine divides by."""
     c = F.col(col)
-    no_null_elem = ~F.exists(c, lambda x: x.isNull())
-    finite = ~F.exists(
-        c, lambda x: F.isnan(x.cast("double")) | (F.abs(x.cast("double")) == F.lit(float("inf")))
+    sq = F.aggregate(
+        c, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
     )
-    nonzero = F.exists(c, lambda x: x.cast("double") != 0.0)
     return df.filter(
-        c.isNotNull() & (F.size(c) > 0) & no_null_elem & finite & nonzero
+        sq.isNotNull() & ~F.isnan(sq) & (sq > 0.0) & (sq != F.lit(float("inf")))
     )
 
 

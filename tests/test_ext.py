@@ -784,6 +784,10 @@ def test_finite_vectors_filter_semantics(spark):
         ("drop_pos_inf", [float("inf"), 1.0]),
         ("drop_neg_inf", [float("-inf"), 1.0]),
         ("drop_zero_norm", [0.0, 0.0]),
+        # finite elements whose squared norm overflows to +inf: every
+        # cosine over this vector is inf/inf = NaN, so it is as
+        # unusable as an explicit-inf vector and filtered the same way
+        ("drop_overflow_norm", [1e300, 1e300]),
     ]
     df = spark.createDataFrame(rows, "id string, embedding array<float>")
     kept = sorted(r.id for r in finite_vectors(df).collect())

@@ -20,6 +20,8 @@ quadratic part — spreads over ``S²`` × blocks reducers.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -154,3 +156,128 @@ def salted_block_pairs(
         # before the drop: the a./b. alias references resolve here
         out = out.filter(_pair_sample_cond(id_col, pair_sample_bp))
     return out.drop("_sa", "_sb")
+
+
+# --- cap recommendation (judge directive r9 #5) -------------------------
+
+
+@dataclass(frozen=True)
+class PairCapPlan:
+    """Recommended pair-output caps for one blocked pair operator.
+
+    ``max_block_members`` / ``pair_sample_bp`` plug straight into
+    :func:`block_pairs` / :func:`salted_block_pairs`; ``None`` means
+    leave that knob off. ``total_pairs`` is the uncapped candidate
+    mass the histogram implies; ``expected_pairs`` what the plan should
+    emit (exact for the member cap, an unbiased expectation for
+    sampling)."""
+
+    max_block_members: int | None
+    pair_sample_bp: int | None
+    total_pairs: int
+    expected_pairs: int
+    reason: str
+
+
+def _capped_pairs(sizes: list[tuple[int, int]], k: int) -> int:
+    """Σ n_buckets · C(min(size, k), 2) — pair mass after a member cap."""
+    return sum(n * (min(s, k) * (min(s, k) - 1) // 2) for s, n in sizes)
+
+
+def recommend_pair_caps(
+    histogram,
+    max_pairs: int,
+    min_members: int = 8,
+    cap_trim_max: float = 0.2,
+) -> PairCapPlan:
+    """Choose ``max_block_members`` / ``pair_sample_bp`` from a
+    block-size histogram (the ``q_dedup_lsh_bucket_stats`` shape:
+    rows carrying ``bucket_size`` and ``n_buckets``) and a pair budget.
+
+    Encodes the tradeoff MEASURED in ``PAIR_CAPS_r8.json`` rather than
+    a guess:
+
+    - The member cap trims the quadratic JOIN itself (inputs shrink
+      before pairing) but pays a ranking-window shuffle over every
+      banded row. Measured: **4.0×** on dense blocks (10 label blocks
+      of ~200 members, cap 64 → trim ratio 0.10) and **slower** on
+      balanced blocks (cap ≥ block size → trim ratio ~1.0, the shuffle
+      bought nothing). So the cap is recommended only when it removes
+      ≥ ``1 - cap_trim_max`` of the pair mass — blocks far larger than
+      the achievable cap, the pathological-block regime it exists for.
+    - Pair sampling is a shuffle-free filter on the ordered-id md5, so
+      it wins everywhere else. Measured: **5.0×** at bp=2500 with
+      exactly the expected 25% of pairs kept, unbiased. Its limit: the
+      join still ENUMERATES every candidate, so it cannot save a
+      mega-block whose enumeration alone blows up — that is the member
+      cap's job, and when even ``min_members`` leaves the budget
+      exceeded the plan combines both knobs.
+
+    ``histogram`` accepts Rows/dicts (``bucket_size``/``n_buckets``)
+    or ``(bucket_size, n_buckets)`` tuples. Deterministic; pinned
+    against the artifact's own numbers in ``tests/test_pair_caps.py``.
+    """
+    sizes: list[tuple[int, int]] = []
+    for row in histogram:
+        if isinstance(row, (tuple, list)):
+            s, n = int(row[0]), int(row[1])
+        else:
+            get = row.get if isinstance(row, dict) else row.__getitem__
+            s, n = int(get("bucket_size")), int(get("n_buckets"))
+        if s >= 2 and n > 0:
+            sizes.append((s, n))
+    total = _capped_pairs(sizes, max(s for s, _ in sizes)) if sizes else 0
+    if total <= max_pairs:
+        return PairCapPlan(None, None, total, total, "exact affordable: no caps")
+    max_size = max(s for s, _ in sizes)
+
+    # largest K whose capped mass fits the budget (monotone in K)
+    lo, hi, best_k = min_members, max_size, None
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        if _capped_pairs(sizes, mid) <= max_pairs:
+            best_k, lo = mid, mid + 1
+        else:
+            hi = mid - 1
+
+    if best_k is not None:
+        capped = _capped_pairs(sizes, best_k)
+        if capped <= cap_trim_max * total:
+            return PairCapPlan(
+                best_k,
+                None,
+                total,
+                capped,
+                f"dense-block regime: cap {best_k} removes "
+                f"{100 - round(100 * capped / total)}% of join work "
+                "(PAIR_CAPS_r8 measured 4.0x in this regime)",
+            )
+
+    floor_capped = _capped_pairs(sizes, min_members)
+    if floor_capped > max_pairs and floor_capped <= cap_trim_max * total:
+        # mega-block regime: even the floor cap exceeds the budget, but
+        # it removes the bulk of the join enumeration (which sampling
+        # alone never can — the join still enumerates every candidate);
+        # combine both knobs: cap bounds the mega-blocks, sampling
+        # thins the remainder to fit
+        bp = max(1, (max_pairs * 10000) // floor_capped)
+        return PairCapPlan(
+            min_members,
+            bp,
+            total,
+            floor_capped * bp // 10000,
+            f"mega-block regime: floor cap {min_members} removes "
+            f"{100 - round(100 * floor_capped / total)}% of enumeration "
+            f"but still exceeds the budget; sampling bp={bp} thins the rest",
+        )
+
+    bp = max(1, (max_pairs * 10000) // total)
+    return PairCapPlan(
+        None,
+        bp,
+        total,
+        total * bp // 10000,
+        f"balanced-block regime: sampling bp={bp} is shuffle-free "
+        "(PAIR_CAPS_r8 measured 5.0x at bp=2500; the member-cap window "
+        "was SLOWER on this shape)",
+    )

@@ -246,7 +246,10 @@ def test_round_site_inventory_frozen():
         "data_ingestor_spark/ext/dedup.py": 1,  # docstring prose only
         "data_ingestor_spark/ext/similarity.py": 5,  # sqrt dist / float avg
         "data_ingestor_spark/ext/text.py": 8,  # log-based tfidf/logprob + prose
-        "data_ingestor_spark/plans/events.py": 7,  # sqrt z / cent casts
+        # sqrt z / cent casts; +1 r9: q_event_trend oracle divisor now
+        # counts successfully quantized rows (same value*100 cents
+        # expression as the adjacent site, not an integer-ratio double)
+        "data_ingestor_spark/plans/events.py": 8,
         "data_ingestor_spark/plans/relational.py": 21,  # percentile/corr/stddev/ppm recover + cent casts
         "data_ingestor_spark/plans/scalars.py": 2,  # decimal/k proven boundary-free
         "data_ingestor_spark/plans/timeseries.py": 9,  # ROUND(value*100) cent casts

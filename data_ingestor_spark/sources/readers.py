@@ -197,6 +197,21 @@ def load(
         return spark.read.options(**options).orc(path)
     if fmt == "csv":
         reader = spark.read.option("header", "true").options(**options)
+        if schema is not None and corrupt_col is not None:
+            # same quarantine contract as the XML path: rows whose
+            # cells fail the typed schema land whole in corrupt_col
+            # under PERMISSIVE mode instead of turning into silent
+            # all-NULL rows
+            full = T.StructType(
+                list(schema.fields)
+                + [T.StructField(corrupt_col, T.StringType(), True)]
+            )
+            return (
+                reader.option("mode", "PERMISSIVE")
+                .option("columnNameOfCorruptRecord", corrupt_col)
+                .schema(full)
+                .csv(path)
+            )
         if schema is not None:
             reader = reader.schema(schema)
         return reader.csv(path)

@@ -39,7 +39,24 @@ def read_rows(path: str, sheet: str = "Sheet1") -> list[list[object]]:
 
     Rows are padded to the widest row; values are str for string cells
     and float/int for numeric cells.
-    """
+
+    Totality (r9, ingest-surface contract): a damaged workbook — not a
+    zip, zip missing the workbook parts, ill-formed sheet XML — raises
+    a clean ``ValueError`` naming the file and cause instead of leaking
+    ``BadZipFile`` / ``KeyError`` / ``ParseError`` internals (the
+    reference reads its Excel template at startup and errors the job
+    there too, ``dbtransposer-schema.go:160-200``)."""
+    try:
+        return _read_rows_raw(path, sheet)
+    except ValueError:
+        raise
+    except (zipfile.BadZipFile, KeyError, ET.ParseError, OSError) as exc:
+        raise ValueError(
+            f"unreadable xlsx workbook {path!r}: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
+def _read_rows_raw(path: str, sheet: str) -> list[list[object]]:
     with zipfile.ZipFile(path) as z:
         wb = ET.fromstring(z.read("xl/workbook.xml"))
         rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))

@@ -13,6 +13,9 @@ Dirty-input taxonomy covered here:
   duplicate top-level keys (documented last-wins), huge single record.
 - XML: unclosed tag swallowing the tail, XML-illegal control chars in
   chardata, invalid UTF-8 bytes, huge single record.
+- CSV: cells failing the typed schema (quarantined whole-row).
+- Excel workbook: not-a-zip, zip missing workbook parts, ill-formed
+  sheet XML, missing sheet (clean ValueError naming the file).
 """
 
 import os
@@ -198,3 +201,75 @@ def test_load_job_clean_fixture_counts_unchanged(spark, tmp_path):
     )
     assert res.rows_error == 0
     assert res.rows_published > 0
+
+
+# --- CSV front door ------------------------------------------------------
+
+
+def test_csv_bad_typed_cell_quarantined(spark, tmp_path):
+    """A CSV row whose cell fails the typed schema must land whole in
+    the corrupt column (PERMISSIVE), not become a silent all-NULL row;
+    well-typed siblings load normally."""
+    from data_ingestor_spark.sources.readers import load
+
+    path = _write(
+        tmp_path,
+        "feed.csv",
+        "id,amount\n1,10\n2,not_a_number\n3,30\n",
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("amount", T.LongType(), True),
+        ]
+    )
+    df = load(spark, path, schema=schema, corrupt_col="_corrupt_record")
+    rows = df.collect()
+    good = sorted(r.id for r in rows if r["_corrupt_record"] is None)
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert good == [1, 3]
+    assert len(bad) == 1 and "not_a_number" in bad[0]["_corrupt_record"]
+
+
+# --- Excel reader --------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "builder, cause",
+    [
+        (lambda p: open(p, "wb").write(b"\xff\xfe not a zip"), "BadZipFile"),
+        (None, "KeyError"),  # zip without workbook parts (built below)
+        (None, "ParseError"),  # ill-formed sheet XML (built below)
+    ],
+)
+def test_excel_reader_clean_errors_on_damaged_workbooks(tmp_path, builder, cause):
+    """The Excel template reader (reference O6 startup path) must raise
+    a clean ValueError naming the file on a damaged workbook — never
+    leak BadZipFile/KeyError/ParseError internals."""
+    import zipfile
+
+    from data_ingestor_spark.xlsx import read_rows
+
+    p = str(tmp_path / f"bad_{cause}.xlsx")
+    if builder is not None:
+        builder(p)
+    elif cause == "KeyError":
+        with zipfile.ZipFile(p, "w") as z:
+            z.writestr("hello.txt", "nope")
+    else:
+        with zipfile.ZipFile(p, "w") as z:
+            z.writestr("xl/workbook.xml", "<workbook><unclosed")
+            z.writestr("xl/_rels/workbook.xml.rels", "<Relationships/>")
+    with pytest.raises(ValueError, match="unreadable xlsx workbook"):
+        read_rows(p)
+
+
+def test_excel_reader_missing_sheet_clean_error(tmp_path):
+    from data_ingestor_spark.xlsx import read_rows, write_sheet
+
+    p = str(tmp_path / "one_sheet.xlsx")
+    write_sheet(p, [["a"]])
+    with pytest.raises(ValueError, match="no_such_sheet"):
+        read_rows(p, sheet="no_such_sheet")

@@ -34,20 +34,52 @@ def stream_json_records(
     records_key: str = "Records",
     max_files_per_trigger: int = 10,
     archive_dir: str | None = None,
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """Streaming twin of ``sources.read_json_records``: watch ``input_dir``
     for JSON documents, explode the ``records_key`` array, one row per
-    record. Returns a streaming DataFrame (pre-flatten)."""
-    doc_schema = T.StructType([T.StructField(records_key, T.ArrayType(schema), True)])
+    record. Returns a streaming DataFrame (pre-flatten).
+
+    Quarantine (r9 ingest-totality contract): the batch twin validates a
+    document EAGERLY and raises; a stream cannot (no action to attach
+    the error to — and one poison file must not kill a long-running
+    query). With ``corrupt_col`` set, a malformed document (truncated,
+    wrong top-level key, invalid UTF-8) flows through as ONE row whose
+    record fields are NULL and whose ``corrupt_col`` carries the raw
+    text — countable and routable by the sink, never a silent drop
+    (the default ``explode`` erases such documents entirely)."""
+    if corrupt_col is None:
+        doc_schema = T.StructType(
+            [T.StructField(records_key, T.ArrayType(schema), True)]
+        )
+    else:
+        doc_schema = T.StructType(
+            [
+                T.StructField(records_key, T.ArrayType(schema), True),
+                T.StructField(corrupt_col, T.StringType(), True),
+            ]
+        )
     reader = (
         spark.readStream.schema(doc_schema)
         .option("multiLine", "true")
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
     )
+    if corrupt_col is not None:
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
     if archive_dir is not None:
         reader = reader.option("cleanSource", "archive").option("sourceArchiveDir", archive_dir)
     doc = reader.json(input_dir)
-    return doc.select(F.explode(F.col(records_key)).alias("_rec")).select("_rec.*")
+    if corrupt_col is None:
+        return doc.select(F.explode(F.col(records_key)).alias("_rec")).select("_rec.*")
+    # explode_outer keeps the malformed document's row; the filter
+    # removes only the spurious null row an EMPTY-but-well-formed
+    # Records array would add
+    exploded = doc.select(
+        F.explode_outer(F.col(records_key)).alias("_rec"), F.col(corrupt_col)
+    ).filter(F.col("_rec").isNotNull() | F.col(corrupt_col).isNotNull())
+    return exploded.select("_rec.*", corrupt_col)
 
 
 def stream_load(

@@ -548,3 +548,37 @@ def test_merge_hourly_batch_checkpoint_reset_fails_loudly(spark, tmp_path):
         merge_hourly_batch(spark, state, b, 0)
     # wider allowed_lag tolerates deeper replays when explicitly configured
     assert merge_hourly_batch(spark, state, b, 0, allowed_lag=4) is False
+
+
+def test_stream_json_quarantines_malformed_documents(spark, tmp_path):
+    """r9 ingest-totality, streaming twin: one poison file must not
+    kill the long-running query OR vanish silently. With corrupt_col
+    set, a truncated document flows through as one quarantine row (raw
+    text in the corrupt column, record fields NULL) while the good
+    document's records load normally; an empty-but-well-formed Records
+    array adds nothing."""
+    from data_ingestor_spark.streaming import stream_json_records
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    shutil.copy(os.path.join(FIXTURES, "ingest-records.json"), in_dir / "good.json")
+    (in_dir / "truncated.json").write_text('{"Records": [{"user": "a", ')
+    (in_dir / "empty_ok.json").write_text('{"Records": []}')
+
+    recs = stream_json_records(
+        spark, str(in_dir), MIST_NESTED_SCHEMA, corrupt_col="_corrupt_record"
+    )
+    assert recs.isStreaming
+    seen = []
+    q = write_stream_batches(
+        recs, str(tmp_path / "ckpt"), lambda df, bid: seen.append(df.collect())
+    )
+    _drain(q)
+    rows = [r for batch in seen for r in batch]
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(good) == 10  # the fixture's 10 records, all fields intact
+    assert all(r.user is not None for r in good)
+    assert len(bad) == 1  # the truncated document, quarantined whole
+    assert bad[0].user is None
+    assert '"user": "a"' in bad[0]["_corrupt_record"]

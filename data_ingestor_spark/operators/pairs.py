@@ -271,13 +271,29 @@ def recommend_pair_caps(
             f"but still exceeds the budget; sampling bp={bp} thins the rest",
         )
 
-    bp = max(1, (max_pairs * 10000) // total)
+    bp = (max_pairs * 10000) // total
+    if bp >= 1:
+        return PairCapPlan(
+            None,
+            bp,
+            total,
+            total * bp // 10000,
+            f"balanced-block regime: sampling bp={bp} is shuffle-free "
+            "(PAIR_CAPS_r8 measured 5.0x at bp=2500; the member-cap window "
+            "was SLOWER on this shape)",
+        )
+    # budget below 1 basis point of the mass: sampling's granularity
+    # floor (bp=1 keeps ~total/10⁴ pairs). Cascade to the floor cap and
+    # sample the remainder; if the budget is below 1 bp of even the
+    # floor-capped mass it is unreachable at this min_members, and
+    # expected_pairs reports the honest bp=1 floor rather than lying.
+    bp = max(1, (max_pairs * 10000) // floor_capped)
     return PairCapPlan(
-        None,
+        min_members,
         bp,
         total,
-        total * bp // 10000,
-        f"balanced-block regime: sampling bp={bp} is shuffle-free "
-        "(PAIR_CAPS_r8 measured 5.0x at bp=2500; the member-cap window "
-        "was SLOWER on this shape)",
+        floor_capped * bp // 10000,
+        f"sub-basis-point budget: floor cap {min_members} + sampling "
+        f"bp={bp}; budgets under 1 bp of the floor-capped mass are "
+        "below the sampler's granularity",
     )

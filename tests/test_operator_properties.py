@@ -3629,3 +3629,68 @@ def test_mix_resample_matches_hashlib_reference(spark, docs):
         )
         expected[s] = (len(ids), rate, kept)
     assert got == expected
+
+
+# ------------------------------------------------- pair-cap recommendation
+
+
+@given(
+    hist=st.lists(
+        st.tuples(st.integers(2, 5000), st.integers(1, 200)),
+        min_size=1,
+        max_size=12,
+    ),
+    budget=st.integers(1, 10_000_000),
+)
+@settings(**{**_SETTINGS, "max_examples": 60})
+def test_recommend_pair_caps_invariants(hist, budget):
+    """Pure-function contract of recommend_pair_caps over random
+    histograms and budgets: (a) whatever it recommends EXPECTS to fit
+    the budget (member cap exactly; sampling in expectation, which the
+    floor-division estimate makes ≤ budget too); (b) a no-cap answer
+    happens only when the exact mass already fits; (c) a member cap is
+    never below the recall floor; (d) deterministic."""
+    from data_ingestor_spark.operators.pairs import recommend_pair_caps
+
+    plan = recommend_pair_caps(hist, budget)
+    again = recommend_pair_caps(hist, budget)
+    assert plan == again  # frozen dataclass equality = determinism
+
+    total = sum(n * s * (s - 1) // 2 for s, n in hist)
+    assert plan.total_pairs == total
+    if plan.max_block_members is None and plan.pair_sample_bp is None:
+        assert total <= budget
+        assert plan.expected_pairs == total
+    else:
+        if plan.pair_sample_bp == 1:
+            # the sampler's granularity floor: bp=1 keeps ~mass/10^4
+            # pairs, the closest reachable point to a sub-basis-point
+            # budget (documented in recommend_pair_caps)
+            assert plan.expected_pairs <= max(budget, total // 10_000, 1)
+        else:
+            assert plan.expected_pairs <= max(budget, 1)
+        if plan.max_block_members is not None:
+            assert plan.max_block_members >= 8  # min_members floor
+        if plan.pair_sample_bp is not None:
+            assert 1 <= plan.pair_sample_bp <= 10_000
+
+
+@given(
+    hist=st.lists(
+        st.tuples(st.integers(2, 2000), st.integers(1, 50)),
+        min_size=1,
+        max_size=8,
+    ),
+    budget_lo=st.integers(1, 100_000),
+    budget_hi_delta=st.integers(0, 1_000_000),
+)
+@settings(**{**_SETTINGS, "max_examples": 40})
+def test_recommend_pair_caps_monotone_in_budget(hist, budget_lo, budget_hi_delta):
+    """A bigger budget never expects FEWER pairs — the recommendation
+    relaxes monotonically (more members kept or a higher sampling
+    rate), so tightening a budget is always safe operationally."""
+    from data_ingestor_spark.operators.pairs import recommend_pair_caps
+
+    lo = recommend_pair_caps(hist, budget_lo)
+    hi = recommend_pair_caps(hist, budget_lo + budget_hi_delta)
+    assert hi.expected_pairs >= lo.expected_pairs

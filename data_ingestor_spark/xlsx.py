@@ -50,6 +50,9 @@ def read_rows(path: str, sheet: str = "Sheet1") -> list[list[object]]:
         return _read_rows_raw(path, sheet)
     except ValueError:
         raise
+    except FileNotFoundError:
+        raise  # a missing path is not a damaged workbook — keep the
+        # standard, actionable exception type
     except (zipfile.BadZipFile, KeyError, ET.ParseError, OSError) as exc:
         raise ValueError(
             f"unreadable xlsx workbook {path!r}: {type(exc).__name__}: {exc}"

@@ -273,3 +273,13 @@ def test_excel_reader_missing_sheet_clean_error(tmp_path):
     write_sheet(p, [["a"]])
     with pytest.raises(ValueError, match="no_such_sheet"):
         read_rows(p, sheet="no_such_sheet")
+
+
+def test_excel_reader_missing_file_keeps_filenotfound(tmp_path):
+    """A missing path is not a damaged workbook: the standard
+    FileNotFoundError must pass through untranslated so callers can
+    distinguish 'wrong path' from 'corrupt file'."""
+    from data_ingestor_spark.xlsx import read_rows
+
+    with pytest.raises(FileNotFoundError):
+        read_rows(str(tmp_path / "does_not_exist.xlsx"))

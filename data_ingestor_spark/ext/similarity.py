@@ -56,7 +56,16 @@ def finite_vectors(df: DataFrame, col: str = "embedding") -> DataFrame:
     NULL element → NULL, empty or all-zero → 0.0, NaN element → NaN,
     ±inf element (or finite elements overflowing the square) → +inf —
     so "usable" ⇔ "squared norm is a positive finite double", which is
-    precisely the precondition every downstream cosine divides by."""
+    precisely the precondition every downstream cosine divides by.
+
+    Denormal boundary, both sides (ADVICE r9): elements larger than
+    ~1e154 OVERFLOW the square to +inf, and a vector whose every
+    element is below ~1e-160 UNDERFLOWS the squared norm to 0.0 — both
+    are dropped, including underflow rows the old element-wise filter
+    kept. Both drops are protective, not lossy: every downstream
+    cosine divides by this exact norm, so those rows would score
+    inf/NaN (overflow) or divide by zero (underflow) in every pairing.
+    Pinned in ``tests/test_ext.py::test_finite_vectors_denormal_edges``."""
     c = F.col(col)
     sq = F.aggregate(
         c, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")

@@ -88,7 +88,22 @@ def run_load_job(
         # rides the publish action — Spark disallows a standalone
         # filter-count that references ONLY the corrupt column of a raw
         # file scan), then exclude them (their schema fields are all
-        # NULL — nothing to publish) before the flatten fan-out
+        # NULL — nothing to publish) before the flatten fan-out.
+        #
+        # ALL-COLUMNS INVARIANT (ADVICE r9): referencing the corrupt
+        # column of a raw CSV/JSON/XML scan is only reliable when the
+        # query also materializes the data columns — under column
+        # pruning the parser may not populate _corrupt_record at all
+        # (documented Spark caveat; the blessed alternatives are
+        # caching the parsed frame — wrong at 100 TB — or selecting
+        # every schema column). This path holds the invariant
+        # structurally: the publish/export fan-out below materializes
+        # ALL schema columns in the same action that evaluates this
+        # filter and the observe metric. Any future change that
+        # projects a subset before the publish must re-introduce a
+        # cache (or an explicit all-columns select) ahead of this
+        # filter, or quarantined rows could silently re-enter/vanish.
+        # Guarded by tests/test_ingest_totality.py quarantine counts.
         raw, obs_quarantine = observed(raw, error_condition=f"{corrupt} IS NOT NULL")
         raw = raw.filter(F.col(corrupt).isNull()).drop(corrupt)
     flat = flatten_nested(raw, array_col, columns)

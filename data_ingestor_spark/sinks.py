@@ -504,8 +504,17 @@ def _release_owned_lock(table_dir: str, lock: str, token: str) -> None:
     the rmdir fails ENOTEMPTY on their token — a holder can never
     remove a lock it did not create. If our dir was renamed to a
     breaker's tombstone, find it by token and clean it there so the
-    give-back cannot later install an orphan lock."""
-    for _ in range(4):
+    give-back cannot later install an orphan lock.
+
+    The retry budget must outlast the breaker's give-back cadence
+    (5 ms sleeps in ``try_cas_latest``): a ~100 ms deadline of 5 ms
+    retries lets the common mid-give-back race resolve in the
+    releaser's favor, instead of the releaser exiting after a few
+    milliseconds and the give-back re-installing a lock whose owner
+    already finished — which would block writers for up to
+    ``stale_lock_s`` (liveness-only, but avoidable; ADVICE r9)."""
+    release_deadline = time.monotonic() + 0.1
+    while True:
         try:
             os.unlink(os.path.join(lock, token))
         except OSError:
@@ -536,7 +545,11 @@ def _release_owned_lock(table_dir: str, lock: str, token: str) -> None:
             # no trace anywhere: a breaker legitimately broke and
             # cleaned our stale lock — nothing left to release
             return
-        time.sleep(0.002)  # give-back mid-flight; re-check the lock path
+        if time.monotonic() > release_deadline:
+            # give-back stuck past the budget: leave the tombstone as
+            # litter (a later breaker clears it after stale_lock_s)
+            return
+        time.sleep(0.005)  # give-back mid-flight; re-check the lock path
 
 
 def try_cas_latest(
@@ -605,7 +618,15 @@ def try_cas_latest(
             try:
                 # atomic acquire WITH the token pre-installed: no
                 # empty-dir window for a concurrent release or breaker
-                # to misjudge
+                # to misjudge.  Re-stamp the scratch dir first: rename
+                # preserves the inode mtime, so a waiter that queued T
+                # seconds would otherwise install a lock born T seconds
+                # "old" — after a crashed-holder recovery the winner's
+                # lock would be instantly stale and the next waiter
+                # would break it (took_live false on the same old
+                # mtime), co-admitting two writers (ADVICE r9).  The
+                # utime makes the lock's mtime the ACQUISITION time.
+                os.utime(scratch)
                 _rename_noreplace(scratch, lock)
                 break
             except OSError as exc:

@@ -792,3 +792,25 @@ def test_finite_vectors_filter_semantics(spark):
     df = spark.createDataFrame(rows, "id string, embedding array<float>")
     kept = sorted(r.id for r in finite_vectors(df).collect())
     assert kept == ["keep_negative", "keep_plain"]
+
+
+def test_finite_vectors_denormal_edges(spark):
+    """ADVICE r9 pin: the single-traversal squared-norm filter drops
+    BOTH denormal boundary classes — elements > ~1e154 whose square
+    overflows to +inf, and vectors whose every element is < ~1e-160 so
+    the squared norm underflows to 0.0 (rows the old element-wise
+    filter kept). Both are protective: every downstream cosine divides
+    by this exact norm, so those rows would score inf/NaN or divide by
+    zero in every pairing. Double input so the boundary is the
+    filter's own arithmetic, not float32 storage rounding."""
+    from data_ingestor_spark.ext.similarity import finite_vectors
+
+    rows = [
+        ("keep_huge", [1e150, 0.0]),  # square 1e300: finite, kept
+        ("keep_tiny", [1e-100, 0.0]),  # square 1e-200: positive, kept
+        ("drop_overflow", [1e160, 0.0]),  # square inf
+        ("drop_underflow", [1e-200, 1e-200]),  # squares flush to 0.0
+    ]
+    df = spark.createDataFrame(rows, "id string, embedding array<double>")
+    kept = sorted(r.id for r in finite_vectors(df).collect())
+    assert kept == ["keep_huge", "keep_tiny"]

@@ -872,3 +872,104 @@ def test_lock_protocol_churn_stress(tmp_path):
         d for d in os.listdir(table) if ".acq." in d or d == "_LATEST.lock"
     ]
     assert not leftovers, leftovers
+
+
+def test_stale_break_queued_waiters_winner_not_rebroken(tmp_path, monkeypatch):
+    """ADVICE r9 (high): rename-acquire preserves the scratch inode's
+    mtime, so a waiter that queued T seconds used to install a lock
+    born T seconds OLD — after a crashed-holder recovery the winner's
+    lock was instantly stale and the next checker broke it (took_live
+    false on the same old mtime), co-admitting two writers into the
+    CAS critical section. The acquire now re-stamps the scratch mtime
+    immediately before every rename attempt, so a lock's mtime is its
+    ACQUISITION time.
+
+    Reconstruction with real queueing (backdating the scratch dir is
+    not enough — the token write refreshes the dir mtime at entry, the
+    age only accrues while WAITING): two waiters queue ~0.6 s behind a
+    crashed holder's lock before it turns stale under their 2.0 s
+    window; the break winner then holds the lock 0.5 s while a
+    short-window (0.5 s) checker arrives. Unfixed, the winner's lock
+    carries its scratch-birth mtime (~0.8 s old at the check) and the
+    checker breaks a LIVE lock and co-admits; fixed, the lock is
+    ~0.2 s old, nobody re-breaks it, and the section stays mutually
+    exclusive."""
+    import os
+    import threading
+    import time as _time
+
+    from data_ingestor_spark import sinks
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    lock = os.path.join(table, "_LATEST.lock")
+    # crashed holder: token-bearing lock that turns stale (under the
+    # queued waiters' 2.0s window) 0.6s from now
+    os.mkdir(lock)
+    open(os.path.join(lock, "owner.dead.0"), "w").close()
+    t0 = _time.time()
+    os.utime(lock, (t0 - 1.4, t0 - 1.4))
+
+    gate = threading.Lock()
+    occupancy = {"n": 0, "max": 0}
+    captured: dict[str, float] = {}
+    real_read = sinks._read_latest
+
+    def instrumented_read(td):
+        first = False
+        with gate:
+            occupancy["n"] += 1
+            occupancy["max"] = max(occupancy["max"], occupancy["n"])
+            if "lock_mtime" not in captured:
+                first = True
+                try:
+                    captured["lock_mtime"] = os.path.getmtime(lock)
+                except OSError:
+                    captured["lock_mtime"] = float("nan")
+        if first:
+            _time.sleep(0.5)  # hold while the short-window checker runs
+        out = real_read(td)
+        with gate:
+            occupancy["n"] -= 1
+        return out
+
+    monkeypatch.setattr(sinks, "_read_latest", instrumented_read)
+
+    errs: list[BaseException] = []
+
+    def writer(version, delay, window):
+        _time.sleep(delay)
+        try:
+            sinks.try_cas_latest(table, -1, version, stale_lock_s=window)
+        except BaseException as e:  # noqa: BLE001 - surfaced below
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(1, 0.0, 2.0)),  # queued waiter
+        threading.Thread(target=writer, args=(2, 0.0, 2.0)),  # queued waiter
+        threading.Thread(target=writer, args=(3, 0.8, 0.5)),  # checker
+    ]
+    start = _time.monotonic()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(30)
+    assert not any(t.is_alive() for t in threads)
+    assert not errs, errs
+    # the winner's lock mtime is its ACQUISITION time (~0.6s after the
+    # waiters queued), not its scratch-birth time (~t0)
+    assert captured["lock_mtime"] - t0 >= 0.4, captured
+    # mutual exclusion: never two writers inside the critical section
+    assert occupancy["max"] == 1, occupancy
+    # one of the two queued waiters won the break and the CAS; the
+    # checker (expected -1) saw the moved pointer and declined
+    with open(os.path.join(table, "_LATEST")) as fh:
+        assert int(fh.read()) in (1, 2)
+    assert _time.monotonic() - start < 10
+    # clean exit: lock released, no scratch litter, no tombstones
+    leftovers = [
+        d
+        for d in os.listdir(table)
+        if ".acq." in d or ".broken." in d or d == "_LATEST.lock"
+    ]
+    assert not leftovers, leftovers

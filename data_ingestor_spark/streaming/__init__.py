@@ -2,6 +2,7 @@ from data_ingestor_spark.streaming.ingest import (
     idempotent_batch_publish,
     stream_json_records,
     stream_load,
+    stream_xml_records,
     write_stream_batches,
 )
 from data_ingestor_spark.streaming.joins import (
@@ -22,6 +23,7 @@ __all__ = [
     "running_user_counters",
     "stream_json_records",
     "stream_load",
+    "stream_xml_records",
     "write_stream_batches",
     "session_windowed_counts",
     "stateful_dedup",

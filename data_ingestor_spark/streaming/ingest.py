@@ -135,6 +135,58 @@ def stream_xml_records(
     return reader.load(input_dir)
 
 
+def stream_csv_records(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    header: bool = True,
+    max_files_per_trigger: int = 10,
+    archive_dir: str | None = None,
+    corrupt_col: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Streaming twin of the batch CSV path (``sources.readers.load``
+    ``fmt="csv"`` branch): watch ``input_dir`` for CSV files, one row
+    per line under the typed ``schema``. Completes the streaming ingest
+    trio (JSON ``stream_json_records:30``, XML ``stream_xml_records:85``)
+    so every batch front-door format has a live twin with the same
+    quarantine + archival + totality contract.
+
+    Quarantine (ingest-totality contract, CSV edition): with
+    ``corrupt_col`` set, a row whose cells fail the typed schema (bad
+    int cell, wrong column count) lands WHOLE in ``corrupt_col`` under
+    PERMISSIVE mode — countable and routable by the sink — instead of
+    becoming a silent all-NULL row or killing the query. Same column
+    contract as the batch reader, so a sink written against one works
+    against both.
+
+    Scale: the file-stream source lists once per trigger and fans file
+    splits across executors; CSV parsing is JVM-side (UnivocityParser
+    inside WholeStageCodegen input), no Python in the row path.
+    ``max_files_per_trigger`` bounds micro-batch size so one listing
+    burst cannot produce an executor-memory-sized batch at 100 TB
+    arrival rates."""
+    if corrupt_col is None:
+        full = schema
+    else:
+        full = T.StructType(
+            list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+        )
+    reader = (
+        spark.readStream.schema(full)
+        .option("header", "true" if header else "false")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .options(**options)
+    )
+    if corrupt_col is not None:
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
+    if archive_dir is not None:
+        reader = reader.option("cleanSource", "archive").option("sourceArchiveDir", archive_dir)
+    return reader.csv(input_dir)
+
+
 def stream_load(
     spark: SparkSession,
     input_dir: str,
@@ -151,7 +203,9 @@ def stream_load(
     the reference's live path (O1/O3+O7+O9) under Structured Streaming.
     ``fmt`` selects the source family the way the batch ``load``
     dispatches on extension: ``"json"`` explodes the ``records_key``
-    array per document; ``"xml"`` reads one row per ``row_tag``. With
+    array per document; ``"xml"`` reads one row per ``row_tag``;
+    ``"csv"`` reads one row per line (flat — the flatten step is an
+    identity pass-through when ``array_col`` is absent). With
     ``corrupt_col`` set, quarantined records ride along for the sink to
     count and exclude (the totality contract)."""
     if fmt == "json":
@@ -169,6 +223,14 @@ def stream_load(
             input_dir,
             schema,
             row_tag=row_tag,
+            archive_dir=archive_dir,
+            corrupt_col=corrupt_col,
+        )
+    elif fmt == "csv":
+        raw = stream_csv_records(
+            spark,
+            input_dir,
+            schema,
             archive_dir=archive_dir,
             corrupt_col=corrupt_col,
         )

@@ -685,6 +685,104 @@ def test_stream_xml_archival(spark, tmp_path):
     assert len(in_files) + len(arch_files) == 1
 
 
+def test_stream_csv_ingest_matches_batch(spark, tmp_path):
+    """Streaming-CSV ingest twin: the typed CSV scan under Structured
+    Streaming must load the same rows as the batch front door
+    (``sources.readers.load`` fmt="csv") over the same file —
+    completing the JSON/XML/CSV streaming trio."""
+    from pyspark.sql import types as T
+
+    from data_ingestor_spark.sources.readers import load as batch_load
+
+    schema = T.StructType(
+        [
+            T.StructField("user", T.StringType(), True),
+            T.StructField("score", T.IntegerType(), True),
+        ]
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "feed0.csv").write_text("user,score\nalice,10\nbob,20\ncara,30\n")
+
+    flat = stream_load(spark, str(in_dir), schema, fmt="csv")
+    assert flat.isStreaming
+    seen = []
+    q = write_stream_batches(
+        flat, str(tmp_path / "ckpt"), lambda df, bid: seen.append(df.collect())
+    )
+    _drain(q)
+    rows = [r for batch in seen for r in batch]
+
+    batch = batch_load(
+        spark, str(in_dir / "feed0.csv"), fmt="csv", schema=schema
+    ).collect()
+    key = lambda r: tuple(str(v) for v in r)  # noqa: E731
+    assert sorted(map(key, rows)) == sorted(map(key, batch))
+
+
+def test_stream_csv_quarantines_bad_typed_cell(spark, tmp_path):
+    """Ingest-totality, streaming-CSV edition: a row whose cell fails
+    the typed schema (non-numeric in an int column) must flow through
+    as a quarantine row — raw line in the corrupt column, schema
+    fields NULL where unparseable — not become a silent all-NULL row
+    and not kill the query; clean rows from the same and other files
+    load normally."""
+    from pyspark.sql import types as T
+
+    from data_ingestor_spark.streaming import stream_csv_records
+
+    schema = T.StructType(
+        [
+            T.StructField("user", T.StringType(), True),
+            T.StructField("score", T.IntegerType(), True),
+        ]
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "good.csv").write_text("user,score\nalice,10\nbob,20\n")
+    (in_dir / "poison.csv").write_text(
+        "user,score\ncara,30\nmallory,NOT_A_NUMBER\ndan,40\n"
+    )
+
+    recs = stream_csv_records(
+        spark, str(in_dir), schema, corrupt_col="_corrupt_record"
+    )
+    assert recs.isStreaming
+    seen = []
+    q = write_stream_batches(
+        recs, str(tmp_path / "ckpt"), lambda df, bid: seen.append(df.collect())
+    )
+    _drain(q)
+    rows = [r for batch in seen for r in batch]
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r.user for r in good} == {"alice", "bob", "cara", "dan"}
+    assert len(bad) == 1, "the damaged row must be quarantined, not dropped"
+    assert "NOT_A_NUMBER" in bad[0]["_corrupt_record"]
+    assert bad[0]["score"] is None
+
+
+def test_stream_csv_archival(spark, tmp_path):
+    """cleanSource=archive moves fully-processed CSV inputs (O19 parity
+    on the streaming-CSV path)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("user", T.StringType(), True)])
+    in_dir = tmp_path / "in"
+    arch = tmp_path / "archived"
+    in_dir.mkdir()
+    (in_dir / "feed0.csv").write_text("user\nalice\nbob\n")
+
+    flat = stream_load(
+        spark, str(in_dir), schema, fmt="csv", archive_dir=str(arch)
+    )
+    q = write_stream_batches(flat, str(tmp_path / "ckpt"), lambda df, bid: df.count())
+    _drain(q)
+    in_files = list(in_dir.glob("*.csv"))
+    arch_files = list(arch.rglob("*.csv"))
+    assert len(in_files) + len(arch_files) == 1
+
+
 def test_stream_load_rejects_unknown_format(spark, tmp_path):
     import pytest as _pytest
 

@@ -419,3 +419,30 @@ def test_streaming_quarantine_ledger_matches_planted(spark, tmp_path):
     q2.awaitTermination(120)
     assert ledger["quarantined"] == json_ledger["quarantined"] + 1
     assert ledger["clean"] > json_ledger["clean"]  # both files' good records
+    xml_ledger = dict(ledger)
+
+    # CSV leg: one typed-cell failure planted among four clean rows
+    from pyspark.sql import types as T
+
+    from data_ingestor_spark.streaming import stream_csv_records
+
+    cdir = tmp_path / "csv_in"
+    cdir.mkdir()
+    (cdir / "good.csv").write_text("user,score\nalice,10\nbob,20\n")
+    (cdir / "poison.csv").write_text("user,score\ncara,30\neve,BAD_CELL\ndan,40\n")
+    csv_schema = T.StructType(
+        [
+            T.StructField("user", T.StringType(), True),
+            T.StructField("score", T.IntegerType(), True),
+        ]
+    )
+    q3 = write_stream_batches(
+        stream_csv_records(
+            spark, str(cdir), csv_schema, corrupt_col="_corrupt_record"
+        ),
+        str(tmp_path / "ckpt_csv"),
+        count_batch,
+    )
+    q3.awaitTermination(120)
+    assert ledger["quarantined"] == xml_ledger["quarantined"] + 1
+    assert ledger["clean"] == xml_ledger["clean"] + 4

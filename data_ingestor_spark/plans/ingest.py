@@ -190,6 +190,87 @@ def q_stream_ingest(spark, sf_dir):
     return spark.read.schema(flat.schema).parquet(out_dir)
 
 
+@query("q_stream_ingest_xml", oracle=_XML_GOLDEN_ORACLE, tags=("streaming", "ingest"))
+def q_stream_ingest_xml(spark, sf_dir):
+    """Streaming twin of q_ingest_xml (the reference's FLAGSHIP live
+    path streams XML — fileloader-schema.go:142-197 feeding
+    mapreduce.go:54-105): the same scan→flatten→project plan under
+    Structured Streaming via stream_load(fmt="xml"), drained through a
+    checkpointed foreachBatch into parquet staging and returned as a
+    batch DataFrame. Same golden-literal oracle as the batch XML path:
+    streaming and batch must agree row for row."""
+    import shutil
+    import tempfile
+
+    from data_ingestor_spark.streaming import stream_load, write_stream_batches
+
+    work = tempfile.mkdtemp(prefix="q_stream_ingest_xml_")
+    in_dir = os.path.join(work, "in")
+    out_dir = os.path.join(work, "out")
+    os.makedirs(in_dir)
+    shutil.copy(_XML_FIXTURE, os.path.join(in_dir, "feed0.xml"))
+
+    flat = stream_load(
+        spark, in_dir, MIST_NESTED_SCHEMA, columns=TEMPLATE_COLUMNS, fmt="xml"
+    )
+    q = write_stream_batches(
+        flat,
+        os.path.join(work, "ckpt"),
+        lambda df, bid: df.write.mode("append").parquet(out_dir),
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q_stream_ingest_xml: stream did not finish within 300s")
+    return spark.read.schema(flat.schema).parquet(out_dir)
+
+
+@query(
+    "q_stream_ingest_csv",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("streaming", "ingest", "csv"),
+)
+def q_stream_ingest_csv(spark, sf_dir):
+    """Streaming twin of q_scan_csv, completing the live-ingest trio
+    (JSON q_stream_ingest, XML q_stream_ingest_xml): lineitem →
+    distributed CSV write → stream_load(fmt="csv") typed scan under
+    Structured Streaming → checkpointed foreachBatch → aggregate. The
+    oracle aggregates the parquet original, so a PASS proves the
+    streaming CSV scan is lossless AND exactly-once (every line lands
+    exactly once — a dropped or doubled micro-batch changes the
+    counts)."""
+    import tempfile
+
+    from data_ingestor_spark.streaming import stream_load, write_stream_batches
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    work = tempfile.mkdtemp(prefix="q_stream_ingest_csv_")
+    in_dir = os.path.join(work, "in")
+    out_dir = os.path.join(work, "out")
+    li.write.option("header", "true").mode("overwrite").csv(in_dir)
+
+    flat = stream_load(spark, in_dir, li.schema, fmt="csv")
+    q = write_stream_batches(
+        flat,
+        os.path.join(work, "ckpt"),
+        lambda df, bid: df.write.mode("append").parquet(out_dir),
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q_stream_ingest_csv: stream did not finish within 300s")
+    back = spark.read.schema(flat.schema).parquet(out_dir)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
 _DEEP_FIXTURE = os.path.join(_FIXDIR, "ingest-nested-deep.json")
 
 _DEEP_SCHEMA_SPARK = (

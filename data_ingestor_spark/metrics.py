@@ -71,3 +71,47 @@ def observed(
         F.sum(F.when(err, 0).otherwise(1)).alias("rows_succeeded"),
     )
     return out, obs
+
+
+def observed_stream(
+    df: DataFrame, name: str = "ingest_metrics", error_condition: str | None = None
+) -> DataFrame:
+    """Streaming twin of :func:`observed`: attach named per-micro-batch
+    row/error counts to a STREAMING DataFrame.
+
+    The ``Observation``-object form above is batch-only (its ``get``
+    blocks on a single action); streams use the name-based
+    ``df.observe(name, ...)`` — each micro-batch's counts surface in
+    ``StreamingQueryProgress.observedMetrics[name]`` (readable from
+    ``query.lastProgress``/``recentProgress`` or a
+    ``StreamingQueryListener``). No Python in the row path, no extra
+    job: the aggregates ride the micro-batch that was running anyway —
+    at 100 TB arrival rates the quarantine ledger costs nothing and
+    never drives a ``collect``. Use :func:`stream_metric_totals` to sum
+    a finished query's ledger."""
+    err = F.expr(error_condition) if error_condition else F.lit(False)
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("rows_total"),
+        F.sum(F.when(err, 1).otherwise(0)).alias("rows_error"),
+        F.sum(F.when(err, 0).otherwise(1)).alias("rows_succeeded"),
+    )
+
+
+def stream_metric_totals(query, name: str = "ingest_metrics") -> dict[str, int]:
+    """Sum a streaming query's :func:`observed_stream` ledger across all
+    progress events retained in ``query.recentProgress`` (every event
+    for a drained ``availableNow`` run; the retention window —
+    ``spark.sql.streaming.numRecentProgressUpdates`` — for a long-lived
+    query, where a listener should accumulate instead)."""
+    totals = {"rows_total": 0, "rows_error": 0, "rows_succeeded": 0}
+    for p in query.recentProgress:
+        # p is a dict (PySpark) whose observedMetrics values are Rows —
+        # present only when the micro-batch executed the observed plan
+        m = (p.get("observedMetrics") or {}).get(name)
+        if m is not None:
+            d = m.asDict() if hasattr(m, "asDict") else dict(m)
+            for k in totals:
+                if d.get(k) is not None:
+                    totals[k] += int(d[k])
+    return totals

@@ -1,8 +1,10 @@
 from data_ingestor_spark.streaming.ingest import (
+    find_undecodable_files,
     idempotent_batch_publish,
     stream_csv_records,
     stream_json_records,
     stream_load,
+    stream_with_deadletter,
     stream_xml_records,
     write_stream_batches,
 )
@@ -19,6 +21,8 @@ from data_ingestor_spark.streaming.windows import (
 
 __all__ = [
     "enrich_with_static",
+    "find_undecodable_files",
+    "stream_with_deadletter",
     "idempotent_batch_publish",
     "join_streams_windowed",
     "running_user_counters",

@@ -20,6 +20,8 @@ Flatten/projection semantics are the SAME functions the batch path uses
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -241,6 +243,105 @@ def stream_load(
         # append it so the sink can count-and-exclude (totality contract)
         columns = list(columns) + [corrupt_col]
     return flatten_nested(raw, array_col, columns)
+
+
+def find_undecodable_files(
+    spark: SparkSession, input_dir: str, encoding: str = "utf-8"
+) -> list[str]:
+    """Distributed byte-level decodability probe: return the paths under
+    ``input_dir`` whose bytes do NOT decode as ``encoding``.
+
+    Why this exists: the PERMISSIVE corrupt-column quarantine catches
+    RECORD-level damage, but stream-level damage — invalid byte
+    sequences — fails the charset decoder before records exist, so no
+    row-level mode can route it and the streaming query dies
+    (``stream_xml_records`` docstring; batch twin
+    ``pipeline._raise_clean_stream_error``). This probe is the salvage
+    step: binaryFile scan fans file reads across executors, an
+    Arrow-batched decode try marks failures, and only the (tiny) bad
+    PATH LIST returns to the driver — file bytes never leave the
+    executors. Cost is one pass over the undrained files of one
+    directory, paid only after a failure, not on the hot path."""
+    import pandas as pd
+
+    def probe(batches):
+        for pdf in batches:
+            bad = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    bytes(content).decode(encoding)
+                except (UnicodeDecodeError, ValueError):
+                    bad.append(path)
+            yield pd.DataFrame({"path": bad}, dtype="object")
+
+    scan = spark.read.format("binaryFile").load(input_dir).select("path", "content")
+    return [r.path for r in scan.mapInPandas(probe, "path string").collect()]
+
+
+def stream_with_deadletter(
+    spark: SparkSession,
+    input_dir: str,
+    deadletter_dir: str,
+    start_query,
+    max_restarts: int = 3,
+    timeout_s: float = 300.0,
+    encoding: str = "utf-8",
+) -> dict:
+    """Run a streaming ingest to completion, routing byte-level poison
+    files to ``deadletter_dir`` and restarting on failure — the
+    totality contract extended to damage no row-level mode can
+    quarantine (the dead-letter move the ``stream_xml_records``
+    docstring prescribes).
+
+    ``start_query() -> StreamingQuery`` (re)starts the query — it must
+    use a fixed checkpoint dir so restarts resume exactly-once. On
+    ``StreamingQueryException`` the driver probes ``input_dir`` with
+    :func:`find_undecodable_files`, moves each hit into
+    ``deadletter_dir`` (preserved byte-for-byte for forensics — moved,
+    never deleted), and restarts. A failure with NOTHING to route is
+    re-raised unchanged: restarts are bounded and only ever follow a
+    concrete routed cause, so a genuine bug cannot loop.
+
+    ``spark.sql.files.ignoreMissingFiles`` is enabled for the retried
+    batch (and restored after): the failed micro-batch's offset log may
+    already name the routed file, and the replay must skip it rather
+    than die on FileNotFound.
+
+    Returns ``{"routed": [paths...], "restarts": n}``."""
+    import shutil
+    from urllib.parse import urlparse
+
+    os.makedirs(deadletter_dir, exist_ok=True)
+    routed: list[str] = []
+    restarts = 0
+    conf_key = "spark.sql.files.ignoreMissingFiles"
+    old_conf = spark.conf.get(conf_key, "false")
+    try:
+        while True:
+            q = start_query()
+            try:
+                if not q.awaitTermination(timeout_s):
+                    q.stop()
+                    raise TimeoutError(
+                        f"stream did not finish within {timeout_s}s"
+                    )
+                return {"routed": routed, "restarts": restarts}
+            except Exception as exc:
+                if restarts >= max_restarts:
+                    raise
+                bad = find_undecodable_files(spark, input_dir, encoding=encoding)
+                if not bad:
+                    raise  # nothing routable: not a byte-level poison failure
+                for uri in bad:
+                    local = urlparse(uri).path or uri
+                    shutil.move(
+                        local, os.path.join(deadletter_dir, os.path.basename(local))
+                    )
+                    routed.append(uri)
+                restarts += 1
+                spark.conf.set(conf_key, "true")
+    finally:
+        spark.conf.set(conf_key, old_conf)
 
 
 def write_stream_batches(

@@ -783,6 +783,111 @@ def test_stream_csv_archival(spark, tmp_path):
     assert len(in_files) + len(arch_files) == 1
 
 
+def test_observed_stream_quarantine_ledger_no_collect(spark, tmp_path):
+    """observe()-based quarantine metrics: per-micro-batch clean/error
+    counts surface through StreamingQueryProgress.observedMetrics — the
+    100 TB ledger path, no collect() and no extra job in the sink."""
+    from pyspark.sql import types as T
+
+    from data_ingestor_spark.metrics import observed_stream, stream_metric_totals
+    from data_ingestor_spark.streaming import stream_csv_records
+
+    schema = T.StructType(
+        [
+            T.StructField("user", T.StringType(), True),
+            T.StructField("score", T.IntegerType(), True),
+        ]
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "a.csv").write_text("user,score\nalice,10\nbob,BAD\ncara,30\n")
+    (in_dir / "b.csv").write_text("user,score\ndan,40\neve,ALSO_BAD\n")
+
+    recs = observed_stream(
+        stream_csv_records(spark, str(in_dir), schema, corrupt_col="_corrupt_record"),
+        name="quarantine",
+        error_condition="_corrupt_record IS NOT NULL",
+    )
+    q = write_stream_batches(
+        recs, str(tmp_path / "ckpt"), lambda df, bid: df.count()
+    )
+    _drain(q)
+    totals = stream_metric_totals(q, name="quarantine")
+    assert totals == {"rows_total": 5, "rows_error": 2, "rows_succeeded": 3}
+
+
+def test_stream_with_deadletter_routes_undecodable_xml(spark, tmp_path):
+    """Byte-level poison (invalid UTF-8 in an XML feed) fails the StAX
+    charset decoder before records exist — no row-level mode can
+    quarantine it and the query dies. stream_with_deadletter must move
+    the poison file (byte-for-byte) to the dead-letter dir, restart
+    from the same checkpoint, and land every clean record exactly
+    once."""
+    from data_ingestor_spark.streaming import stream_with_deadletter, stream_xml_records
+
+    in_dir = tmp_path / "in"
+    dl_dir = tmp_path / "deadletter"
+    in_dir.mkdir()
+    shutil.copy(os.path.join(FIXTURES, "ingest-records.xml"), in_dir / "good.xml")
+    poison = (
+        b"<Data><Record><user>ev\xff\xfeil</user></Record></Data>"
+    )
+    (in_dir / "poison.xml").write_bytes(poison)
+
+    seen = []
+
+    def start():
+        recs = stream_xml_records(
+            spark, str(in_dir), MIST_NESTED_SCHEMA, corrupt_col="_corrupt_record"
+        )
+        return write_stream_batches(
+            recs, str(tmp_path / "ckpt"), lambda df, bid: seen.append(df.collect())
+        )
+
+    res = stream_with_deadletter(
+        spark, str(in_dir), str(dl_dir), start, timeout_s=120
+    )
+    assert res["restarts"] == 1
+    assert len(res["routed"]) == 1 and res["routed"][0].endswith("poison.xml")
+    # forensics: the poison file is preserved byte-for-byte, not deleted
+    assert (dl_dir / "poison.xml").read_bytes() == poison
+    assert not (in_dir / "poison.xml").exists()
+    rows = {r.user for batch in seen for r in batch}
+    # all 8 clean records landed (fixture has 8 distinct users)
+    assert {"alice", "bob", "carol", "dave", "erin", "frank", "grace", "heidi"} <= rows
+
+
+def test_stream_with_deadletter_reraises_without_routable_cause(spark, tmp_path):
+    """A failure with NOTHING byte-level to route must re-raise the
+    original error unchanged — restarts only ever follow a concrete
+    routed cause, so a genuine bug cannot silently retry-loop."""
+    import pytest as _pytest
+
+    from data_ingestor_spark.streaming import stream_with_deadletter
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "fine.xml").write_text("<Data><Record><user>ok</user></Record></Data>")
+
+    class SyntheticSinkBug(RuntimeError):
+        pass
+
+    class FakeQuery:
+        def awaitTermination(self, _t):
+            raise SyntheticSinkBug("sink exploded for a non-ingest reason")
+
+        def stop(self):
+            pass
+
+    with _pytest.raises(SyntheticSinkBug):
+        stream_with_deadletter(
+            spark, str(in_dir), str(tmp_path / "dl"), lambda: FakeQuery(), timeout_s=30
+        )
+    # and nothing was moved
+    assert (in_dir / "fine.xml").exists()
+    assert not (tmp_path / "dl" / "fine.xml").exists()
+
+
 def test_stream_load_rejects_unknown_format(spark, tmp_path):
     import pytest as _pytest
 

@@ -23,6 +23,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from data_ingestor_spark import sinks
 from data_ingestor_spark.metrics import observed
@@ -137,6 +138,161 @@ def run_load_job(
         rows_error=int(metrics.get("rows_error", 0)) + n_corrupt,
         archived_to=archived,
         exports=exports,
+    )
+
+
+@dataclass
+class StreamJobResult:
+    """Job-end report for the streaming lifecycle (O20 parity for the
+    live path — the reference logs the same counters at ``main.go:
+    132-138`` after its channel pipeline drains)."""
+
+    rows_published: int
+    rows_quarantined: int
+    files_deadlettered: list[str]
+    restarts: int
+    target_dir: str
+
+    def report(self) -> str:
+        return (
+            f"records succeeded={self.rows_published} "
+            f"quarantined={self.rows_quarantined} "
+            f"deadlettered_files={len(self.files_deadlettered)} "
+            f"restarts={self.restarts}"
+        )
+
+
+def run_stream_job(
+    spark: SparkSession,
+    input_dir: str,
+    target_dir: str,
+    schema=MIST_NESTED_SCHEMA,
+    columns: list[str] = TEMPLATE_COLUMNS,
+    array_col: str = "fnumbers",
+    fmt: str = "json",
+    row_tag: str = "Record",
+    archive_dir: str | None = None,
+    deadletter_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    timeout_s: float = 300.0,
+) -> StreamJobResult:
+    """The reference's flagship LIVE lifecycle in one call: watch
+    ``input_dir``, scan→flatten→project each arriving file, publish
+    exactly-once, count-and-continue on damage. Composes the pieces the
+    library already proves separately — ``stream_load`` (typed scan +
+    PERMISSIVE quarantine), ``idempotent_batch_publish`` (replay-safe
+    commit-by-rename), ``stream_with_deadletter`` (byte-level poison
+    routing) — into the streaming twin of :func:`run_load_job`.
+
+    Totality, tiered by where the damage lives:
+
+    - **record-level** (unclosed XML tag tail, bad typed CSV cell,
+      malformed JSON document): quarantined via the corrupt column and
+      PUBLISHED to ``<target_dir>/quarantine`` — raw text preserved as
+      data, countable and reprocessable, never a silent drop;
+    - **byte-level** (invalid UTF-8 — fails the charset decoder before
+      records exist): with ``deadletter_dir`` set, the poison file is
+      moved there byte-for-byte and the stream restarts from its
+      checkpoint; without it the failure propagates (the batch twin's
+      clean-error contract).
+
+    Exactly-once across restarts AND replays: clean and quarantine
+    rows both commit through :func:`streaming.idempotent_batch_publish`
+    under the SAME ``batch_id`` — a replayed micro-batch is a no-op in
+    both sinks, so the job-end counts (read back from the published
+    parquet, never from driver-side counters that a replay would
+    double) are exact. The micro-batch is cached before the
+    clean/corrupt split: two filters over one materialization, which
+    also pins the documented Spark caveat that filtering a raw scan's
+    corrupt column is only reliable when all columns materialize
+    (ADVICE r9; bounded by ``maxFilesPerTrigger``, so the cache is
+    micro-batch-sized, not input-sized).
+
+    At 100 TB: every per-file/per-record step (scan, parse, flatten,
+    split, parquet write) runs on executors; the driver only renames
+    batch directories and, on a poison failure, moves the (tiny) routed
+    file list. ``archive_dir`` enables ``cleanSource=archive`` so
+    processed inputs leave the watch dir without driver juggling.
+    """
+    import os as _os
+
+    from pyspark.sql import functions as _F
+
+    from data_ingestor_spark.streaming import (
+        idempotent_batch_publish,
+        stream_load,
+        stream_with_deadletter,
+        write_stream_batches,
+    )
+
+    corrupt = "_corrupt_record"
+    data_dir = _os.path.join(target_dir, "data")
+    quarantine_dir = _os.path.join(target_dir, "quarantine")
+    ckpt = checkpoint_dir or _os.path.join(target_dir, "_checkpoint")
+    publish_clean = idempotent_batch_publish(data_dir)
+    publish_quarantine = idempotent_batch_publish(quarantine_dir)
+
+    out_schema: T.StructType | None = None
+
+    def batch_fn(batch_df, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            publish_clean(
+                batch_df.filter(_F.col(corrupt).isNull()).drop(corrupt), batch_id
+            )
+            publish_quarantine(
+                batch_df.filter(_F.col(corrupt).isNotNull()), batch_id
+            )
+        finally:
+            batch_df.unpersist()
+
+    def start():
+        nonlocal out_schema
+        flat = stream_load(
+            spark,
+            input_dir,
+            schema,
+            array_col=array_col,
+            columns=list(columns) if columns else None,
+            fmt=fmt,
+            row_tag=row_tag,
+            archive_dir=archive_dir,
+            corrupt_col=corrupt,
+        )
+        out_schema = flat.schema
+        return write_stream_batches(flat, ckpt, batch_fn)
+
+    if deadletter_dir is not None:
+        res = stream_with_deadletter(
+            spark, input_dir, deadletter_dir, start, timeout_s=timeout_s
+        )
+        routed, restarts = res["routed"], res["restarts"]
+    else:
+        q = start()
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(f"stream did not finish within {timeout_s}s")
+        routed, restarts = [], 0
+
+    # exact job-end counts from the published data itself (explicit
+    # schemas: a quarantine dir whose batches were all empty has no
+    # footer to infer from)
+    clean_schema = T.StructType([f for f in out_schema.fields if f.name != corrupt])
+
+    def _count(path: str, sch: T.StructType) -> int:
+        # an input with no micro-batches never created the sink dir
+        if not _os.path.isdir(path):
+            return 0
+        return spark.read.schema(sch).parquet(path).count()
+
+    n_clean = _count(data_dir, clean_schema)
+    n_quarantined = _count(quarantine_dir, out_schema)
+    return StreamJobResult(
+        rows_published=n_clean,
+        rows_quarantined=n_quarantined,
+        files_deadlettered=routed,
+        restarts=restarts,
+        target_dir=target_dir,
     )
 
 

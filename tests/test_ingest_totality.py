@@ -446,3 +446,72 @@ def test_streaming_quarantine_ledger_matches_planted(spark, tmp_path):
     q3.awaitTermination(120)
     assert ledger["quarantined"] == xml_ledger["quarantined"] + 1
     assert ledger["clean"] == xml_ledger["clean"] + 4
+
+
+def test_run_stream_job_all_damage_tiers_end_to_end(spark, tmp_path):
+    """The one-call streaming lifecycle (run_stream_job) against a
+    watch dir carrying all three damage tiers at once:
+
+    - clean XML records → published to <target>/data exactly once;
+    - record-level damage (unclosed tag tail) → published to
+      <target>/quarantine with raw text preserved;
+    - byte-level damage (invalid UTF-8) → file moved to the
+      dead-letter dir, stream restarted from checkpoint.
+
+    Then the SAME job re-run over the same checkpoint (plus one new
+    clean file) must process ONLY the new file — replayed batches are
+    no-ops in both sinks (exactly-once across restarts and re-runs)."""
+    import shutil
+
+    from conftest import FIXTURES
+    from data_ingestor_spark.pipeline import run_stream_job
+
+    in_dir = tmp_path / "in"
+    target = tmp_path / "out"
+    dl = tmp_path / "deadletter"
+    in_dir.mkdir()
+    shutil.copy(os.path.join(FIXTURES, "ingest-records.xml"), in_dir / "good.xml")
+    (in_dir / "torn.xml").write_text(
+        _xml_doc(
+            _XML_GOOD_RECORD.format(user="zed")
+            + "  <Record><user>torn</user><dt_created>17</dt\n"
+        )
+    )
+    (in_dir / "poison.xml").write_bytes(
+        b"<Data><Record><user>ev\xff\xfeil</user></Record></Data>"
+    )
+
+    res = run_stream_job(
+        spark,
+        str(in_dir),
+        str(target),
+        fmt="xml",
+        deadletter_dir=str(dl),
+        timeout_s=120,
+    )
+    # good.xml flattens to 14 rows; torn.xml contributes zed's record
+    assert res.rows_published == 15
+    assert res.rows_quarantined >= 1  # torn.xml's damaged tail
+    assert res.restarts == 1
+    assert [os.path.basename(p) for p in res.files_deadlettered] == ["poison.xml"]
+    assert (dl / "poison.xml").exists()
+    # quarantine preserves the raw damaged text as data
+    qdf = spark.read.parquet(str(target / "quarantine"))
+    assert qdf.filter(qdf["_corrupt_record"].contains("torn")).count() >= 1
+    assert "succeeded=15" in res.report()
+
+    # re-run over the same checkpoint with one NEW clean file
+    (in_dir / "late.xml").write_text(
+        _xml_doc(_XML_GOOD_RECORD.format(user="late-arrival"))
+    )
+    res2 = run_stream_job(
+        spark,
+        str(in_dir),
+        str(target),
+        fmt="xml",
+        deadletter_dir=str(dl),
+        timeout_s=120,
+    )
+    assert res2.rows_published == 16  # +1, nothing double-published
+    assert res2.rows_quarantined == res.rows_quarantined
+    assert res2.restarts == 0

@@ -59,6 +59,26 @@ def _run_load(args: argparse.Namespace) -> int:
     return 0
 
 
+def _run_stream(args: argparse.Namespace) -> int:
+    from data_ingestor_spark.pipeline import run_stream_job
+    from data_ingestor_spark.session import EngineConfig, get_session
+
+    spark = get_session(EngineConfig.load(args.config))
+    res = run_stream_job(
+        spark,
+        args.input_dir,
+        target_dir=args.table,
+        fmt=args.format,
+        row_tag=args.row_tag,
+        archive_dir=args.archive_dir,
+        deadletter_dir=args.deadletter_dir,
+        checkpoint_dir=args.checkpoint_dir,
+        timeout_s=args.timeout,
+    )
+    print(f"[{args.model}] {res.report()}")
+    return 0
+
+
 def _run_query(args: argparse.Namespace) -> int:
     from data_ingestor_spark.plans.queries import REGISTRY
     from data_ingestor_spark.session import EngineConfig, get_session
@@ -108,6 +128,22 @@ def main(argv: list[str] | None = None) -> int:
     load_ap = sub.add_parser("load", help="ingest a nested XML/JSON record file")
     _add_load_args(load_ap)
 
+    s_ap = sub.add_parser(
+        "stream",
+        help="drain a watch directory through the streaming lifecycle "
+        "(exactly-once publish, quarantine, dead-letter)",
+    )
+    s_ap.add_argument("--input-dir", required=True, help="directory to watch/drain")
+    s_ap.add_argument("--table", required=True, help="target dir (data/ + quarantine/ inside)")
+    s_ap.add_argument("--format", default="json", choices=["json", "xml", "csv"])
+    s_ap.add_argument("--row-tag", default="Record", help="XML row tag")
+    s_ap.add_argument("--model", default="MistAMS", help="model label (logging only)")
+    s_ap.add_argument("--archive-dir", default=None, help="archive processed inputs here")
+    s_ap.add_argument("--deadletter-dir", default=None, help="route undecodable files here")
+    s_ap.add_argument("--checkpoint-dir", default=None, help="override checkpoint location")
+    s_ap.add_argument("--timeout", type=float, default=300.0, help="drain timeout seconds")
+    s_ap.add_argument("--config", default=None, help="engine config YAML")
+
     q_ap = sub.add_parser("query", help="run a registered query by name")
     q_ap.add_argument("name", help="query key (see `list`)")
     q_ap.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="testdata scale dir")
@@ -120,6 +156,8 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     if args.cmd == "load":
         return _run_load(args)
+    if args.cmd == "stream":
+        return _run_stream(args)
     if args.cmd == "query":
         return _run_query(args)
     return _run_list()

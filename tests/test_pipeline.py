@@ -59,6 +59,28 @@ def test_cli_main(spark, tmp_path, capsys):
     assert "[MistAMS] records succeeded=17" in capsys.readouterr().out
 
 
+def test_cli_stream_subcommand(spark, tmp_path, capsys):
+    """`stream` drains a watch dir through run_stream_job: same report
+    shape as `load`, data/ + quarantine/ layout under --table."""
+    from data_ingestor_spark import cli
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    shutil.copy(os.path.join(FIXTURES, "ingest-records.json"), in_dir / "a.json")
+    rc = cli.main(
+        [
+            "stream",
+            "--input-dir", str(in_dir),
+            "--table", str(tmp_path / "out"),
+            "--format", "json",
+            "--timeout", "120",
+        ]
+    )
+    assert rc == 0
+    assert spark.read.parquet(str(tmp_path / "out" / "data")).count() == 17
+    assert "[MistAMS] records succeeded=17 quarantined=0" in capsys.readouterr().out
+
+
 def test_run_load_job_xml_input(spark, tmp_path):
     """The same lifecycle over the XML fixture (O1+O8 path): 6 records
     with 2 repeated groups + 1 single + 1 empty = 14 flattened rows."""

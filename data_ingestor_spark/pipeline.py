@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from data_ingestor_spark import sinks
-from data_ingestor_spark.metrics import observed
+from data_ingestor_spark.metrics import observed, observed_stream
 from data_ingestor_spark.operators.flatten import flatten_nested
 from data_ingestor_spark.schemas import MIST_NESTED_SCHEMA, TEMPLATE_COLUMNS
 from data_ingestor_spark.sources import load
@@ -260,6 +260,11 @@ def run_stream_job(
             corrupt_col=corrupt,
         )
         out_schema = flat.schema
+        # live per-micro-batch ledger for monitoring (QueryProgress
+        # observedMetrics["ingest_metrics"]); job-END counts below stay
+        # parquet-derived because a replayed batch re-observes but does
+        # not re-publish
+        flat = observed_stream(flat, error_condition=f"{corrupt} IS NOT NULL")
         return write_stream_batches(flat, ckpt, batch_fn)
 
     if deadletter_dir is not None:

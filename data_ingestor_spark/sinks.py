@@ -191,6 +191,77 @@ def publish_staged(connect, staging: str, target: str, columns: list[str]) -> No
         conn.close()
 
 
+def ledger_ddl(ledger_table: str = "__stream_batches") -> str:
+    """DDL for the streaming batch ledger: the PRIMARY KEY on
+    ``batch_id`` IS the exactly-once mechanism (see
+    :func:`publish_stream_batch_staged`)."""
+    _check_ident(ledger_table)
+    return (
+        f"CREATE TABLE IF NOT EXISTS {_quote_ident(ledger_table)} "
+        f'("batch_id" BIGINT PRIMARY KEY)'
+    )
+
+
+#: substrings identifying a unique/primary-key violation across common
+#: DBAPI drivers (Postgres "duplicate key value violates unique
+#: constraint" / SQLSTATE 23505; SQLite "UNIQUE constraint failed")
+_DUPLICATE_KEY_MARKERS = ("duplicate key", "23505", "UNIQUE constraint")
+
+
+def publish_stream_batch_staged(
+    connect,
+    staging: str,
+    target: str,
+    columns: list[str],
+    batch_id: int,
+    ledger_table: str = "__stream_batches",
+) -> bool:
+    """Exactly-once streaming micro-batch publish into a JDBC target —
+    the database twin of :func:`streaming.ingest.idempotent_batch_publish`
+    (where the commit record is an atomic directory rename, here it is
+    a PRIMARY KEY row).
+
+    One server-side transaction: record ``batch_id`` in the ledger,
+    ``INSERT INTO target SELECT … FROM staging``, ``DROP`` staging. A
+    REPLAYED batch (crash after the sink ran but before the streaming
+    checkpoint committed — Structured Streaming re-runs the same
+    ``batch_id`` on restart) violates the ledger's PRIMARY KEY, the
+    server rolls back the WHOLE transaction, and the replay becomes a
+    no-op: returns ``False``, target rows exactly once. The check is
+    enforced BY the database inside the same transaction — there is no
+    read-then-write race window, and it needs no driver-specific
+    fetch support (works over any DBAPI connection, including
+    statement-buffering shims).
+
+    Replay detection is by exception shape: ``IntegrityError`` (DBAPI
+    standard) or a message carrying a known duplicate-key marker; any
+    other failure re-raises after rollback. Create the ledger once with
+    :func:`ledger_ddl`. Returns True iff this call published the batch.
+    """
+    _check_ident(ledger_table)
+    conn = connect()
+    try:
+        cur = conn.cursor()
+        cur.execute(
+            f"INSERT INTO {_quote_ident(ledger_table)} (\"batch_id\") "
+            f"VALUES ({int(batch_id)})"
+        )
+        for stmt in build_insert_select(staging, target, columns):
+            cur.execute(stmt)
+        conn.commit()
+        return True
+    except Exception as exc:  # noqa: BLE001 - classified below
+        conn.rollback()
+        msg = str(exc)
+        if type(exc).__name__ == "IntegrityError" or any(
+            m in msg for m in _DUPLICATE_KEY_MARKERS
+        ):
+            return False  # replayed batch: already committed, no-op
+        raise
+    finally:
+        conn.close()
+
+
 def publish_jdbc_atomic(
     df: DataFrame,
     url: str,

@@ -384,3 +384,83 @@ def test_publish_staged_live_postgres_sigkill_mid_phase2(pg_socket_dir):
         )
         == "0"
     )
+
+
+def test_stream_to_live_postgres_exactly_once_across_checkpoint_loss(
+    pg_socket_dir, spark, tmp_path
+):
+    """The reference's ACTUAL flagship, end to end on Spark: a streaming
+    XML feed publishing into a real Postgres through per-micro-batch
+    transactions (fileloader-schema.go:142-197 feeding the
+    transactional reduce, dbtransposer.go:290-364) — with the ledger
+    making it exactly-once even under TOTAL CHECKPOINT LOSS:
+
+    1. stream the XML fixture, each micro-batch staged + published via
+       publish_stream_batch_staged;
+    2. destroy nothing, re-run the SAME input with a FRESH checkpoint —
+       every batch is re-delivered with the same batch_id, every
+       publish reports the replay no-op, and the table still holds each
+       record exactly once.
+    """
+    import shutil as _shutil
+
+    from data_ingestor_spark.schemas import MIST_NESTED_SCHEMA, TEMPLATE_COLUMNS
+    from data_ingestor_spark.streaming import stream_load, write_stream_batches
+
+    FIXDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+    _psql(pg_socket_dir, "DROP TABLE IF EXISTS sflw_recs")
+    _psql(pg_socket_dir, 'DROP TABLE IF EXISTS "__stream_batches"')
+    _psql(
+        pg_socket_dir,
+        "CREATE TABLE sflw_recs (usr text, fnumber text)",
+    )
+    _psql(pg_socket_dir, sinks.ledger_ddl("__stream_batches"))
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    _shutil.copy(os.path.join(FIXDIR, "ingest-records.xml"), in_dir / "feed0.xml")
+
+    published = []  # (batch_id, committed?)
+
+    def batch_fn(batch_df, batch_id: int) -> None:
+        rows = batch_df.collect()  # fixture-scale; real deployments use write.jdbc
+        staging = f"b{batch_id}__staging"
+        _psql(pg_socket_dir, f"DROP TABLE IF EXISTS {staging}")
+        _psql(pg_socket_dir, f"CREATE TABLE {staging} (usr text, fnumber text)")
+        values = ", ".join(
+            "('{}', {})".format(
+                r["user"], "NULL" if r["fnumber"] is None else f"'{r['fnumber']}'"
+            )
+            for r in rows
+        )
+        if values:
+            _psql(pg_socket_dir, f"INSERT INTO {staging} VALUES {values}")
+        ok = sinks.publish_stream_batch_staged(
+            lambda: _PsqlConnection(pg_socket_dir),
+            staging,
+            "sflw_recs",
+            ["usr", "fnumber"],
+            batch_id=batch_id,
+        )
+        published.append((batch_id, ok))
+        if not ok:  # replay: our staging is orphaned litter, clear it
+            _psql(pg_socket_dir, f"DROP TABLE IF EXISTS {staging}")
+
+    def run(ckpt: str) -> None:
+        flat = stream_load(
+            spark, str(in_dir), MIST_NESTED_SCHEMA, columns=TEMPLATE_COLUMNS, fmt="xml"
+        )
+        q = write_stream_batches(flat, ckpt, batch_fn)
+        assert q.awaitTermination(120)
+
+    run(str(tmp_path / "ckpt1"))
+    assert published and all(ok for _, ok in published)
+    assert _psql(pg_socket_dir, "SELECT count(*) FROM sflw_recs") == "14"
+
+    # checkpoint loss: fresh checkpoint, same input -> full re-delivery
+    first_run = list(published)
+    published.clear()
+    run(str(tmp_path / "ckpt2"))
+    assert [bid for bid, _ in published] == [bid for bid, _ in first_run]
+    assert all(ok is False for _, ok in published), "every replay must no-op"
+    assert _psql(pg_socket_dir, "SELECT count(*) FROM sflw_recs") == "14"

@@ -124,6 +124,76 @@ def test_publish_staged_sqlite_commit(tmp_path):
         assert "target__staging" not in tables
 
 
+def test_publish_stream_batch_staged_sqlite_exactly_once(tmp_path):
+    """Streaming micro-batch JDBC publish: first call commits rows +
+    ledger atomically; a REPLAY of the same batch_id hits the ledger's
+    PRIMARY KEY, the server rolls back everything, and the call
+    reports the no-op — rows land exactly once."""
+    import sqlite3
+
+    db = str(tmp_path / "stream.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute(sinks.ledger_ddl("__stream_batches"))
+        conn.execute('CREATE TABLE "target" ("id" INTEGER, "name" TEXT)')
+        conn.execute('CREATE TABLE "b7__staging" ("id" INTEGER, "name" TEXT)')
+        conn.executemany("INSERT INTO b7__staging VALUES (?, ?)", [(1, "a"), (2, "b")])
+
+    assert (
+        sinks.publish_stream_batch_staged(
+            _sqlite_connect(db), "b7__staging", "target", ["id", "name"], batch_id=7
+        )
+        is True
+    )
+    # replay: re-stage the same rows (a restarted job re-runs phase 1 too)
+    with sqlite3.connect(db) as conn:
+        conn.execute('CREATE TABLE "b7__staging" ("id" INTEGER, "name" TEXT)')
+        conn.executemany("INSERT INTO b7__staging VALUES (?, ?)", [(1, "a"), (2, "b")])
+    assert (
+        sinks.publish_stream_batch_staged(
+            _sqlite_connect(db), "b7__staging", "target", ["id", "name"], batch_id=7
+        )
+        is False
+    )
+    with sqlite3.connect(db) as conn:
+        rows = sorted(conn.execute("SELECT id, name FROM target").fetchall())
+        assert rows == [(1, "a"), (2, "b")]  # exactly once
+        # the replay rolled back wholesale: its staging table survives
+        tables = {r[0] for r in conn.execute("SELECT name FROM sqlite_master WHERE type='table'")}
+        assert "b7__staging" in tables
+        assert conn.execute("SELECT count(*) FROM __stream_batches").fetchone()[0] == 1
+
+    # a NEW batch_id over the surviving staging publishes normally
+    assert (
+        sinks.publish_stream_batch_staged(
+            _sqlite_connect(db), "b7__staging", "target", ["id", "name"], batch_id=8
+        )
+        is True
+    )
+    with sqlite3.connect(db) as conn:
+        assert conn.execute("SELECT count(*) FROM target").fetchone()[0] == 4
+
+
+def test_publish_stream_batch_staged_sqlite_real_failure_reraises(tmp_path):
+    """A non-duplicate failure (missing staging table) must re-raise
+    after rollback — only the replay shape is swallowed."""
+    import sqlite3
+
+    import pytest as _pytest
+
+    db = str(tmp_path / "stream2.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute(sinks.ledger_ddl())
+        conn.execute('CREATE TABLE "target" ("id" INTEGER)')
+
+    with _pytest.raises(Exception, match="no such table"):
+        sinks.publish_stream_batch_staged(
+            _sqlite_connect(db), "missing__staging", "target", ["id"], batch_id=1
+        )
+    with sqlite3.connect(db) as conn:
+        # rollback: the failed batch left no ledger row
+        assert conn.execute("SELECT count(*) FROM __stream_batches").fetchone()[0] == 0
+
+
 def test_publish_staged_sqlite_mid_transaction_rollback(tmp_path):
     """Failure BETWEEN the INSERT and the DROP rolls the whole
     transaction back: target keeps exactly its pre-publish contents and

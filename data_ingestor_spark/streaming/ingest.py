@@ -321,11 +321,13 @@ def stream_with_deadletter(
             q = start_query()
             try:
                 if not q.awaitTermination(timeout_s):
+                    # a timeout is NOT a routable failure: raise it
+                    # outside the except below so it never triggers a
+                    # probe/restart cycle
                     q.stop()
-                    raise TimeoutError(
-                        f"stream did not finish within {timeout_s}s"
-                    )
-                return {"routed": routed, "restarts": restarts}
+                    return_timeout = True
+                else:
+                    return {"routed": routed, "restarts": restarts}
             except Exception as exc:
                 if restarts >= max_restarts:
                     raise
@@ -340,6 +342,9 @@ def stream_with_deadletter(
                     routed.append(uri)
                 restarts += 1
                 spark.conf.set(conf_key, "true")
+                continue
+            if return_timeout:
+                raise TimeoutError(f"stream did not finish within {timeout_s}s")
     finally:
         spark.conf.set(conf_key, old_conf)
 

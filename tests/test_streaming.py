@@ -888,6 +888,33 @@ def test_stream_with_deadletter_reraises_without_routable_cause(spark, tmp_path)
     assert not (tmp_path / "dl" / "fine.xml").exists()
 
 
+def test_stream_with_deadletter_timeout_never_routes(spark, tmp_path):
+    """A TIMEOUT is not a routable failure: even with an undecodable
+    file sitting in the watch dir, a stream that merely ran out of time
+    must raise TimeoutError and move nothing — routing only ever
+    follows an actual query failure."""
+    import pytest as _pytest
+
+    from data_ingestor_spark.streaming import stream_with_deadletter
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "poison.xml").write_bytes(b"<Data>\xff\xfe</Data>")
+
+    class SlowQuery:
+        def awaitTermination(self, _t):
+            return False  # still running at the deadline
+
+        def stop(self):
+            pass
+
+    with _pytest.raises(TimeoutError):
+        stream_with_deadletter(
+            spark, str(in_dir), str(tmp_path / "dl"), lambda: SlowQuery(), timeout_s=1
+        )
+    assert (in_dir / "poison.xml").exists()  # nothing was routed
+
+
 def test_stream_load_rejects_unknown_format(spark, tmp_path):
     import pytest as _pytest
 

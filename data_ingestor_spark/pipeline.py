@@ -145,7 +145,14 @@ def run_load_job(
 class StreamJobResult:
     """Job-end report for the streaming lifecycle (O20 parity for the
     live path — the reference logs the same counters at ``main.go:
-    132-138`` after its channel pipeline drains)."""
+    132-138`` after its channel pipeline drains).
+
+    ``rows_published``/``rows_quarantined`` are the target dataset's
+    CUMULATIVE totals (counted from the published parquet, the only
+    replay-proof source of truth), not per-invocation deltas — a
+    re-run over the same checkpoint that drains one new file reports
+    the new grand total. ``files_deadlettered``/``restarts`` are
+    per-invocation."""
 
     rows_published: int
     rows_quarantined: int

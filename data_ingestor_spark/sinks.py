@@ -262,6 +262,60 @@ def publish_stream_batch_staged(
         conn.close()
 
 
+def jdbc_stream_sink(
+    connect,
+    target: str,
+    columns: list[str],
+    stage_batch,
+    ledger_table: str = "__stream_batches",
+    staging_prefix: str = "stream_batch",
+):
+    """Build a ``foreachBatch`` body that loads every streaming
+    micro-batch into a JDBC target exactly-once — the one-call form of
+    the reference's flagship live path (streaming records → worker
+    inserts → all-or-nothing transactional reduce,
+    ``mapreduce.go:54-105`` + ``dbtransposer.go:290-364``).
+
+    ``stage_batch(batch_df, staging_table)`` materializes the batch
+    into a fresh staging table: deployments pass a thin wrapper over
+    ``batch_df.write.jdbc(..., staging_table)`` (parallel, one
+    connection per partition); tests use a driver-side INSERT shim.
+    Then :func:`publish_stream_batch_staged` commits staging + the
+    ``batch_id`` ledger row in ONE server transaction — a replayed
+    batch (restart, or full checkpoint loss) rolls back on the
+    ledger's PRIMARY KEY and its orphaned staging table is dropped
+    here, so the target holds every record exactly once no matter how
+    many times Structured Streaming re-delivers.
+
+    Returns a ``batch_fn`` for
+    :func:`streaming.ingest.write_stream_batches`. Create the ledger
+    once with :func:`ledger_ddl`.
+    """
+    _check_ident(target)
+    _check_ident(ledger_table)
+
+    def _sink(batch_df, batch_id: int) -> None:
+        staging = f"{staging_prefix}_{int(batch_id)}__staging"
+        _check_ident(staging)
+        stage_batch(batch_df, staging)
+        committed = publish_stream_batch_staged(
+            connect, staging, target, columns, batch_id, ledger_table=ledger_table
+        )
+        if not committed:
+            # replay: the publish rolled back wholesale, leaving OUR
+            # fresh staging table as litter — clear it so re-delivered
+            # batches never accumulate orphan tables
+            conn = connect()
+            try:
+                cur = conn.cursor()
+                cur.execute(f"DROP TABLE IF EXISTS {_quote_ident(staging)}")
+                conn.commit()
+            finally:
+                conn.close()
+
+    return _sink
+
+
 def publish_jdbc_atomic(
     df: DataFrame,
     url: str,

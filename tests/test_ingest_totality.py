@@ -362,6 +362,42 @@ def test_load_job_adversarial_sweep_counts_match_planted(spark, tmp_path):
     assert res_xml.rows_error + res_csv.rows_error + res_json.rows_error == 5
 
 
+def test_run_stream_job_csv_format_quarantine(spark, tmp_path):
+    """run_stream_job over the CSV format: clean rows publish, a
+    bad-typed cell quarantines with its raw line preserved — the
+    one-call lifecycle works for every trio member, not just XML."""
+    from pyspark.sql import types as T
+
+    from data_ingestor_spark.pipeline import run_stream_job
+
+    schema = T.StructType(
+        [
+            T.StructField("user", T.StringType(), True),
+            T.StructField("score", T.IntegerType(), True),
+        ]
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "a.csv").write_text("user,score\nalice,10\nbob,20\n")
+    (in_dir / "b.csv").write_text("user,score\ncara,30\neve,BROKEN\n")
+
+    res = run_stream_job(
+        spark,
+        str(in_dir),
+        str(tmp_path / "out"),
+        schema=schema,
+        columns=None,
+        fmt="csv",
+        timeout_s=120,
+    )
+    assert res.rows_published == 3
+    assert res.rows_quarantined == 1
+    data = spark.read.parquet(str(tmp_path / "out" / "data"))
+    assert {r.user for r in data.collect()} == {"alice", "bob", "cara"}
+    q = spark.read.parquet(str(tmp_path / "out" / "quarantine"))
+    assert q.filter(q["_corrupt_record"].contains("BROKEN")).count() == 1
+
+
 def test_streaming_quarantine_ledger_matches_planted(spark, tmp_path):
     """Streaming twin of the sweep: JSON + XML directories each carry
     one planted poison file; the per-batch quarantine ledger (counted

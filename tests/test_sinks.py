@@ -1043,3 +1043,75 @@ def test_stale_break_queued_waiters_winner_not_rebroken(tmp_path, monkeypatch):
         if ".acq." in d or ".broken." in d or d == "_LATEST.lock"
     ]
     assert not leftovers, leftovers
+
+
+def test_jdbc_stream_sink_sqlite_replay_cleanup(tmp_path):
+    """The library foreachBatch body: first delivery stages + commits;
+    a replay no-ops AND drops its orphaned staging table; a later new
+    batch publishes normally. No Spark needed — stage_batch is the
+    only consumer of the batch object."""
+    import sqlite3
+
+    db = str(tmp_path / "sink.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute(sinks.ledger_ddl())
+        conn.execute('CREATE TABLE "target" ("id" INTEGER)')
+
+    def stage_batch(rows, staging):
+        with sqlite3.connect(db) as conn:
+            conn.execute(f'CREATE TABLE "{staging}" ("id" INTEGER)')
+            conn.executemany(f'INSERT INTO "{staging}" VALUES (?)', [(r,) for r in rows])
+
+    sink = sinks.jdbc_stream_sink(_sqlite_connect(db), "target", ["id"], stage_batch)
+
+    sink([1, 2], 0)          # first delivery
+    sink([1, 2], 0)          # replay (e.g. checkpoint loss)
+    sink([3], 1)             # next batch
+
+    with sqlite3.connect(db) as conn:
+        assert sorted(r[0] for r in conn.execute("SELECT id FROM target")) == [1, 2, 3]
+        tables = {r[0] for r in conn.execute(
+            "SELECT name FROM sqlite_master WHERE type='table' AND name LIKE '%__staging'"
+        )}
+        assert tables == set(), f"orphaned staging tables: {tables}"
+        assert conn.execute("SELECT count(*) FROM __stream_batches").fetchone()[0] == 2
+
+
+def test_publish_stream_batch_staged_property_any_replay_sequence(tmp_path):
+    """Property (hypothesis): for ANY delivery sequence — batches
+    arriving in any order, each replayed any number of times — the
+    target ends with exactly one copy of every distinct batch's rows.
+    This is the exactly-once contract under arbitrary re-delivery,
+    which Structured Streaming permits after checkpoint loss."""
+    import sqlite3
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        deliveries=st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=20)
+    )
+    def run(deliveries):
+        db = str(tmp_path / f"prop_{abs(hash(tuple(deliveries)))}.db")
+        with sqlite3.connect(db) as conn:
+            conn.execute(sinks.ledger_ddl())
+            conn.execute('CREATE TABLE "target" ("bid" INTEGER, "val" TEXT)')
+        for bid in deliveries:
+            staging = f"b{bid}__staging"
+            with sqlite3.connect(db) as conn:
+                conn.execute(f'DROP TABLE IF EXISTS "{staging}"')
+                conn.execute(f'CREATE TABLE "{staging}" ("bid" INTEGER, "val" TEXT)')
+                conn.executemany(
+                    f'INSERT INTO "{staging}" VALUES (?, ?)',
+                    [(bid, f"row{i}") for i in range(3)],
+                )
+            sinks.publish_stream_batch_staged(
+                _sqlite_connect(db), staging, "target", ["bid", "val"], batch_id=bid
+            )
+        with sqlite3.connect(db) as conn:
+            rows = conn.execute("SELECT bid, count(*) FROM target GROUP BY bid").fetchall()
+        assert sorted(r[0] for r in rows) == sorted(set(deliveries))
+        assert all(n == 3 for _, n in rows), "a replay duplicated rows"
+
+    run()

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from data_ingestor_spark.operators.asof import asof_join
+from data_ingestor_spark.streaming.joins import enrich_with_static
 from data_ingestor_spark.plans.registry import (
     dec,
     load_table,
@@ -406,6 +407,85 @@ def q_stream_window_agg(spark, sf_dir):
         # materialize the (small) windowed aggregate locally so the
         # memory-sink view can be dropped immediately — reentrant, no
         # module-global state, nothing pinned across invocations
+        result = _collect_memory_sink(spark, spark.table(sink), agg.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass
+        if prior_nanos is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior_nanos)
+    return result
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "join", "enrich"),
+)
+def q_stream_static_join(spark, sf_dir):
+    """Stream⋈static enrichment under REAL Structured Streaming
+    execution — the dimension-lookup pattern every event pipeline needs
+    (enrich a click stream with the user/account dim before
+    aggregating). The streaming file source replays the events parquet;
+    each micro-batch joins against the BATCH customer relation via
+    :func:`data_ingestor_spark.streaming.joins.enrich_with_static` with
+    an explicit broadcast of the dim (no shuffle of the stream side, no
+    streaming state — safe on unbounded input, which is why this shape
+    scales where a stream⋈stream join needs watermarks), then a
+    complete-mode windowless rollup per (segment, event type). Oracle =
+    the equivalent batch join+aggregate: a PASS proves per-micro-batch
+    enrichment is value-identical to batch enrichment — exactly-once
+    across the replay, since a dropped or doubled micro-batch changes
+    the counts. Complete-mode memory sink is the oracle-harness
+    materialization only (see q_stream_window_agg); production uses
+    update/append into a durable sink. Streaming twin of the batch
+    `q_join_broadcast`; the library seam is covered row-for-row by
+    tests/test_streaming.py::test_enrich_with_static."""
+    import os
+    import uuid
+
+    prior_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sink = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    try:
+        src = f"{sf_dir}/events.parquet"
+        raw_schema = spark.read.parquet(src).schema
+        in_dir = scratch_dir(
+            f"q_stream_static_join_{os.path.basename(sf_dir.rstrip(chr(47)))}"
+        )
+        link = os.path.join(in_dir, "events.parquet")
+        _ensure_symlink(link, src)
+
+        dim = F.broadcast(
+            load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        )
+        s = normalize_event_ts(spark.readStream.schema(raw_schema).parquet(in_dir))
+        enriched = enrich_with_static(
+            s.withColumnRenamed("user_id", "c_custkey"), dim, on="c_custkey", how="inner"
+        )
+        agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q_stream_static_join: stream did not finish within 300s")
         result = _collect_memory_sink(spark, spark.table(sink), agg.schema)
     finally:
         try:

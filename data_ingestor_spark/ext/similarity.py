@@ -665,6 +665,149 @@ def q_embed_quantize(spark, sf_dir):
     )
 
 
+#: Product-quantization subspaces: the vector is split into this many
+#: contiguous sub-vectors, each encoded independently against its own
+#: codebook. 4 over 64 dims = 16-dim sub-vectors; at scale m grows with
+#: dimension (FAISS-style IVF-PQ uses m=8..64 over 128-1536 dims) and
+#: the code table is m bytes/vector instead of 4·d bytes.
+_PQ_M = 4
+
+
+def _pq_d2i(a_slice: str, b_slice: str) -> str:
+    """Squared L2 distance between two float-array slices in integer
+    MICRO-UNITS: double accumulation left-to-right (matches DuckDB's
+    sequential SUM), then one round to a BIGINT of 1e-6 units. The
+    integer form makes every later comparison (argmin per subspace,
+    ADC sum over subspaces, global top-k ordering) exact and
+    association-free on both engines — the same determinism trick as
+    the exact-integer PageRank (ext/graph.py)."""
+    return (
+        f"cast(ROUND(aggregate(zip_with({a_slice}, {b_slice},"
+        " (u, v) -> (cast(u as double) - cast(v as double))"
+        " * (cast(u as double) - cast(v as double))),"
+        " cast(0.0 as double), (acc, t) -> acc + t) * 1000000.0) as bigint)"
+    )
+
+
+@query(
+    "q_sim_ann_pq",
+    oracle="""
+    WITH cents AS (
+        SELECT label,
+               list(CAST(m AS REAL) ORDER BY pos) AS cent
+        FROM (
+            SELECT label, pos, AVG(x) AS m
+            FROM (
+                SELECT label, generate_subscripts(embedding, 1) AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings WHERE vec_id <> 0
+            )
+            GROUP BY label, pos
+        )
+        GROUP BY label
+    ), w AS (
+        SELECT MAX(len(embedding)) // 4 AS ws FROM embeddings
+    ), zc AS (
+        SELECT label AS clabel, generate_subscripts(cent, 1) AS pos,
+               CAST(unnest(cent) AS DOUBLE) AS c
+        FROM cents
+    ), z AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings WHERE vec_id <> 0
+    ), zq AS (
+        SELECT generate_subscripts(qe, 1) AS pos, CAST(unnest(qe) AS DOUBLE) AS y
+        FROM (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    ), dv AS (
+        SELECT z.vec_id, z.label, zc.clabel, (z.pos - 1) // w.ws AS s,
+               CAST(ROUND(SUM((z.x - zc.c) * (z.x - zc.c)) * 1000000.0) AS BIGINT) AS d2i
+        FROM z JOIN zc ON z.pos = zc.pos CROSS JOIN w
+        GROUP BY 1, 2, 3, 4
+    ), qd AS (
+        SELECT zc.clabel, (zq.pos - 1) // w.ws AS s,
+               CAST(ROUND(SUM((zq.y - zc.c) * (zq.y - zc.c)) * 1000000.0) AS BIGINT) AS qd2i
+        FROM zq JOIN zc ON zq.pos = zc.pos CROSS JOIN w
+        GROUP BY 1, 2
+    ), codes AS (
+        SELECT vec_id, label, s, clabel AS code FROM (
+            SELECT vec_id, label, s, clabel,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2i, clabel) AS rn
+            FROM dv
+        ) WHERE rn = 1
+    ), ad AS (
+        SELECT c.vec_id, c.label, CAST(SUM(q2.qd2i) AS BIGINT) AS adist_micro
+        FROM codes c JOIN qd q2 ON c.s = q2.s AND c.code = q2.clabel
+        GROUP BY 1, 2
+    )
+    SELECT vec_id, label, adist_micro FROM ad ORDER BY adist_micro, vec_id LIMIT 10
+    """,
+    tags=("similarity", "ann", "pq", "quantize"),
+)
+def q_sim_ann_pq(spark, sf_dir):
+    """ANN via PRODUCT quantization with asymmetric-distance search —
+    the third ANN scale path alongside LSH buckets (q_sim_ann_lsh) and
+    IVF probes (q_sim_ann_ivf), and the one that shrinks the SCAN
+    itself: each vector is stored as m=4 subspace codes (argmin against
+    a per-subspace codebook), and a query scores a vector by summing
+    the PRE-COMPUTED query→codeword distances its codes select — the
+    scan touches m small integers per vector instead of d floats
+    (FAISS IVFADC, Jégou et al. 2011). Here the codebooks are the
+    per-label sub-vector centroids (deterministic, like the IVF coarse
+    quantizer built by label_centroids); a trained variant would
+    k-means each subspace via kmeans_rounds. Plan shape: the codebook
+    build is one posexplode rollup (tiny, collected to ONE broadcast
+    row); encode + ADC score is then a single narrow codegen projection
+    per vector — no explode of the data side, no shuffle except the
+    final top-10. All distances are exact integer micro-units
+    (_pq_d2i), so encode argmin, ADC sums, and the top-k order are
+    engine-exact and the key is fully oracle-hash-checked; approximation
+    (vs exact q_sim_topk order) is the PQ reconstruction error by
+    design. Scalar min-max quantization (q_embed_quantize) compresses
+    storage per dimension; PQ additionally replaces the distance math —
+    complementary, as in any production ANN stack. Scale notes: the
+    code table is m bytes/vector (16× smaller than float32 at d=64);
+    codebooks are O(m · k · d/m) = one broadcast row regardless of
+    corpus size; at 100 TB the encode pass is one linear map and every
+    query is an m-integer gather, typically composed inside IVF cells
+    (partition-pruned scan, then ADC within the probed cells)."""
+    e = load_vectors(spark, sf_dir)
+    base = e.filter(F.col("vec_id") != 0)
+    cents = label_centroids(base).select(
+        "label", F.col("centroid").cast("array<float>").alias("c")
+    )
+    cb = cents.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("label").alias("l"), F.col("c")))
+        ).alias("cents")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
+
+    ws = "(size(embedding) div 4)"
+    terms = []
+    for s in range(_PQ_M):
+        d = _pq_d2i(f"slice(embedding, {s} * {ws} + 1, {ws})", f"slice(e.c, {s} * {ws} + 1, {ws})")
+        qd = _pq_d2i(f"slice(_qe, {s} * {ws} + 1, {ws})", f"slice(e.c, {s} * {ws} + 1, {ws})")
+        # per-subspace encode (argmin over codebook entries, ascending
+        # label so an exact tie keeps the smallest label — the oracle's
+        # ROW_NUMBER ... ORDER BY d2i, clabel) carrying the entry's
+        # query→codeword distance, so ADC needs no second lookup
+        terms.append(
+            "aggregate(cents,"
+            " named_struct('d', cast(9223372036854775807 as bigint), 'l', -1,"
+            " 'qd', cast(0 as bigint)),"
+            f" (acc, e) -> IF({d} < acc.d,"
+            f" named_struct('d', {d}, 'l', e.l, 'qd', {qd}), acc)).qd"
+        )
+    adist = " + ".join(f"({t})" for t in terms)
+
+    scored = (
+        base.crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "label", F.expr(adist).alias("adist_micro"))
+    )
+    return scored.orderBy("adist_micro", "vec_id").limit(10)
+
+
 @query(
     "q_dedup_semantic",
     oracle="""

@@ -876,3 +876,91 @@ def test_cluster_pairs_reliable_checkpoint_survives_block_loss(spark, tmp_path, 
     with _pytest.raises(Exception) as ei:
         dedup.cluster_pairs(pairs).collect()
     assert "checkpoint" in str(ei.value).lower()
+
+
+def test_sim_ann_pq_matches_numpy_mirror(spark):
+    """q_sim_ann_pq's full encode+ADC path vs an independent numpy
+    mirror of the same algorithm: per-label float32 codebooks, strict
+    left-to-right double accumulation, integer micro-unit distances.
+    An exact match of the whole top-10 (ids AND distances) proves the
+    Spark expression tree computes the algorithm as specified, not just
+    something order-correlated with it."""
+    import numpy as np
+
+    from conftest import SF_DIR
+
+    from data_ingestor_spark.ext.similarity import _PQ_M, q_sim_ann_pq
+    from data_ingestor_spark.plans.registry import load_table
+
+    rows = load_table(spark, SF_DIR, "embeddings").collect()
+    vecs = {r["vec_id"]: (r["label"], np.array(r["embedding"], dtype=np.float32)) for r in rows}
+    q = vecs[0][1]
+    dim = len(q)
+    w = dim // _PQ_M
+
+    by_label = {}
+    for vid, (lbl, v) in vecs.items():
+        if vid != 0:
+            by_label.setdefault(lbl, []).append(v.astype(np.float64))
+    cents = {
+        lbl: np.mean(np.stack(vs), axis=0).astype(np.float32)
+        for lbl, vs in sorted(by_label.items())
+    }
+
+    def d2i(a, b):
+        # strict left-to-right accumulation, as both engines do it
+        acc = 0.0
+        for u, v in zip(a, b):
+            d = float(u) - float(v)
+            acc += d * d
+        return int(round(acc * 1_000_000.0))
+
+    scored = []
+    for vid, (lbl, v) in vecs.items():
+        if vid == 0:
+            continue
+        adist = 0
+        for s in range(_PQ_M):
+            sl = slice(s * w, (s + 1) * w)
+            best = min(
+                (d2i(v[sl], c[sl]), clbl) for clbl, c in cents.items()
+            )
+            adist += d2i(q[sl], cents[best[1]][sl])
+        scored.append((adist, vid, lbl))
+    scored.sort()
+    expected = [(vid, lbl, adist) for adist, vid, lbl in scored[:10]]
+
+    got = [
+        (r["vec_id"], r["label"], r["adist_micro"])
+        for r in q_sim_ann_pq(spark, SF_DIR).collect()
+    ]
+    assert got == expected
+
+
+def test_sim_ann_pq_exact_duplicate_ranks_first(spark, tmp_path):
+    """PQ's one guaranteed exactness property: an exact duplicate of
+    the query vector achieves the GLOBAL minimum asymmetric distance —
+    its per-subspace codes are the argmin codes for the query's own
+    sub-vectors, so its ADC equals sum-of-minima, a lower bound on any
+    other vector's ADC. Fabricated table: query vec_id 0, duplicate
+    vec_id 7, plus decoys spread across labels."""
+    import numpy as np
+
+    from data_ingestor_spark.ext.similarity import q_sim_ann_pq
+
+    rng = np.random.default_rng(1234)
+    rows = []
+    qv = rng.normal(size=64).astype(np.float32)
+    rows.append((0, [float(x) for x in qv], 0))
+    rows.append((7, [float(x) for x in qv], 3))
+    for i in range(1, 40):
+        if i == 7:
+            continue
+        v = rng.normal(size=64).astype(np.float32)
+        rows.append((i, [float(x) for x in v], int(i % 5)))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    top = q_sim_ann_pq(spark, str(tmp_path)).collect()
+    assert top[0]["vec_id"] == 7
+    assert all(top[0]["adist_micro"] <= r["adist_micro"] for r in top)

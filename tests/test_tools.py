@@ -244,7 +244,12 @@ def test_round_site_inventory_frozen():
 
     expected = {
         "data_ingestor_spark/ext/dedup.py": 1,  # docstring prose only
-        "data_ingestor_spark/ext/similarity.py": 5,  # sqrt dist / float avg
+        # sqrt dist / float avg; +3 r10: q_sim_ann_pq rounds
+        # SUM((x-c)^2)*1e6 to BIGINT micro-units (one Spark _pq_d2i
+        # site + two oracle sites) — a sum of squared float differences
+        # is never an integer-ratio double, and both engines round the
+        # identical left-to-right accumulation
+        "data_ingestor_spark/ext/similarity.py": 8,
         "data_ingestor_spark/ext/text.py": 8,  # log-based tfidf/logprob + prose
         # sqrt z / cent casts; +1 r9: q_event_trend oracle divisor now
         # counts successfully quantized rows (same value*100 cents

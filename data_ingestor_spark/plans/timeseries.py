@@ -421,6 +421,96 @@ def q_stream_window_agg(spark, sf_dir):
 
 
 @query(
+    "q_stream_session_window",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+    tags=("streaming", "window", "session"),
+)
+def q_stream_session_window(spark, sf_dir):
+    """Session windows under REAL Structured Streaming execution — the
+    one windowed-aggregation shape whose STATE actually merges as rows
+    arrive (tumbling/sliding windows only accumulate; session windows
+    coalesce adjacent state entries when a new event bridges two bursts,
+    Spark's mergeable session state store). Streaming twin of
+    q_window_session: the SAME F.session_window(30 minutes) expression
+    over the streaming file source, complete-mode memory sink,
+    availableNow trigger, hash-checked against the lag/cumsum batch
+    oracle — a PASS proves streaming session merge is value-identical to
+    batch sessionization across every user. Complete mode holds all
+    session state by design here (oracle-harness materialization, like
+    q_stream_window_agg); production uses watermark + append so closed
+    sessions emit and their state expires
+    (streaming/windows.py session_windowed_counts is that shape,
+    exercised by tests/test_streaming.py)."""
+    import os
+    import uuid
+
+    prior_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sink = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    try:
+        src = f"{sf_dir}/events.parquet"
+        raw_schema = spark.read.parquet(src).schema
+        in_dir = scratch_dir(
+            f"q_stream_session_{os.path.basename(sf_dir.rstrip(chr(47)))}"
+        )
+        link = os.path.join(in_dir, "events.parquet")
+        _ensure_symlink(link, src)
+
+        s = normalize_event_ts(spark.readStream.schema(raw_schema).parquet(in_dir))
+        agg = (
+            s.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "q_stream_session_window: stream did not finish within 300s"
+            )
+        result = _collect_memory_sink(spark, spark.table(sink), agg.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass
+        if prior_nanos is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior_nanos)
+    return result
+
+
+@query(
     "q_stream_static_join",
     oracle="""
     SELECT c.c_mktsegment, e.event_type,

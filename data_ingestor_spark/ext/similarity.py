@@ -689,9 +689,11 @@ def _pq_d2i(a_slice: str, b_slice: str) -> str:
     )
 
 
-@query(
-    "q_sim_ann_pq",
-    oracle="""
+#: The PQ encode+ADC oracle pipeline, shared by q_sim_ann_pq (top-10 by
+#: asymmetric distance) and q_sim_ann_pq_recall (recall@10 vs exact).
+#: Ends at `ad(vec_id, label, adist_micro)` — one row per non-query
+#: vector with its integer micro-unit ADC distance.
+_PQ_ORACLE_CTES = """
     WITH cents AS (
         SELECT label,
                list(CAST(m AS REAL) ORDER BY pos) AS cent
@@ -739,6 +741,13 @@ def _pq_d2i(a_slice: str, b_slice: str) -> str:
         FROM codes c JOIN qd q2 ON c.s = q2.s AND c.code = q2.clabel
         GROUP BY 1, 2
     )
+"""
+
+
+@query(
+    "q_sim_ann_pq",
+    oracle=_PQ_ORACLE_CTES
+    + """
     SELECT vec_id, label, adist_micro FROM ad ORDER BY adist_micro, vec_id LIMIT 10
     """,
     tags=("similarity", "ann", "pq", "quantize"),
@@ -771,6 +780,15 @@ def q_sim_ann_pq(spark, sf_dir):
     query is an m-integer gather, typically composed inside IVF cells
     (partition-pruned scan, then ADC within the probed cells)."""
     e = load_vectors(spark, sf_dir)
+    return pq_adc_scores(e).orderBy("adist_micro", "vec_id").limit(10)
+
+
+def pq_adc_scores(e: DataFrame) -> DataFrame:
+    """Encode every non-query vector with per-label subspace codebooks
+    and score it against the vec_id-0 query by asymmetric distance —
+    one row (vec_id, label, adist_micro) per vector. The shared core of
+    q_sim_ann_pq (top-k) and q_sim_ann_pq_recall (quality loop); see
+    q_sim_ann_pq's docstring for semantics and scale notes."""
     base = e.filter(F.col("vec_id") != 0)
     cents = label_centroids(base).select(
         "label", F.col("centroid").cast("array<float>").alias("c")
@@ -800,12 +818,66 @@ def q_sim_ann_pq(spark, sf_dir):
         )
     adist = " + ".join(f"({t})" for t in terms)
 
-    scored = (
+    return (
         base.crossJoin(F.broadcast(cb))
         .crossJoin(F.broadcast(qv))
         .select("vec_id", "label", F.expr(adist).alias("adist_micro"))
     )
-    return scored.orderBy("adist_micro", "vec_id").limit(10)
+
+
+@query(
+    "q_sim_ann_pq_recall",
+    oracle=_PQ_ORACLE_CTES
+    + """
+    , pq10 AS (
+        SELECT vec_id FROM ad ORDER BY adist_micro, vec_id LIMIT 10
+    ), zx AS (
+        SELECT e.vec_id,
+               CAST(unnest(e.embedding) AS DOUBLE) AS x,
+               CAST(unnest(q.qe) AS DOUBLE) AS y
+        FROM embeddings e,
+             (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+    ), cs AS (
+        SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS cos_sim
+        FROM zx GROUP BY vec_id
+    ), exact10 AS (
+        SELECT vec_id FROM cs ORDER BY cos_sim DESC, vec_id LIMIT 10
+    )
+    SELECT (SELECT COUNT(*) FROM exact10) AS n_exact,
+           (SELECT COUNT(*) FROM exact10 e JOIN pq10 p ON e.vec_id = p.vec_id) AS hits_pq,
+           CAST((SELECT COUNT(*) FROM exact10 e JOIN pq10 p ON e.vec_id = p.vec_id) AS BIGINT)
+               * 10000 // NULLIF((SELECT COUNT(*) FROM exact10), 0) AS recall_pq_bp
+    """,
+    tags=("similarity", "ann", "pq", "eval", "recall"),
+)
+def q_sim_ann_pq_recall(spark, sf_dir):
+    """Measured PQ recall@10 — the quality loop for the product
+    quantizer, same discipline as q_sim_ann_recall for the LSH index:
+    exact brute-force cosine top-10 (ground truth) intersected with the
+    ADC top-10, reported as counts + an exact basis-point recall in one
+    hash-checked row. This is the number that decides m (subspace
+    count) and k (codebook size) in production — PQ's approximation is
+    reconstruction error, so its recall is a property to MEASURE per
+    corpus, not assert. Cosine vs L2 caveat is deliberate: the ground
+    truth is cosine order (what q_sim_topk serves) while ADC is
+    L2-on-codes, so the measured number also absorbs the metric gap —
+    exactly what an operator tuning a production index needs to see.
+    Plan: the ADC side is the same narrow codegen projection as
+    q_sim_ann_pq; the exact side is one brute-force scan (run on a
+    sampled query set at scale); the intersection joins two 10-row
+    relations."""
+    e = load_vectors(spark, sf_dir)
+    q_vec = e.filter(F.col("vec_id") == 0)
+    exact10 = topk_cosine(e.filter(F.col("vec_id") != 0), q_vec, k=10).select("vec_id")
+    pq10 = pq_adc_scores(e).orderBy("adist_micro", "vec_id").limit(10).select("vec_id")
+    n_exact = exact10.agg(F.count(F.lit(1)).alias("n_exact"))
+    hp = exact10.join(pq10, "vec_id").agg(F.count(F.lit(1)).alias("hits_pq"))
+    return n_exact.crossJoin(hp).select(
+        "n_exact",
+        "hits_pq",
+        F.expr("hits_pq * 10000 div nullif(n_exact, 0)").alias("recall_pq_bp"),
+    )
 
 
 @query(

@@ -880,6 +880,289 @@ def q_sim_ann_pq_recall(spark, sf_dir):
     )
 
 
+#: IVF-PQ residual-codebook size: entries per subspace. 8 keeps the
+#: demo codebook tiny; production FAISS uses 256 (one byte per code).
+_IVFPQ_K = 8
+
+#: The IVF-PQ oracle pipeline shared by q_sim_ann_ivfpq (top-10 by
+#: asymmetric distance within the probed cell) and
+#: q_sim_ann_ivfpq_recall (recall@10 vs exact over the WHOLE corpus).
+#: Ends at `ad(vec_id, label, adist_micro)` — one row per vector of the
+#: probed cell with its integer micro-unit residual-ADC distance.
+_IVFPQ_ORACLE_CTES = """
+    WITH cents AS (
+        SELECT label,
+               list(CAST(m AS REAL) ORDER BY pos) AS cent
+        FROM (
+            SELECT label, pos, AVG(x) AS m
+            FROM (
+                SELECT label, generate_subscripts(embedding, 1) AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings WHERE vec_id <> 0
+            )
+            GROUP BY label, pos
+        )
+        GROUP BY label
+    ), q AS (
+        SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    ), zcq AS (
+        SELECT label,
+               CAST(unnest(cent) AS DOUBLE) AS cx,
+               CAST(unnest(qe) AS DOUBLE) AS qy
+        FROM cents, q
+    ), csim AS (
+        SELECT label, SUM(cx*qy) / (SQRT(SUM(cx*cx)) * SQRT(SUM(qy*qy))) AS sim
+        FROM zcq GROUP BY label
+    ), best AS (
+        SELECT label AS qlabel FROM csim ORDER BY sim DESC, label LIMIT 1
+    ), w AS (
+        SELECT MAX(len(embedding)) // 4 AS ws FROM embeddings
+    ), cpos AS (
+        SELECT label, generate_subscripts(cent, 1) AS pos,
+               CAST(unnest(cent) AS DOUBLE) AS c
+        FROM cents
+    ), resid AS (
+        SELECT zr.vec_id, zr.label, zr.pos, zr.x - cp.c AS r,
+               CAST(('0x' || substr(md5(CAST(zr.vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS bkt
+        FROM (
+            SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings WHERE vec_id <> 0
+        ) zr
+        JOIN cpos cp ON zr.label = cp.label AND zr.pos = cp.pos
+    ), cbm AS (
+        SELECT bkt, pos, CAST(AVG(r) AS REAL) AS m
+        FROM resid GROUP BY bkt, pos
+    ), dv AS (
+        SELECT resid.vec_id, resid.label, cbm.bkt AS cb_bkt,
+               (resid.pos - 1) // w.ws AS s,
+               CAST(ROUND(SUM((resid.r - CAST(cbm.m AS DOUBLE))
+                            * (resid.r - CAST(cbm.m AS DOUBLE))) * 1000000.0) AS BIGINT) AS d2i
+        FROM resid JOIN cbm ON resid.pos = cbm.pos CROSS JOIN w
+        GROUP BY 1, 2, 3, 4
+    ), codes AS (
+        SELECT vec_id, label, s, cb_bkt AS code FROM (
+            SELECT vec_id, label, s, cb_bkt,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2i, cb_bkt) AS rn
+            FROM dv
+        ) WHERE rn = 1
+    ), qr AS (
+        SELECT cp.pos, zq.y - cp.c AS rq
+        FROM (SELECT generate_subscripts(qe, 1) AS pos,
+                     CAST(unnest(qe) AS DOUBLE) AS y FROM q) zq
+        JOIN cpos cp ON cp.pos = zq.pos
+        JOIN best ON cp.label = best.qlabel
+    ), qd AS (
+        SELECT cbm.bkt, (qr.pos - 1) // w.ws AS s,
+               CAST(ROUND(SUM((qr.rq - CAST(cbm.m AS DOUBLE))
+                            * (qr.rq - CAST(cbm.m AS DOUBLE))) * 1000000.0) AS BIGINT) AS qd2i
+        FROM qr JOIN cbm ON qr.pos = cbm.pos CROSS JOIN w
+        GROUP BY 1, 2
+    ), ad AS (
+        SELECT c.vec_id, c.label, CAST(SUM(q2.qd2i) AS BIGINT) AS adist_micro
+        FROM codes c
+        JOIN best ON c.label = best.qlabel
+        JOIN qd q2 ON c.s = q2.s AND c.code = q2.bkt
+        GROUP BY 1, 2
+    )
+"""
+
+
+def ivfpq_adc_scores(e: DataFrame) -> DataFrame:
+    """The IVF-PQ (IVFADC) shared core: coarse-quantize with the
+    per-label cell centroids, encode every vector's RESIDUAL against a
+    global 8-entry-per-subspace codebook, and score the probed cell's
+    members against the vec_id-0 query by residual asymmetric distance
+    — one row (vec_id, label, adist_micro) per probed-cell vector. See
+    q_sim_ann_ivfpq's docstring for semantics and scale notes."""
+    base = e.filter(F.col("vec_id") != 0)
+    cents = label_centroids(base).select(
+        "label", F.col("centroid").cast("array<float>").alias("cent")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
+    # probed cell: nearest centroid by cosine (tie -> smallest label),
+    # carrying the query RESIDUAL vs that cell's centroid — one tiny
+    # broadcast relation, exactly q_sim_ann_ivf's probe plus one zip_with
+    best = (
+        F.broadcast(cents)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "label",
+            "cent",
+            "_qe",
+            cosine(F.col("cent"), "_qe").alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "label")
+        .limit(1)
+        .select(
+            F.col("label").alias("_qlabel"),
+            F.expr(
+                "zip_with(_qe, cent, (x, c) -> cast(x as double) - cast(c as double))"
+            ).alias("_rq"),
+        )
+    )
+    # residuals: x - cell_centroid, exact doubles (float minus float in
+    # double is exact); codebook-training bucket is a deterministic md5
+    # map of vec_id (one Lloyd assignment step, engine-portable — the
+    # q_sample_hash discipline), NOT rand()
+    resid = base.join(F.broadcast(cents), "label").select(
+        "vec_id",
+        "label",
+        F.expr(
+            "zip_with(embedding, cent, (x, c) -> cast(x as double) - cast(c as double))"
+        ).alias("r"),
+        F.expr(
+            "pmod(cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10)"
+            f" as bigint), {_IVFPQ_K})"
+        ).alias("bkt"),
+    )
+    # global residual codebook (FAISS-style: shared across cells): one
+    # posexplode rollup to 8 x d means, float32 cast absorbs double-sum
+    # association differences, folded to ONE broadcast row
+    cbm = (
+        resid.select("bkt", F.posexplode("r").alias("pos", "val"))
+        .groupBy("bkt", "pos")
+        .agg(F.avg("val").alias("m"))
+    )
+    cb = (
+        cbm.groupBy("bkt")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "bkt",
+            F.expr("cast(transform(pm, x -> x.m) as array<float>)").alias("rc"),
+        )
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("bkt").alias("b"), F.col("rc")))
+            ).alias("cbs")
+        )
+    )
+    cand = resid.join(
+        F.broadcast(best), F.col("label") == F.col("_qlabel")
+    ).crossJoin(F.broadcast(cb))
+
+    ws = "(size(r) div 4)"
+    terms = []
+    for s in range(_PQ_M):
+        d = _pq_d2i(f"slice(r, {s} * {ws} + 1, {ws})", f"slice(e.rc, {s} * {ws} + 1, {ws})")
+        qd = _pq_d2i(f"slice(_rq, {s} * {ws} + 1, {ws})", f"slice(e.rc, {s} * {ws} + 1, {ws})")
+        # per-subspace encode: argmin over the 8 codebook entries
+        # (ascending bucket, so an exact tie keeps the smallest — the
+        # oracle's ROW_NUMBER ... ORDER BY d2i, cb_bkt), carrying the
+        # entry's query-residual distance so ADC needs no second lookup
+        terms.append(
+            "aggregate(cbs,"
+            " named_struct('d', cast(9223372036854775807 as bigint), 'b', cast(-1 as bigint),"
+            " 'qd', cast(0 as bigint)),"
+            f" (acc, e) -> IF({d} < acc.d,"
+            f" named_struct('d', {d}, 'b', e.b, 'qd', {qd}), acc)).qd"
+        )
+    adist = " + ".join(f"({t})" for t in terms)
+    return cand.select("vec_id", "label", F.expr(adist).alias("adist_micro"))
+
+
+@query(
+    "q_sim_ann_ivfpq",
+    oracle=_IVFPQ_ORACLE_CTES
+    + """
+    SELECT vec_id, label, adist_micro FROM ad ORDER BY adist_micro, vec_id LIMIT 10
+    """,
+    tags=("similarity", "ann", "ivf", "pq", "quantize"),
+)
+def q_sim_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ with residual encoding (IVFADC, Jégou et al. 2011) — the
+    COMPOSED production ANN design that the separate q_sim_ann_ivf
+    (prune the SCAN to probed cells) and q_sim_ann_pq (shrink the
+    BYTES per scanned vector) keys each demonstrate half of, and the
+    layout FAISS/Milvus/ScaNN actually deploy at billion scale:
+
+    1. coarse quantizer: per-label cell centroids (label_centroids —
+       an amortized index build); the query probes its nearest cell,
+    2. residual encoding: each vector stores m=4 subspace codes of its
+       RESIDUAL (x - cell_centroid) against a GLOBAL 8-entry-per-
+       subspace codebook — residuals are centered near zero, so one
+       shared codebook quantizes them far better than raw vectors
+       (the reason IVFADC beats flat PQ at equal bits),
+    3. ADC search: the query's residual vs the probed cell's centroid
+       is tabled against the codebook ONCE (m x 8 integers); each cell
+       member is then scored by summing the m table entries its codes
+       select — the inner loop reads m small integers per vector.
+
+    The codebook here is one deterministic Lloyd step (residual means
+    over md5-hash buckets of vec_id — a portable k-means init, no
+    rand()); a production build would iterate kmeans_rounds to
+    convergence. All distances are exact integer micro-units
+    (_pq_d2i), so cell choice, encode argmins, ADC sums, and the
+    top-10 order are engine-exact and fully oracle-hash-checked;
+    approximation (vs exact q_sim_topk order) is cell-miss +
+    reconstruction error by design, MEASURED by q_sim_ann_ivfpq_recall.
+    Plan shape: two tiny broadcast relations (cell centroids + folded
+    codebook) and one narrow codegen projection over the probed cell —
+    no explode of the data side, no shuffle except the 8 x d codebook
+    rollup and the final top-10. Scale: cells become partition keys
+    (the probe is a partition-pruned scan of 1/n_cells of the corpus),
+    codes are m bytes/vector in the cell segment, and the codebook is
+    O(m * k * d/m) floats broadcast everywhere — the 100 TB path is
+    this key's plan verbatim with bigger n_cells/m/k."""
+    e = load_vectors(spark, sf_dir)
+    return ivfpq_adc_scores(e).orderBy("adist_micro", "vec_id").limit(10)
+
+
+@query(
+    "q_sim_ann_ivfpq_recall",
+    oracle=_IVFPQ_ORACLE_CTES
+    + """
+    , ivfpq10 AS (
+        SELECT vec_id FROM ad ORDER BY adist_micro, vec_id LIMIT 10
+    ), zx AS (
+        SELECT e.vec_id,
+               CAST(unnest(e.embedding) AS DOUBLE) AS x,
+               CAST(unnest(q.qe) AS DOUBLE) AS y
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+    ), cs AS (
+        SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS cos_sim
+        FROM zx GROUP BY vec_id
+    ), exact10 AS (
+        SELECT vec_id FROM cs ORDER BY cos_sim DESC, vec_id LIMIT 10
+    )
+    SELECT (SELECT COUNT(*) FROM exact10) AS n_exact,
+           (SELECT COUNT(*) FROM exact10 e JOIN ivfpq10 p ON e.vec_id = p.vec_id) AS hits_ivfpq,
+           CAST((SELECT COUNT(*) FROM exact10 e JOIN ivfpq10 p ON e.vec_id = p.vec_id) AS BIGINT)
+               * 10000 // NULLIF((SELECT COUNT(*) FROM exact10), 0) AS recall_ivfpq_bp
+    """,
+    tags=("similarity", "ann", "ivf", "pq", "eval", "recall"),
+)
+def q_sim_ann_ivfpq_recall(spark, sf_dir):
+    """Measured IVF-PQ recall@10 — the quality loop for the composed
+    index, same discipline as q_sim_ann_recall (LSH) and
+    q_sim_ann_pq_recall (flat PQ): exact brute-force cosine top-10 over
+    the WHOLE corpus intersected with the IVFADC top-10, as counts + an
+    exact basis-point recall in one hash-checked row. Unlike the flat-PQ
+    recall this number bounds BOTH loss modes an IVFADC deployment
+    tunes against — cell miss (a true neighbor lives outside the probed
+    cell; fix = more probes) and reconstruction error (codes rank the
+    probed cell wrongly; fix = larger m/k) — which is exactly the
+    decomposition a production tuning loop sweeps (nprobe, m, k) over.
+    Plan: the ADC side is q_sim_ann_ivfpq's narrow projection; the
+    exact side is one brute-force scan (sampled query set at scale);
+    the intersection joins two 10-row relations."""
+    e = load_vectors(spark, sf_dir)
+    q_vec = e.filter(F.col("vec_id") == 0)
+    exact10 = topk_cosine(e.filter(F.col("vec_id") != 0), q_vec, k=10).select("vec_id")
+    ivfpq10 = (
+        ivfpq_adc_scores(e).orderBy("adist_micro", "vec_id").limit(10).select("vec_id")
+    )
+    n_exact = exact10.agg(F.count(F.lit(1)).alias("n_exact"))
+    hp = exact10.join(ivfpq10, "vec_id").agg(F.count(F.lit(1)).alias("hits_ivfpq"))
+    return n_exact.crossJoin(hp).select(
+        "n_exact",
+        "hits_ivfpq",
+        F.expr("hits_ivfpq * 10000 div nullif(n_exact, 0)").alias("recall_ivfpq_bp"),
+    )
+
+
 @query(
     "q_dedup_semantic",
     oracle="""

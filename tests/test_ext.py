@@ -964,3 +964,135 @@ def test_sim_ann_pq_exact_duplicate_ranks_first(spark, tmp_path):
     top = q_sim_ann_pq(spark, str(tmp_path)).collect()
     assert top[0]["vec_id"] == 7
     assert all(top[0]["adist_micro"] <= r["adist_micro"] for r in top)
+
+
+def test_sim_ann_ivfpq_matches_numpy_mirror(spark):
+    """q_sim_ann_ivfpq's full probe+residual-encode+ADC path vs an
+    independent numpy mirror of the same algorithm: cosine cell probe,
+    exact float-minus-float residuals, md5-bucketed residual codebook
+    (float32 means), strict left-to-right double accumulation, integer
+    micro-unit distances. An exact match of the whole top-10 (ids AND
+    distances) proves the Spark expression tree computes IVFADC as
+    specified, not just something order-correlated with it."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from conftest import SF_DIR
+
+    from data_ingestor_spark.ext.similarity import (
+        _IVFPQ_K,
+        _PQ_M,
+        q_sim_ann_ivfpq,
+    )
+    from data_ingestor_spark.plans.registry import load_table
+
+    rows = load_table(spark, SF_DIR, "embeddings").collect()
+    vecs = {r["vec_id"]: (r["label"], np.array(r["embedding"], dtype=np.float32)) for r in rows}
+    q = vecs[0][1]
+    dim = len(q)
+    w = dim // _PQ_M
+
+    by_label = {}
+    for vid, (lbl, v) in vecs.items():
+        if vid != 0:
+            by_label.setdefault(lbl, []).append(v.astype(np.float64))
+    cents = {
+        lbl: np.mean(np.stack(vs), axis=0).astype(np.float32)
+        for lbl, vs in sorted(by_label.items())
+    }
+
+    def seq_dot(a, b):
+        acc = 0.0
+        for u, v in zip(a, b):
+            acc += float(u) * float(v)
+        return acc
+
+    # cell probe: cosine(query, cent), left-to-right doubles, tie -> min label
+    best_lbl = min(
+        cents,
+        key=lambda l: (
+            -(seq_dot(cents[l], q) / (math.sqrt(seq_dot(cents[l], cents[l])) * math.sqrt(seq_dot(q, q)))),
+            l,
+        ),
+    )
+
+    def bucket(vid):
+        return int(hashlib.md5(str(vid).encode()).hexdigest()[:8], 16) % _IVFPQ_K
+
+    resid = {
+        vid: (lbl, v.astype(np.float64) - cents[lbl].astype(np.float64))
+        for vid, (lbl, v) in vecs.items()
+        if vid != 0
+    }
+    by_bucket = {}
+    for vid, (_, r) in resid.items():
+        by_bucket.setdefault(bucket(vid), []).append(r)
+    cb = {
+        b: np.mean(np.stack(rs), axis=0).astype(np.float32)
+        for b, rs in sorted(by_bucket.items())
+    }
+
+    def d2i(a, b):
+        acc = 0.0
+        for u, v in zip(a, b):
+            d = float(u) - float(v)
+            acc += d * d
+        return int(round(acc * 1_000_000.0))
+
+    rq = q.astype(np.float64) - cents[best_lbl].astype(np.float64)
+    scored = []
+    for vid, (lbl, r) in resid.items():
+        if lbl != best_lbl:
+            continue
+        adist = 0
+        for s in range(_PQ_M):
+            sl = slice(s * w, (s + 1) * w)
+            code = min((d2i(r[sl], c[sl]), b) for b, c in cb.items())[1]
+            adist += d2i(rq[sl], cb[code][sl])
+        scored.append((adist, vid, lbl))
+    scored.sort()
+    expected = [(vid, lbl, adist) for adist, vid, lbl in scored[:10]]
+
+    got = [
+        (r["vec_id"], r["label"], r["adist_micro"])
+        for r in q_sim_ann_ivfpq(spark, SF_DIR).collect()
+    ]
+    assert got == expected
+
+
+def test_sim_ann_ivfpq_duplicates_in_probed_cell_rank_first(spark, tmp_path):
+    """IVFADC's guaranteed-exactness property, cell-scoped: vectors
+    IDENTICAL to the query that live in the PROBED cell have residual
+    == the query residual, so their codes are the argmin codes for the
+    query's own residual sub-vectors and their ADC is sum-of-minima —
+    the lower bound on any cell member's ADC. Fabricated table: label 3
+    is five exact copies of the query (its centroid IS the query, so
+    cosine picks it deterministically); decoys spread across other
+    labels never outrank them."""
+    import numpy as np
+
+    from data_ingestor_spark.ext.similarity import q_sim_ann_ivfpq
+
+    rng = np.random.default_rng(4321)
+    qv = rng.normal(size=64).astype(np.float32)
+    rows = [(0, [float(x) for x in qv], 0)]
+    dup_ids = [7, 70, 71, 72, 73]
+    for vid in dup_ids:
+        rows.append((vid, [float(x) for x in qv], 3))
+    vid = 1
+    while vid < 60:
+        if vid not in dup_ids:
+            v = rng.normal(size=64).astype(np.float32)
+            rows.append((vid, [float(x) for x in v], int(vid % 3)))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    top = q_sim_ann_ivfpq(spark, str(tmp_path)).collect()
+    # the probed cell is label 3 (centroid == query, cosine 1.0); its
+    # five duplicates share the minimal ADC and lead, ordered by vec_id
+    assert [r["vec_id"] for r in top[:5]] == sorted(dup_ids)
+    assert len({r["adist_micro"] for r in top[:5]}) == 1
+    assert all(top[0]["adist_micro"] <= r["adist_micro"] for r in top)

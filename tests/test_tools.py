@@ -249,7 +249,11 @@ def test_round_site_inventory_frozen():
         # site + two oracle sites) — a sum of squared float differences
         # is never an integer-ratio double, and both engines round the
         # identical left-to-right accumulation
-        "data_ingestor_spark/ext/similarity.py": 8,
+        # +2 r10 continuation: q_sim_ann_ivfpq's oracle rounds residual
+        # SUM((r-m)^2)*1e6 to BIGINT micro-units at its dv and qd CTEs —
+        # the same never-integer-ratio shape as the three PQ sites, both
+        # engines rounding the identical left-to-right accumulation
+        "data_ingestor_spark/ext/similarity.py": 10,
         "data_ingestor_spark/ext/text.py": 8,  # log-based tfidf/logprob + prose
         # sqrt z / cent casts; +1 r9: q_event_trend oracle divisor now
         # counts successfully quantized rows (same value*100 cents

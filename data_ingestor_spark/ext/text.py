@@ -413,6 +413,115 @@ def q_text_inverted_index(spark, sf_dir):
     )
 
 
+#: The fixed ranked-retrieval demo query: three corpus terms. At scale
+#: the query side is a small relation joined in, not a literal list.
+_BM25_TERMS = ("customer", "window", "vector")
+
+#: Okapi BM25 constants (the standard defaults).
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "q_text_bm25",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+        FROM documents
+    ), docs AS (
+        SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM base
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM docs
+    ), tf AS (
+        SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+        WHERE term IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}', '{_BM25_TERMS[2]}')
+        GROUP BY doc_id, dl, term
+    ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+        SELECT tf.doc_id,
+               CAST(ROUND(
+                   LN(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * (tf.tf * ({_BM25_K1} + 1.0))
+                   / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * tf.dl / s.avgdl))
+                   * 1000000.0) AS BIGINT) AS s_micro
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(SUM(s_micro) AS BIGINT) AS score_micro,
+           COUNT(*) AS n_terms
+    FROM scored GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id LIMIT 20
+    """,
+    tags=("text", "retrieval", "bm25"),
+)
+def q_text_bm25(spark, sf_dir):
+    """Okapi BM25 ranked retrieval (top-20 for a fixed 3-term query) —
+    the scoring function behind Lucene/Elasticsearch and the standard
+    lexical retriever in RAG / training-data curation stacks, composed
+    from the corpus statistics this module already maintains (tf like
+    q_text_tfidf, df, plus the BM25-specific document-length prior):
+
+        score(D, Q) = sum_t idf(t) * tf * (k1+1)
+                      / (tf + k1 * (1 - b + b * dl/avgdl))
+        idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+    with the standard k1=1.2, b=0.75. Plan shape: ONE documents scan
+    (tokens + doc length from the same projection), the query-term IN
+    filter applied BEFORE the tf groupBy (only matching postings
+    shuffle — at 100 TB this is the inverted-index probe, a few terms'
+    posting lists, not the corpus), df as a tiny per-term rollup
+    broadcast back, corpus stats (N, avgdl) as a one-row broadcast.
+    Determinism: dl counts NON-EMPTY tokens (both engines agree on
+    empty-token edges that raw split counts would expose); per-term
+    scores are rounded to integer MICRO-UNITS before the per-doc SUM,
+    so the sum and the top-20 order are association-free and exact on
+    both engines (the _pq_d2i discipline); ln operates on exact
+    integer-derived ratios, identical input double on both sides.
+    Scale: query terms become a small relation joined against the
+    inverted index (q_text_inverted_index); avgdl/N are index-build
+    metadata; the per-doc sum shuffles only (doc_id, s_micro) pairs
+    for docs matching at least one term."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), t -> t != '')").alias("toks"),
+    ).select("doc_id", F.size("toks").cast("double").alias("dl"), "toks")
+    stats = F.broadcast(
+        docs.agg(
+            F.count("*").cast("double").alias("_n"), F.avg("dl").alias("_avgdl")
+        )
+    )
+    tf = (
+        docs.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    per_term = F.expr(
+        f"cast(round(ln(1.0 + (_n - df + 0.5) / (df + 0.5))"
+        f" * (tf * ({_BM25_K1} + 1.0))"
+        f" / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / _avgdl))"
+        f" * 1000000.0) as bigint)"
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(stats)
+        .select("doc_id", per_term.alias("s_micro"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("s_micro").cast("long").alias("score_micro"),
+            F.count("*").alias("n_terms"),
+        )
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 @query(
     "q_text_rolling_fingerprint",
     oracle="""

@@ -1096,3 +1096,53 @@ def test_sim_ann_ivfpq_duplicates_in_probed_cell_rank_first(spark, tmp_path):
     assert [r["vec_id"] for r in top[:5]] == sorted(dup_ids)
     assert len({r["adist_micro"] for r in top[:5]}) == 1
     assert all(top[0]["adist_micro"] <= r["adist_micro"] for r in top)
+
+
+def test_text_bm25_matches_pure_python_mirror(spark):
+    """q_text_bm25 vs an independent pure-python Okapi BM25 over the
+    same corpus: same tokenizer (lowercase, space-split, empty tokens
+    dropped), same k1/b, same integer micro-unit rounding before the
+    per-doc sum. An exact match of the whole top-20 (ids, scores AND
+    matched-term counts) proves the Spark plan computes the scoring
+    function as specified."""
+    import math
+
+    from conftest import SF_DIR
+
+    from data_ingestor_spark.ext.text import _BM25_B, _BM25_K1, _BM25_TERMS, q_text_bm25
+    from data_ingestor_spark.plans.registry import load_table
+
+    docs = {
+        r["doc_id"]: [t for t in r["text"].lower().split(" ") if t]
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    n = float(len(docs))
+    avgdl = sum(len(t) for t in docs.values()) / n
+    df = {
+        term: sum(1 for toks in docs.values() if term in toks)
+        for term in _BM25_TERMS
+    }
+    scored = []
+    for doc_id, toks in docs.items():
+        dl = float(len(toks))
+        s, hits = 0, 0
+        for term in _BM25_TERMS:
+            tf = float(toks.count(term))
+            if tf == 0:
+                continue
+            hits += 1
+            idf = math.log(1.0 + (n - df[term] + 0.5) / (df[term] + 0.5))
+            raw = idf * (tf * (_BM25_K1 + 1.0)) / (
+                tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / avgdl)
+            )
+            s += int(round(raw * 1_000_000.0))
+        if hits:
+            scored.append((-s, doc_id, hits))
+    scored.sort()
+    expected = [(doc_id, -neg, hits) for neg, doc_id, hits in scored[:20]]
+
+    got = [
+        (r["doc_id"], r["score_micro"], r["n_terms"])
+        for r in q_text_bm25(spark, SF_DIR).collect()
+    ]
+    assert got == expected

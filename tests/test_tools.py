@@ -254,7 +254,11 @@ def test_round_site_inventory_frozen():
         # the same never-integer-ratio shape as the three PQ sites, both
         # engines rounding the identical left-to-right accumulation
         "data_ingestor_spark/ext/similarity.py": 10,
-        "data_ingestor_spark/ext/text.py": 8,  # log-based tfidf/logprob + prose
+        # log-based tfidf/logprob + prose; +2 r10 continuation:
+        # q_text_bm25 rounds the per-term ln-based score to BIGINT
+        # micro-units before the per-doc sum — an ln product is never
+        # an integer-ratio double
+        "data_ingestor_spark/ext/text.py": 9,
         # sqrt z / cent casts; +1 r9: q_event_trend oracle divisor now
         # counts successfully quantized rows (same value*100 cents
         # expression as the adjacent site, not an integer-ratio double)

@@ -1146,3 +1146,32 @@ def test_text_bm25_matches_pure_python_mirror(spark):
         for r in q_text_bm25(spark, SF_DIR).collect()
     ]
     assert got == expected
+
+
+def test_sim_ann_ivfpq_multiprobe_contains_single_probe(spark):
+    """nprobe monotonicity — the property that makes the probe knob
+    safe to turn: the probes=1 candidate set is a subset of the
+    probes=3 set (probed cells are a prefix of the same cosine-ordered
+    cell ranking), every shared candidate keeps the IDENTICAL micro-unit
+    ADC distance (encoding and codebook are probe-independent), and the
+    scanned count grows with each probe. Correctness of the merged
+    top-10 itself is oracle-hash-checked by q_sim_ann_ivfpq_multiprobe."""
+    from conftest import SF_DIR
+
+    from data_ingestor_spark.ext.similarity import (
+        ivfpq_adc_scores_multiprobe,
+        load_vectors,
+    )
+
+    e = load_vectors(spark, SF_DIR)
+    one = {
+        r["vec_id"]: r["adist_micro"]
+        for r in ivfpq_adc_scores_multiprobe(e, probes=1).collect()
+    }
+    three = {
+        r["vec_id"]: r["adist_micro"]
+        for r in ivfpq_adc_scores_multiprobe(e, probes=3).collect()
+    }
+    assert set(one) <= set(three)
+    assert len(three) > len(one)
+    assert all(three[v] == d for v, d in one.items())

@@ -249,11 +249,13 @@ def test_round_site_inventory_frozen():
         # site + two oracle sites) — a sum of squared float differences
         # is never an integer-ratio double, and both engines round the
         # identical left-to-right accumulation
-        # +2 r10 continuation: q_sim_ann_ivfpq's oracle rounds residual
-        # SUM((r-m)^2)*1e6 to BIGINT micro-units at its dv and qd CTEs —
+        # +4 r10 continuation: q_sim_ann_ivfpq's oracle rounds residual
+        # SUM((r-m)^2)*1e6 to BIGINT micro-units at its dv and qd CTEs,
+        # and q_sim_ann_ivfpq_multiprobe's oracle-template .replace args
+        # restate the qd site (old + new text, 2 more source lines) —
         # the same never-integer-ratio shape as the three PQ sites, both
         # engines rounding the identical left-to-right accumulation
-        "data_ingestor_spark/ext/similarity.py": 10,
+        "data_ingestor_spark/ext/similarity.py": 12,
         # log-based tfidf/logprob + prose; +2 r10 continuation:
         # q_text_bm25 rounds the per-term ln-based score to BIGINT
         # micro-units before the per-doc sum — an ln product is never

@@ -422,9 +422,10 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-@query(
-    "q_text_bm25",
-    oracle=f"""
+#: The BM25 oracle pipeline shared by q_text_bm25 (top-20) and
+#: q_text_rrf_fusion (lexical leg). Ends at `bm25(doc_id, score_micro,
+#: n_terms)` — one row per document matching at least one query term.
+_BM25_ORACLE_CTES = f"""
     WITH base AS (
         SELECT doc_id,
                list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
@@ -448,11 +449,20 @@ _BM25_B = 0.75
                    / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * tf.dl / s.avgdl))
                    * 1000000.0) AS BIGINT) AS s_micro
         FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats s
+    ), bm25 AS (
+        SELECT doc_id, CAST(SUM(s_micro) AS BIGINT) AS score_micro,
+               COUNT(*) AS n_terms
+        FROM scored GROUP BY doc_id
     )
-    SELECT doc_id, CAST(SUM(s_micro) AS BIGINT) AS score_micro,
-           COUNT(*) AS n_terms
-    FROM scored GROUP BY doc_id
-    ORDER BY score_micro DESC, doc_id LIMIT 20
+"""
+
+
+@query(
+    "q_text_bm25",
+    oracle=_BM25_ORACLE_CTES
+    + """
+    SELECT doc_id, score_micro, n_terms
+    FROM bm25 ORDER BY score_micro DESC, doc_id LIMIT 20
     """,
     tags=("text", "retrieval", "bm25"),
 )
@@ -483,6 +493,16 @@ def q_text_bm25(spark, sf_dir):
     inverted index (q_text_inverted_index); avgdl/N are index-build
     metadata; the per-doc sum shuffles only (doc_id, s_micro) pairs
     for docs matching at least one term."""
+    return bm25_scored(spark, sf_dir).orderBy(
+        F.col("score_micro").desc(), "doc_id"
+    ).limit(20)
+
+
+def bm25_scored(spark, sf_dir: str) -> DataFrame:
+    """The BM25 scoring relation shared by q_text_bm25 (top-20) and
+    q_text_rrf_fusion (lexical leg): one row (doc_id, score_micro,
+    n_terms) per document matching at least one query term. See
+    q_text_bm25's docstring for semantics and scale notes."""
     d = load_table(spark, sf_dir, "documents")
     docs = d.select(
         "doc_id",
@@ -511,15 +531,111 @@ def q_text_bm25(spark, sf_dir):
         .crossJoin(stats)
         .select("doc_id", per_term.alias("s_micro"))
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.sum("s_micro").cast("long").alias("score_micro"),
-            F.count("*").alias("n_terms"),
-        )
-        .orderBy(F.col("score_micro").desc(), "doc_id")
-        .limit(20)
+    return scored.groupBy("doc_id").agg(
+        F.sum("s_micro").cast("long").alias("score_micro"),
+        F.count("*").alias("n_terms"),
     )
+
+
+@query(
+    "q_text_rrf_fusion",
+    oracle=_BM25_ORACLE_CTES
+    + """
+    , lex AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS lex_rank
+        FROM bm25 ORDER BY score_micro DESC, doc_id LIMIT 20
+    ), zx AS (
+        SELECT e.vec_id,
+               CAST(unnest(e.embedding) AS DOUBLE) AS x,
+               CAST(unnest(q.qe) AS DOUBLE) AS y
+        FROM embeddings e,
+             (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+    ), cs AS (
+        SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS cos_sim
+        FROM zx GROUP BY vec_id
+    ), vtop AS (
+        SELECT vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS vec_rank
+        FROM cs ORDER BY cos_sim DESC, vec_id LIMIT 20
+    ), fused AS (
+        SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               l.lex_rank, v.vec_rank,
+               CAST(COALESCE(1000000 // (60 + l.lex_rank), 0)
+                  + COALESCE(1000000 // (60 + v.vec_rank), 0) AS BIGINT) AS rrf_micro
+        FROM lex l FULL OUTER JOIN vtop v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, lex_rank, vec_rank, rrf_micro
+    FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 10
+    """,
+    tags=("text", "retrieval", "rrf", "hybrid", "similarity"),
+)
+def q_text_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+    2009) — the standard way modern RAG / search stacks combine a
+    LEXICAL ranker with a VECTOR ranker without score calibration:
+    each retriever contributes 1/(60 + rank) for the documents in its
+    top-20, and documents are re-ranked by the sum. Here the lexical
+    leg is this module's BM25 (bm25_scored, same 3-term query) and the
+    vector leg is exact cosine top-20 against the vec_id-0 query
+    embedding (ext/similarity.py discipline), joined on the corpus's
+    doc_id == vec_id correspondence; a doc ranked by only one leg
+    keeps a NULL rank there and contributes 0 from it (full outer
+    join, the standard RRF treatment).
+
+    Determinism: RRF contributions are computed as exact INTEGER
+    division (1000000 div (60+rank)) rather than rounding the rational
+    1e6/(60+r) — 1/61.0 is an integer-ratio double, exactly the class
+    the ROUND-inventory gate (tests/test_tools.py) bans from cross-
+    engine rounding; floor division gives bit-identical fusion scores
+    and an identical order to true RRF at every list length that
+    matters (the map r -> 1000000 div (60+r) is strictly decreasing
+    for r in 1..20). Both rank lists are total orders (score ties
+    broken by doc_id), so ranks are engine-exact.
+
+    Plan shape: the lexical leg is the BM25 plan (one documents scan,
+    posting-filtered shuffle); the vector leg is one embeddings scan
+    with a broadcast 1-row query; both top-20s are tiny sorted
+    relations, so the fusion join is a broadcast full-outer of two
+    20-row lists. Scale: each leg's top-k is the respective index
+    probe (inverted index / ANN); fusion cost is O(k) per query
+    regardless of corpus size — this is why RRF is the default hybrid
+    combiner at production scale."""
+    from pyspark.sql import Window as W
+
+    from data_ingestor_spark.ext.similarity import load_vectors, topk_cosine
+
+    lex = (
+        bm25_scored(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("score_micro").desc(), "doc_id"))
+            .alias("lex_rank"),
+        )
+        .filter(F.col("lex_rank") <= 20)
+    )
+    e = load_vectors(spark, sf_dir)
+    vtop = (
+        topk_cosine(e.filter(F.col("vec_id") != 0), e.filter(F.col("vec_id") == 0), k=20)
+        .select(
+            F.col("vec_id").alias("vdoc_id"),
+            F.row_number()
+            .over(W.orderBy(F.col("cos_sim").desc(), "vec_id"))
+            .alias("vec_rank"),
+        )
+    )
+    fused = lex.join(vtop, lex["doc_id"] == vtop["vdoc_id"], "full_outer").select(
+        F.coalesce("doc_id", "vdoc_id").alias("doc_id"),
+        "lex_rank",
+        "vec_rank",
+        F.expr(
+            "cast(coalesce(1000000 div (60 + lex_rank), 0)"
+            " + coalesce(1000000 div (60 + vec_rank), 0) as bigint)"
+        ).alias("rrf_micro"),
+    )
+    return fused.orderBy(F.col("rrf_micro").desc(), "doc_id").limit(10)
 
 
 @query(

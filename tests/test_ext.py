@@ -1175,3 +1175,80 @@ def test_sim_ann_ivfpq_multiprobe_contains_single_probe(spark):
     assert set(one) <= set(three)
     assert len(three) > len(one)
     assert all(three[v] == d for v, d in one.items())
+
+
+def test_text_rrf_fusion_matches_pure_python_mirror(spark):
+    """q_text_rrf_fusion vs an independent pure-python mirror: BM25
+    top-20 (same scoring as the bm25 mirror above), exact cosine top-20
+    over the embeddings, integer-division RRF contributions, full-outer
+    rank union. Exact match of the whole fused top-10 (ids, both ranks
+    including Nones, and scores)."""
+    import math
+
+    from conftest import SF_DIR
+
+    from data_ingestor_spark.ext.text import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        q_text_rrf_fusion,
+    )
+    from data_ingestor_spark.plans.registry import load_table
+
+    docs = {
+        r["doc_id"]: [t for t in r["text"].lower().split(" ") if t]
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    n = float(len(docs))
+    avgdl = sum(len(t) for t in docs.values()) / n
+    df = {t: sum(1 for toks in docs.values() if t in toks) for t in _BM25_TERMS}
+    bm25 = []
+    for doc_id, toks in docs.items():
+        dl, s, hits = float(len(toks)), 0, 0
+        for term in _BM25_TERMS:
+            tf = float(toks.count(term))
+            if tf == 0:
+                continue
+            hits += 1
+            idf = math.log(1.0 + (n - df[term] + 0.5) / (df[term] + 0.5))
+            raw = idf * (tf * (_BM25_K1 + 1.0)) / (
+                tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / avgdl)
+            )
+            s += int(round(raw * 1_000_000.0))
+        if hits:
+            bm25.append((-s, doc_id))
+    bm25.sort()
+    lex_rank = {doc_id: i + 1 for i, (_, doc_id) in enumerate(bm25[:20])}
+
+    vec_rows = load_table(spark, SF_DIR, "embeddings").collect()
+    vecs = {r["vec_id"]: r["embedding"] for r in vec_rows}
+    q = vecs[0]
+
+    def seq_cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+            na += float(x) * float(x)
+            nb += float(y) * float(y)
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    order = sorted(
+        ((-seq_cos(v, q), vid) for vid, v in vecs.items() if vid != 0)
+    )
+    vec_rank = {vid: i + 1 for i, (_, vid) in enumerate(order[:20])}
+
+    fused = []
+    for doc_id in set(lex_rank) | set(vec_rank):
+        lr, vr = lex_rank.get(doc_id), vec_rank.get(doc_id)
+        s = (1_000_000 // (60 + lr) if lr else 0) + (
+            1_000_000 // (60 + vr) if vr else 0
+        )
+        fused.append((-s, doc_id, lr, vr))
+    fused.sort()
+    expected = [(doc_id, lr, vr, -neg) for neg, doc_id, lr, vr in fused[:10]]
+
+    got = [
+        (r["doc_id"], r["lex_rank"], r["vec_rank"], r["rrf_micro"])
+        for r in q_text_rrf_fusion(spark, SF_DIR).collect()
+    ]
+    assert got == expected

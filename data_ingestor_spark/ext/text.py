@@ -537,6 +537,132 @@ def bm25_scored(spark, sf_dir: str) -> DataFrame:
     )
 
 
+#: The batched-retrieval demo workload: three queries, two terms each,
+#: as (query_id, term) pairs — a RELATION, not a literal predicate.
+_BM25_BATCH = (
+    ("q1", "customer"),
+    ("q1", "order"),
+    ("q2", "window"),
+    ("q2", "spark"),
+    ("q3", "vector"),
+    ("q3", "table"),
+)
+
+
+@query(
+    "q_text_bm25_batch",
+    oracle=f"""
+    WITH qt AS (
+        SELECT * FROM (VALUES
+            {", ".join(f"('{q}', '{t}')" for q, t in _BM25_BATCH)}
+        ) AS v(query_id, term)
+    ), base AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+        FROM documents
+    ), docs AS (
+        SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM base
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM docs
+    ), tf AS (
+        SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+        WHERE term IN (SELECT term FROM qt)
+        GROUP BY doc_id, dl, term
+    ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+        SELECT qt.query_id, tf.doc_id,
+               CAST(ROUND(
+                   LN(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * (tf.tf * ({_BM25_K1} + 1.0))
+                   / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * tf.dl / s.avgdl))
+                   * 1000000.0) AS BIGINT) AS s_micro
+        FROM tf
+        JOIN qt ON tf.term = qt.term
+        JOIN df ON tf.term = df.term
+        CROSS JOIN stats s
+    ), per_q AS (
+        SELECT query_id, doc_id, CAST(SUM(s_micro) AS BIGINT) AS score_micro,
+               COUNT(*) AS n_terms
+        FROM scored GROUP BY query_id, doc_id
+    ), ranked AS (
+        SELECT query_id, doc_id, score_micro, n_terms,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score_micro DESC, doc_id) AS rnk
+        FROM per_q
+    )
+    SELECT query_id, doc_id, score_micro, n_terms, rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    tags=("text", "retrieval", "bm25", "batch"),
+)
+def q_text_bm25_batch(spark, sf_dir):
+    """Batched BM25 retrieval — the query side as a RELATION (the
+    shape q_text_bm25's docstring promises at scale): three queries of
+    two terms each arrive as (query_id, term) rows, ONE documents scan
+    serves all of them, and each query gets its own top-5. This is how
+    production retrieval actually runs — queries are batched against
+    the index, never issued as per-query literal predicates — and the
+    plan shows the difference: the posting filter is a broadcast
+    SEMI-join against the term relation (Catalyst turns the IN-subquery
+    into LeftSemi), per-(query, doc) scores come from a broadcast
+    equi-join of matched postings to the 6-row query relation, and the
+    per-query top-5 is one rank-window partitioned by query_id — the
+    partitioned form of q_topk_per_group, so adding queries adds
+    partitions, not scans. BM25 math, determinism discipline (non-empty
+    tokens, integer micro-unit per-term rounding before the sum, total-
+    order ranks), and constants are exactly q_text_bm25's; df stays
+    corpus-global per term (shared across queries, computed once).
+    Scale: the term relation is the tokenized query log micro-batch
+    (thousands of rows — broadcast); postings shuffle once keyed by
+    (query, doc); the window's partition count is the query count, so
+    the batch parallelizes across queries instead of serializing scans."""
+    from pyspark.sql import Window as W
+
+    qt = spark.createDataFrame(list(_BM25_BATCH), "query_id string, term string")
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), t -> t != '')").alias("toks"),
+    ).select("doc_id", F.size("toks").cast("double").alias("dl"), "toks")
+    stats = F.broadcast(
+        docs.agg(
+            F.count("*").cast("double").alias("_n"), F.avg("dl").alias("_avgdl")
+        )
+    )
+    terms = docs.select("doc_id", "dl", F.explode("toks").alias("term"))
+    tf = (
+        terms.join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    per_term = F.expr(
+        f"cast(round(ln(1.0 + (_n - df + 0.5) / (df + 0.5))"
+        f" * (tf * ({_BM25_K1} + 1.0))"
+        f" / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / _avgdl))"
+        f" * 1000000.0) as bigint)"
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(stats)
+        .select("query_id", "doc_id", per_term.alias("s_micro"))
+    )
+    per_q = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("s_micro").cast("long").alias("score_micro"),
+        F.count("*").alias("n_terms"),
+    )
+    ranked = per_q.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.col("score_micro").desc(), "doc_id")
+        ),
+    )
+    return ranked.filter(F.col("rnk") <= 5)
+
+
 @query(
     "q_text_rrf_fusion",
     oracle=_BM25_ORACLE_CTES

@@ -1252,3 +1252,68 @@ def test_text_rrf_fusion_matches_pure_python_mirror(spark):
         for r in q_text_rrf_fusion(spark, SF_DIR).collect()
     ]
     assert got == expected
+
+
+def _bm25_mirror_scores(docs, terms, k1, b):
+    """Pure-python BM25 (integer micro-unit contributions) — the shared
+    mirror for the single-query and batched tests: docs is
+    {doc_id: [tok, ...]}, returns {doc_id: (score_micro, n_terms)} for
+    docs matching at least one of `terms`."""
+    import math
+
+    n = float(len(docs))
+    avgdl = sum(len(t) for t in docs.values()) / n
+    df = {t: sum(1 for toks in docs.values() if t in toks) for t in terms}
+    out = {}
+    for doc_id, toks in docs.items():
+        dl, s, hits = float(len(toks)), 0, 0
+        for term in terms:
+            tf = float(toks.count(term))
+            if tf == 0:
+                continue
+            hits += 1
+            idf = math.log(1.0 + (n - df[term] + 0.5) / (df[term] + 0.5))
+            raw = idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * dl / avgdl)
+            )
+            s += int(round(raw * 1_000_000.0))
+        if hits:
+            out[doc_id] = (s, hits)
+    return out
+
+
+def test_text_bm25_batch_matches_per_query_mirror(spark):
+    """q_text_bm25_batch vs the pure-python mirror applied per query:
+    each query's top-5 (ids, scores, matched-term counts AND ranks)
+    must equal an independent single-query BM25 over that query's term
+    set — proving the batched relation-join form computes exactly what
+    three separate scans would, which is the whole point of the shape."""
+    from conftest import SF_DIR
+
+    from data_ingestor_spark.ext.text import (
+        _BM25_B,
+        _BM25_BATCH,
+        _BM25_K1,
+        q_text_bm25_batch,
+    )
+    from data_ingestor_spark.plans.registry import load_table
+
+    docs = {
+        r["doc_id"]: [t for t in r["text"].lower().split(" ") if t]
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    expected = []
+    qids = sorted({q for q, _ in _BM25_BATCH})
+    for qid in qids:
+        terms = tuple(t for q, t in _BM25_BATCH if q == qid)
+        scores = _bm25_mirror_scores(docs, terms, _BM25_K1, _BM25_B)
+        top = sorted(((-s, d, h) for d, (s, h) in scores.items()))[:5]
+        expected += [
+            (qid, d, -neg, h, i + 1) for i, (neg, d, h) in enumerate(top)
+        ]
+
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["score_micro"], r["n_terms"], r["rnk"])
+        for r in q_text_bm25_batch(spark, SF_DIR).collect()
+    )
+    assert got == sorted(expected)

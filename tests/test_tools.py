@@ -259,8 +259,9 @@ def test_round_site_inventory_frozen():
         # log-based tfidf/logprob + prose; +2 r10 continuation:
         # q_text_bm25 rounds the per-term ln-based score to BIGINT
         # micro-units before the per-doc sum — an ln product is never
-        # an integer-ratio double
-        "data_ingestor_spark/ext/text.py": 9,
+        # an integer-ratio double; +2 more for q_text_bm25_batch's
+        # identical per-term oracle site (the Spark side reuses one line)
+        "data_ingestor_spark/ext/text.py": 10,
         # sqrt z / cent casts; +1 r9: q_event_trend oracle divisor now
         # counts successfully quantized rows (same value*100 cents
         # expression as the adjacent site, not an integer-ratio double)

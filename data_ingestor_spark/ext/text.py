@@ -537,6 +537,105 @@ def bm25_scored(spark, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_text_bm25_incremental",
+    oracle=_BM25_ORACLE_CTES
+    + """
+    SELECT doc_id, score_micro, n_terms
+    FROM bm25 ORDER BY score_micro DESC, doc_id LIMIT 20
+    """,
+    tags=("text", "retrieval", "bm25", "incremental"),
+)
+def q_text_bm25_incremental(spark, sf_dir):
+    """BM25 under incremental index maintenance — the reason BM25
+    survives at 100 TB without nightly rebuilds: every statistic it
+    needs is a DECOMPOSABLE aggregate, so a batch append merges into
+    the maintained index instead of recomputing it. The corpus is
+    split into a maintained BASE segment (doc_id % 10 != 0) and an
+    arriving DELTA batch (doc_id % 10 == 0); each segment computes its
+    own postings (tf), per-term document frequencies, and (N, sum dl)
+    totals INDEPENDENTLY, and the query-time view is a pure merge:
+
+        tf      = base tf  UNION  delta tf      (per-doc rows, disjoint)
+        df      = base df  +  delta df          (doc sets disjoint)
+        N       = N_b + N_d;  avgdl = (sumdl_b + sumdl_d) / N
+
+    The oracle is LITERALLY q_text_bm25's from-scratch query over the
+    whole corpus — the hash-pass IS the maintenance-correctness proof
+    (the q_agg_incremental discipline applied to retrieval), and it is
+    exact, not approximate: segment dl sums are whole-number doubles
+    (exact at any corpus size below 2^53 tokens), so the merged
+    avgdl/N/df are bit-identical to the scratch aggregates and every
+    downstream double is the same on both paths. Scale: the base
+    segment's tf/df/totals are the persisted index (never re-scanned
+    on append); a delta batch costs one scan of ITSELF plus a tiny
+    df/totals merge — this is how Lucene segment merging and every
+    incremental inverted index actually amortize ingest."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def segment_stats(dseg):
+        docs = dseg.select(
+            "doc_id",
+            F.expr("filter(split(lower(text), ' '), t -> t != '')").alias("toks"),
+        ).select("doc_id", F.size("toks").cast("double").alias("dl"), "toks")
+        tf = (
+            docs.select("doc_id", "dl", F.explode("toks").alias("term"))
+            .filter(F.col("term").isin(*_BM25_TERMS))
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count("*").cast("double").alias("tf"))
+        )
+        df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+        totals = docs.agg(
+            F.count("*").cast("double").alias("n"), F.sum("dl").alias("sumdl")
+        )
+        return tf, df_, totals
+
+    tf_b, df_b, tot_b = segment_stats(d.filter(F.col("doc_id") % 10 != 0))
+    tf_d, df_d, tot_d = segment_stats(d.filter(F.col("doc_id") % 10 == 0))
+
+    tf = tf_b.unionByName(tf_d)
+    df_ = (
+        df_b.withColumnRenamed("df", "df_b")
+        .join(df_d.withColumnRenamed("df", "df_d"), "term", "full_outer")
+        .select(
+            "term",
+            (F.coalesce("df_b", F.lit(0)) + F.coalesce("df_d", F.lit(0))).alias("df"),
+        )
+    )
+    stats = F.broadcast(
+        tot_b.crossJoin(
+            tot_d.select(
+                F.col("n").alias("n2"), F.col("sumdl").alias("sumdl2")
+            )
+        ).select(
+            (F.col("n") + F.col("n2")).alias("_n"),
+            ((F.col("sumdl") + F.col("sumdl2")) / (F.col("n") + F.col("n2"))).alias(
+                "_avgdl"
+            ),
+        )
+    )
+    per_term = F.expr(
+        f"cast(round(ln(1.0 + (_n - df + 0.5) / (df + 0.5))"
+        f" * (tf * ({_BM25_K1} + 1.0))"
+        f" / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / _avgdl))"
+        f" * 1000000.0) as bigint)"
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(stats)
+        .select("doc_id", per_term.alias("s_micro"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("s_micro").cast("long").alias("score_micro"),
+            F.count("*").alias("n_terms"),
+        )
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 #: The batched-retrieval demo workload: three queries, two terms each,
 #: as (query_id, term) pairs — a RELATION, not a literal predicate.
 _BM25_BATCH = (

@@ -1317,3 +1317,25 @@ def test_text_bm25_batch_matches_per_query_mirror(spark):
         for r in q_text_bm25_batch(spark, SF_DIR).collect()
     )
     assert got == sorted(expected)
+
+
+def test_text_bm25_incremental_equals_scratch(spark):
+    """The maintenance identity, Spark-vs-Spark: the merged-segment
+    BM25 (base index + delta batch) returns the EXACT rows — ids,
+    integer micro-unit scores, matched-term counts — of the from-
+    scratch q_text_bm25 over the whole corpus. Exactness is the claim
+    (dl sums are whole-number doubles, so merged N/avgdl/df are
+    bit-identical to scratch aggregates), not approximate agreement."""
+    from conftest import SF_DIR
+
+    from data_ingestor_spark.ext.text import q_text_bm25, q_text_bm25_incremental
+
+    scratch = sorted(
+        (r["doc_id"], r["score_micro"], r["n_terms"])
+        for r in q_text_bm25(spark, SF_DIR).collect()
+    )
+    merged = sorted(
+        (r["doc_id"], r["score_micro"], r["n_terms"])
+        for r in q_text_bm25_incremental(spark, SF_DIR).collect()
+    )
+    assert merged == scratch

@@ -585,8 +585,13 @@ def q_text_bm25_incremental(spark, sf_dir):
             .agg(F.count("*").cast("double").alias("tf"))
         )
         df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+        # an EMPTY segment (every doc landed on the other side) must
+        # contribute the additive identity, not NULL: SUM over zero
+        # rows is NULL and would poison the merged avgdl (found by
+        # tests/test_retrieval_properties.py's empty-segment example)
         totals = docs.agg(
-            F.count("*").cast("double").alias("n"), F.sum("dl").alias("sumdl")
+            F.count("*").cast("double").alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0.0)).alias("sumdl"),
         )
         return tf, df_, totals
 

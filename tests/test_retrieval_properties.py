@@ -106,6 +106,56 @@ def test_bm25_incremental_equals_scratch_on_random_corpora(
     assert merged == scratch
 
 
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    texts=st.lists(_doc, min_size=1, max_size=14),
+    delete_mask=st.lists(st.booleans(), min_size=14, max_size=14),
+)
+def test_bm25_delete_view_equals_scratch_on_random_delete_sets(
+    spark, tmp_path_factory, texts, delete_mask
+):
+    """The deletion identity on arbitrary corpora and ARBITRARY delete
+    sets (VERDICT r10 directive #3): the tombstone subtraction view
+    (bm25_scored_with_deletes) returns exactly the rows of a
+    from-scratch build over the surviving documents — including the
+    delete-nothing, delete-everything, and all-survivors-empty edges
+    where the merged (_n, _avgdl) hit their 0/0 guards."""
+    from data_ingestor_spark.ext.text import bm25_scored, bm25_scored_with_deletes
+
+    tmp = tmp_path_factory.mktemp("bm25del")
+    deleted = {i for i, t in enumerate(texts) if delete_mask[i]}
+    rows = [(i, f"src{i % 3}", t) for i, t in enumerate(texts)]
+    spark.createDataFrame(rows, "doc_id bigint, source string, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "documents.parquet"))
+    survivors = [(i, f"src{i % 3}", t) for i, t in enumerate(texts) if i not in deleted]
+
+    tomb = spark.createDataFrame(
+        [(i,) for i in sorted(deleted)] or [(None,)], "doc_id bigint"
+    ).filter("doc_id is not null")
+    view = sorted(
+        (r["doc_id"], r["score_micro"], r["n_terms"])
+        for r in bm25_scored_with_deletes(spark, str(tmp), tomb).collect()
+    )
+
+    tmp2 = tmp_path_factory.mktemp("bm25del_scratch")
+    spark.createDataFrame(
+        survivors or [(None, None, None)],
+        "doc_id bigint, source string, text string",
+    ).filter("doc_id is not null").write.mode("overwrite").parquet(
+        str(tmp2 / "documents.parquet")
+    )
+    scratch = sorted(
+        (r["doc_id"], r["score_micro"], r["n_terms"])
+        for r in bm25_scored(spark, str(tmp2)).collect()
+    )
+    assert view == scratch
+
+
 def test_sim_ann_ivfpq_single_cell_degenerates_to_flat_residual_pq(spark, tmp_path):
     """IVFADC's degenerate edge: every vector in ONE cell. The coarse
     quantizer contributes nothing (one centroid, always probed), so the

@@ -974,14 +974,23 @@ def ivfpq_adc_scores(e: DataFrame) -> DataFrame:
     global 8-entry-per-subspace codebook, and score the probed cell's
     members against the vec_id-0 query by residual asymmetric distance
     — one row (vec_id, label, adist_micro) per probed-cell vector. See
-    q_sim_ann_ivfpq's docstring for semantics and scale notes."""
+    q_sim_ann_ivfpq's docstring for semantics and scale notes.
+
+    Single-probe IS the probes=1 point of the multiprobe sweep (ADVICE
+    r10: this used to be ~70 duplicated lines with a hardcoded
+    ``div 4`` subspace width that would silently misalign if _PQ_M ever
+    changed) — one implementation, one scoring contract."""
+    return ivfpq_adc_scores_multiprobe(e, probes=1, m=_PQ_M)
+
+
+def _ivfpq_adc_scores_impl(e: DataFrame, probes: int, m: int) -> DataFrame:
     base = e.filter(F.col("vec_id") != 0)
     cents = label_centroids(base).select(
         "label", F.col("centroid").cast("array<float>").alias("cent")
     )
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
-    # probed cell: nearest centroid by cosine (tie -> smallest label),
-    # carrying the query RESIDUAL vs that cell's centroid — one tiny
+    # probed cells: nearest centroids by cosine (tie -> smallest label),
+    # carrying the query RESIDUAL vs each cell's centroid — one tiny
     # broadcast relation, exactly q_sim_ann_ivf's probe plus one zip_with
     best = (
         F.broadcast(cents)
@@ -993,7 +1002,7 @@ def ivfpq_adc_scores(e: DataFrame) -> DataFrame:
             cosine(F.col("cent"), "_qe").alias("sim"),
         )
         .orderBy(F.col("sim").desc(), "label")
-        .limit(1)
+        .limit(probes)
         .select(
             F.col("label").alias("_qlabel"),
             F.expr(
@@ -1042,9 +1051,17 @@ def ivfpq_adc_scores(e: DataFrame) -> DataFrame:
         F.broadcast(best), F.col("label") == F.col("_qlabel")
     ).crossJoin(F.broadcast(cb))
 
-    ws = "(size(r) div 4)"
+    # subspace width, with the standard PQ requirement enforced in-plan:
+    # dim % m != 0 raises instead of silently truncating the trailing
+    # components out of every distance (ADVICE r10).  The guard is a
+    # constant-folded-per-row integer compare — free inside codegen.
+    ws = (
+        f"(CASE WHEN size(r) % {m} = 0 THEN size(r) div {m} "
+        f"ELSE cast(raise_error('PQ requires m to divide the vector "
+        f"dimension: dim=' || size(r) || ', m={m}') as int) END)"
+    )
     terms = []
-    for s in range(_PQ_M):
+    for s in range(m):
         d = _pq_d2i(f"slice(r, {s} * {ws} + 1, {ws})", f"slice(e.rc, {s} * {ws} + 1, {ws})")
         qd = _pq_d2i(f"slice(_rq, {s} * {ws} + 1, {ws})", f"slice(e.rc, {s} * {ws} + 1, {ws})")
         # per-subspace encode: argmin over the 8 codebook entries
@@ -1120,87 +1137,30 @@ def ivfpq_adc_scores_multiprobe(
     e: DataFrame, probes: int = _IVFPQ_PROBES, m: int = _PQ_M
 ) -> DataFrame:
     """Multi-probe IVFADC: same coarse cells, residual codebook, and
-    integer ADC as :func:`ivfpq_adc_scores`, but the query probes its
-    ``probes`` nearest cells and carries a PER-CELL query residual —
-    each probed cell's members are scored against the residual of the
-    query vs THEIR cell's centroid (encoding is probe-independent, so
-    the code table is shared; only the tiny query-side table grows).
-    Distances across cells are commensurable (all are micro-unit L2 on
-    the shared codebook), so the merged top-k is one ordering — the
-    standard IVF nprobe merge."""
-    base = e.filter(F.col("vec_id") != 0)
-    cents = label_centroids(base).select(
-        "label", F.col("centroid").cast("array<float>").alias("cent")
-    )
-    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
-    best = (
-        F.broadcast(cents)
-        .crossJoin(F.broadcast(qv))
-        .select("label", "cent", "_qe", cosine(F.col("cent"), "_qe").alias("sim"))
-        .orderBy(F.col("sim").desc(), "label")
-        .limit(probes)
-        .select(
-            F.col("label").alias("_qlabel"),
-            F.expr(
-                "zip_with(_qe, cent, (x, c) -> cast(x as double) - cast(c as double))"
-            ).alias("_rq"),
-        )
-    )
-    resid = base.join(F.broadcast(cents), "label").select(
-        "vec_id",
-        "label",
-        F.expr(
-            "zip_with(embedding, cent, (x, c) -> cast(x as double) - cast(c as double))"
-        ).alias("r"),
-        F.expr(
-            "pmod(cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10)"
-            f" as bigint), {_IVFPQ_K})"
-        ).alias("bkt"),
-    )
-    cbm = (
-        resid.select("bkt", F.posexplode("r").alias("pos", "val"))
-        .groupBy("bkt", "pos")
-        .agg(F.avg("val").alias("m"))
-    )
-    cb = (
-        cbm.groupBy("bkt")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select(
-            "bkt",
-            F.expr("cast(transform(pm, x -> x.m) as array<float>)").alias("rc"),
-        )
-        .groupBy()
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("bkt").alias("b"), F.col("rc")))
-            ).alias("cbs")
-        )
-    )
-    cand = resid.join(
-        F.broadcast(best), F.col("label") == F.col("_qlabel")
-    ).crossJoin(F.broadcast(cb))
+    integer ADC as :func:`ivfpq_adc_scores` (which IS this function at
+    probes=1), but the query probes its ``probes`` nearest cells and
+    carries a PER-CELL query residual — each probed cell's members are
+    scored against the residual of the query vs THEIR cell's centroid
+    (encoding is probe-independent, so the code table is shared; only
+    the tiny query-side table grows). Distances across cells are
+    commensurable (all are micro-unit L2 on the shared codebook), so
+    the merged top-k is one ordering — the standard IVF nprobe merge.
 
-    ws = f"(size(r) div {m})"
-    terms = []
-    for s in range(m):
-        d = _pq_d2i(f"slice(r, {s} * {ws} + 1, {ws})", f"slice(e.rc, {s} * {ws} + 1, {ws})")
-        qd = _pq_d2i(f"slice(_rq, {s} * {ws} + 1, {ws})", f"slice(e.rc, {s} * {ws} + 1, {ws})")
-        terms.append(
-            "aggregate(cbs,"
-            " named_struct('d', cast(9223372036854775807 as bigint), 'b', cast(-1 as bigint),"
-            " 'qd', cast(0 as bigint)),"
-            f" (acc, e) -> IF({d} < acc.d,"
-            f" named_struct('d', {d}, 'b', e.b, 'qd', {qd}), acc)).qd"
-        )
-    adist = " + ".join(f"({t})" for t in terms)
-    return cand.select("vec_id", "label", F.expr(adist).alias("adist_micro"))
+    ``m`` must divide the vector dimension (the standard PQ
+    requirement) — enforced IN-PLAN: a non-dividing ``m`` raises at
+    execution time instead of silently excluding the trailing
+    ``dim % m`` components from every distance (ADVICE r10)."""
+    return _ivfpq_adc_scores_impl(e, probes=probes, m=m)
 
 
 @query(
     "q_sim_ann_ivfpq_multiprobe",
     oracle=_IVFPQ_ORACLE_CTES.replace(
         "SELECT label AS qlabel FROM csim ORDER BY sim DESC, label LIMIT 1",
-        "SELECT label AS qlabel FROM csim ORDER BY sim DESC, label LIMIT 3",
+        # single source of truth for the probe count (ADVICE r10: a
+        # hardcoded LIMIT 3 here would drift silently if _IVFPQ_PROBES
+        # changed, caught only at sweep time)
+        f"SELECT label AS qlabel FROM csim ORDER BY sim DESC, label LIMIT {_IVFPQ_PROBES}",
     ).replace(
         """, qr AS (
         SELECT cp.pos, zq.y - cp.c AS rq

@@ -181,3 +181,31 @@ def test_sim_ann_ivfpq_single_cell_degenerates_to_flat_residual_pq(spark, tmp_pa
     assert len(top) == 10
     assert top[0]["vec_id"] == 5
     assert all(top[0]["adist_micro"] <= r["adist_micro"] for r in top)
+
+
+def test_sim_ann_ivfpq_rejects_non_dividing_m(spark, tmp_path):
+    """ADVICE r10: m must divide the vector dimension — a non-dividing
+    m raises in-plan instead of silently dropping the trailing dim % m
+    components from every distance."""
+    import numpy as np
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from data_ingestor_spark.ext.similarity import (
+        ivfpq_adc_scores_multiprobe,
+        load_vectors,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=6).astype(np.float32)], i % 2)
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    e = load_vectors(spark, str(tmp_path))
+    with pytest.raises((Py4JJavaError, Exception), match="PQ requires m to divide"):
+        ivfpq_adc_scores_multiprobe(e, probes=1, m=4).collect()
+    # dividing m still works on the same 6-dim vectors
+    assert ivfpq_adc_scores_multiprobe(e, probes=1, m=3).count() > 0

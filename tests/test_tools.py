@@ -260,8 +260,11 @@ def test_round_site_inventory_frozen():
         # q_text_bm25 rounds the per-term ln-based score to BIGINT
         # micro-units before the per-doc sum — an ln product is never
         # an integer-ratio double; +2 more for q_text_bm25_batch's
-        # identical per-term oracle site (the Spark side reuses one line)
-        "data_ingestor_spark/ext/text.py": 10,
+        # identical per-term oracle site (the Spark side reuses one
+        # line); +1 r11: _BM25_SPARK_SQL_CTES (the q_sql_bm25 front-
+        # door text) restates the SAME per-term ln site in Spark
+        # dialect — identical never-integer-ratio shape
+        "data_ingestor_spark/ext/text.py": 11,
         # sqrt z / cent casts; +1 r9: q_event_trend oracle divisor now
         # counts successfully quantized rows (same value*100 cents
         # expression as the adjacent site, not an integer-ratio double)

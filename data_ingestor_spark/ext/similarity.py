@@ -1051,6 +1051,18 @@ def _ivfpq_adc_scores_impl(e: DataFrame, probes: int, m: int) -> DataFrame:
         F.broadcast(best), F.col("label") == F.col("_qlabel")
     ).crossJoin(F.broadcast(cb))
 
+    return cand.select(
+        "vec_id", "label", F.expr(_adc_sum_expr(m)).alias("adist_micro")
+    )
+
+
+def _adc_sum_expr(m: int) -> str:
+    """The IVFADC scoring expression over columns ``r`` (data
+    residual), ``_rq`` (query residual) and ``cbs`` (folded codebook):
+    per-subspace encode-and-lookup summed to one integer micro-unit
+    asymmetric distance. Shared by the DataFrame build
+    (:func:`_ivfpq_adc_scores_impl`) and the SQL front door
+    (q_sql_ann_ivfpq) — one scoring contract, two entry points."""
     # subspace width, with the standard PQ requirement enforced in-plan:
     # dim % m != 0 raises instead of silently truncating the trailing
     # components out of every distance (ADVICE r10).  The guard is a
@@ -1075,8 +1087,7 @@ def _ivfpq_adc_scores_impl(e: DataFrame, probes: int, m: int) -> DataFrame:
             f" (acc, e) -> IF({d} < acc.d,"
             f" named_struct('d', {d}, 'b', e.b, 'qd', {qd}), acc)).qd"
         )
-    adist = " + ".join(f"({t})" for t in terms)
-    return cand.select("vec_id", "label", F.expr(adist).alias("adist_micro"))
+    return " + ".join(f"({t})" for t in terms)
 
 
 @query(
@@ -1231,6 +1242,89 @@ def q_sim_ann_ivfpq_multiprobe(spark, sf_dir):
         ivfpq_adc_scores_multiprobe(e)
         .orderBy("adist_micro", "vec_id")
         .limit(10)
+    )
+
+
+@query(
+    "q_sql_ann_ivfpq",
+    oracle=_IVFPQ_ORACLE_CTES
+    + """
+    SELECT vec_id, label, adist_micro FROM ad ORDER BY adist_micro, vec_id LIMIT 10
+    """,
+    tags=("sql", "similarity", "ann", "ivf", "pq", "quantize"),
+)
+def q_sql_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ (IVFADC) through the SQL FRONT DOOR (VERDICT r10
+    directive #8, completing the set with q_sql_bm25 /
+    q_sql_rrf_fusion): the entire index build and search —
+    coarse-centroid rollup, query-cell probe, residual computation,
+    md5-bucketed one-step codebook, fold-to-one-row, and the
+    per-subspace encode+ADC sum — as ONE spark.sql() text over a
+    registered embeddings view. The ADC scoring expression is
+    LITERALLY shared with the DataFrame build (:func:`_adc_sum_expr`),
+    and every CTE mirrors :func:`_ivfpq_adc_scores_impl` construct for
+    construct (LATERAL VIEW posexplode for the centroid/codebook
+    rollups, array_sort(collect_list(named_struct)) for the canonical
+    folds), so the two entry points share one determinism argument and
+    one oracle — same as q_sim_ann_ivfpq's, and a hash PASS proves the
+    SQL dialect reaches the full ANN surface."""
+    load_vectors(spark, sf_dir).createOrReplaceTempView("embeddings")
+    return spark.sql(
+        f"""
+        WITH base AS (
+            SELECT vec_id, embedding, label FROM embeddings WHERE vec_id <> 0
+        ), cm AS (
+            SELECT label, pos, AVG(CAST(val AS DOUBLE)) AS m
+            FROM base LATERAL VIEW posexplode(embedding) t AS pos, val
+            GROUP BY label, pos
+        ), cents AS (
+            SELECT label,
+                   CAST(transform(array_sort(collect_list(named_struct(
+                       'pos', pos, 'm', m))), x -> x.m) AS ARRAY<FLOAT>) AS cent
+            FROM cm GROUP BY label
+        ), q AS (
+            SELECT embedding AS _qe FROM embeddings WHERE vec_id = 0
+        ), csim AS (
+            SELECT c.label, c.cent, q._qe,
+                   aggregate(zip_with(c.cent, q._qe,
+                                      (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                             CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+                   / (SQRT(aggregate(c.cent, CAST(0.0 AS DOUBLE),
+                        (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+                      * SQRT(aggregate(q._qe, CAST(0.0 AS DOUBLE),
+                        (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS sim
+            FROM cents c CROSS JOIN q
+        ), best AS (
+            SELECT label AS _qlabel,
+                   zip_with(_qe, cent,
+                            (x, c) -> CAST(x AS DOUBLE) - CAST(c AS DOUBLE)) AS _rq
+            FROM csim ORDER BY sim DESC, label LIMIT 1
+        ), resid AS (
+            SELECT b.vec_id, b.label,
+                   zip_with(b.embedding, c.cent,
+                            (x, cc) -> CAST(x AS DOUBLE) - CAST(cc AS DOUBLE)) AS r,
+                   pmod(CAST(conv(substring(md5(CAST(b.vec_id AS STRING)), 1, 8),
+                                  16, 10) AS BIGINT), {_IVFPQ_K}) AS bkt
+            FROM base b JOIN cents c ON b.label = c.label
+        ), cbm AS (
+            SELECT bkt, pos, AVG(val) AS m
+            FROM resid LATERAL VIEW posexplode(r) t AS pos, val
+            GROUP BY bkt, pos
+        ), cbrow AS (
+            SELECT bkt,
+                   CAST(transform(array_sort(collect_list(named_struct(
+                       'pos', pos, 'm', m))), x -> x.m) AS ARRAY<FLOAT>) AS rc
+            FROM cbm GROUP BY bkt
+        ), cb AS (
+            SELECT array_sort(collect_list(named_struct('b', bkt, 'rc', rc))) AS cbs
+            FROM cbrow
+        ), cand AS (
+            SELECT resid.vec_id, resid.label, resid.r, best._rq, cb.cbs
+            FROM resid JOIN best ON resid.label = best._qlabel CROSS JOIN cb
+        )
+        SELECT vec_id, label, {_adc_sum_expr(_PQ_M)} AS adist_micro
+        FROM cand ORDER BY adist_micro, vec_id LIMIT 10
+        """
     )
 
 

@@ -491,6 +491,90 @@ def q_sim_ann_ivf(spark, sf_dir):
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
 
 
+@query(
+    "q_sim_ann_ivf_delete",
+    oracle="""
+    WITH cents AS (
+        SELECT label,
+               list(CAST(m AS REAL) ORDER BY pos) AS cent
+        FROM (
+            SELECT label, pos, AVG(x) AS m
+            FROM (
+                SELECT label, generate_subscripts(embedding, 1) AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings WHERE vec_id <> 0
+            )
+            GROUP BY label, pos
+        )
+        GROUP BY label
+    ), q AS (
+        SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    ), zc AS (
+        SELECT label,
+               CAST(unnest(cent) AS DOUBLE) AS cx,
+               CAST(unnest(qe) AS DOUBLE) AS qy
+        FROM cents, q
+    ), csim AS (
+        SELECT label, SUM(cx*qy) / (SQRT(SUM(cx*cx)) * SQRT(SUM(qy*qy))) AS sim
+        FROM zc GROUP BY label
+    ), best AS (
+        SELECT label AS qlabel FROM csim ORDER BY sim DESC, label LIMIT 1
+    ), cand AS (
+        SELECT e.vec_id, e.label, e.embedding, q.qe
+        FROM embeddings e, best, q
+        WHERE e.label = best.qlabel AND e.vec_id <> 0
+          AND e.vec_id % 7 <> 3
+    ), z AS (
+        SELECT vec_id, label,
+               CAST(unnest(embedding) AS DOUBLE) AS x,
+               CAST(unnest(qe) AS DOUBLE) AS y
+        FROM cand
+    ), c AS (
+        SELECT vec_id, label, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS cos_sim
+        FROM z GROUP BY vec_id, label
+    )
+    SELECT vec_id, label, cos_sim FROM c ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    tags=("similarity", "ann", "ivf", "delete"),
+)
+def q_sim_ann_ivf_delete(spark, sf_dir):
+    """IVF ANN under index DELETION — the vector-side twin of
+    q_text_bm25_delete, completing the maintenance story for the ANN
+    family: a ~14% tombstone batch (vec_id % 7 == 3) is applied at
+    query time by anti-joining the probed cell's members against the
+    (tiny, broadcast) tombstone relation. The coarse centroids stay
+    STALE — trained on the full base including the deleted vectors —
+    which is exactly what FAISS/Milvus/production vector stores do
+    between retrains: deletions drop postings immediately; centroid
+    refresh is a background compaction (here: re-running
+    label_centroids over survivors), because moving centroids would
+    re-shuffle every cell assignment on every delete batch. The
+    oracle encodes the SAME semantics (full-base centroids, survivors
+    scored), so the hash-pass proves the tombstone view returns
+    bit-identical results to a rebuild-with-stale-centroids — the
+    invariant a vector store must hold between compactions. Scale:
+    the anti-join is a broadcast hash join on the probed cell only
+    (1/n_cells of the corpus), never a full-index pass."""
+    e = load_vectors(spark, sf_dir)
+    base = e.filter(F.col("vec_id") != 0)
+    tomb = F.broadcast(base.filter(F.col("vec_id") % 7 == 3).select("vec_id"))
+    cents = label_centroids(base)  # stale by contract: full base
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
+    best = (
+        F.broadcast(cents)
+        .crossJoin(F.broadcast(qv))
+        .select("label", cosine(F.col("centroid").cast("array<float>"), "_qe").alias("sim"))
+        .orderBy(F.col("sim").desc(), "label")
+        .limit(1)
+        .select(F.col("label").alias("_qlabel"))
+    )
+    cand = base.join(tomb, "vec_id", "left_anti").join(
+        F.broadcast(best.crossJoin(qv)), F.col("label") == F.col("_qlabel")
+    )
+    scored = cand.select("vec_id", "label", cosine("embedding", "_qe").alias("cos_sim"))
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
+
+
 #: multi-probe width: clusters probed per query. 2 recovers most of the
 #: recall single-probe loses at cluster boundaries; raise with cluster
 #: count at scale (probing n of N clusters scans n/N of the data).

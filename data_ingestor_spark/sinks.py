@@ -525,9 +525,18 @@ def publish_versioned(df: DataFrame, table_dir: str) -> int:
         if d.startswith("v=") and d.split("=", 1)[1].isdigit()
     ]
     version = (max(existing) + 1) if existing else 0
-    staging = os.path.join(table_dir, f"_staging_v{version}_{os.getpid()}")
-    if os.path.exists(staging):
-        shutil.rmtree(staging)
+    # per-writer staging: pid.monotonic_ns, the same uniqueness rule as
+    # the CAS pointer scratch (VERDICT r10) — a pid-only name let two
+    # SAME-PROCESS writers racing the same version share one staging
+    # dir (B's overwrite clobbers A's files mid-write; A's rename then
+    # strands B with ENOENT), breaking the docstring's concurrent-
+    # writer contract for threads.  Unique names cannot collide, so
+    # the old exists/rmtree reclaim is gone; crashed-writer staging
+    # litter is pruned by vacuum_versions once it goes stale.
+    staging = os.path.join(
+        table_dir,
+        f"_staging_v{version}_{os.getpid()}.{time.monotonic_ns()}",
+    )
     df.write.mode("overwrite").parquet(staging)
     while True:
         vdir = os.path.join(table_dir, f"v={version}")
@@ -882,9 +891,18 @@ def read_latest(spark, table_dir: str) -> DataFrame:
     return read_version(spark, table_dir, latest_version(table_dir))
 
 
-def vacuum_versions(table_dir: str, keep: int = 2) -> list[int]:
+def vacuum_versions(
+    table_dir: str, keep: int = 2, stale_staging_s: float = 3600.0
+) -> list[int]:
     """Prune all but the newest ``keep`` versions (the _LATEST target is
-    always kept). Returns the removed version numbers."""
+    always kept). Returns the removed version numbers.
+
+    Also reclaims crashed-writer STAGING litter: ``_staging_*`` dirs
+    whose mtime is older than ``stale_staging_s`` (a live publish keeps
+    its staging mtime fresh — the write lands part files at the top
+    level). The window must exceed the slowest plausible version write
+    on the deployment; the conservatively large default trades prompt
+    cleanup for never racing a slow live writer."""
     current = latest_version(table_dir)
     versions = sorted(
         int(d.split("=", 1)[1])
@@ -897,4 +915,13 @@ def vacuum_versions(table_dir: str, keep: int = 2) -> list[int]:
         if v not in keep_set:
             shutil.rmtree(os.path.join(table_dir, f"v={v}"))
             removed.append(v)
+    now = time.time()
+    for d in os.listdir(table_dir):
+        if d.startswith("_staging_"):
+            path = os.path.join(table_dir, d)
+            try:
+                if os.path.getmtime(path) < now - stale_staging_s:
+                    shutil.rmtree(path)
+            except OSError:
+                pass  # writer renamed/cleaned it between list and stat
     return removed

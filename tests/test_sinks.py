@@ -421,6 +421,67 @@ def test_versioned_publish_time_travel_and_vacuum(spark, tmp_path):
     assert read_latest(spark, table).count() == 30
 
 
+def test_versioned_publish_concurrent_same_process_writers(spark, tmp_path):
+    """Same-process concurrent publishers (VERDICT r10 defect class,
+    the publish_versioned instance): the staging dir used to be
+    pid-named, so two THREADS racing the same version shared one
+    staging path — B's overwrite clobbered A's files mid-write and A's
+    rename stranded B with ENOENT, breaking the docstring's
+    concurrent-writer contract. With pid.monotonic_ns staging names,
+    concurrent threads always land distinct, complete versions."""
+    import os
+    import threading
+
+    from data_ingestor_spark.sinks import (
+        latest_version,
+        publish_versioned,
+        read_version,
+        vacuum_versions,
+    )
+
+    table = str(tmp_path / "tbl")
+    errs: list[BaseException] = []
+    results: list[int] = []
+    start = threading.Barrier(2)
+
+    def writer(n):
+        try:
+            start.wait(timeout=30)  # maximize same-version contention
+            results.append(publish_versioned(spark.range(n), table))
+        except BaseException as e:  # noqa: BLE001 - surfaced below
+            errs.append(e)
+
+    for rnd in range(3):
+        threads = [
+            threading.Thread(target=writer, args=(10 * (rnd * 2 + k + 1),))
+            for k in range(2)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(60)
+        assert not any(t.is_alive() for t in threads)
+        start.reset()
+    assert not errs, errs
+    # six publishes -> versions 0..5, each a complete readable snapshot
+    assert sorted(results) == list(range(6))
+    assert latest_version(table) == 5
+    counts = sorted(read_version(spark, table, v).count() for v in range(6))
+    assert counts == [10, 20, 30, 40, 50, 60]
+    # no staging litter left behind by the racing writers
+    litter = [d for d in os.listdir(table) if d.startswith("_staging_")]
+    assert not litter, litter
+    # vacuum's stale-staging reclaim: plant crashed-writer litter, one
+    # stale and one fresh; only the stale one is pruned
+    os.makedirs(os.path.join(table, "_staging_v9_123.111"))
+    os.makedirs(os.path.join(table, "_staging_v9_123.222"))
+    old = os.path.join(table, "_staging_v9_123.111")
+    os.utime(old, (1, 1))
+    vacuum_versions(table, keep=10, stale_staging_s=3600)
+    left = sorted(d for d in os.listdir(table) if d.startswith("_staging_"))
+    assert left == ["_staging_v9_123.222"], left
+
+
 def test_latest_pointer_flip_is_monotonic(tmp_path):
     """Concurrent publishers must never move _LATEST backwards: the
     flip is a compare-and-set under an mkdir mutex, so whatever order

@@ -384,6 +384,14 @@ def publish_parquet_atomic(df: DataFrame, final_dir: str, staging_dir: str | Non
     on the same filesystem — ``os.rename`` across devices raises
     ``EXDEV`` — validated up front so the failure happens before any
     data is written. Returns the published row count.
+
+    Scope: the contract is READER-vs-writer atomicity. CONCURRENT
+    writers to the same ``final_dir`` are out of scope by design (the
+    default staging path is fixed, so racing publishes would clobber
+    each other's staging): serialize them externally, or use
+    ``publish_versioned`` — whose per-writer staging names and version
+    reservation make multi-writer publish safe — and read via its
+    ``_LATEST`` pointer.
     """
     staging = staging_dir or final_dir.rstrip("/") + ".__staging__"
     final_parent = os.path.dirname(os.path.abspath(final_dir.rstrip("/"))) or "."

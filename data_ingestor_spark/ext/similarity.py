@@ -1135,27 +1135,35 @@ def _ivfpq_adc_scores_impl(e: DataFrame, probes: int, m: int) -> DataFrame:
         F.broadcast(best), F.col("label") == F.col("_qlabel")
     ).crossJoin(F.broadcast(cb))
 
-    return cand.select(
+    return cand.withColumn("_ws", F.expr(_ws_guard_expr(m))).select(
         "vec_id", "label", F.expr(_adc_sum_expr(m)).alias("adist_micro")
+    )
+
+
+def _ws_guard_expr(m: int) -> str:
+    """Subspace width over column ``r``, with the standard PQ
+    requirement enforced in-plan: dim % m != 0 raises instead of
+    silently truncating the trailing components out of every distance
+    (ADVICE r10). Projected ONCE per row as ``_ws`` — interpolating
+    this CASE into every slice bound evaluated it ~4m times per row
+    and cost the IVFPQ family 15-60% (AB_r11 found it; the projected
+    form restores the plain-width plan's cost with the guard kept)."""
+    return (
+        f"(CASE WHEN size(r) % {m} = 0 THEN size(r) div {m} "
+        f"ELSE cast(raise_error('PQ requires m to divide the vector "
+        f"dimension: dim=' || size(r) || ', m={m}') as int) END)"
     )
 
 
 def _adc_sum_expr(m: int) -> str:
     """The IVFADC scoring expression over columns ``r`` (data
-    residual), ``_rq`` (query residual) and ``cbs`` (folded codebook):
+    residual), ``_rq`` (query residual), ``cbs`` (folded codebook) and
+    ``_ws`` (the guarded subspace width, :func:`_ws_guard_expr`):
     per-subspace encode-and-lookup summed to one integer micro-unit
     asymmetric distance. Shared by the DataFrame build
     (:func:`_ivfpq_adc_scores_impl`) and the SQL front door
     (q_sql_ann_ivfpq) — one scoring contract, two entry points."""
-    # subspace width, with the standard PQ requirement enforced in-plan:
-    # dim % m != 0 raises instead of silently truncating the trailing
-    # components out of every distance (ADVICE r10).  The guard is a
-    # constant-folded-per-row integer compare — free inside codegen.
-    ws = (
-        f"(CASE WHEN size(r) % {m} = 0 THEN size(r) div {m} "
-        f"ELSE cast(raise_error('PQ requires m to divide the vector "
-        f"dimension: dim=' || size(r) || ', m={m}') as int) END)"
-    )
+    ws = "_ws"
     terms = []
     for s in range(m):
         d = _pq_d2i(f"slice(r, {s} * {ws} + 1, {ws})", f"slice(e.rc, {s} * {ws} + 1, {ws})")
@@ -1403,7 +1411,8 @@ def q_sql_ann_ivfpq(spark, sf_dir):
             SELECT array_sort(collect_list(named_struct('b', bkt, 'rc', rc))) AS cbs
             FROM cbrow
         ), cand AS (
-            SELECT resid.vec_id, resid.label, resid.r, best._rq, cb.cbs
+            SELECT resid.vec_id, resid.label, resid.r, best._rq, cb.cbs,
+                   {_ws_guard_expr(_PQ_M)} AS _ws
             FROM resid JOIN best ON resid.label = best._qlabel CROSS JOIN cb
         )
         SELECT vec_id, label, {_adc_sum_expr(_PQ_M)} AS adist_micro

@@ -124,26 +124,42 @@ def encode_ppm(pixels, maxval: int = 255) -> bytes:
     return header + arr.astype(dtype).tobytes()
 
 
-def decode_image(payload: bytes):
-    """Real image decode. PIL handles the general case when importable
-    (NOT baked into this container — import-try per the build
-    contract); netpbm (P5/P6) payloads decode via the pure-Python
-    decoder above, so the real-decode path is executable end-to-end
-    here. Only non-netpbm formats without a codec raise
-    NotImplementedError."""
+def decode_image(payload: bytes) -> dict:
+    """Real image decode with ONE return contract: the raster dict
+    decode_ppm documents ({width, height, channels, maxval, pixels}),
+    whatever the container. Netpbm (P5/P6) payloads decode via the
+    pure-Python decoder above — codec-free, so this path is executable
+    end-to-end here. Other formats go through PIL when importable (NOT
+    baked into this container — import-try per the build contract),
+    normalized to the same dict; without PIL they raise
+    NotImplementedError. PIL decode failures (UnidentifiedImageError
+    and friends) propagate as-is — the Arrow featurizer quarantines
+    them per-row (a code-review finding: the old shape returned a raw
+    PIL Image and let PIL errors escape the quarantine net, so the
+    advertised PIL path crashed the stage instead of working)."""
+    if payload[:2] in (b"P5", b"P6"):
+        return decode_ppm(payload)
     try:
         from PIL import Image  # noqa: PLC0415
         import io  # noqa: PLC0415
+    except ImportError as exc:
+        raise NotImplementedError(
+            "no codec for this image format in this environment; netpbm "
+            "(P5/P6) decodes natively, use fake_decode for other formats"
+        ) from exc
+    import numpy as np  # noqa: PLC0415  # pragma: no cover - PIL absent here
 
-        return Image.open(io.BytesIO(payload))  # pragma: no cover
-    except ImportError:
-        pass
-    if payload[:2] in (b"P5", b"P6"):
-        return decode_ppm(payload)
-    raise NotImplementedError(
-        "no codec for this image format in this environment; netpbm "
-        "(P5/P6) decodes natively, use fake_decode for other formats"
-    )
+    with Image.open(io.BytesIO(payload)) as img:  # pragma: no cover
+        arr = np.asarray(img)
+    if arr.ndim == 2:  # pragma: no cover
+        arr = arr[:, :, None]
+    return {  # pragma: no cover
+        "width": arr.shape[1],
+        "height": arr.shape[0],
+        "channels": arr.shape[2],
+        "maxval": 65535 if arr.dtype.itemsize > 1 else 255,
+        "pixels": arr,
+    }
 
 
 def fake_decode(payload: bytes) -> dict:
@@ -213,7 +229,11 @@ def extract_image_features(df: DataFrame) -> DataFrame:
     reduced to raster features. Per-row totality: a malformed payload
     yields ok=false with the error text in ``err`` and NULL features —
     one corrupt blob must never kill a 100 TB decode stage (the same
-    quarantine contract as the streaming ingest trio). ``mean_milli``
+    quarantine contract as the streaming ingest trio), so the net is
+    ``Exception``-wide: ValueError (netpbm), NotImplementedError (no
+    codec), and whatever a real codec throws (PIL's
+    UnidentifiedImageError is an OSError — a ValueError-only net would
+    crash the stage exactly when PIL IS installed). ``mean_milli``
     is the mean sample value in exact integer MILLI-units
     (sum*1000 // count over integer samples — no float averaging, so
     the value is reproducible bit-for-bit across partitionings)."""
@@ -238,7 +258,7 @@ def extract_image_features(df: DataFrame) -> DataFrame:
                             // int(px.size),
                         }
                     )
-                except (ValueError, NotImplementedError) as exc:
+                except Exception as exc:  # noqa: BLE001 - quarantine net
                     rows.append(
                         {
                             "doc_id": doc_id,

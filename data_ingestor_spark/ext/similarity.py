@@ -777,7 +777,7 @@ def _pq_d2i(a_slice: str, b_slice: str) -> str:
 #: asymmetric distance) and q_sim_ann_pq_recall (recall@10 vs exact).
 #: Ends at `ad(vec_id, label, adist_micro)` — one row per non-query
 #: vector with its integer micro-unit ADC distance.
-_PQ_ORACLE_CTES = """
+_PQ_ORACLE_CTES = f"""
     WITH cents AS (
         SELECT label,
                list(CAST(m AS REAL) ORDER BY pos) AS cent
@@ -792,7 +792,7 @@ _PQ_ORACLE_CTES = """
         )
         GROUP BY label
     ), w AS (
-        SELECT MAX(len(embedding)) // 4 AS ws FROM embeddings
+        SELECT MAX(len(embedding)) // {_PQ_M} AS ws FROM embeddings
     ), zc AS (
         SELECT label AS clabel, generate_subscripts(cent, 1) AS pos,
                CAST(unnest(cent) AS DOUBLE) AS c
@@ -884,7 +884,7 @@ def pq_adc_scores(e: DataFrame) -> DataFrame:
     )
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
 
-    ws = "(size(embedding) div 4)"
+    ws = f"(size(embedding) div {_PQ_M})"
     terms = []
     for s in range(_PQ_M):
         d = _pq_d2i(f"slice(embedding, {s} * {ws} + 1, {ws})", f"slice(e.c, {s} * {ws} + 1, {ws})")
@@ -973,7 +973,7 @@ _IVFPQ_K = 8
 #: q_sim_ann_ivfpq_recall (recall@10 vs exact over the WHOLE corpus).
 #: Ends at `ad(vec_id, label, adist_micro)` — one row per vector of the
 #: probed cell with its integer micro-unit residual-ADC distance.
-_IVFPQ_ORACLE_CTES = """
+_IVFPQ_ORACLE_CTES = f"""
     WITH cents AS (
         SELECT label,
                list(CAST(m AS REAL) ORDER BY pos) AS cent
@@ -1000,7 +1000,7 @@ _IVFPQ_ORACLE_CTES = """
     ), best AS (
         SELECT label AS qlabel FROM csim ORDER BY sim DESC, label LIMIT 1
     ), w AS (
-        SELECT MAX(len(embedding)) // 4 AS ws FROM embeddings
+        SELECT MAX(len(embedding)) // {_PQ_M} AS ws FROM embeddings
     ), cpos AS (
         SELECT label, generate_subscripts(cent, 1) AS pos,
                CAST(unnest(cent) AS DOUBLE) AS c

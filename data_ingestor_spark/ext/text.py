@@ -442,7 +442,7 @@ def _bm25_oracle_ctes(doc_where: str = "") -> str:
     ), tf AS (
         SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
         FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
-        WHERE term IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}', '{_BM25_TERMS[2]}')
+        WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
         GROUP BY doc_id, dl, term
     ), df AS (
         SELECT term, COUNT(*) AS df FROM tf GROUP BY term
@@ -1017,7 +1017,7 @@ _BM25_SPARK_SQL_CTES = f"""
     ), tf AS (
         SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
         FROM (SELECT doc_id, dl, explode(toks) AS term FROM docs)
-        WHERE term IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}', '{_BM25_TERMS[2]}')
+        WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
         GROUP BY doc_id, dl, term
     ), df AS (
         SELECT term, COUNT(*) AS df FROM tf GROUP BY term

@@ -253,6 +253,20 @@ def run_stream_job(
 
     if enrich_dim is not None and not enrich_on:
         raise ValueError("enrich_dim requires enrich_on (the join key column)")
+    if enrich_on and enrich_dim is None:
+        # the inverse misuse must not be a silent no-op that publishes
+        # UN-enriched data (code-review finding)
+        raise ValueError("enrich_on requires enrich_dim (the dimension relation)")
+    if enrich_dim is not None and enrich_how not in ("left", "inner"):
+        # outer joins re-emit the dim's unmatched rows in EVERY
+        # micro-batch under a fresh batch_id — idempotent publish
+        # commits them again each time, corrupting the exactly-once
+        # counts with repeated dim-only rows (code-review finding)
+        raise ValueError(
+            f"enrich_how must be 'left' or 'inner', got {enrich_how!r}: "
+            "outer joins would republish unmatched dim rows every "
+            "micro-batch, breaking exactly-once counts"
+        )
 
     corrupt = "_corrupt_record"
     data_dir = _os.path.join(target_dir, "data")

@@ -899,18 +899,54 @@ def read_latest(spark, table_dir: str) -> DataFrame:
     return read_version(spark, table_dir, latest_version(table_dir))
 
 
+def _newest_mtime(path: str) -> float:
+    """Newest mtime anywhere under ``path`` (the path itself included).
+
+    The TOP-LEVEL mtime of a Spark staging dir is a liveness lie: the
+    output committer writes task files under ``_temporary/...``, so the
+    staging root's mtime is touched only at job start and commit — a
+    live multi-hour write would look 'stale' at the root while its leaf
+    task files are seconds old (code-review finding). Walking for the
+    newest leaf makes liveness detection see the actual writes."""
+    newest = 0.0
+    try:
+        newest = os.path.getmtime(path)
+    except OSError:
+        return newest
+    for root, dirs, files in os.walk(path):
+        for name in dirs + files:
+            try:
+                newest = max(newest, os.path.getmtime(os.path.join(root, name)))
+            except OSError:
+                continue  # entry vanished mid-walk (live writer)
+    return newest
+
+
+#: crashed-writer litter classes vacuum_versions reclaims (age-gated):
+#: staging dirs, orphaned pointer scratch files, abandoned lock-acquire
+#: scratch dirs, and breaker tombstones whose owner died mid-give-back.
+#: Exact-prefix WITH the dot/underscore so the live ``_LATEST`` pointer
+#: and a held ``_LATEST.lock`` are never candidates.
+_LITTER_PREFIXES = ("_staging_", "_LATEST.tmp.", "_LATEST.lock.acq.", "_LATEST.lock.broken.")
+
+
 def vacuum_versions(
     table_dir: str, keep: int = 2, stale_staging_s: float = 3600.0
 ) -> list[int]:
     """Prune all but the newest ``keep`` versions (the _LATEST target is
     always kept). Returns the removed version numbers.
 
-    Also reclaims crashed-writer STAGING litter: ``_staging_*`` dirs
-    whose mtime is older than ``stale_staging_s`` (a live publish keeps
-    its staging mtime fresh — the write lands part files at the top
-    level). The window must exceed the slowest plausible version write
-    on the deployment; the conservatively large default trades prompt
-    cleanup for never racing a slow live writer."""
+    Also reclaims crashed-writer litter older than ``stale_staging_s``:
+    staging dirs (liveness judged by the NEWEST mtime in the whole
+    tree — see :func:`_newest_mtime` — so a slow live write whose task
+    files are still landing is never raced, however long it runs),
+    orphaned ``_LATEST.tmp.*`` pointer scratch (a writer killed between
+    scratch write and ``os.replace``; unique per-writer names made this
+    litter unbounded without a reclaimer — code-review finding), and
+    abandoned lock-acquire scratch / breaker tombstones (a process
+    SIGKILLed before its cleanup). All are only ever live for
+    microseconds-to-seconds except staging, so the shared age gate is
+    conservative for them by orders of magnitude."""
     current = latest_version(table_dir)
     versions = sorted(
         int(d.split("=", 1)[1])
@@ -925,11 +961,16 @@ def vacuum_versions(
             removed.append(v)
     now = time.time()
     for d in os.listdir(table_dir):
-        if d.startswith("_staging_"):
-            path = os.path.join(table_dir, d)
-            try:
-                if os.path.getmtime(path) < now - stale_staging_s:
-                    shutil.rmtree(path)
-            except OSError:
-                pass  # writer renamed/cleaned it between list and stat
+        if not d.startswith(_LITTER_PREFIXES):
+            continue
+        path = os.path.join(table_dir, d)
+        try:
+            if _newest_mtime(path) >= now - stale_staging_s:
+                continue  # recently-written somewhere inside: alive
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            else:
+                os.remove(path)
+        except OSError:
+            pass  # writer renamed/cleaned it between list and stat
     return removed

@@ -621,10 +621,22 @@ def test_run_stream_job_with_enrichment_e2e(spark, tmp_path):
              spark.read.parquet(str(tmp_path / "out" / "data")).collect()}
     assert data2["late"] == "bronze"
 
-    # misuse is a clean error, not a silent no-op
-    try:
+    # every misuse is a clean error, never a silent no-op: dim without
+    # key, key without dim (would publish UN-enriched data unnoticed),
+    # and outer joins (would republish unmatched dim rows every
+    # micro-batch, corrupting exactly-once counts)
+    import pytest
+
+    with pytest.raises(ValueError, match="enrich_on"):
         run_stream_job(spark, str(in_dir), str(tmp_path / "out2"), enrich_dim=dim)
-    except ValueError as exc:
-        assert "enrich_on" in str(exc)
-    else:  # pragma: no cover
-        raise AssertionError("enrich_dim without enrich_on must raise")
+    with pytest.raises(ValueError, match="enrich_dim"):
+        run_stream_job(spark, str(in_dir), str(tmp_path / "out2"), enrich_on="user")
+    with pytest.raises(ValueError, match="exactly-once"):
+        run_stream_job(
+            spark,
+            str(in_dir),
+            str(tmp_path / "out2"),
+            enrich_dim=dim,
+            enrich_on="user",
+            enrich_how="full",
+        )

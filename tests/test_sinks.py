@@ -471,15 +471,43 @@ def test_versioned_publish_concurrent_same_process_writers(spark, tmp_path):
     # no staging litter left behind by the racing writers
     litter = [d for d in os.listdir(table) if d.startswith("_staging_")]
     assert not litter, litter
-    # vacuum's stale-staging reclaim: plant crashed-writer litter, one
-    # stale and one fresh; only the stale one is pruned
+    # vacuum's stale-litter reclaim: plant crashed-writer litter of
+    # every class, stale and fresh; only the genuinely dead is pruned
     os.makedirs(os.path.join(table, "_staging_v9_123.111"))
     os.makedirs(os.path.join(table, "_staging_v9_123.222"))
-    old = os.path.join(table, "_staging_v9_123.111")
-    os.utime(old, (1, 1))
+    os.utime(os.path.join(table, "_staging_v9_123.111"), (1, 1))
+    # liveness is judged by the NEWEST mtime in the TREE, not the root:
+    # a live Spark write keeps task files fresh under _temporary while
+    # the staging root's mtime stays at job start (code-review finding)
+    live = os.path.join(table, "_staging_v8_99.1")
+    os.makedirs(os.path.join(live, "_temporary", "0"))
+    with open(os.path.join(live, "_temporary", "0", "part-0"), "w") as fh:
+        fh.write("x")
+    os.utime(live, (1, 1))  # root looks ancient; the leaf is fresh
+    # orphaned pointer scratch + lock-machinery litter (age-gated)
+    open(os.path.join(table, "_LATEST.tmp.123.456"), "w").close()
+    os.utime(os.path.join(table, "_LATEST.tmp.123.456"), (1, 1))
+    open(os.path.join(table, "_LATEST.tmp.123.789"), "w").close()  # fresh
+    os.makedirs(os.path.join(table, "_LATEST.lock.acq.1.2"))
+    os.utime(os.path.join(table, "_LATEST.lock.acq.1.2"), (1, 1))
+    os.makedirs(os.path.join(table, "_LATEST.lock.broken.3.4"))
+    os.utime(os.path.join(table, "_LATEST.lock.broken.3.4"), (1, 1))
+    # a HELD lock is never a candidate, however old (exact-name guard)
+    os.makedirs(os.path.join(table, "_LATEST.lock"))
+    os.utime(os.path.join(table, "_LATEST.lock"), (1, 1))
+
     vacuum_versions(table, keep=10, stale_staging_s=3600)
-    left = sorted(d for d in os.listdir(table) if d.startswith("_staging_"))
-    assert left == ["_staging_v9_123.222"], left
+    left = sorted(
+        d
+        for d in os.listdir(table)
+        if d.startswith(("_staging_", "_LATEST.tmp.", "_LATEST.lock"))
+    )
+    assert left == [
+        "_LATEST.lock",  # held lock untouched even at age ∞
+        "_LATEST.tmp.123.789",  # fresh scratch untouched
+        "_staging_v8_99.1",  # live write: fresh leaf under old root
+        "_staging_v9_123.222",  # fresh staging untouched
+    ], left
 
 
 def test_latest_pointer_flip_is_monotonic(tmp_path):

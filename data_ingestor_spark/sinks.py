@@ -546,6 +546,16 @@ def publish_versioned(df: DataFrame, table_dir: str) -> int:
         f"_staging_v{version}_{os.getpid()}.{time.monotonic_ns()}",
     )
     df.write.mode("overwrite").parquet(staging)
+    # Liveness vs vacuum_versions (ADVICE r11): its age gate judges a
+    # staging dir dead when NOTHING in the tree was written for
+    # stale_staging_s — a writer that completes df.write and then stalls
+    # LONGER than that (GC pause, scheduler preemption) loses its
+    # staging and would crash ENOENT at the rename, losing the publish.
+    # Defense in depth: refresh the root mtime right before renaming
+    # (narrows the window from write-duration to microseconds), and if
+    # the staging is gone anyway, REBUILD it and retry — the publish
+    # must survive an over-aggressive vacuum, not just avoid it.
+    rebuilds = 0
     while True:
         vdir = os.path.join(table_dir, f"v={version}")
         try:
@@ -553,8 +563,17 @@ def publish_versioned(df: DataFrame, table_dir: str) -> int:
         except FileExistsError:
             version += 1
             continue
-        # rename onto the just-reserved EMPTY dir: atomic replace on POSIX
-        os.rename(staging, vdir)  # version dirs are immutable once named
+        try:
+            os.utime(staging)
+            # rename onto the just-reserved EMPTY dir: atomic on POSIX
+            os.rename(staging, vdir)  # version dirs immutable once named
+        except FileNotFoundError:
+            os.rmdir(vdir)  # release the reservation before rebuilding
+            if rebuilds >= 3:  # can't happen twice with a fresh mtime;
+                raise  # cap defends against a pathological vacuum loop
+            rebuilds += 1
+            df.write.mode("overwrite").parquet(staging)
+            continue
         break
     _flip_latest_monotonic(table_dir, version)
     return version

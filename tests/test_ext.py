@@ -96,8 +96,15 @@ def test_ppm_header_comments_and_errors():
     with pytest.raises(ValueError, match="bad PPM"):
         decode_ppm(b"P6\n0 2\n255\n")
     assert decode_image(body)["width"] == 2  # native netpbm path
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n")  # real codec genuinely absent
+    # Pin the no-codec branch REGARDLESS of environment (ADVICE r11):
+    # with PIL importable this magic would raise UnidentifiedImageError
+    # instead, so force the import-miss with a None module entry.
+    import sys
+    from unittest import mock
+
+    with mock.patch.dict(sys.modules, {"PIL": None}):
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG\r\n\x1a\n")  # real codec absent
 
 
 def test_extract_image_features_real_decode_e2e(spark):

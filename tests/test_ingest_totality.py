@@ -640,3 +640,10 @@ def test_run_stream_job_with_enrichment_e2e(spark, tmp_path):
             enrich_on="user",
             enrich_how="full",
         )
+    # non-default enrich_how with NO dim is the same misuse class as
+    # key-without-dim: the caller thinks enrichment is configured
+    # (ADVICE r11 — this used to be silently ignored)
+    with pytest.raises(ValueError, match="no effect without enrich_dim"):
+        run_stream_job(
+            spark, str(in_dir), str(tmp_path / "out2"), enrich_how="inner"
+        )

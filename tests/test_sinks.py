@@ -421,6 +421,50 @@ def test_versioned_publish_time_travel_and_vacuum(spark, tmp_path):
     assert read_latest(spark, table).count() == 30
 
 
+def test_versioned_publish_survives_vacuumed_staging(spark, tmp_path, monkeypatch):
+    """ADVICE r11: a writer that stalls past stale_staging_s between
+    df.write and the v=N rename loses its staging to vacuum_versions'
+    age-gated reclaim — the rename used to crash FileNotFoundError and
+    the publish was LOST. publish_versioned now rebuilds the staging
+    and retries, so an over-aggressive vacuum delays the publish
+    instead of destroying it. Simulated by reclaiming the staging tree
+    inside the first rename attempt (the exact interleave: vacuum fires
+    after the reservation, before the rename)."""
+    import os
+    import shutil
+
+    from data_ingestor_spark import sinks
+    from data_ingestor_spark.sinks import (
+        latest_version,
+        publish_versioned,
+        read_latest,
+    )
+
+    table = str(tmp_path / "tbl")
+    assert publish_versioned(spark.range(5), table) == 0
+
+    real_rename = os.rename
+    raced = {"n": 0}
+
+    def vacuum_racing_rename(src, dst):
+        if "_staging_" in src and raced["n"] == 0:
+            raced["n"] += 1
+            shutil.rmtree(src)  # vacuum reclaims the 'stale' staging
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(sinks.os, "rename", vacuum_racing_rename)
+    assert publish_versioned(spark.range(7), table) == 1
+    monkeypatch.undo()
+
+    assert raced["n"] == 1  # the race really fired
+    assert latest_version(table) == 1
+    assert read_latest(spark, table).count() == 7
+    # no litter: the reserved-then-released v=N dir was re-reserved by
+    # the retry, and the rebuilt staging was renamed away
+    litter = [d for d in os.listdir(table) if d.startswith("_staging_")]
+    assert litter == []
+
+
 def test_versioned_publish_concurrent_same_process_writers(spark, tmp_path):
     """Same-process concurrent publishers (VERDICT r10 defect class,
     the publish_versioned instance): the staging dir used to be

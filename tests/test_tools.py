@@ -243,7 +243,9 @@ def test_round_site_inventory_frozen():
     import glob
 
     expected = {
-        "data_ingestor_spark/ext/dedup.py": 1,  # docstring prose only
+        # docstring prose only; +1 r12: q_sql_minhash_pairs' docstring
+        # restates the never-ROUND(double) discipline in prose
+        "data_ingestor_spark/ext/dedup.py": 2,
         # sqrt dist / float avg; +3 r10: q_sim_ann_pq rounds
         # SUM((x-c)^2)*1e6 to BIGINT micro-units (one Spark _pq_d2i
         # site + two oracle sites) — a sum of squared float differences

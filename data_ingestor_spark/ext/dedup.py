@@ -267,6 +267,40 @@ _MH_SPARK_SQL_COLS = ", ".join(
     f"array_min(transform(toks, x -> {_mh_spark(i)})) AS m{i}" for i in range(MINHASH_K)
 )
 
+#: Spark-dialect CTE chain ending in the verified near-dup ``pairs``
+#: relation — the SQL-front-door twin of minhash_lsh_pairs, shared by
+#: q_sql_minhash_pairs and the graph family's SQL entry
+#: (ext/graph.py::q_sql_graph_triangles), mirroring how the DuckDB side
+#: shares _PAIR_GRAPH_CTE.
+_MINHASH_PAIRS_SPARK_CTES = f"""
+    WITH sigs AS (
+        SELECT doc_id, toks, {_MH_SPARK_SQL_COLS}
+        FROM (SELECT doc_id, array_distinct(split(lower(text), ' ')) AS toks
+              FROM documents)
+    ), banded AS (
+        SELECT doc_id, explode(array({", ".join(_BAND_KEYS_SPARK)})) AS band_key
+        FROM sigs
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), verified AS (
+        SELECT doc_a, doc_b, _i, CAST(_sa + _sb - _i AS BIGINT) AS _u
+        FROM (
+            SELECT c.doc_a, c.doc_b,
+                   size(array_intersect(ta.toks, tb.toks)) AS _i,
+                   size(ta.toks) AS _sa, size(tb.toks) AS _sb
+            FROM cand c
+            JOIN sigs ta ON c.doc_a = ta.doc_id
+            JOIN sigs tb ON c.doc_b = tb.doc_id
+        )
+    ), pairs AS (
+        SELECT doc_a, doc_b, CAST(_i AS BIGINT) * 10000 div _u AS jaccard_bp
+        FROM verified
+        WHERE CAST(_i AS DOUBLE) / _u >= {NEARDUP_THRESHOLD}
+    )
+"""
+
 
 @query(
     "q_sql_minhash_pairs",
@@ -299,35 +333,9 @@ def q_sql_minhash_pairs(spark, sf_dir):
         .repartition(spark.sparkContext.defaultParallelism)
     )
     d.createOrReplaceTempView("documents")
-    return spark.sql(f"""
-        WITH sigs AS (
-            SELECT doc_id, toks, {_MH_SPARK_SQL_COLS}
-            FROM (SELECT doc_id, array_distinct(split(lower(text), ' ')) AS toks
-                  FROM documents)
-        ), banded AS (
-            SELECT doc_id, explode(array({", ".join(_BAND_KEYS_SPARK)})) AS band_key
-            FROM sigs
-        ), cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM banded a JOIN banded b
-              ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-        ), verified AS (
-            SELECT doc_a, doc_b, _i,
-                   CAST(_sa + _sb - _i AS BIGINT) AS _u
-            FROM (
-                SELECT c.doc_a, c.doc_b,
-                       size(array_intersect(ta.toks, tb.toks)) AS _i,
-                       size(ta.toks) AS _sa, size(tb.toks) AS _sb
-                FROM cand c
-                JOIN sigs ta ON c.doc_a = ta.doc_id
-                JOIN sigs tb ON c.doc_b = tb.doc_id
-            )
-        )
-        SELECT doc_a, doc_b,
-               CAST(_i AS BIGINT) * 10000 div _u AS jaccard_bp
-        FROM verified
-        WHERE CAST(_i AS DOUBLE) / _u >= {NEARDUP_THRESHOLD}
-        """)
+    return spark.sql(
+        _MINHASH_PAIRS_SPARK_CTES + "SELECT doc_a, doc_b, jaccard_bp FROM pairs"
+    )
 
 
 _SIMHASH_BITS = 32

@@ -702,7 +702,11 @@ def ivf_assign_to_cells(delta: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def ivf_search_with_inserts(
-    base: DataFrame, delta: DataFrame, qv: DataFrame, k: int = 10
+    base: DataFrame,
+    delta: DataFrame,
+    qv: DataFrame,
+    k: int = 10,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF probe over a maintained index UNION an arriving batch: the
     query's best cell is chosen against the STALE centroids (trained on
@@ -713,8 +717,12 @@ def ivf_search_with_inserts(
 
     ``qv`` must be a one-row frame with the query array as ``_qe``.
     Returns (vec_id, label, cos_sim) — ``label`` is the vector's data
-    label (payload), not its index cell."""
-    cents = label_centroids(base)  # stale by contract: base only
+    label (payload), not its index cell. ``cents`` overrides the
+    centroid table when the resident members have diverged from the
+    training corpus (the mixed insert+delete view: members are
+    delete-survivors, centroids stay trained on the original base)."""
+    if cents is None:
+        cents = label_centroids(base)  # stale by contract: base only
     best = (
         F.broadcast(cents)
         .crossJoin(F.broadcast(qv))
@@ -737,9 +745,15 @@ def ivf_search_with_inserts(
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(k)
 
 
-@query(
-    "q_sim_ann_ivf_insert",
-    oracle="""
+def _ivf_insert_oracle(survivor_and: str = "") -> str:
+    """Insert-family oracle template: centroids trained on the base
+    segment only (STALE — pre-insert), the delta batch assigned to its
+    nearest stale centroid, probed search over base∪delta.
+    ``survivor_and`` optionally restricts the base-side candidates
+    (e.g. ``"AND b.vec_id % 7 <> 3"`` for the mixed insert+delete
+    view, where tombstoned base members are gone but centroids remain
+    trained on the original full base)."""
+    return f"""
     WITH base AS (
         SELECT * FROM embeddings WHERE vec_id <> 0 AND vec_id % 5 <> 2
     ), delta AS (
@@ -785,7 +799,7 @@ def ivf_search_with_inserts(
         ) WHERE rn = 1
     ), cand AS (
         SELECT b.vec_id, b.label, b.embedding, q.qe
-        FROM base b, best, q WHERE b.label = best.qlabel
+        FROM base b, best, q WHERE b.label = best.qlabel {survivor_and}
         UNION ALL
         SELECT d.vec_id, d.label, d.embedding, q.qe
         FROM delta d, dassign a, best, q
@@ -800,7 +814,12 @@ def ivf_search_with_inserts(
         FROM z GROUP BY vec_id, label
     )
     SELECT vec_id, label, cos_sim FROM c ORDER BY cos_sim DESC, vec_id LIMIT 10
-    """,
+    """
+
+
+@query(
+    "q_sim_ann_ivf_insert",
+    oracle=_ivf_insert_oracle(),
     tags=("similarity", "ann", "ivf", "insert"),
 )
 def q_sim_ann_ivf_insert(spark, sf_dir):
@@ -828,6 +847,38 @@ def q_sim_ann_ivf_insert(spark, sf_dir):
     delta = e.filter((F.col("vec_id") != 0) & (F.col("vec_id") % 5 == 2))
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
     return ivf_search_with_inserts(base, delta, qv, k=10)
+
+
+@query(
+    "q_sim_ann_ivf_mixed",
+    oracle=_ivf_insert_oracle("AND b.vec_id % 7 <> 3"),
+    tags=("similarity", "ann", "ivf", "insert", "delete", "mixed"),
+)
+def q_sim_ann_ivf_mixed(spark, sf_dir):
+    """The production STEADY STATE of an IVF index — all maintenance
+    views composed in one query: the coarse centroids were trained at
+    T0 on the original base; since then a tombstone batch deleted ~14%
+    of the base (query-time anti-join, q_sim_ann_ivf_delete's view)
+    AND a ~20% vector batch arrived (assigned at ingest to the stale
+    centroids, q_sim_ann_ivf_insert's view). The probed search unions
+    the cell's SURVIVING index-resident members with the batch vectors
+    assigned to that cell. The oracle builds the same composite state
+    from scratch (stale base-trained centroids, tombstoned members
+    gone, delta assigned by nearest-stale-centroid), so the hash-pass
+    proves the three maintenance mechanisms COMPOSE without
+    interference — what a vector store actually serves between
+    compactions, not each mechanism in isolation. Scale: tombstones
+    broadcast, batch assignment batch-sized, probe partition-pruned —
+    each component's scale argument carries over unchanged because the
+    composition adds no new join."""
+    e = load_vectors(spark, sf_dir)
+    base = e.filter((F.col("vec_id") != 0) & (F.col("vec_id") % 5 != 2))
+    delta = e.filter((F.col("vec_id") != 0) & (F.col("vec_id") % 5 == 2))
+    tomb = F.broadcast(base.filter(F.col("vec_id") % 7 == 3).select("vec_id"))
+    cents = label_centroids(base)  # stale: trained on the pre-delete base
+    members = base.join(tomb, "vec_id", "left_anti")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
+    return ivf_search_with_inserts(members, delta, qv, k=10, cents=cents)
 
 
 #: multi-probe width: clusters probed per query. 2 recovers most of the

@@ -156,6 +156,69 @@ def test_bm25_delete_view_equals_scratch_on_random_delete_sets(
     assert view == scratch
 
 
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    texts=st.lists(_doc, min_size=1, max_size=14),
+    delete_mask=st.lists(st.booleans(), min_size=14, max_size=14),
+)
+def test_bm25_compaction_equals_scratch_on_random_delete_sets(
+    spark, tmp_path_factory, texts, delete_mask
+):
+    """The compaction identity (VERDICT r11 'missing' #2, text side):
+    physically rewriting the index without tombstoned entries
+    (bm25_compact) scores exactly like a from-scratch build over the
+    survivors — on arbitrary corpora and ARBITRARY delete sets,
+    including delete-nothing and delete-everything."""
+    from pyspark.sql import functions as F
+
+    from data_ingestor_spark.ext.text import (
+        _bm25_per_term,
+        bm25_compact,
+        bm25_scored,
+    )
+
+    tmp = tmp_path_factory.mktemp("bm25cmp")
+    deleted = {i for i, t in enumerate(texts) if delete_mask[i]}
+    rows = [(i, f"src{i % 3}", t) for i, t in enumerate(texts)]
+    spark.createDataFrame(rows, "doc_id bigint, source string, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "documents.parquet"))
+
+    tomb = spark.createDataFrame(
+        [(i,) for i in sorted(deleted)] or [(None,)], "doc_id bigint"
+    ).filter("doc_id is not null")
+    postings, df_, stats = bm25_compact(spark, str(tmp), tomb)
+    scored = (
+        postings.join(F.broadcast(df_), "term")
+        .crossJoin(stats)
+        .select("doc_id", _bm25_per_term().alias("s_micro"))
+    )
+    compacted = sorted(
+        (r["doc_id"], r["s"], r["n"])
+        for r in scored.groupBy("doc_id")
+        .agg(F.sum("s_micro").cast("long").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+
+    tmp2 = tmp_path_factory.mktemp("bm25cmp_scratch")
+    survivors = [(i, f"src{i % 3}", t) for i, t in enumerate(texts) if i not in deleted]
+    spark.createDataFrame(
+        survivors or [(None, None, None)],
+        "doc_id bigint, source string, text string",
+    ).filter("doc_id is not null").write.mode("overwrite").parquet(
+        str(tmp2 / "documents.parquet")
+    )
+    scratch = sorted(
+        (r["doc_id"], r["score_micro"], r["n_terms"])
+        for r in bm25_scored(spark, str(tmp2)).collect()
+    )
+    assert compacted == scratch
+
+
 def test_sim_ann_ivfpq_single_cell_degenerates_to_flat_residual_pq(spark, tmp_path):
     """IVFADC's degenerate edge: every vector in ONE cell. The coarse
     quantizer contributes nothing (one centroid, always probed), so the

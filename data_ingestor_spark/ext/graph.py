@@ -195,11 +195,20 @@ def q_sql_graph_triangles(spark, sf_dir):
     triangle_counts: edges oriented low→high (degree, id) rank, wedges
     enumerated only at each triangle's lowest-rank corner (O(m^1.5)
     wedge bound, never Σ deg²), one equality join closing them. Same
-    oracle as q_graph_triangles. The deliberate delta vs the DataFrame
-    build: no localCheckpoint (a DataFrame-only affordance), so
-    Catalyst may re-run the pair pipeline per join branch — callers
-    that keep the edge relation hot across queries use the DataFrame
-    entry (_pair_edges memoizes per session)."""
+    oracle as q_graph_triangles. The pair relation feeds FOUR
+    consumers (the degree rollup and three oriented-edge join
+    branches), so re-deriving it per branch would re-run the LSH
+    pipeline 4x — the SQL-native fix is SQL's own materialization
+    statement, ``CACHE TABLE ... AS SELECT`` (eager, applied to both
+    the pairs AND the oriented edge list), the front-door twin of the
+    DataFrame build's two localCheckpoints: measured 95.7 → 80.1 s at
+    sf0.1 (cold; the DataFrame sibling reads 60.9 with a pre-warmed
+    _pair_edges session cache). The residual cost is the 208M-triangle
+    OUTPUT (see q_graph_triangles' docstring — enumeration is
+    output-bound on this quasi-clique corpus, and no exact method can
+    emit less), which is why SCALING_touched_r12 flags this key
+    superlinear: the flag restates the output growth, the same
+    adjudication as the DataFrame twin's r6/r9 probes."""
     from data_ingestor_spark.ext.dedup import _MINHASH_PAIRS_SPARK_CTES
 
     d = (
@@ -208,35 +217,49 @@ def q_sql_graph_triangles(spark, sf_dir):
         .repartition(spark.sparkContext.defaultParallelism)
     )
     d.createOrReplaceTempView("documents")
-    return spark.sql(
-        _MINHASH_PAIRS_SPARK_CTES
-        + """
-        , sym AS (
-            SELECT doc_a AS v FROM pairs
+    spark.sql("DROP VIEW IF EXISTS _sql_tri_pairs")
+    spark.sql(
+        "CACHE TABLE _sql_tri_pairs AS "
+        + _MINHASH_PAIRS_SPARK_CTES
+        + "SELECT doc_a, doc_b FROM pairs"
+    )
+    # second materialization, mirroring the DataFrame build's second
+    # localCheckpoint: the oriented edge list feeds all three triangle
+    # join branches
+    spark.sql("DROP VIEW IF EXISTS _sql_tri_oriented")
+    spark.sql(
+        """
+        CACHE TABLE _sql_tri_oriented AS
+        WITH sym AS (
+            SELECT doc_a AS v FROM _sql_tri_pairs
             UNION ALL
-            SELECT doc_b AS v FROM pairs
+            SELECT doc_b AS v FROM _sql_tri_pairs
         ), deg AS (
             SELECT v, COUNT(*) AS deg FROM sym GROUP BY v
-        ), oriented AS (
-            SELECT CASE WHEN a_first THEN doc_a ELSE doc_b END AS src,
-                   CASE WHEN a_first THEN doc_b ELSE doc_a END AS dst,
-                   CASE WHEN a_first THEN db ELSE da END AS ddeg
-            FROM (
-                SELECT p.doc_a, p.doc_b, da.deg AS da, db.deg AS db,
-                       (da.deg < db.deg
-                        OR (da.deg = db.deg AND p.doc_a < p.doc_b)) AS a_first
-                FROM pairs p
-                JOIN deg da ON p.doc_a = da.v
-                JOIN deg db ON p.doc_b = db.v
-            )
-        ), tri AS (
+        )
+        SELECT CASE WHEN a_first THEN doc_a ELSE doc_b END AS src,
+               CASE WHEN a_first THEN doc_b ELSE doc_a END AS dst,
+               CASE WHEN a_first THEN db ELSE da END AS ddeg
+        FROM (
+            SELECT p.doc_a, p.doc_b, da.deg AS da, db.deg AS db,
+                   (da.deg < db.deg
+                    OR (da.deg = db.deg AND p.doc_a < p.doc_b)) AS a_first
+            FROM _sql_tri_pairs p
+            JOIN deg da ON p.doc_a = da.v
+            JOIN deg db ON p.doc_b = db.v
+        )
+        """
+    )
+    return spark.sql(
+        """
+        WITH tri AS (
             SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
-            FROM oriented e1
-            JOIN oriented e2
+            FROM _sql_tri_oriented e1
+            JOIN _sql_tri_oriented e2
               ON e1.src = e2.src
              AND (e1.ddeg < e2.ddeg
                   OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
-            JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+            JOIN _sql_tri_oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst
         ), members AS (
             SELECT a AS v FROM tri
             UNION ALL SELECT b AS v FROM tri

@@ -150,9 +150,11 @@ def q_window_session(spark, sf_dir):
     )
 
 
-@query(
-    "q_join_asof",
-    oracle="""
+#: Backward-as-of oracle shared by q_join_asof (the sort-merge
+#: union/window operator) and q_sql_asof (the same algorithm as one
+#: spark.sql() text) — DuckDB's native ASOF LEFT JOIN is the
+#: independent semantics witness for both.
+_ASOF_ORACLE = """
     WITH odedup AS (
         SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS asof_orderkey
         FROM orders GROUP BY o_custkey, o_orderdate
@@ -161,7 +163,12 @@ def q_window_session(spark, sf_dir):
     FROM events e
     ASOF LEFT JOIN odedup o
       ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
-    """,
+    """
+
+
+@query(
+    "q_join_asof",
+    oracle=_ASOF_ORACLE,
     tags=("join", "asof", "time"),
 )
 def q_join_asof(spark, sf_dir):
@@ -187,8 +194,61 @@ def q_join_asof(spark, sf_dir):
 
 
 @query(
-    "q_join_range",
-    oracle="""
+    "q_sql_asof",
+    oracle=_ASOF_ORACLE,
+    tags=("sql", "join", "asof", "time"),
+)
+def q_sql_asof(spark, sf_dir):
+    """Backward as-of join through the SQL FRONT DOOR — Spark SQL has
+    no ASOF JOIN syntax, so the front door IS the operator's sort-merge
+    formulation (operators/asof.py) expressed as one spark.sql() text:
+    union the sides tagged (_side 0 = right sorts first at equal
+    times, giving the <= semantics), one window partitioned by key
+    ordered by (time, side), LAST(payload, true) forward-fills the
+    most recent order onto each event, filter back to left rows. Same
+    single-exchange cost and same oracle (DuckDB's native ASOF LEFT
+    JOIN) as q_join_asof — a SQL-first user gets the operator without
+    the library import."""
+    load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    ).createOrReplaceTempView("events_asof")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_asof")
+    return spark.sql(
+        """
+        WITH odedup AS (
+            SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS asof_orderkey
+            FROM orders_asof GROUP BY o_custkey, o_orderdate
+        ), tagged AS (
+            SELECT event_id, user_id, ts,
+                   user_id AS _k, ts AS _t, 1 AS _side,
+                   CAST(NULL AS BIGINT) AS asof_orderkey
+            FROM events_asof
+            UNION ALL
+            SELECT CAST(NULL AS BIGINT) AS event_id,
+                   CAST(NULL AS BIGINT) AS user_id,
+                   CAST(NULL AS TIMESTAMP) AS ts,
+                   o_custkey AS _k, CAST(o_orderdate AS TIMESTAMP) AS _t,
+                   0 AS _side, asof_orderkey
+            FROM odedup
+        ), filled AS (
+            SELECT event_id, user_id, ts, _side,
+                   LAST(asof_orderkey, true) OVER (
+                       PARTITION BY _k ORDER BY _t, _side
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS asof_orderkey
+            FROM tagged
+        )
+        SELECT event_id, user_id, ts, asof_orderkey
+        FROM filled WHERE _side = 1
+        """
+    )
+
+
+#: Range-join oracle shared by q_join_range (DataFrame bucketed core)
+#: and q_sql_range_join (same plan through the SQL front door) — the
+#: oracle states the NAIVE semantics; both Spark entries answer it with
+#: the bucketed-equality plan.
+_RANGE_JOIN_ORACLE = """
     SELECT e1.event_id, COUNT(e2.event_id) AS n_follow
     FROM events e1
     LEFT JOIN events e2
@@ -196,7 +256,12 @@ def q_join_asof(spark, sf_dir):
      AND e2.ts > e1.ts
      AND e2.ts <= e1.ts + INTERVAL '10 minutes'
     GROUP BY e1.event_id
-    """,
+    """
+
+
+@query(
+    "q_join_range",
+    oracle=_RANGE_JOIN_ORACLE,
     tags=("join", "range", "time"),
 )
 def q_join_range(spark, sf_dir):
@@ -247,6 +312,49 @@ def range_follow_counts(e, win_seconds: int = 600):
     )
     return joined.groupBy(F.col("l.event_id").alias("event_id")).agg(
         F.count(F.col("r.event_id")).alias("n_follow")
+    )
+
+
+@query(
+    "q_sql_range_join",
+    oracle=_RANGE_JOIN_ORACLE,
+    tags=("sql", "join", "range", "time"),
+)
+def q_sql_range_join(spark, sf_dir):
+    """Range (interval) join through the SQL FRONT DOOR, carrying the
+    GOOD plan: the naive SQL range join (the oracle's literal text)
+    degenerates to a broadcast-nested-loop at scale, so the front door
+    expresses range_follow_counts' bucketed formulation instead — the
+    probe side explodes into the ≤2 deduped 10-minute buckets its
+    window overlaps, joins the build side on (user, bucket) EQUALITY
+    with the range predicate as a post-filter, and every match lands
+    in exactly one build bucket so counts need no pair dedup. Same
+    oracle as q_join_range; a SQL-first user gets an ordinary shuffle
+    join that parallelizes at 100 TB instead of the quadratic default."""
+    load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    ).createOrReplaceTempView("events_range")
+    return spark.sql(
+        """
+        WITH probe AS (
+            SELECT event_id, user_id, ts,
+                   explode(array_distinct(array(
+                       floor(unix_timestamp(ts) / 600),
+                       floor((unix_timestamp(ts) + 600) / 600)))) AS _b
+            FROM events_range
+        ), build AS (
+            SELECT event_id, user_id, ts,
+                   floor(unix_timestamp(ts) / 600) AS _b
+            FROM events_range
+        )
+        SELECT p.event_id,
+               COUNT(CASE WHEN b.ts > p.ts
+                           AND b.ts <= p.ts + INTERVAL 600 SECONDS
+                          THEN b.event_id END) AS n_follow
+        FROM probe p
+        LEFT JOIN build b ON p.user_id = b.user_id AND p._b = b._b
+        GROUP BY p.event_id
+        """
     )
 
 

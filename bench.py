@@ -126,6 +126,20 @@ EXTRA = [
     # round 6 (no registry additions; track the two rewritten plans)
     "q_udf_cogrouped",      # bucketed-key cogrouped applyInPandas
     "q_agg_approx_bounded",  # split distinct + sketch accuracy contract
+    # round 12 (index maintenance + SQL front doors; q_sql_graph_triangles
+    # is deliberately excluded like its DataFrame twin — the sf0.1
+    # near-dup graph makes triangle enumeration output-bound at ~1 min,
+    # which would dominate the extras tail without measuring anything
+    # the SCALING artifact doesn't already record)
+    "q_sim_ann_ivf_insert",   # stale-centroid batch ingest + probe
+    "q_sim_ann_ivf_compact",  # physical compaction, stale probe
+    "q_sim_ann_ivf_compact_refresh",  # compaction + centroid refresh
+    "q_sim_ann_ivf_mixed",    # delete + insert views composed
+    "q_text_bm25_compact",    # postings/norms segment-merge rewrite
+    "q_sql_minhash_pairs",    # LSH pair pipeline as one SQL text
+    "q_sql_asof",             # sort-merge as-of join as one SQL text
+    "q_sql_range_join",       # bucketed range join as one SQL text
+    "q_stream_late_drop",     # watermark drop counts, 3 micro-batches
 ]
 
 

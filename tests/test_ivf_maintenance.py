@@ -135,6 +135,60 @@ def test_ivf_insert_search_matches_mirror(
     assert got == expected
 
 
+@pytest.mark.parametrize(
+    "seed,n,n_labels,tomb_mod",
+    [(51, 28, 3, 4), (52, 32, 4, 3), (53, 20, 2, 1)],  # mod 1: ALL base deleted
+)
+def test_ivf_mixed_view_matches_mirror(spark, tmp_path, seed, n, n_labels, tomb_mod):
+    """The composed delete+insert view (q_sim_ann_ivf_mixed's library
+    form) == the sequential-sum mirror: centroids from the FULL base,
+    members = delete-survivors, delta assigned to stale centroids —
+    on random vectors, random tombstone strides, and the
+    everything-deleted edge where only batch vectors can answer."""
+    from pyspark.sql import functions as F
+
+    from data_ingestor_spark.ext.similarity import (
+        ivf_search_with_inserts,
+        label_centroids,
+        load_vectors,
+    )
+
+    rows = _mk_rows(seed, n, n_labels)
+    _write_vectors(spark, tmp_path, rows)
+    qe = rows[0][1]
+    base_rows = [(v, e, l) for v, e, l in rows if v != 0 and v % 5 != 2]
+    delta_rows = [(v, e, l) for v, e, l in rows if v != 0 and v % 5 == 2]
+    surv_rows = [(v, e, l) for v, e, l in base_rows if v % tomb_mod != 0]
+
+    # mirror: centroids from the FULL base, candidates from survivors
+    cents = _mirror_centroids(base_rows)
+    expected = []
+    if cents:
+        qlabel = sorted(cents, key=lambda l: (-_cosine(cents[l], qe), l))[0]
+        cand = [(v, l, e) for v, e, l in surv_rows if l == qlabel]
+        for vid, emb, label in delta_rows:
+            acell = sorted(cents, key=lambda l: (-_cosine(emb, cents[l]), l))[0]
+            if acell == qlabel:
+                cand.append((vid, label, emb))
+        scored = [(vid, label, _cosine(emb, qe)) for vid, label, emb in cand]
+        scored.sort(key=lambda t: (-t[2], t[0]))
+        expected = [(vid, label) for vid, label, _s in scored[:10]]
+
+    e = load_vectors(spark, str(tmp_path))
+    base = e.filter((F.col("vec_id") != 0) & (F.col("vec_id") % 5 != 2))
+    delta = e.filter((F.col("vec_id") != 0) & (F.col("vec_id") % 5 == 2))
+    tomb = F.broadcast(base.filter(F.col("vec_id") % tomb_mod == 0).select("vec_id"))
+    members = base.join(tomb, "vec_id", "left_anti")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
+    got = [
+        (r["vec_id"], r["label"])
+        for r in ivf_search_with_inserts(
+            members, delta, qv, k=10, cents=label_centroids(base)
+        ).collect()
+    ]
+    assert got == expected
+
+
 @pytest.mark.parametrize("seed,n,n_labels,tomb_mod", [(21, 26, 3, 4), (22, 30, 4, 3)])
 def test_ivf_compact_is_hash_neutral_with_delete_view(
     spark, tmp_path, seed, n, n_labels, tomb_mod

@@ -174,11 +174,14 @@ def main() -> None:
     # this automatically when both files carry the field.
     import hashlib
 
-    _cal_t0 = time.perf_counter()
-    _h = b"x" * 65536
-    for _ in range(2000):
-        _h = hashlib.md5(_h).digest() + _h[: 65536 - 16]
-    cpu_cal_s = round(time.perf_counter() - _cal_t0, 4)
+    def _cpu_cal() -> float:
+        t0 = time.perf_counter()
+        h = b"x" * 65536
+        for _ in range(2000):
+            h = hashlib.md5(h).digest() + h[: 65536 - 16]
+        return round(time.perf_counter() - t0, 4)
+
+    cpu_cal_s = _cpu_cal()
 
     from data_ingestor_spark.plans import queries as q
 
@@ -229,6 +232,17 @@ def main() -> None:
     extra, _ = time_set(extra_names)
 
     total = round(sum(timings.values()), 3)
+    # Second calibration AFTER the queries (round-12 lesson): the first
+    # r12 anchor read load_start 0.37 → idle_box_valid TRUE, yet every
+    # key ran 1.3-3.4× inflated — a co-tenant burst that started AFTER
+    # the pre-run load sample. The 1-minute average lies in both
+    # directions (it also lags high for minutes after a big job exits,
+    # falsely invalidating clean runs). Cal drift start→end is a direct
+    # in-band contention probe: same fixed workload, same boot, so a
+    # drift beyond noise (~5%) means something else was eating CPU
+    # DURING the measurement window.
+    cpu_cal_s_end = _cpu_cal()
+    cal_drift = round(cpu_cal_s_end / cpu_cal_s, 3) if cpu_cal_s else None
     print(
         json.dumps(
             {
@@ -242,11 +256,15 @@ def main() -> None:
                 "host_load_avg_1m": round(os.getloadavg()[0], 2),
                 "host_load_avg_1m_start": load_start,
                 "cpu_cal_s": cpu_cal_s,
+                "cpu_cal_s_end": cpu_cal_s_end,
+                "cal_drift": cal_drift,
                 # validity bit for idle-box anchor records: per-query
                 # numbers are only comparable ACROSS rounds when the box
                 # was quiet before the first query ran (BASELINE.md's
-                # matched-load discipline, made mechanical)
-                "idle_box_valid": load_start < 0.5,
+                # matched-load discipline, made mechanical) AND stayed
+                # quiet through it (the end-calibration drift gate)
+                "idle_box_valid": load_start < 0.5
+                and (cal_drift is None or cal_drift < 1.1),
                 "n_keys_timed": len(timings) + len(extra),
                 # measurement-mode stamp (judge directive r9 #2): the
                 # headline block is always timed first, before any
@@ -256,7 +274,7 @@ def main() -> None:
                 # can check like-for-like
                 "full_extras": full_extras,
                 "headline_timed_first": True,
-                "note": "per-query steady-state (best of 2); cold_first_run includes one-time codegen compile; extra_queries are round-2+ operators timed identically but excluded from the headline total for round-over-round comparability; host_load_avg_1m is the 1-minute load average at report time and _start before any query ran — the bench's own 32-core work raises the end value, so _start is the idle-box indicator; co-tenant load inflates every query uniformly (compare per-query RATIOS across rounds, not absolutes, when either is high); cpu_cal_s is a fixed single-thread md5 workload timed before any query — boots differ up to ~1.2× on identical code, so normalize cross-round ratios by cal_old/cal_new",
+                "note": "per-query steady-state (best of 2); cold_first_run includes one-time codegen compile; extra_queries are round-2+ operators timed identically but excluded from the headline total for round-over-round comparability; host_load_avg_1m is the 1-minute load average at report time and _start before any query ran — the bench's own 32-core work raises the end value, so _start is the idle-box indicator; co-tenant load inflates every query uniformly (compare per-query RATIOS across rounds, not absolutes, when either is high); cpu_cal_s is a fixed single-thread md5 workload timed before any query — boots differ up to ~1.2× on identical code, so normalize cross-round ratios by cal_old/cal_new; cpu_cal_s_end repeats the calibration after the last query — cal_drift >= 1.1 means a co-tenant burst landed DURING the run (the r12 false-TRUE lesson) and invalidates the idle bit even when _start was quiet",
             }
         )
     )
@@ -273,12 +291,15 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "host_load_avg_1m_start": load_start,
-                "idle_box_valid": load_start < 0.5,
+                "idle_box_valid": load_start < 0.5
+                and (cal_drift is None or cal_drift < 1.1),
                 # cpu_cal_s must ride the compact line too: when the
                 # driver's tail window truncates the big diagnostic line
                 # above, bench_compare's boot-speed normalization would
                 # otherwise silently not apply to driver-recovered records
                 "cpu_cal_s": cpu_cal_s,
+                "cpu_cal_s_end": cpu_cal_s_end,
+                "cal_drift": cal_drift,
             }
         )
     )

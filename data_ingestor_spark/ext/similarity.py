@@ -397,6 +397,244 @@ def q_sim_ann_lsh_multiprobe(spark, sf_dir):
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
 
 
+# --- graph-based ANN (NSW-style beam search over an LSH-built kNN graph) ---
+
+#: graph out-degree: each vector keeps its _NSW_K most-similar LSH-bucket
+#: candidates as directed edges. Small degrees keep the index at K rows
+#: per vector (HNSW production defaults are 16-64).
+_NSW_K = 6
+#: beam width per search round
+_NSW_BEAM = 4
+#: search rounds (graph hops); with Hamming-1 bucket connectivity the
+#: bucket graph's diameter is _LSH_PLANES, so rounds ~ planes reaches
+#: any region reachable at all
+_NSW_ROUNDS = 3
+
+
+def knn_graph(base: DataFrame, k: int = _NSW_K) -> DataFrame:
+    """Approximate kNN graph — the navigable-small-world INDEX BUILD:
+    edge candidates are pairs whose LSH buckets differ by Hamming ≤ 1
+    (the multiprobe flip set, giving CROSS-bucket edges so the graph is
+    navigable instead of decomposing into per-bucket islands), scored
+    by exact cosine, each node keeping its top-``k`` by (sim, id).
+    Never all-pairs: candidate mass per node is (planes+1)/2^planes of
+    the corpus — 5/16 here, 17/65536 at a production 16 planes — and
+    the per-node top-k is a rank window on the candidate relation.
+    Returns directed edges (src, dst)."""
+    from pyspark.sql import Window as W
+
+    bucketed = base.withColumn("bucket", lsh_bucket("embedding"))
+    probes = bucketed.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("_se"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.expr(f"bucket ^ {1 << p}") for p in range(_LSH_PLANES)],
+            )
+        ).alias("_pb"),
+    )
+    cand = probes.join(
+        bucketed.select(
+            F.col("vec_id").alias("dst"),
+            F.col("embedding").alias("_de"),
+            F.col("bucket").alias("_db"),
+        ),
+        F.col("_db") == F.col("_pb"),
+    ).filter(F.col("dst") != F.col("src"))
+    scored = cand.select("src", "dst", cosine("_se", "_de").alias("_sim"))
+    w = W.partitionBy("src").orderBy(F.col("_sim").desc(), "dst")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("src", "dst")
+    )
+
+
+def nsw_search(
+    base: DataFrame,
+    graph: DataFrame,
+    qv: DataFrame,
+    beam: int = _NSW_BEAM,
+    rounds: int = _NSW_ROUNDS,
+    k: int = 10,
+) -> DataFrame:
+    """Beam search over the kNN graph from a deterministic entry point
+    (the minimum vec_id): each round expands the beam's out-neighbors,
+    scores exact cosine against the query, and keeps the top-``beam``
+    by (sim, id); the answer is the top-``k`` over everything VISITED.
+    Each round touches only beam×degree graph rows (broadcast beam
+    against the persisted edge relation) — the whole search costs
+    O(rounds · beam · k) index lookups regardless of corpus size, the
+    property that makes graph ANN the latency king at production
+    scale. Fully deterministic (md5 hyperplanes, id tie-breaks), so
+    the DuckDB oracle replays the identical walk."""
+    graph = graph.localCheckpoint(eager=True)
+    beam_df = base.agg(F.min("vec_id").alias("vid"))  # deterministic entry
+    visited = None
+    for _ in range(rounds):
+        cand = (
+            graph.join(F.broadcast(beam_df), graph["src"] == beam_df["vid"])
+            .select(F.col("dst").alias("vid"))
+            .unionByName(beam_df.select("vid"))
+            .distinct()
+        )
+        scored = (
+            cand.join(base, cand["vid"] == base["vec_id"])
+            .crossJoin(F.broadcast(qv))
+            .select("vid", "label", cosine("embedding", "_qe").alias("cos_sim"))
+            .localCheckpoint(eager=True)  # feeds both the beam and the result
+        )
+        visited = scored if visited is None else visited.unionByName(scored)
+        beam_df = (
+            scored.orderBy(F.col("cos_sim").desc(), "vid").limit(beam).select("vid")
+        )
+    return (
+        visited.dropDuplicates(["vid"])
+        .orderBy(F.col("cos_sim").desc(), "vid")
+        .limit(k)
+        .select(F.col("vid").alias("vec_id"), "label", "cos_sim")
+    )
+
+
+def _nsw_oracle_ctes() -> str:
+    """DuckDB oracle for the NSW family: builds the identical graph
+    (bucket + Hamming-1 edge candidates, per-node top-K), scores every
+    node against the query ONCE (oracle-side convenience — the Spark
+    side scores only visited nodes; values are identical expressions),
+    and unrolls the beam rounds as one CTE per hop."""
+    flips = ", ".join(f"xor(bucket, {1 << p})" for p in range(_LSH_PLANES))
+    ctes = f"""
+    WITH b AS (
+        SELECT vec_id, label, embedding, {_lsh_bucket_duck('embedding')} AS bucket
+        FROM embeddings WHERE vec_id <> 0
+    ), probes AS (
+        SELECT vec_id AS src, embedding AS se,
+               unnest([bucket, {flips}]) AS pb
+        FROM b
+    ), ec AS (
+        SELECT p.src, v.vec_id AS dst, p.se, v.embedding AS de
+        FROM probes p JOIN b v ON v.bucket = p.pb AND v.vec_id <> p.src
+    ), ez AS (
+        SELECT src, dst,
+               CAST(unnest(se) AS DOUBLE) AS x,
+               CAST(unnest(de) AS DOUBLE) AS y
+        FROM ec
+    ), esim AS (
+        SELECT src, dst, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS sim
+        FROM ez GROUP BY src, dst
+    ), graph AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn
+            FROM esim
+        ) WHERE rn <= {_NSW_K}
+    ), q AS (
+        SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    ), az AS (
+        SELECT b.vec_id, b.label,
+               CAST(unnest(b.embedding) AS DOUBLE) AS x,
+               CAST(unnest(q.qe) AS DOUBLE) AS y
+        FROM b, q
+    ), allsims AS (
+        SELECT vec_id, label, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS cos_sim
+        FROM az GROUP BY vec_id, label
+    ), beam0 AS (
+        SELECT MIN(vec_id) AS vid FROM b
+    )"""
+    for r in range(1, _NSW_ROUNDS + 1):
+        ctes += f""", cand{r} AS (
+        SELECT dst AS vid FROM graph JOIN beam{r - 1} ON graph.src = beam{r - 1}.vid
+        UNION
+        SELECT vid FROM beam{r - 1}
+    ), beam{r} AS (
+        SELECT c.vid FROM cand{r} c JOIN allsims a ON a.vec_id = c.vid
+        ORDER BY a.cos_sim DESC, c.vid LIMIT {_NSW_BEAM}
+    )"""
+    unions = " UNION ".join(
+        f"SELECT vid FROM cand{r}" for r in range(1, _NSW_ROUNDS + 1)
+    )
+    ctes += f""", visited AS (
+        {unions}
+    )"""
+    return ctes
+
+
+@query(
+    "q_sim_ann_nsw",
+    oracle=_nsw_oracle_ctes()
+    + """
+    SELECT a.vec_id, a.label, a.cos_sim
+    FROM visited v JOIN allsims a ON a.vec_id = v.vid
+    ORDER BY a.cos_sim DESC, a.vec_id LIMIT 10
+    """,
+    tags=("similarity", "ann", "nsw", "graph"),
+)
+def q_sim_ann_nsw(spark, sf_dir):
+    """GRAPH-BASED ANN — navigable-small-world beam search, the family
+    HNSW/Vamana/DiskANN belong to and the one ANN paradigm the engine's
+    taxonomy (brute / LSH / IVF / PQ / IVF-PQ) still lacked: the index
+    is an approximate kNN GRAPH (knn_graph: LSH-bucket + Hamming-1
+    candidates, exact-cosine top-K edges per node — banded, never
+    all-pairs) and the query walks it (nsw_search: deterministic
+    min-id entry, _NSW_ROUNDS beam-expansion hops of width _NSW_BEAM,
+    answer = top-10 of everything visited). Search cost is
+    O(rounds · beam · K) index lookups independent of corpus size —
+    at 100 TB the graph is the persisted index partitioned by src and
+    each hop is a broadcast-beam equality join, which is why this
+    family owns the low-latency regime. Fully deterministic (md5
+    hyperplanes, integer tie-breaks), so the oracle replays the exact
+    walk — a hash-pass pins the graph construction AND every hop.
+    Recall vs exact is MEASURED, not asserted
+    (q_sim_ann_nsw_recall)."""
+    e = load_vectors(spark, sf_dir)
+    base = e.filter(F.col("vec_id") != 0)
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
+    return nsw_search(base, knn_graph(base), qv)
+
+
+@query(
+    "q_sim_ann_nsw_recall",
+    oracle=_nsw_oracle_ctes()
+    + """
+    , nsw10 AS (
+        SELECT a.vec_id FROM visited v JOIN allsims a ON a.vec_id = v.vid
+        ORDER BY a.cos_sim DESC, a.vec_id LIMIT 10
+    ), exact10 AS (
+        SELECT vec_id FROM allsims ORDER BY cos_sim DESC, vec_id LIMIT 10
+    )
+    SELECT (SELECT COUNT(*) FROM exact10) AS n_exact,
+           (SELECT COUNT(*) FROM exact10 e JOIN nsw10 n ON e.vec_id = n.vec_id) AS hits_nsw,
+           CAST((SELECT COUNT(*) FROM exact10 e JOIN nsw10 n ON e.vec_id = n.vec_id) AS BIGINT)
+               * 10000 // NULLIF((SELECT COUNT(*) FROM exact10), 0) AS recall_nsw_bp
+    """,
+    tags=("similarity", "ann", "nsw", "graph", "eval", "recall"),
+)
+def q_sim_ann_nsw_recall(spark, sf_dir):
+    """Measured NSW recall@10 — the quality loop for the graph index,
+    same discipline as the LSH/PQ/IVFPQ recall twins: exact brute-force
+    top-10 intersected with the beam-search top-10, reported as counts
+    + exact basis points in one hash-checked row. The knobs this number
+    drives are K (graph degree), beam width, and rounds; on a corpus
+    where it reads low, the walk is entry-bound (the min-id entry sits
+    far from the query's region) and production systems fix it with a
+    better entry heuristic (hierarchy = HNSW) — measured here so the
+    trade is visible, never asserted."""
+    e = load_vectors(spark, sf_dir)
+    base = e.filter(F.col("vec_id") != 0)
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
+    q_vec = e.filter(F.col("vec_id") == 0)
+    exact10 = topk_cosine(base, q_vec, k=10).select("vec_id")
+    nsw10 = nsw_search(base, knn_graph(base), qv).select("vec_id")
+    n_exact = exact10.agg(F.count(F.lit(1)).alias("n_exact"))
+    hn = exact10.join(nsw10, "vec_id").agg(F.count(F.lit(1)).alias("hits_nsw"))
+    return n_exact.crossJoin(hn).select(
+        "n_exact",
+        "hits_nsw",
+        F.expr("hits_nsw * 10000 div nullif(n_exact, 0)").alias("recall_nsw_bp"),
+    )
+
+
 def label_centroids(vectors: DataFrame, label_col: str = "label") -> DataFrame:
     """Element-wise mean vector per cluster label: posexplode → one
     (label, position) partial-aggregable groupBy → re-assemble ordered

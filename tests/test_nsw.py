@@ -1,0 +1,133 @@
+"""Pure-Python mirror for the graph-based ANN family (knn_graph +
+nsw_search): replicates the md5-derived hyperplane buckets, the
+Hamming-1 edge candidates, the per-node top-K edges, and the beam walk
+with SEQUENTIAL left-to-right accumulation (bit-identical to Spark's
+F.aggregate chains), so the comparison is exact on random vector sets —
+the same discipline as the IVF-maintenance and IVFADC mirrors."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+
+
+def _plane(p: int, j: int) -> float:
+    h = hashlib.md5(f"{p}:{j}".encode()).hexdigest()[:8]
+    return int(h, 16) / 2147483648.0 - 1.0
+
+
+def _bucket(emb, planes: int) -> int:
+    b = 0
+    for p in range(planes):
+        acc = 0.0
+        for j, v in enumerate(emb):
+            acc = acc + float(v) * _plane(p, j)
+        if acc >= 0:
+            b += 1 << p
+    return b
+
+
+def _seq_dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _cos(a, b):
+    return _seq_dot(a, b) / (math.sqrt(_seq_dot(a, a)) * math.sqrt(_seq_dot(b, b)))
+
+
+def _mirror_nsw(rows, qe, planes, k, beam, rounds, topk=10):
+    base = [(v, e) for v, e, _l in rows if v != 0]
+    emb = dict(base)
+    buckets = {v: _bucket(e, planes) for v, e in base}
+    flips = [0] + [1 << p for p in range(planes)]
+    by_bucket: dict[int, list[int]] = {}
+    for v, b in buckets.items():
+        by_bucket.setdefault(b, []).append(v)
+    graph: dict[int, list[int]] = {}
+    for v, b in buckets.items():
+        cand = []
+        for f in flips:
+            for u in by_bucket.get(b ^ f, []):
+                if u != v:
+                    cand.append(u)
+        cand = sorted(set(cand), key=lambda u: (-_cos(emb[v], emb[u]), u))
+        graph[v] = cand[:k]
+    labels = {v: l for v, _e, l in rows}
+    sims = {v: _cos(e, qe) for v, e in base}
+    beam_set = [min(emb)] if emb else []
+    visited: set[int] = set()
+    for _ in range(rounds):
+        cand = set(beam_set)
+        for v in beam_set:
+            cand.update(graph.get(v, []))
+        visited |= cand
+        beam_set = sorted(cand, key=lambda u: (-sims[u], u))[:beam]
+    out = sorted(visited, key=lambda u: (-sims[u], u))[:topk]
+    return [(v, labels[v]) for v in out]
+
+
+@pytest.mark.parametrize("seed,n,dim", [(61, 40, 8), (62, 25, 16), (63, 60, 8)])
+def test_nsw_search_matches_mirror(spark, tmp_path, seed, n, dim):
+    """knn_graph + nsw_search == the pure-Python mirror on random
+    vector sets of varying size and dimension: pins the bucket hash,
+    the Hamming-1 candidate set, the top-K edge selection, the beam
+    walk, and the final top-10 order."""
+    from pyspark.sql import functions as F
+
+    from data_ingestor_spark.ext.similarity import (
+        _LSH_PLANES,
+        _NSW_BEAM,
+        _NSW_K,
+        _NSW_ROUNDS,
+        knn_graph,
+        load_vectors,
+        nsw_search,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = [(0, [float(x) for x in rng.normal(size=dim).astype(np.float32)], 0)]
+    for i in range(1, n + 1):
+        v = rng.normal(size=dim).astype(np.float32)
+        rows.append((i, [float(x) for x in v], int(i % 3)))
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    expected = _mirror_nsw(
+        rows, rows[0][1], _LSH_PLANES, _NSW_K, _NSW_BEAM, _NSW_ROUNDS
+    )
+    e = load_vectors(spark, str(tmp_path))
+    base = e.filter(F.col("vec_id") != 0)
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
+    got = [
+        (r["vec_id"], r["label"])
+        for r in nsw_search(base, knn_graph(base), qv).collect()
+    ]
+    assert got == expected
+
+
+def test_nsw_single_node_graph(spark, tmp_path):
+    """Degenerate edge: one base vector — no edges exist, the walk
+    never leaves the entry, and the result is that single row."""
+    from pyspark.sql import functions as F
+
+    from data_ingestor_spark.ext.similarity import knn_graph, load_vectors, nsw_search
+
+    rng = np.random.default_rng(71)
+    q = rng.normal(size=8).astype(np.float32)
+    v = rng.normal(size=8).astype(np.float32)
+    rows = [(0, [float(x) for x in q], 0), (7, [float(x) for x in v], 1)]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    e = load_vectors(spark, str(tmp_path))
+    base = e.filter(F.col("vec_id") != 0)
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
+    out = nsw_search(base, knn_graph(base), qv).collect()
+    assert [(r["vec_id"], r["label"]) for r in out] == [(7, 1)]

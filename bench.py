@@ -139,7 +139,11 @@ EXTRA = [
     "q_sql_minhash_pairs",    # LSH pair pipeline as one SQL text
     "q_sql_asof",             # sort-merge as-of join as one SQL text
     "q_sql_range_join",       # bucketed range join as one SQL text
-    "q_stream_late_drop",     # watermark drop counts, 3 micro-batches
+    # round 13: q_stream_late_drop removed from the tail (present r12
+    # only) — its ~7.4 s is three availableNow micro-batch TRIGGERS of
+    # fixed streaming overhead, flat across SFs (SCALING_touched_r12),
+    # so it dilutes the tail's regression signal without measuring any
+    # data-dependent cost; same adjudication as the triangle keys above
 ]
 
 
@@ -218,6 +222,14 @@ def main() -> None:
     # mode is now recorded in the artifact so a comparison across
     # differently-moded records is mechanically detectable).
     timings, cold = time_set(HEADLINE)
+    # Interleaved calibration between the headline block and the extras
+    # tail (ADVICE r12 #5): the start→end drift gate only caught
+    # contention persisting into the END calibration — a co-tenant
+    # burst confined to mid-run, or an inflated START calibration
+    # followed by a quiet run, still read idle_box_valid=true. Gating
+    # on max/min across start/mid/end calibrations invalidates both
+    # directions of skew.
+    cpu_cal_s_mid = _cpu_cal()
     # Local idle-box variant (judge directive r8 #7): with
     # SPARK_GRAFT_FULL_EXTRAS=1 the extras tail covers EVERY registry
     # key outside the headline — the per-key anchors that adjudicate
@@ -243,6 +255,9 @@ def main() -> None:
     # DURING the measurement window.
     cpu_cal_s_end = _cpu_cal()
     cal_drift = round(cpu_cal_s_end / cpu_cal_s, 3) if cpu_cal_s else None
+    cals = [c for c in (cpu_cal_s, cpu_cal_s_mid, cpu_cal_s_end) if c]
+    cal_spread = round(max(cals) / min(cals), 3) if cals else None
+    idle_ok = load_start < 0.5 and (cal_spread is None or cal_spread < 1.1)
     print(
         json.dumps(
             {
@@ -256,15 +271,18 @@ def main() -> None:
                 "host_load_avg_1m": round(os.getloadavg()[0], 2),
                 "host_load_avg_1m_start": load_start,
                 "cpu_cal_s": cpu_cal_s,
+                "cpu_cal_s_mid": cpu_cal_s_mid,
                 "cpu_cal_s_end": cpu_cal_s_end,
                 "cal_drift": cal_drift,
+                "cal_spread": cal_spread,
                 # validity bit for idle-box anchor records: per-query
                 # numbers are only comparable ACROSS rounds when the box
                 # was quiet before the first query ran (BASELINE.md's
                 # matched-load discipline, made mechanical) AND stayed
-                # quiet through it (the end-calibration drift gate)
-                "idle_box_valid": load_start < 0.5
-                and (cal_drift is None or cal_drift < 1.1),
+                # quiet through it (max/min spread across the three
+                # interleaved calibrations — catches mid-run bursts and
+                # inflated-start skew the start→end drift missed)
+                "idle_box_valid": idle_ok,
                 "n_keys_timed": len(timings) + len(extra),
                 # measurement-mode stamp (judge directive r9 #2): the
                 # headline block is always timed first, before any
@@ -274,7 +292,7 @@ def main() -> None:
                 # can check like-for-like
                 "full_extras": full_extras,
                 "headline_timed_first": True,
-                "note": "per-query steady-state (best of 2); cold_first_run includes one-time codegen compile; extra_queries are round-2+ operators timed identically but excluded from the headline total for round-over-round comparability; host_load_avg_1m is the 1-minute load average at report time and _start before any query ran — the bench's own 32-core work raises the end value, so _start is the idle-box indicator; co-tenant load inflates every query uniformly (compare per-query RATIOS across rounds, not absolutes, when either is high); cpu_cal_s is a fixed single-thread md5 workload timed before any query — boots differ up to ~1.2× on identical code, so normalize cross-round ratios by cal_old/cal_new; cpu_cal_s_end repeats the calibration after the last query — cal_drift >= 1.1 means a co-tenant burst landed DURING the run (the r12 false-TRUE lesson) and invalidates the idle bit even when _start was quiet",
+                "note": "per-query steady-state (best of 2); cold_first_run includes one-time codegen compile; extra_queries are round-2+ operators timed identically but excluded from the headline total for round-over-round comparability; host_load_avg_1m is the 1-minute load average at report time and _start before any query ran — the bench's own 32-core work raises the end value, so _start is the idle-box indicator; co-tenant load inflates every query uniformly (compare per-query RATIOS across rounds, not absolutes, when either is high); cpu_cal_s is a fixed single-thread md5 workload timed before any query — boots differ up to ~1.2× on identical code, so normalize cross-round ratios by cal_old/cal_new; cpu_cal_s_end repeats the calibration after the last query and cpu_cal_s_mid between headline and extras — cal_spread (max/min over the three) >= 1.1 means a co-tenant burst landed DURING the run or the start calibration itself was inflated (ADVICE r12 #5), and invalidates the idle bit even when _start was quiet; q_stream_late_drop was dropped from the extras tail in r13 (fixed trigger overhead, flat across SFs — not a regression signal)",
             }
         )
     )
@@ -291,8 +309,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "host_load_avg_1m_start": load_start,
-                "idle_box_valid": load_start < 0.5
-                and (cal_drift is None or cal_drift < 1.1),
+                "idle_box_valid": idle_ok,
                 # cpu_cal_s must ride the compact line too: when the
                 # driver's tail window truncates the big diagnostic line
                 # above, bench_compare's boot-speed normalization would
@@ -300,6 +317,7 @@ def main() -> None:
                 "cpu_cal_s": cpu_cal_s,
                 "cpu_cal_s_end": cpu_cal_s_end,
                 "cal_drift": cal_drift,
+                "cal_spread": cal_spread,
             }
         )
     )

@@ -23,6 +23,7 @@ Scale shapes (the reference has no graph surface; this is engine-added):
 
 from __future__ import annotations
 
+import itertools
 from dataclasses import dataclass
 
 from pyspark.sql import functions as F
@@ -34,6 +35,10 @@ from data_ingestor_spark.ext.dedup import (
     q_dedup_minhash_pairs,
 )
 from data_ingestor_spark.plans.registry import load_table, query
+
+#: monotone per-process counter suffixing q_sql_graph_triangles' cached
+#: view names — interleaved callers in one session get disjoint names
+_SQL_TRI_TOKEN = itertools.count()
 
 #: shared oracle prefix: the verified near-dup pair graph, canonical
 #: (doc_a < doc_b) edges — the DuckDB twin of q_dedup_minhash_pairs
@@ -217,23 +222,26 @@ def q_sql_graph_triangles(spark, sf_dir):
         .repartition(spark.sparkContext.defaultParallelism)
     )
     d.createOrReplaceTempView("documents")
-    spark.sql("DROP VIEW IF EXISTS _sql_tri_pairs")
+    # per-call view-name token so interleaved callers in one session
+    # never collide on the cached relations (ADVICE r12 #3)
+    token = next(_SQL_TRI_TOKEN)
+    pairs_v = f"_sql_tri_pairs_{token}"
+    oriented_v = f"_sql_tri_oriented_{token}"
     spark.sql(
-        "CACHE TABLE _sql_tri_pairs AS "
+        f"CACHE TABLE {pairs_v} AS "
         + _MINHASH_PAIRS_SPARK_CTES
         + "SELECT doc_a, doc_b FROM pairs"
     )
     # second materialization, mirroring the DataFrame build's second
     # localCheckpoint: the oriented edge list feeds all three triangle
     # join branches
-    spark.sql("DROP VIEW IF EXISTS _sql_tri_oriented")
     spark.sql(
-        """
-        CACHE TABLE _sql_tri_oriented AS
+        f"""
+        CACHE TABLE {oriented_v} AS
         WITH sym AS (
-            SELECT doc_a AS v FROM _sql_tri_pairs
+            SELECT doc_a AS v FROM {pairs_v}
             UNION ALL
-            SELECT doc_b AS v FROM _sql_tri_pairs
+            SELECT doc_b AS v FROM {pairs_v}
         ), deg AS (
             SELECT v, COUNT(*) AS deg FROM sym GROUP BY v
         )
@@ -244,31 +252,42 @@ def q_sql_graph_triangles(spark, sf_dir):
             SELECT p.doc_a, p.doc_b, da.deg AS da, db.deg AS db,
                    (da.deg < db.deg
                     OR (da.deg = db.deg AND p.doc_a < p.doc_b)) AS a_first
-            FROM _sql_tri_pairs p
+            FROM {pairs_v} p
             JOIN deg da ON p.doc_a = da.v
             JOIN deg db ON p.doc_b = db.v
         )
         """
     )
-    return spark.sql(
-        """
-        WITH tri AS (
-            SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
-            FROM _sql_tri_oriented e1
-            JOIN _sql_tri_oriented e2
-              ON e1.src = e2.src
-             AND (e1.ddeg < e2.ddeg
-                  OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
-            JOIN _sql_tri_oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst
-        ), members AS (
-            SELECT a AS v FROM tri
-            UNION ALL SELECT b AS v FROM tri
-            UNION ALL SELECT c AS v FROM tri
-        )
-        SELECT v AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
-        FROM members GROUP BY v
-        """
-    )
+    try:
+        # materialize the (per-doc-sized) result eagerly so the cached
+        # relations can be dropped before returning — otherwise the two
+        # CACHE TABLEs (large at sf0.1) stay pinned in the session after
+        # the key completes (ADVICE r12 #3); localCheckpoint keeps the
+        # values bit-identical
+        result = spark.sql(
+            f"""
+            WITH tri AS (
+                SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                FROM {oriented_v} e1
+                JOIN {oriented_v} e2
+                  ON e1.src = e2.src
+                 AND (e1.ddeg < e2.ddeg
+                      OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+                JOIN {oriented_v} e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+            ), members AS (
+                SELECT a AS v FROM tri
+                UNION ALL SELECT b AS v FROM tri
+                UNION ALL SELECT c AS v FROM tri
+            )
+            SELECT v AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM members GROUP BY v
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        for v in (oriented_v, pairs_v):
+            spark.sql(f"UNCACHE TABLE IF EXISTS {v}")
+            spark.sql(f"DROP VIEW IF EXISTS {v}")
+    return result
 
 
 def triangle_counts(pairs, max_out_neighbors: int | None = None,

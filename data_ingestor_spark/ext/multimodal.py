@@ -87,13 +87,15 @@ def decode_ppm(payload: bytes) -> dict:
     # spec). Hardening (VERDICT r11 'What's wrong' #3): (a) the
     # separator byte must exist and BE whitespace — a maxval token
     # abutting EOF used to fall through to a misleading truncation
-    # message; (b) a '#' where the raster should start, combined with a
-    # remainder larger than the raster needs, is a comment line some
-    # writers emit between header and raster — stepping into it would
-    # mis-slice every pixel by a fixed offset and only fail the
-    # truncation check when the comment outruns the slack, so reject
-    # loudly. ('#' as the FIRST PIXEL of an exact-length raster is
-    # legitimate 0x23 sample data and still decodes.)
+    # message; (b) a '#' where the raster should start IS rejected when
+    # the bytes actually form a comment line (dropping a '#...\n' line
+    # still leaves a full raster) — stepping into it would mis-slice
+    # every pixel by a fixed offset and only fail the truncation check
+    # when the comment outruns the slack. ('#' as the FIRST PIXEL of a
+    # raster is legitimate 0x23 sample data and still decodes, even
+    # with benign trailing whitespace after the raster — some netpbm
+    # writers emit a final newline; ADVICE r12 #1 narrowed the old
+    # any-slack rejection to the two genuinely ambiguous shapes.)
     sep = payload[pos : pos + 1]
     if sep not in (b" ", b"\t", b"\r", b"\n"):
         raise ValueError(
@@ -102,11 +104,25 @@ def decode_ppm(payload: bytes) -> dict:
     pos += 1
     dtype = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
     need = width * height * channels * dtype.itemsize
-    if payload[pos : pos + 1] == b"#" and len(payload) - pos != need:
-        raise ValueError(
-            "ambiguous '#' at PPM raster start with trailing slack: comment "
-            "lines are not allowed between header and raster"
-        )
+    slack = len(payload) - pos - need
+    if payload[pos : pos + 1] == b"#" and slack > 0:
+        nl = payload.find(b"\n", pos)
+        if nl != -1 and len(payload) - (nl + 1) >= need:
+            # dropping the '#...\n' line leaves a complete raster: the
+            # bytes really do parse as a comment line, and decoding the
+            # comment as pixels would silently shift every sample
+            raise ValueError(
+                "comment lines are not allowed between PPM header and raster"
+            )
+        if payload[pos + need :].strip(b" \t\r\n\x0b\x0c"):
+            # '#' first sample + non-whitespace slack: neither a clean
+            # comment nor a raster with a benign trailing newline
+            raise ValueError(
+                "ambiguous '#' at PPM raster start with non-whitespace "
+                "trailing slack"
+            )
+        # else: exact raster starting with 0x23 plus trailing whitespace
+        # — pixel data; fall through and decode
     raster = payload[pos : pos + need]
     if len(raster) < need:
         raise ValueError(
@@ -168,7 +184,12 @@ def decode_image(payload: bytes) -> dict:
     'I;16' (maxval 65535), everything else (P/RGB/RGBA/CMYK/YCbCr/F)
     → 'RGB' (maxval 255) — so ``pixels`` is always real sample data in
     a known range. Exercised by the stubbed-PIL contract tests in
-    ``tests/test_multimodal_pil.py`` (no PIL in this container)."""
+    ``tests/test_multimodal_pil.py`` (no PIL in this container);
+    because real Pillow has rejected some convert targets in the past,
+    a convert failure falls back to ``np.asarray`` over the raw raster
+    with the itemsize maxval heuristic rather than quarantining the
+    row — a deployment against a real Pillow should re-verify the
+    canonical-mode table."""
     if payload[:2] in (b"P5", b"P6"):
         return decode_ppm(payload)
     try:
@@ -183,13 +204,24 @@ def decode_image(payload: bytes) -> dict:
 
     with Image.open(io.BytesIO(payload)) as img:
         mode = img.mode
-        if mode in ("1", "L", "LA"):
-            canonical, maxval = img.convert("L"), 255
-        elif mode in ("I", "I;16", "I;16B", "I;16L", "I;16N"):
-            canonical, maxval = img.convert("I;16"), 65535
-        else:
-            canonical, maxval = img.convert("RGB"), 255
-        arr = np.asarray(canonical)
+        try:
+            if mode in ("1", "L", "LA"):
+                canonical, maxval = img.convert("L"), 255
+            elif mode in ("I", "I;16", "I;16B", "I;16L", "I;16N"):
+                canonical, maxval = img.convert("I;16"), 65535
+            else:
+                canonical, maxval = img.convert("RGB"), 255
+            arr = np.asarray(canonical)
+        except (ValueError, OSError, NotImplementedError):
+            # Real Pillow has historically rejected some of these
+            # convert targets (I;16 byte-order variants, F→RGB) —
+            # verified here only against the stubbed-PIL contract tests,
+            # so a per-mode convert failure falls back to the raw raster
+            # with the pre-r11 itemsize heuristic instead of
+            # quarantining a decodable row (ADVICE r12 #2; the canonical
+            # modes above remain unverified against a real Pillow).
+            arr = np.asarray(img)
+            maxval = 65535 if arr.dtype.itemsize > 1 else 255
     if arr.ndim == 2:
         arr = arr[:, :, None]
     return {

@@ -679,11 +679,24 @@ def q_stream_late_drop(spark, sf_dir):
     split_root = scratch_dir(f"q_stream_late_src_{base}")
     in_dir = os.path.join(split_root, "in")
     marker = os.path.join(split_root, "_SPLIT_DONE")
-    src_tag = os.path.abspath(sf_dir)
+    # the marker records the source dir PLUS a cheap content
+    # fingerprint (file sizes + mtimes of the events parquet), so both
+    # a different dataset under the same basename AND a regenerated
+    # parquet at the SAME path rebuild the split instead of silently
+    # reusing stale batches (ADVICE r12 #4)
+    ev_path = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    fp_parts = []
+    if os.path.isdir(ev_path):
+        for root, _dirs, files in os.walk(ev_path):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                fp_parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(ev_path):
+        st = os.stat(ev_path)
+        fp_parts.append(f"{os.path.basename(ev_path)}:{st.st_size}:{st.st_mtime_ns}")
+    src_tag = os.path.abspath(sf_dir) + "|" + ";".join(fp_parts)
     # one-time deterministic 3-way split (event_id % 3), one FILE per
-    # batch so maxFilesPerTrigger=1 makes batch composition exact; the
-    # marker records the source dir so a different dataset with the
-    # same basename rebuilds instead of reusing stale files
+    # batch so maxFilesPerTrigger=1 makes batch composition exact
     if not (os.path.exists(marker) and open(marker).read() == src_tag):
         ev = normalize_event_ts(load_table(spark, sf_dir, "events")).select(
             "event_id", "event_type", "ts"

@@ -204,11 +204,20 @@ def test_ppm_separator_byte_hardening():
     # header is b"P6\n2 2\n255\n" (11 bytes); splice a comment line
     # between the separator and the raster
     bad = good[:11] + b"# injected comment\n" + good[11:]
-    with pytest.raises(ValueError, match="ambiguous '#'"):
+    with pytest.raises(ValueError, match="comment lines are not allowed"):
         decode_ppm(bad)
     # '#' as genuine first-pixel data (exact-length raster) decodes
     arr = np.full((2, 2, 3), 0x23, dtype=np.uint8)
     out = decode_ppm(encode_ppm(arr))
     assert (out["pixels"] == arr).all()
+    # ADVICE r12 #1: same '#'-leading raster with a benign trailing
+    # newline (some netpbm writers emit one) decodes instead of
+    # quarantining — whitespace slack is not a comment
+    out2 = decode_ppm(encode_ppm(arr) + b"\n")
+    assert (out2["pixels"] == arr).all()
+    # ... but non-whitespace slack after a '#'-leading raster stays
+    # rejected: neither a clean comment line nor raster+newline
+    with pytest.raises(ValueError, match="ambiguous '#'"):
+        decode_ppm(encode_ppm(arr) + b"junk")
     # the untouched payload still round-trips
     assert decode_ppm(good)["width"] == 2

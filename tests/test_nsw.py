@@ -131,3 +131,156 @@ def test_nsw_single_node_graph(spark, tmp_path):
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
     out = nsw_search(base, knn_graph(base), qv).collect()
     assert [(r["vec_id"], r["label"]) for r in out] == [(7, 1)]
+
+
+def _lvl_hash(i: int) -> int:
+    return int(hashlib.md5(f"lvl:{i}".encode()).hexdigest()[:8], 16)
+
+
+def _mirror_graph(rows, members, planes, k):
+    emb = {v: e for v, e, _l in rows if v in members}
+    buckets = {v: _bucket(e, planes) for v, e in emb.items()}
+    flips = [0] + [1 << p for p in range(planes)]
+    by_bucket: dict[int, list[int]] = {}
+    for v, b in buckets.items():
+        by_bucket.setdefault(b, []).append(v)
+    graph: dict[int, list[int]] = {}
+    for v, b in buckets.items():
+        cand = sorted(
+            {u for f in flips for u in by_bucket.get(b ^ f, []) if u != v},
+            key=lambda u: (-_cos(emb[v], emb[u]), u),
+        )
+        graph[v] = cand[:k]
+    return graph
+
+
+def _mirror_walk(graph, sims, entries, beam, rounds):
+    bm = list(entries)
+    visited: set[int] = set()
+    for _ in range(rounds):
+        cand = set(bm)
+        for v in bm:
+            cand.update(graph.get(v, []))
+        visited |= cand
+        bm = sorted(cand, key=lambda u: (-sims[u], u))[:beam]
+    return visited, bm
+
+
+def _mirror_hnsw(rows, qe, planes, k, beam, rounds, dbeam, drounds, mod, topk=10):
+    """HNSW mirror: md5 level layers, top-down greedy descent with
+    per-layer min-id fallback, descent beam seeds the base walk."""
+    base_ids = {v for v, _e, _l in rows if v != 0}
+    emb = {v: e for v, e, _l in rows}
+    labels = {v: l for v, _e, l in rows}
+    sims = {v: _cos(emb[v], qe) for v in base_ids}
+    ent: list[int] = []
+    for level in (2, 1):
+        layer = {v for v in base_ids if _lvl_hash(v) % (mod**level) == 0}
+        if not layer:
+            continue
+        g = _mirror_graph(rows, layer, planes, k)
+        start = ent if ent else [min(layer)]
+        _, ent = _mirror_walk(g, sims, start, dbeam, drounds)
+    e0 = ent if ent else [min(base_ids)]
+    g0 = _mirror_graph(rows, base_ids, planes, k)
+    visited, _ = _mirror_walk(g0, sims, e0, beam, rounds)
+    out = sorted(visited, key=lambda u: (-sims[u], u))[:topk]
+    return [(v, labels[v]) for v in out]
+
+
+@pytest.mark.parametrize("seed,n,dim", [(81, 60, 8), (82, 120, 16)])
+def test_hnsw_search_matches_mirror(spark, tmp_path, seed, n, dim):
+    """q_sim_ann_hnsw's walk == the pure-Python HNSW mirror on random
+    vector sets: pins the md5 level assignment, both upper-layer
+    graphs, the greedy descents (including per-layer fallbacks), and
+    the seeded base walk."""
+    from pyspark.sql import functions as F
+
+    from data_ingestor_spark.ext.similarity import (
+        _HNSW_DESC_BEAM,
+        _HNSW_DESC_ROUNDS,
+        _HNSW_LEVEL_MOD,
+        _LSH_PLANES,
+        _NSW_BEAM,
+        _NSW_K,
+        _NSW_ROUNDS,
+        hnsw_entry,
+        knn_graph,
+        load_vectors,
+        nsw_search,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = [(0, [float(x) for x in rng.normal(size=dim).astype(np.float32)], 0)]
+    for i in range(1, n + 1):
+        v = rng.normal(size=dim).astype(np.float32)
+        rows.append((i, [float(x) for x in v], int(i % 3)))
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    expected = _mirror_hnsw(
+        rows, rows[0][1], _LSH_PLANES, _NSW_K, _NSW_BEAM, _NSW_ROUNDS,
+        _HNSW_DESC_BEAM, _HNSW_DESC_ROUNDS, _HNSW_LEVEL_MOD,
+    )
+    e = load_vectors(spark, str(tmp_path))
+    base = e.filter(F.col("vec_id") != 0)
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
+    got = [
+        (r["vec_id"], r["label"])
+        for r in nsw_search(
+            base, knn_graph(base), qv, entry=hnsw_entry(base, qv)
+        ).collect()
+    ]
+    assert got == expected
+
+
+def test_hnsw_levels_nested():
+    """The md5 level draw nests by construction: membership at level 2
+    (hash % 16 == 0) implies membership at level 1 (hash % 4 == 0) —
+    the invariant the greedy descent relies on."""
+    from data_ingestor_spark.ext.similarity import _HNSW_LEVEL_MOD
+
+    mod = _HNSW_LEVEL_MOD
+    n1 = n2 = 0
+    for i in range(1, 4001):
+        h = _lvl_hash(i)
+        if h % mod**2 == 0:
+            assert h % mod == 0
+            n2 += 1
+        n1 += h % mod == 0
+    # the draw actually samples near its nominal rates
+    assert 0.15 < n1 / 4000 < 0.35
+    assert 0.02 < n2 / 4000 < 0.13
+
+
+def test_hnsw_empty_upper_layer_falls_back(spark, tmp_path):
+    """A corpus whose ids all miss the level-1 draw has EMPTY upper
+    layers: the descent returns nothing and hnsw_entry's fallback row
+    (min vec_id) makes the walk identical to flat nsw_search."""
+    from pyspark.sql import functions as F
+
+    from data_ingestor_spark.ext.similarity import (
+        _HNSW_LEVEL_MOD,
+        hnsw_entry,
+        knn_graph,
+        load_vectors,
+        nsw_search,
+    )
+
+    rng = np.random.default_rng(91)
+    ids = [i for i in range(1, 400) if _lvl_hash(i) % _HNSW_LEVEL_MOD != 0][:20]
+    rows = [(0, [float(x) for x in rng.normal(size=8).astype(np.float32)], 0)]
+    for i in ids:
+        rows.append((i, [float(x) for x in rng.normal(size=8).astype(np.float32)], int(i % 3)))
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    e = load_vectors(spark, str(tmp_path))
+    base = e.filter(F.col("vec_id") != 0)
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
+    ent = hnsw_entry(base, qv)
+    assert [r["vid"] for r in ent.collect()] == [min(ids)]
+    flat = nsw_search(base, knn_graph(base), qv).collect()
+    seeded = nsw_search(base, knn_graph(base), qv, entry=ent).collect()
+    assert [tuple(r) for r in seeded] == [tuple(r) for r in flat]

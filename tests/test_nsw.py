@@ -284,3 +284,47 @@ def test_hnsw_empty_upper_layer_falls_back(spark, tmp_path):
     flat = nsw_search(base, knn_graph(base), qv).collect()
     seeded = nsw_search(base, knn_graph(base), qv, entry=ent).collect()
     assert [tuple(r) for r in seeded] == [tuple(r) for r in flat]
+
+
+@pytest.mark.parametrize(
+    "seed,n,dim,split",
+    [
+        (101, 50, 8, "mod"),     # ~1/3 delta
+        (102, 40, 8, "empty"),   # empty delta: merge == existing graph
+        (103, 40, 8, "all"),     # all delta: merge == from-scratch build
+        (104, 80, 16, "mod"),
+    ],
+)
+def test_knn_graph_insert_equals_rebuild(spark, tmp_path, seed, n, dim, split):
+    """The incremental merge invariant, edge-for-edge: knn_graph_insert
+    (stored-top-K ∪ delta candidates, re-ranked) returns the IDENTICAL
+    edge set to a from-scratch knn_graph over base ∪ delta — including
+    the empty-delta and all-delta degenerate splits."""
+    from pyspark.sql import functions as F
+
+    from data_ingestor_spark.ext.similarity import (
+        knn_graph,
+        knn_graph_insert,
+        load_vectors,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = [(0, [float(x) for x in rng.normal(size=dim).astype(np.float32)], 0)]
+    for i in range(1, n + 1):
+        v = rng.normal(size=dim).astype(np.float32)
+        rows.append((i, [float(x) for x in v], int(i % 3)))
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    e = load_vectors(spark, str(tmp_path))
+    allv = e.filter(F.col("vec_id") != 0)
+    if split == "mod":
+        base = allv.filter(F.col("vec_id") % 3 != 1)
+        delta = allv.filter(F.col("vec_id") % 3 == 1)
+    elif split == "empty":
+        base, delta = allv, allv.filter(F.lit(False))
+    else:
+        base, delta = allv.filter(F.lit(False)), allv
+    merged = sorted(map(tuple, knn_graph_insert(base, delta).collect()))
+    scratch = sorted(map(tuple, knn_graph(allv).collect()))
+    assert merged == scratch

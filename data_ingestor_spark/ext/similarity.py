@@ -20,6 +20,8 @@ Scale design:
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from data_ingestor_spark.plans.registry import load_table, query
@@ -252,10 +254,9 @@ def _plane_component(p: int, j_expr: str) -> str:
     )
 
 
-def lsh_bucket(vec_col: str) -> Column:
-    """Random-hyperplane LSH bucket id (2^_LSH_PLANES buckets) for an
-    array<float> column.
-    Narrow map: one expression, no shuffle, no Python."""
+def _lsh_bucket_sql(vec_col: str) -> str:
+    """The LSH bucket id as a Spark-SQL expression string — shared by
+    the Column builder below and the SQL front-door texts."""
     bits = []
     for p in range(_LSH_PLANES):
         dot = (
@@ -264,7 +265,28 @@ def lsh_bucket(vec_col: str) -> Column:
             f" 0.0D, (acc, x) -> acc + x)"
         )
         bits.append(f"cast({dot} >= 0 as int) * {1 << p}")
-    return F.expr(" + ".join(bits))
+    return " + ".join(bits)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """Exact cosine similarity as a Spark-SQL expression string — the
+    textual twin of :func:`cosine` (same double casts, same
+    left-to-right accumulation, so values are bit-identical)."""
+    dot = (
+        f"aggregate(zip_with({a}, {b},"
+        " (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0.0D, (acc, v) -> acc + v)"
+    )
+    na = f"aggregate({a}, 0.0D, (acc, v) -> acc + cast(v as double) * cast(v as double))"
+    nb = f"aggregate({b}, 0.0D, (acc, v) -> acc + cast(v as double) * cast(v as double))"
+    return f"{dot} / (sqrt({na}) * sqrt({nb}))"
+
+
+def lsh_bucket(vec_col: str) -> Column:
+    """Random-hyperplane LSH bucket id (2^_LSH_PLANES buckets) for an
+    array<float> column.
+    Narrow map: one expression, no shuffle, no Python."""
+    return F.expr(_lsh_bucket_sql(vec_col))
 
 
 def _plane_component_duck(p: int, j_expr: str) -> str:
@@ -1009,6 +1031,102 @@ def q_sim_ann_nsw_insert(spark, sf_dir):
         F.min("dst").alias("dst_min"),
         F.max("dst").alias("dst_max"),
     )
+
+
+#: per-process counter suffixing q_sql_ann_nsw's cached view names, so
+#: interleaved callers in one session never collide (the
+#: q_sql_graph_triangles discipline, ADVICE r12 #3)
+_SQL_NSW_TOKEN = itertools.count()
+
+
+@query(
+    "q_sql_ann_nsw",
+    oracle=_nsw_oracle_ctes()
+    + """
+    SELECT a.vec_id, a.label, a.cos_sim
+    FROM visited v JOIN allsims a ON a.vec_id = v.vid
+    ORDER BY a.cos_sim DESC, a.vec_id LIMIT 10
+    """,
+    tags=("sql", "similarity", "ann", "nsw", "graph"),
+)
+def q_sql_ann_nsw(spark, sf_dir):
+    """The NSW beam walk through the SQL FRONT DOOR (VERDICT r12
+    directive #7): the oracle's unrolled-CTE formulation ported to
+    Spark SQL over a registered embeddings view — graph build
+    (bucket + Hamming-1 candidates + per-src top-K rank), query-vs-
+    node scoring, and one cand/beam CTE pair per hop, all as SQL
+    texts carrying the same banded plan as the DataFrame twin
+    (q_sim_ann_nsw; hash-identical output at sf0.1,
+    INVARIANCE_touched_r13). The graph and the scored-nodes relation
+    feed every hop, so they are materialized once with SQL's own
+    ``CACHE TABLE`` — the front-door twin of the DataFrame build's
+    localCheckpoints (the q_sql_graph_triangles discipline) — then
+    UNCACHEd after the (10-row) result is eagerly materialized, so
+    nothing stays pinned in the session. Same oracle as
+    q_sim_ann_nsw."""
+    load_vectors(spark, sf_dir).createOrReplaceTempView("embeddings")
+    tok = next(_SQL_NSW_TOKEN)
+    g_v = f"_sql_nsw_graph_{tok}"
+    a_v = f"_sql_nsw_allsims_{tok}"
+    flips = "".join(f", bucket ^ {1 << p}" for p in range(_LSH_PLANES))
+    spark.sql(
+        f"""
+        CACHE TABLE {g_v} AS
+        WITH b AS (
+            SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+            FROM embeddings WHERE vec_id <> 0
+        ), probes AS (
+            SELECT vec_id AS src, embedding AS se,
+                   explode(array(bucket{flips})) AS pb
+            FROM b
+        ), esim AS (
+            SELECT p.src, v.vec_id AS dst,
+                   {_cosine_sql('p.se', 'v.embedding')} AS sim
+            FROM probes p JOIN b v ON v.bucket = p.pb AND v.vec_id <> p.src
+        )
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn
+            FROM esim
+        ) WHERE rn <= {_NSW_K}
+        """
+    )
+    spark.sql(
+        f"""
+        CACHE TABLE {a_v} AS
+        SELECT b.vec_id, b.label, {_cosine_sql('b.embedding', 'q.qe')} AS cos_sim
+        FROM (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> 0) b
+        CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+        """
+    )
+    walk = f"""
+        WITH beam0 AS (
+            SELECT MIN(vec_id) AS vid FROM {a_v}
+        )"""
+    for r in range(1, _NSW_ROUNDS + 1):
+        walk += f""", cand{r} AS (
+            SELECT dst AS vid FROM {g_v} g JOIN beam{r - 1} ON g.src = beam{r - 1}.vid
+            UNION
+            SELECT vid FROM beam{r - 1}
+        ), beam{r} AS (
+            SELECT c.vid FROM cand{r} c JOIN {a_v} a ON a.vec_id = c.vid
+            ORDER BY a.cos_sim DESC, c.vid LIMIT {_NSW_BEAM}
+        )"""
+    unions = " UNION ".join(f"SELECT vid FROM cand{r}" for r in range(1, _NSW_ROUNDS + 1))
+    walk += f""", visited AS (
+            {unions}
+        )
+        SELECT a.vec_id, a.label, a.cos_sim
+        FROM visited v JOIN {a_v} a ON a.vec_id = v.vid
+        ORDER BY a.cos_sim DESC, a.vec_id LIMIT 10
+    """
+    try:
+        result = spark.sql(walk).localCheckpoint(eager=True)
+    finally:
+        for v in (g_v, a_v):
+            spark.sql(f"UNCACHE TABLE IF EXISTS {v}")
+            spark.sql(f"DROP VIEW IF EXISTS {v}")
+    return result
 
 
 def label_centroids(vectors: DataFrame, label_col: str = "label") -> DataFrame:

@@ -58,6 +58,13 @@ def audit_plan(plan: str) -> dict:
         # an empty PushedFilters on an unfiltered side must not mask it
         "pushed_filters": plan.count("PushedFilters: [")
         > plan.count("PushedFilters: []"),
+        # scans over hive-partitioned layouts whose directory-level
+        # filter is non-empty (VERDICT r12 directive #4: record the
+        # partition-pruning evidence registry-wide, not just in the
+        # hand-checked keys)
+        "partition_filtered_scans": plan.count("PartitionFilters: [")
+        - plan.count("PartitionFilters: []"),
+        "dpp_filters": plan.count("dynamicpruning#"),
         "cartesian": len(re.findall(r"\(\d+\) CartesianProduct", plan)),
         # Arrow-batched pandas evals are fine; BatchEvalPython (row-at-a-
         # time Python UDF) is the slow path that must never appear.

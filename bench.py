@@ -144,6 +144,12 @@ EXTRA = [
     # fixed streaming overhead, flat across SFs (SCALING_touched_r12),
     # so it dilutes the tail's regression signal without measuring any
     # data-dependent cost; same adjudication as the triangle keys above
+    "q_sim_ann_ivf_pruned",   # cell-partitioned write + pruned probe
+    # the other r13 graph-ANN keys (hnsw, nsw_insert, sql_ann_nsw) are
+    # excluded like their q_sim_ann_nsw sibling: each is dominated by
+    # the same ~24 s sf0.1 kNN-graph build (LSH_PLANES_r13.json), which
+    # would triple the tail's wall-clock re-measuring one already-
+    # artifacted cost
 ]
 
 

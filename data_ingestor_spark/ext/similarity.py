@@ -635,6 +635,42 @@ def knn_graph_insert(base: DataFrame, delta: DataFrame, k: int = _NSW_K) -> Data
     return _topk_edges(merged, k, with_sim=False)
 
 
+def knn_graph_compact(
+    base: DataFrame, tombstones: DataFrame, k: int = _NSW_K
+) -> DataFrame:
+    """Incremental kNN-graph COMPACTION under a tombstone batch — the
+    graph-family twin of :func:`ivf_compact`: tombstoned SOURCES drop
+    with their edge lists; surviving sources that never pointed at a
+    tombstone keep their stored edges UNTOUCHED (exact: removing
+    elements that were not in a node's top-K cannot change its top-K);
+    only the AFFECTED sources — those with at least one edge into the
+    tombstone set — re-probe their bucket neighborhood against the
+    survivors. The repaired graph is therefore BIT-IDENTICAL to a
+    from-scratch knn_graph over the survivors, at the cost of
+    re-scoring only the affected rim (≤ tombstone-degree-sum nodes,
+    banded), not the corpus. This is the background repair an HNSW
+    store runs after enough mark-deleted tombstones accumulate
+    (q_sim_ann_nsw_delete is the query-time view it replaces)."""
+    g = knn_graph(base, k, with_sim=True)
+    t_src = tombstones.select(F.col("vec_id").alias("src"))
+    t_dst = tombstones.select(F.col("vec_id").alias("dst"))
+    live_src = g.join(F.broadcast(t_src), "src", "left_anti")
+    affected = (
+        live_src.join(F.broadcast(t_dst), "dst", "left_semi")
+        .select("src")
+        .distinct()
+    )
+    kept = live_src.join(affected, "src", "left_anti").select("src", "dst")
+    survivors = base.join(F.broadcast(tombstones.select("vec_id")), "vec_id", "left_anti")
+    affected_nodes = survivors.join(
+        affected.withColumnRenamed("src", "vec_id"), "vec_id", "left_semi"
+    )
+    repaired = _topk_edges(
+        _bucket_probe_scores(affected_nodes, survivors), k, with_sim=False
+    )
+    return kept.unionByName(repaired)
+
+
 def nsw_search(
     base: DataFrame,
     graph: DataFrame,
@@ -643,6 +679,7 @@ def nsw_search(
     rounds: int = _NSW_ROUNDS,
     k: int = 10,
     entry: DataFrame | None = None,
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Beam search over the kNN graph from a deterministic entry point
     (the minimum vec_id, or the caller-supplied ``entry`` frame of
@@ -656,7 +693,11 @@ def nsw_search(
     property that makes graph ANN the latency king at production
     scale. Fully deterministic (md5 hyperplanes, id tie-breaks), so
     the DuckDB oracle replays the identical walk. NULL ``vid`` rows in
-    ``entry`` are inert (they join to nothing and never score)."""
+    ``entry`` are inert (they join to nothing and never score).
+    ``exclude`` (a ``vec_id`` frame) filters the RESULT set only — the
+    walk still routes THROUGH excluded nodes, which is HNSW's
+    mark-deleted semantics: tombstoned nodes keep their connectivity
+    role until compaction, they just can't be answers."""
     graph = graph.localCheckpoint(eager=True)
     beam_df = (
         entry.select("vid")
@@ -681,9 +722,15 @@ def nsw_search(
         beam_df = (
             scored.orderBy(F.col("cos_sim").desc(), "vid").limit(beam).select("vid")
         )
+    visited = visited.dropDuplicates(["vid"])
+    if exclude is not None:
+        visited = visited.join(
+            F.broadcast(exclude.select(F.col("vec_id").alias("vid"))),
+            "vid",
+            "left_anti",
+        )
     return (
-        visited.dropDuplicates(["vid"])
-        .orderBy(F.col("cos_sim").desc(), "vid")
+        visited.orderBy(F.col("cos_sim").desc(), "vid")
         .limit(k)
         .select(F.col("vid").alias("vec_id"), "label", "cos_sim")
     )
@@ -786,17 +833,26 @@ def _empty_fallback(ent: DataFrame, pool: DataFrame) -> DataFrame:
     return ent.unionByName(fb)
 
 
-def hnsw_entry(base: DataFrame, qv: DataFrame, max_level: int = _HNSW_MAX_LEVEL) -> DataFrame:
+def hnsw_entry(
+    base: DataFrame,
+    qv: DataFrame,
+    max_level: int = _HNSW_MAX_LEVEL,
+    graph_fn=None,
+) -> DataFrame:
     """The HNSW hierarchy walk: descend the sampled upper layers from
     the TOP layer's min-vec_id start, each layer's final beam seeding
     the next layer's walk (with a min-of-this-layer fallback row when
     the beam arrives empty — nested layers can be empty at tiny
-    corpus sizes), and return the layer-0 entry set."""
+    corpus sizes), and return the layer-0 entry set. ``graph_fn``
+    overrides how each layer's graph is built (default
+    :func:`knn_graph`) — the insert view passes an incremental-merge
+    builder so the hierarchy is maintained, not rebuilt."""
+    build = graph_fn or knn_graph
     ent: DataFrame | None = None
     for level in range(max_level, 0, -1):
         layer = base.filter(hnsw_level_member(level))
         start = None if ent is None else _empty_fallback(ent, layer)
-        ent = nsw_descend(layer, knn_graph(layer), qv, entry=start)
+        ent = nsw_descend(layer, build(layer), qv, entry=start)
     return _empty_fallback(ent, base)
 
 
@@ -1252,6 +1308,124 @@ def q_sql_ann_nsw(spark, sf_dir):
             spark.sql(f"UNCACHE TABLE IF EXISTS {v}")
             spark.sql(f"DROP VIEW IF EXISTS {v}")
     return result
+
+
+@query(
+    "q_sim_ann_nsw_delete",
+    oracle=_nsw_oracle_ctes()
+    + """
+    SELECT a.vec_id, a.label, a.cos_sim
+    FROM visited v JOIN allsims a ON a.vec_id = v.vid
+    WHERE a.vec_id % 7 <> 3
+    ORDER BY a.cos_sim DESC, a.vec_id LIMIT 10
+    """,
+    tags=("similarity", "ann", "nsw", "graph", "delete"),
+)
+def q_sim_ann_nsw_delete(spark, sf_dir):
+    """Graph ANN under index DELETION — the mark-deleted view HNSW
+    stores actually serve (FAISS IDSelector / Milvus bitset): the
+    ~14% tombstone batch (vec_id % 7 == 3, the IVF-delete split) is
+    excluded from the RESULT SET only, while the walk keeps ROUTING
+    THROUGH tombstoned nodes — dropping their edges too would sever
+    the graph's connectivity long before compaction repairs it, which
+    is precisely why production HNSW keeps deleted nodes as routing
+    waypoints. The oracle replays the identical full-graph walk and
+    applies the same result filter, so a hash-pass pins that the
+    tombstone view changes WHICH nodes can answer but not where the
+    walk goes. Scale: the filter is one broadcast anti-join on the
+    visited set (≤ rounds·beam·K rows), nothing index-sized. The
+    physical repair that removes the tombstones from the edge lists
+    is q_sim_ann_nsw_compact."""
+    e = load_vectors(spark, sf_dir)
+    base = e.filter(F.col("vec_id") != 0)
+    tomb = base.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
+    return nsw_search(base, knn_graph(base), qv, exclude=tomb)
+
+
+@query(
+    "q_sim_ann_nsw_compact",
+    oracle=f"""
+    WITH b AS MATERIALIZED (
+        SELECT vec_id, label, embedding, {{bucket}} AS bucket
+        FROM embeddings WHERE vec_id <> 0 AND vec_id % 7 <> 3
+    ){{graph_block}}
+    SELECT src,
+           CAST(COUNT(*) AS BIGINT) AS degree,
+           CAST(SUM(dst) AS BIGINT) AS dst_sum,
+           MIN(dst) AS dst_min,
+           MAX(dst) AS dst_max
+    FROM graph GROUP BY src
+    """.format(
+        bucket=_lsh_bucket_duck("embedding"),
+        graph_block=_graph_cte_block("", "b"),
+    ),
+    tags=("similarity", "ann", "nsw", "graph", "compact"),
+)
+def q_sim_ann_nsw_compact(spark, sf_dir):
+    """Graph-index COMPACTION, proven on the WHOLE repaired graph:
+    knn_graph_compact drops tombstoned sources, keeps every
+    unaffected survivor's stored edge list untouched (exact — a
+    tombstone that was never in a node's top-K cannot change it), and
+    re-probes only the AFFECTED rim (sources with an edge into the
+    tombstone set) against the survivors. The key returns the per-src
+    integer summary of every edge list (the q_sim_ann_nsw_insert
+    discipline) against an oracle that builds the survivor graph FROM
+    SCRATCH — a hash-pass proves incremental repair ends exactly
+    where a full rebuild would, the invariant that makes background
+    compaction deployable for the graph family (IVF:
+    q_sim_ann_ivf_compact; BM25: q_text_bm25_compact). Scale: repair
+    work is rim-sized (≤ Σ tombstone in-degree nodes re-probed,
+    banded), never corpus-sized."""
+    e = load_vectors(spark, sf_dir)
+    base = e.filter(F.col("vec_id") != 0)
+    tomb = base.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    g = knn_graph_compact(base, tomb)
+    return g.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("degree"),
+        F.sum("dst").cast("long").alias("dst_sum"),
+        F.min("dst").alias("dst_min"),
+        F.max("dst").alias("dst_max"),
+    )
+
+
+@query(
+    "q_sim_ann_hnsw_insert",
+    oracle=_hnsw_oracle_ctes()
+    + """
+    SELECT a.vec_id, a.label, a.cos_sim
+    FROM visited v JOIN allsims a ON a.vec_id = v.vid
+    ORDER BY a.cos_sim DESC, a.vec_id LIMIT 10
+    """,
+    tags=("similarity", "ann", "nsw", "hnsw", "graph", "insert"),
+)
+def q_sim_ann_hnsw_insert(spark, sf_dir):
+    """The MAINTAINED hierarchy: the ~20% arriving batch is merged
+    incrementally into EVERY layer of the HNSW index — each arriving
+    vector's md5 level draw decides which layer graphs it enters, and
+    each layer merges via knn_graph_insert (stored top-K ∪ batch
+    candidates, re-ranked; base×base work never repeated) — then the
+    standard descent + seeded base walk runs over the merged
+    hierarchy. The oracle builds the whole hierarchy FROM SCRATCH
+    over base ∪ delta (q_sim_ann_hnsw's oracle verbatim), so the
+    hash-pass proves per-layer incremental maintenance composes with
+    the descent: an ingesting HNSW store answers exactly like a
+    rebuilt one. Scale: per-layer merge work is that layer's share of
+    the batch ((1/4)^level of it), so maintaining the hierarchy costs
+    ~1.33× the base-graph merge — the geometric-series argument that
+    makes HNSW ingest cheap."""
+    e = load_vectors(spark, sf_dir)
+    allv = e.filter(F.col("vec_id") != 0)
+    is_delta = F.col("vec_id") % 5 == 2
+    base = allv.filter(~is_delta)
+    delta = allv.filter(is_delta)
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
+    merge = lambda layer: knn_graph_insert(  # noqa: E731
+        layer.filter(~is_delta), layer.filter(is_delta)
+    )
+    g0 = knn_graph_insert(base, delta)
+    ent = hnsw_entry(allv, qv, graph_fn=merge)
+    return nsw_search(allv, g0, qv, entry=ent)
 
 
 def label_centroids(vectors: DataFrame, label_col: str = "label") -> DataFrame:

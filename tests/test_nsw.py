@@ -383,3 +383,47 @@ def test_knn_graph_auto_matches_explicit(spark, tmp_path):
     auto = sorted(map(tuple, knn_graph_auto(base).collect()))
     explicit = sorted(map(tuple, knn_graph(base, planes=plan.planes).collect()))
     assert auto == explicit
+
+
+@pytest.mark.parametrize(
+    "seed,n,dim,tomb",
+    [
+        (121, 50, 8, "mod"),    # ~1/4 tombstoned
+        (122, 40, 8, "none"),   # no tombstones: repair is a no-op
+        (123, 40, 8, "all"),    # everything tombstoned: empty graph
+        (124, 80, 16, "mod"),
+    ],
+)
+def test_knn_graph_compact_equals_rebuild(spark, tmp_path, seed, n, dim, tomb):
+    """The incremental repair invariant, edge-for-edge: dropping
+    tombstoned sources, keeping unaffected survivors' edges, and
+    re-probing only the affected rim returns the IDENTICAL edge set
+    to a from-scratch knn_graph over the survivors — including the
+    no-tombstone and all-tombstone degenerate batches."""
+    from pyspark.sql import functions as F
+
+    from data_ingestor_spark.ext.similarity import (
+        knn_graph,
+        knn_graph_compact,
+        load_vectors,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = [(0, [float(x) for x in rng.normal(size=dim).astype(np.float32)], 0)]
+    for i in range(1, n + 1):
+        v = rng.normal(size=dim).astype(np.float32)
+        rows.append((i, [float(x) for x in v], int(i % 3)))
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    allv = load_vectors(spark, str(tmp_path)).filter(F.col("vec_id") != 0)
+    if tomb == "mod":
+        tombs = allv.filter(F.col("vec_id") % 4 == 1).select("vec_id")
+    elif tomb == "none":
+        tombs = allv.filter(F.lit(False)).select("vec_id")
+    else:
+        tombs = allv.select("vec_id")
+    survivors = allv.join(tombs, "vec_id", "left_anti")
+    repaired = sorted(map(tuple, knn_graph_compact(allv, tombs).collect()))
+    scratch = sorted(map(tuple, knn_graph(survivors).collect()))
+    assert repaired == scratch

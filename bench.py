@@ -150,6 +150,8 @@ EXTRA = [
     # the same ~24 s sf0.1 kNN-graph build (LSH_PLANES_r13.json), which
     # would triple the tail's wall-clock re-measuring one already-
     # artifacted cost
+    "q_dedup_lines",          # C4-style keep-first segment rewrite
+    "q_sim_ann_ivfpq_pruned",  # stored PQ codes + pruned ADC lookup scan
 ]
 
 

@@ -1883,3 +1883,120 @@ def q_dedup_containment_recall(spark, sf_dir):
             "recall_bp"
         ),
     )
+
+
+# --- line-level (segment) dedup: the C4/RefinedWeb corpus rewrite ----------
+
+#: tokens per pseudo-line segment for q_dedup_lines. The synthetic
+#: documents table is single-line word soup (no newlines, no sentence
+#: punctuation), so deterministic fixed-width token spans stand in for
+#: the newline/sentence segments C4 and RefinedWeb split on; the
+#: pipeline mechanics (explode -> hash -> global keep-first ->
+#: positional reassembly) are identical, only the segmenter differs.
+LINE_SPAN = 8
+
+
+@query(
+    "q_dedup_lines",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), segl AS (
+        SELECT doc_id,
+               list_transform(range(1, LEN(t) + 1, {LINE_SPAN}),
+                              i -> array_to_string(list_slice(t, i, i + {LINE_SPAN - 1}), ' ')) AS sl
+        FROM toks
+    ), segs AS (
+        SELECT doc_id,
+               generate_subscripts(sl, 1) AS pos,
+               unnest(sl) AS seg
+        FROM segl
+    ), ranked AS (
+        SELECT doc_id, pos, seg,
+               ROW_NUMBER() OVER (PARTITION BY md5(seg) ORDER BY doc_id, pos) AS rn
+        FROM segs
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(COALESCE(array_to_string(list(seg ORDER BY pos) FILTER (WHERE rn = 1), ' '), ''))
+               AS kept_md5
+    FROM ranked
+    GROUP BY doc_id
+    """,
+    tags=("dedup", "lines", "text", "training"),
+)
+def q_dedup_lines(spark, sf_dir):
+    """Cross-document line-level dedup — the corpus REWRITE that C4
+    (Raffel et al. 2020: discard repeated three-sentence spans) and
+    RefinedWeb (Penedo et al. 2023: drop duplicated lines, keep the
+    rest of the page) apply after document-level dedup: instead of
+    dropping whole near-dup documents, every repeated SEGMENT keeps
+    exactly its first occurrence (global (doc_id, pos) order) and all
+    later instances — boilerplate headers, license blocks, navigation
+    chrome — are cut, then each document is reassembled from its
+    surviving segments in original position order. Output per doc:
+    segment count, survivor count, and the md5 of the reassembled
+    text (the hash travels instead of the rewritten text so the
+    oracle checks the ENTIRE rewritten corpus byte-for-byte, the
+    q_text_scrub discipline).
+
+    Within-doc repeats also collapse to the first instance — the
+    uniform keep-first rule keeps the operator a single global
+    contract (C4's "all but one of any span occurring more than
+    once") rather than a per-doc special case.
+
+    Scale: segmentation is a narrow map (ceil(len/span) segments per
+    doc — linear in corpus bytes, like q_dedup_substring's windows but
+    non-overlapping so ~span x fewer rows); keep-first is ONE
+    hash-partitioned groupBy computing min(struct(doc_id, pos)) per
+    segment hash (map-side partial min, so a segment duplicated a
+    million times still sends one row per map partition — no skewed
+    reduce), joined back 1:1 on the hash (the firsts side is distinct
+    by construction, so no multiplicity blowup on hot segments);
+    reassembly is a per-doc groupBy whose collect_list is bounded by
+    the document's own segment count. No all-pairs stage anywhere —
+    at 100 TB this is two shuffles over linear-size relations."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return line_dedup(docs)
+
+
+def line_dedup(docs: DataFrame, span: int = LINE_SPAN, text_col: str = "text") -> DataFrame:
+    """Global keep-first segment dedup + positional reassembly — the
+    reusable core of :func:`q_dedup_lines` (see its docstring for
+    semantics, citations and the scale argument); the subject of the
+    pure-Python mirror property test in ``tests/test_dedup_lines.py``.
+    Segments are non-overlapping ``span``-token spans of the space
+    split (trailing partial span kept); an instance (doc, pos) of a
+    segment survives iff it is the lexicographically smallest
+    (doc_id, pos) carrying that segment's md5."""
+    toks = docs.select("doc_id", F.split(F.col(text_col), " ").alias("t"))
+    segs = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(t), {span}),"
+                f" i -> array_join(slice(t, i, {span}), ' '))"
+            )
+        ).alias("pos", "seg"),
+    ).withColumn("h", F.md5("seg"))
+    firsts = segs.groupBy("h").agg(F.min(F.struct("doc_id", "pos")).alias("first"))
+    flagged = segs.join(firsts, "h").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("first.doc_id")) & (F.col("pos") == F.col("first.pos")),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(CASE WHEN keep THEN struct(pos, seg) END)),"
+                    " x -> x.seg)"
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )

@@ -2446,16 +2446,14 @@ def ivfpq_adc_scores(e: DataFrame) -> DataFrame:
     return ivfpq_adc_scores_multiprobe(e, probes=1, m=_PQ_M)
 
 
-def _ivfpq_adc_scores_impl(e: DataFrame, probes: int, m: int) -> DataFrame:
-    base = e.filter(F.col("vec_id") != 0)
-    cents = label_centroids(base).select(
-        "label", F.col("centroid").cast("array<float>").alias("cent")
-    )
-    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
-    # probed cells: nearest centroids by cosine (tie -> smallest label),
-    # carrying the query RESIDUAL vs each cell's centroid — one tiny
-    # broadcast relation, exactly q_sim_ann_ivf's probe plus one zip_with
-    best = (
+def _ivfpq_probe_cells(cents: DataFrame, qv: DataFrame, probes: int) -> DataFrame:
+    """Probed cells: nearest centroids by cosine (tie -> smallest
+    label), carrying the query RESIDUAL vs each cell's centroid — one
+    tiny broadcast relation, exactly q_sim_ann_ivf's probe plus one
+    zip_with. Shared by :func:`_ivfpq_adc_scores_impl` and the
+    partition-pruned serving key q_sim_ann_ivfpq_pruned (the best_cells
+    extraction discipline, VERDICT r12 directive #6)."""
+    return (
         F.broadcast(cents)
         .crossJoin(F.broadcast(qv))
         .select(
@@ -2473,11 +2471,15 @@ def _ivfpq_adc_scores_impl(e: DataFrame, probes: int, m: int) -> DataFrame:
             ).alias("_rq"),
         )
     )
-    # residuals: x - cell_centroid, exact doubles (float minus float in
-    # double is exact); codebook-training bucket is a deterministic md5
-    # map of vec_id (one Lloyd assignment step, engine-portable — the
-    # q_sample_hash discipline), NOT rand()
-    resid = base.join(F.broadcast(cents), "label").select(
+
+
+def _ivfpq_residuals(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Residuals: x - cell_centroid, exact doubles (float minus float
+    in double is exact); codebook-training bucket is a deterministic
+    md5 map of vec_id (one Lloyd assignment step, engine-portable —
+    the q_sample_hash discipline), NOT rand(). Shared by the fused
+    search and the pruned serving layout's encode pass."""
+    return base.join(F.broadcast(cents), "label").select(
         "vec_id",
         "label",
         F.expr(
@@ -2488,15 +2490,18 @@ def _ivfpq_adc_scores_impl(e: DataFrame, probes: int, m: int) -> DataFrame:
             f" as bigint), {_IVFPQ_K})"
         ).alias("bkt"),
     )
-    # global residual codebook (FAISS-style: shared across cells): one
-    # posexplode rollup to 8 x d means, float32 cast absorbs double-sum
-    # association differences, folded to ONE broadcast row
+
+
+def _ivfpq_codebook(resid: DataFrame) -> DataFrame:
+    """Global residual codebook (FAISS-style: shared across cells): one
+    posexplode rollup to 8 x d means, float32 cast absorbs double-sum
+    association differences, folded to ONE broadcast row ``cbs``."""
     cbm = (
         resid.select("bkt", F.posexplode("r").alias("pos", "val"))
         .groupBy("bkt", "pos")
         .agg(F.avg("val").alias("m"))
     )
-    cb = (
+    return (
         cbm.groupBy("bkt")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select(
@@ -2510,6 +2515,17 @@ def _ivfpq_adc_scores_impl(e: DataFrame, probes: int, m: int) -> DataFrame:
             ).alias("cbs")
         )
     )
+
+
+def _ivfpq_adc_scores_impl(e: DataFrame, probes: int, m: int) -> DataFrame:
+    base = e.filter(F.col("vec_id") != 0)
+    cents = label_centroids(base).select(
+        "label", F.col("centroid").cast("array<float>").alias("cent")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
+    best = _ivfpq_probe_cells(cents, qv, probes)
+    resid = _ivfpq_residuals(base, cents)
+    cb = _ivfpq_codebook(resid)
     cand = resid.join(
         F.broadcast(best), F.col("label") == F.col("_qlabel")
     ).crossJoin(F.broadcast(cb))
@@ -2519,18 +2535,20 @@ def _ivfpq_adc_scores_impl(e: DataFrame, probes: int, m: int) -> DataFrame:
     )
 
 
-def _ws_guard_expr(m: int) -> str:
-    """Subspace width over column ``r``, with the standard PQ
-    requirement enforced in-plan: dim % m != 0 raises instead of
-    silently truncating the trailing components out of every distance
-    (ADVICE r10). Projected ONCE per row as ``_ws`` — interpolating
-    this CASE into every slice bound evaluated it ~4m times per row
-    and cost the IVFPQ family 15-60% (AB_r11 found it; the projected
-    form restores the plain-width plan's cost with the guard kept)."""
+def _ws_guard_expr(m: int, col: str = "r") -> str:
+    """Subspace width over column ``col`` (default the data residual
+    ``r``; the pruned serving key passes the query residual ``_rq``),
+    with the standard PQ requirement enforced in-plan: dim % m != 0
+    raises instead of silently truncating the trailing components out
+    of every distance (ADVICE r10). Projected ONCE per row as ``_ws``
+    — interpolating this CASE into every slice bound evaluated it ~4m
+    times per row and cost the IVFPQ family 15-60% (AB_r11 found it;
+    the projected form restores the plain-width plan's cost with the
+    guard kept)."""
     return (
-        f"(CASE WHEN size(r) % {m} = 0 THEN size(r) div {m} "
+        f"(CASE WHEN size({col}) % {m} = 0 THEN size({col}) div {m} "
         f"ELSE cast(raise_error('PQ requires m to divide the vector "
-        f"dimension: dim=' || size(r) || ', m={m}') as int) END)"
+        f"dimension: dim=' || size({col}) || ', m={m}') as int) END)"
     )
 
 
@@ -2559,6 +2577,57 @@ def _adc_sum_expr(m: int) -> str:
             f" named_struct('d', {d}, 'b', e.b, 'qd', {qd}), acc)).qd"
         )
     return " + ".join(f"({t})" for t in terms)
+
+
+def _pq_codes_expr(m: int) -> str:
+    """The ENCODE half of :func:`_adc_sum_expr`'s fused encode+lookup,
+    emitted as the ``array<bigint>`` of per-subspace codes a serving
+    layout STORES per vector (m small integers — the whole point of
+    PQ's bytes-per-vector compression). Same argmin, same tie rule
+    (ascending bucket order in ``cbs``, strict ``<`` keeps the
+    smallest — the oracle's ROW_NUMBER ... ORDER BY d2i, cb_bkt), so
+    stored codes are bit-identical to the fused path's implicit ones.
+    Operates over columns ``r``/``cbs``/``_ws``."""
+    ws = "_ws"
+    codes = []
+    for s in range(m):
+        d = _pq_d2i(f"slice(r, {s} * {ws} + 1, {ws})", f"slice(e.rc, {s} * {ws} + 1, {ws})")
+        codes.append(
+            "aggregate(cbs,"
+            " named_struct('d', cast(9223372036854775807 as bigint), 'b', cast(-1 as bigint)),"
+            f" (acc, e) -> IF({d} < acc.d, named_struct('d', {d}, 'b', e.b), acc)).b"
+        )
+    return "array(" + ", ".join(codes) + ")"
+
+
+def _pq_qtab_expr(m: int, k: int) -> str:
+    """The query-side ADC distance table over ``_rq``/``cbs``/``_ws``:
+    element [s+1][b+1] is the query residual's integer micro-unit
+    distance to codebook entry ``b`` in subspace ``s`` (null where
+    bucket ``b`` trained empty — stored codes can never reference
+    those, so the null is unreachable at lookup). m x k integers,
+    computed ONCE per query — the table IVFADC serving ships to every
+    scanned segment instead of the float codebook."""
+    ws = "_ws"
+    subs = []
+    for s in range(m):
+        qd = _pq_d2i(f"slice(_rq, {s} * {ws} + 1, {ws})", f"slice(e.rc, {s} * {ws} + 1, {ws})")
+        subs.append(
+            f"transform(sequence(0, {k - 1}), b -> "
+            f"aggregate(cbs, cast(null as bigint), (acc, e) -> IF(e.b = b, {qd}, acc)))"
+        )
+    return "array(" + ", ".join(subs) + ")"
+
+
+def _pq_lookup_expr(m: int) -> str:
+    """ADC by pure table lookup over stored ``codes`` and the
+    broadcast/literal ``_qtab``: sum the m table entries the codes
+    select — the integer inner loop of IVFADC serving (Jégou et al.
+    2011 §IV.B), no float math, no codebook in sight."""
+    return " + ".join(
+        f"element_at(element_at(_qtab, {s + 1}), cast(element_at(codes, {s + 1}) as int) + 1)"
+        for s in range(m)
+    )
 
 
 @query(
@@ -2606,6 +2675,92 @@ def q_sim_ann_ivfpq(spark, sf_dir):
     this key's plan verbatim with bigger n_cells/m/k."""
     e = load_vectors(spark, sf_dir)
     return ivfpq_adc_scores(e).orderBy("adist_micro", "vec_id").limit(10)
+
+
+@query(
+    "q_sim_ann_ivfpq_pruned",
+    oracle=_IVFPQ_ORACLE_CTES
+    + """
+    SELECT vec_id, label, adist_micro FROM ad ORDER BY adist_micro, vec_id LIMIT 10
+    """,
+    tags=("similarity", "ann", "ivf", "pq", "quantize", "pruning"),
+)
+def q_sim_ann_ivfpq_pruned(spark, sf_dir):
+    """q_sim_ann_ivf_pruned's partition-pruning proof extended to the
+    COMPRESSED family — the full IVFADC serving shape (Jégou et al.
+    2011 §IV; the layout FAISS inverted lists persist at billion
+    scale), with every piece in its production place:
+
+    1. ENCODE (index build, amortized): each vector's m=4 residual
+       subspace codes (`_pq_codes_expr` — the encode half of the
+       fused search expression, bit-identical argmins) are written to
+       a CELL-PARTITIONED parquet layout (``partitionBy(label)``) —
+       the inverted lists, m small integers per vector, no floats.
+    2. QUERY (driver-side, KB-sized): the probe cell is resolved
+       against the broadcast centroid table and the m x 8 integer ADC
+       distance table is computed ONCE from the query residual
+       (`_pq_qtab_expr`), then shipped as a literal with the pruned
+       scan — exactly the coordinator->segment protocol of a serving
+       system (same guarded one-row driver materialization class as
+       q_sim_ann_ivf_pruned's cell scalar).
+    3. SCAN: the probed cell's codes are read under
+       ``PartitionFilters: [(label = <cell>)]`` — numFiles 1 of
+       n_cells (IVF_PRUNE artifact discipline) — and scored by pure
+       integer table lookup (`_pq_lookup_expr`): no codebook, no
+       residuals, no float math in the scan.
+
+    Same oracle as q_sim_ann_ivfpq, so the hash-pass proves the
+    stored-codes round trip is lossless: persisted codes + literal
+    table reproduce the fused in-plan encode+lookup distances
+    bit-for-bit. At 100 TB this is the difference between scanning
+    m-byte codes of 1/n_cells of the corpus and re-deriving residual
+    float math over all of it."""
+    import os
+
+    m = _PQ_M
+    e = load_vectors(spark, sf_dir)
+    base = e.filter(F.col("vec_id") != 0)
+    cents = label_centroids(base).select(
+        "label", F.col("centroid").cast("array<float>").alias("cent")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
+    resid = _ivfpq_residuals(base, cents)
+    cb = _ivfpq_codebook(resid)
+    codes = (
+        resid.crossJoin(F.broadcast(cb))
+        .withColumn("_ws", F.expr(_ws_guard_expr(m)))
+        .select("vec_id", "label", F.expr(_pq_codes_expr(m)).alias("codes"))
+    )
+    out = os.path.join(
+        scratch_dir(f"q_ivfpq_cells_{os.path.basename(sf_dir.rstrip(chr(47)))}"), "codes"
+    )
+    codes.write.mode("overwrite").partitionBy("label").parquet(out)
+    qtab_row = (
+        _ivfpq_probe_cells(cents, qv, probes=1)
+        .crossJoin(F.broadcast(cb))
+        .withColumn("_ws", F.expr(_ws_guard_expr(m, col="_rq")))
+        .select("_qlabel", F.expr(_pq_qtab_expr(m, _IVFPQ_K)).alias("_qtab"))
+        .collect()[0]  # one-row driver scalar: probe cell + m x k table
+    )
+    qtab_lit = (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "cast(null as bigint)" if v is None else f"{v}L" for v in sub
+            )
+            + ")"
+            for sub in qtab_row["_qtab"]
+        )
+        + ")"
+    )
+    members = spark.read.parquet(out).filter(
+        F.col("label") == F.lit(qtab_row["_qlabel"])
+    )
+    scored = members.withColumn("_qtab", F.expr(qtab_lit)).select(
+        "vec_id", "label", F.expr(_pq_lookup_expr(m)).alias("adist_micro")
+    )
+    return scored.orderBy("adist_micro", "vec_id").limit(10)
 
 
 #: IVF-PQ probes: cells scanned per query in the multiprobe variant.

@@ -100,12 +100,28 @@ def main() -> int:
 
         plan = pruned._jdf.queryExecution().explainString(mode)
         pf = [ln.strip() for ln in plan.splitlines() if "PartitionFilters:" in ln]
+        # the COMPRESSED family's serving layout (q_sim_ann_ivfpq_pruned):
+        # stored PQ codes partitioned by cell, literal ADC table, pruned
+        # lookup scan — same 1/n_cells contract over m-byte codes
+        from data_ingestor_spark.ext.similarity import q_sim_ann_ivfpq_pruned
+        from data_ingestor_spark.plans.registry import scratch_dir as _sd
+
+        pq = q_sim_ann_ivfpq_pruned(spark, sf_dir)
+        plan_pq = pq._jdf.queryExecution().explainString(mode)
+        codes_dir = os.path.join(
+            _sd(f"q_ivfpq_cells_{os.path.basename(sf_dir.rstrip(chr(47)))}"), "codes"
+        )
         rep = {
             "probed_cell": int(qcell),
             "n_cells": base.select("label").distinct().count(),
             "pruned_scan": scan_metrics(pruned),
             "full_layout_scan": scan_metrics(full),
             "partition_filters": pf,
+            "ivfpq_codes_pruned_scan": scan_metrics(pq),
+            "ivfpq_codes_full_layout_scan": scan_metrics(spark.read.parquet(codes_dir)),
+            "ivfpq_partition_filters": [
+                ln.strip() for ln in plan_pq.splitlines() if "PartitionFilters:" in ln
+            ],
         }
         report["sfs"][os.path.basename(sf_dir)] = rep
         print(os.path.basename(sf_dir), json.dumps(rep))

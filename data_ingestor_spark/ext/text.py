@@ -569,6 +569,111 @@ def bm25_scored(spark, sf_dir: str) -> DataFrame:
     )
 
 
+#: term-hash buckets for the partition-pruned postings layout
+#: (q_text_bm25_pruned). 8 buckets at test scale; at 100 TB this is
+#: the shard count of the serving index — a query touches
+#: |distinct term buckets| of them regardless of corpus size.
+_BM25_BUCKETS = 8
+
+
+@query(
+    "q_text_bm25_pruned",
+    oracle=_BM25_ORACLE_CTES
+    + """
+    SELECT doc_id, score_micro, n_terms
+    FROM bm25 ORDER BY score_micro DESC, doc_id LIMIT 20
+    """,
+    tags=("text", "retrieval", "bm25", "pruning"),
+)
+def q_text_bm25_pruned(spark, sf_dir):
+    """The partition-pruning proof extended to the TEXT index — the
+    third pruned serving family after q_sim_ann_ivf_pruned (flat
+    vectors) and q_sim_ann_ivfpq_pruned (PQ codes), completing the
+    symmetry: every index this engine maintains now has a persisted
+    physical layout whose probe reads a partition-filtered fraction,
+    not the whole artifact.
+
+    1. BUILD (amortized): the FULL inverted index — every term's
+       postings (doc_id, dl, term, tf), not just the query's — is
+       written ``partitionBy(bucket)`` where bucket = md5(term) mod
+       _BM25_BUCKETS; the (N, avgdl) corpus stats go to a one-row
+       sidecar and the per-term document frequencies to a df sidecar
+       — Lucene's term dictionary (the bm25_compact discipline:
+       statistics live WITH the index, the corpus is never rescanned
+       at query time).
+    2. QUERY: the terms' buckets are resolved DRIVER-SIDE by pure
+       hash arithmetic — no scan, no collect, the textbook shard
+       router — and the postings scan carries
+       ``PartitionFilters: [bucket IN (...)]``: the executed probe
+       reads |query buckets| of _BM25_BUCKETS directory groups however
+       large the corpus grows.
+    3. SCORE: per-term df comes from the df SIDECAR written at build
+       (Lucene's term dictionary — df is index metadata, computed
+       once, never re-aggregated at query time; the pruned postings
+       are scanned exactly ONCE), N/avgdl from the stats sidecar,
+       then the shared micro-unit Okapi expression (_bm25_per_term)
+       and the per-doc sum.
+
+    Same oracle as q_text_bm25, so the hash-pass proves the persisted
+    layout round trip: bucketed postings + sidecar stats reproduce
+    the one-scan plan's scores bit-for-bit. At 100 TB, q_text_bm25's
+    plan is the INDEX BUILD's cost; this key is what the 10,000
+    queries after it pay — a few posting shards each."""
+    import hashlib
+    import os
+
+    from data_ingestor_spark.plans.registry import scratch_dir
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = _tokenize_docs(d)
+    postings = (
+        docs.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+        .withColumn(
+            "bucket",
+            F.expr(
+                "pmod(cast(conv(substring(md5(term), 1, 8), 16, 10) as bigint),"
+                f" {_BM25_BUCKETS})"
+            ),
+        )
+    )
+    root = scratch_dir(f"q_bm25_buckets_{os.path.basename(sf_dir.rstrip(chr(47)))}")
+    out = os.path.join(root, "postings")
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(out)
+    stats_out = os.path.join(root, "stats")
+    docs.agg(
+        F.count("*").cast("double").alias("_n"), F.avg("dl").alias("_avgdl")
+    ).write.mode("overwrite").parquet(stats_out)
+    df_out = os.path.join(root, "df")
+    postings.groupBy("term").agg(F.count("*").alias("df")).write.mode(
+        "overwrite"
+    ).parquet(df_out)
+    qbuckets = sorted(
+        {
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % _BM25_BUCKETS
+            for t in _BM25_TERMS
+        }
+    )
+    pruned = (
+        spark.read.parquet(out)
+        .filter(F.col("bucket").isin(qbuckets))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+    )
+    df_ = spark.read.parquet(df_out).filter(F.col("term").isin(*_BM25_TERMS))
+    stats = F.broadcast(spark.read.parquet(stats_out))
+    scored = (
+        pruned.join(F.broadcast(df_), "term")
+        .crossJoin(stats)
+        .select("doc_id", _bm25_per_term().alias("s_micro"))
+    )
+    res = scored.groupBy("doc_id").agg(
+        F.sum("s_micro").cast("long").alias("score_micro"),
+        F.count("*").alias("n_terms"),
+    )
+    return res.orderBy(F.col("score_micro").desc(), "doc_id").limit(20)
+
+
 @query(
     "q_text_bm25_incremental",
     oracle=_BM25_ORACLE_CTES

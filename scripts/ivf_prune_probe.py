@@ -123,6 +123,23 @@ def main() -> int:
                 ln.strip() for ln in plan_pq.splitlines() if "PartitionFilters:" in ln
             ],
         }
+        # the TEXT index's serving layout (q_text_bm25_pruned): postings
+        # bucketed by term hash, driver-side bucket router, pruned probe
+        from data_ingestor_spark.ext.text import q_text_bm25_pruned
+
+        bm = q_text_bm25_pruned(spark, sf_dir)
+        plan_bm = bm._jdf.queryExecution().explainString(mode)
+        postings_dir = os.path.join(
+            _sd(f"q_bm25_buckets_{os.path.basename(sf_dir.rstrip(chr(47)))}"),
+            "postings",
+        )
+        rep["bm25_postings_pruned_scan"] = scan_metrics(bm)
+        rep["bm25_postings_full_layout_scan"] = scan_metrics(
+            spark.read.parquet(postings_dir)
+        )
+        rep["bm25_partition_filters"] = [
+            ln.strip() for ln in plan_bm.splitlines() if "PartitionFilters:" in ln
+        ]
         report["sfs"][os.path.basename(sf_dir)] = rep
         print(os.path.basename(sf_dir), json.dumps(rep))
     with open(os.path.join(REPO, out_path), "w") as fh:

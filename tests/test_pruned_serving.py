@@ -36,3 +36,38 @@ def test_ivfpq_pruned_equals_in_plan_sibling(spark):
     b = _rows(q_sim_ann_ivfpq_pruned(spark, SF_DIR))
     assert a == b
     assert len(a) == 10
+
+
+def test_bm25_pruned_equals_in_plan_sibling(spark):
+    """Bucketed postings + sidecar stats == the one-scan BM25 plan:
+    in-bucket df is the corpus df (a term's postings live entirely in
+    its md5 bucket) and the sidecar carries exact N/avgdl."""
+    from data_ingestor_spark.ext.text import q_text_bm25, q_text_bm25_pruned
+
+    a = _rows(q_text_bm25(spark, SF_DIR))
+    b = _rows(q_text_bm25_pruned(spark, SF_DIR))
+    assert a == b
+    assert len(a) == 20
+
+
+def test_bm25_bucket_router_matches_spark_hash(spark):
+    """The driver-side bucket router (python hashlib) and the build's
+    in-plan bucket expression (Spark md5/conv/pmod) are the same hash —
+    the property the pruned scan's completeness rests on."""
+    import hashlib
+
+    from data_ingestor_spark.ext.text import _BM25_BUCKETS
+
+    terms = ["customer", "window", "vector", "", "x", "ünïcode", "a b"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {
+        r["term"]: r["b"]
+        for r in df.selectExpr(
+            "term",
+            "pmod(cast(conv(substring(md5(term), 1, 8), 16, 10) as bigint),"
+            f" {_BM25_BUCKETS}) as b",
+        ).collect()
+    }
+    for t in terms:
+        expect = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % _BM25_BUCKETS
+        assert got[t] == expect, t

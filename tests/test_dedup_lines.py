@@ -102,6 +102,56 @@ def test_line_dedup_all_unique_is_identity(spark):
         assert kept_md5 == hashlib.md5(text.encode()).hexdigest()
 
 
+def _mirror_line_dedup_incremental(docs, new_ids, span):
+    """Rebuild-with-precedence reference: rank every (doc, pos, seg)
+    by (is_delta, doc_id, pos) per segment, restrict to delta docs."""
+    segs = []
+    for did, text in docs:
+        t = text.split(" ")
+        spans = [" ".join(t[i : i + span]) for i in range(0, len(t), span)]
+        for pos, seg in enumerate(spans):
+            segs.append((did in new_ids, did, pos, seg))
+    first = {}
+    for is_new, did, pos, seg in sorted(segs):
+        first.setdefault(seg, (is_new, did, pos))
+    out = {did: [0, 0, []] for did, _ in docs if did in new_ids}
+    for is_new, did, pos, seg in segs:
+        if not is_new:
+            continue
+        rec = out[did]
+        rec[0] += 1
+        if first[seg] == (is_new, did, pos):
+            rec[1] += 1
+            rec[2].append((pos, seg))
+    return {
+        did: (
+            n,
+            k,
+            hashlib.md5(" ".join(s for _p, s in sorted(kept)).encode()).hexdigest(),
+        )
+        for did, (n, k, kept) in out.items()
+    }
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+@pytest.mark.parametrize("frac", [0.0, 0.3, 1.0])
+def test_line_dedup_incremental_equals_rebuild(spark, seed, frac):
+    """Incremental admission == full rebuild under arrival-order
+    precedence, on random corpora and random splits including the
+    empty-delta and all-delta edges."""
+    from pyspark.sql import functions as F
+
+    from data_ingestor_spark.ext.dedup import line_dedup_incremental
+
+    rng = random.Random(seed)
+    docs = _random_docs(rng, n_docs=12, max_tokens=40)
+    new_ids = {did for did, _ in docs if rng.random() < frac}
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = line_dedup_incremental(df, F.col("doc_id").isin(list(new_ids) or [-1]), span=5).collect()
+    got = {r["doc_id"]: (r["n_segments"], r["n_kept"], r["kept_md5"]) for r in rows}
+    assert got == _mirror_line_dedup_incremental(docs, new_ids, span=5)
+
+
 def test_line_dedup_within_doc_repeat_collapses(spark):
     """A segment repeated INSIDE one doc keeps only its first
     instance — the uniform global keep-first rule (C4's 'all but one

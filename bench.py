@@ -153,6 +153,7 @@ EXTRA = [
     "q_dedup_lines",          # C4-style keep-first segment rewrite
     "q_sim_ann_ivfpq_pruned",  # stored PQ codes + pruned ADC lookup scan
     "q_text_bm25_pruned",     # bucketed postings + sidecar stats probe
+    "q_dedup_lines_incremental",  # batch vs standing segment index
 ]
 
 

@@ -1987,6 +1987,15 @@ def line_dedup(docs: DataFrame, span: int = LINE_SPAN, text_col: str = "text") -
         "keep",
         (F.col("doc_id") == F.col("first.doc_id")) & (F.col("pos") == F.col("first.pos")),
     )
+    return _lines_reassemble(flagged)
+
+
+def _lines_reassemble(flagged: DataFrame) -> DataFrame:
+    """Per-doc rollup over (doc_id, pos, seg, keep): segment count,
+    survivor count, md5 of the kept segments joined in position order
+    — shared by the full rewrite (:func:`line_dedup`) and the
+    incremental admission (:func:`line_dedup_incremental`), so both
+    emit the identical output contract."""
     return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_segments"),
         F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
@@ -2000,3 +2009,100 @@ def line_dedup(docs: DataFrame, span: int = LINE_SPAN, text_col: str = "text") -
             )
         ).alias("kept_md5"),
     )
+
+
+@query(
+    "q_dedup_lines_incremental",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ), segl AS (
+        SELECT doc_id, source,
+               list_transform(range(1, LEN(t) + 1, {LINE_SPAN}),
+                              i -> array_to_string(list_slice(t, i, i + {LINE_SPAN - 1}), ' ')) AS sl
+        FROM toks
+    ), segs AS (
+        SELECT doc_id, source,
+               generate_subscripts(sl, 1) AS pos,
+               unnest(sl) AS seg
+        FROM segl
+    ), ranked AS (
+        SELECT doc_id, source, pos, seg,
+               ROW_NUMBER() OVER (PARTITION BY md5(seg)
+                   ORDER BY CASE WHEN source = 'src0' THEN 1 ELSE 0 END, doc_id, pos) AS rn
+        FROM segs
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(COALESCE(array_to_string(list(seg ORDER BY pos) FILTER (WHERE rn = 1), ' '), ''))
+               AS kept_md5
+    FROM ranked
+    WHERE source = 'src0'
+    GROUP BY doc_id
+    """,
+    tags=("dedup", "lines", "text", "training", "incremental"),
+)
+def q_dedup_lines_incremental(spark, sf_dir):
+    """The line-dedup family's maintenance quadrant: an arriving batch
+    (source = src0, the q_dedup_incremental convention) is rewritten
+    against the STANDING segment index — a delta segment survives iff
+    its hash is absent from the base corpus AND it is the batch's
+    first instance — without ever re-running keep-first over the base
+    (the per-batch cost a production corpus-refresh pipeline pays,
+    q_text_bm25_incremental's discipline applied to the rewrite op).
+
+    The oracle is the FULL REBUILD under arrival-order precedence
+    (rank ordered by (is_delta, doc_id, pos), restricted to delta
+    docs): the hash-pass proves incremental admission lands exactly
+    where re-running the whole rewrite over base||delta would — the
+    merge identity every index-maintenance key in this repo pins
+    (IVF insert, BM25 incremental, kNN-graph insert).
+
+    Scale: the base side collapses to its DISTINCT segment-hash set —
+    at 100 TB a precomputed, bucketed index artifact amortized across
+    batches (the q_dedup_incremental corpus-index shape); the
+    anti-join and the delta keep-first shuffle only batch-sized
+    relations. The base corpus is scanned once at index build, never
+    per batch."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return line_dedup_incremental(docs, F.col("source") == "src0")
+
+
+def line_dedup_incremental(
+    docs: DataFrame, is_new, span: int = LINE_SPAN, text_col: str = "text"
+) -> DataFrame:
+    """Admit the ``is_new`` rows' segments against the rest of ``docs``
+    (the standing corpus): base segment hashes form the index (distinct
+    set); delta segments not in the index keep their first in-batch
+    instance. One output row per NEW doc, same columns as
+    :func:`line_dedup`. Subject of the rebuild-equality property test
+    in ``tests/test_dedup_lines.py`` (random splits incl. the
+    empty-delta and all-delta edges the fixed src0 split can't
+    reach)."""
+    toks = docs.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("t"), is_new.alias("_new")
+    )
+    segs = toks.select(
+        "doc_id",
+        "_new",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(t), {span}),"
+                f" i -> array_join(slice(t, i, {span}), ' '))"
+            )
+        ).alias("pos", "seg"),
+    ).withColumn("h", F.md5("seg"))
+    base_idx = segs.filter(~F.col("_new")).select("h").distinct()
+    delta = segs.filter(F.col("_new"))
+    fresh = delta.join(base_idx, "h", "left_anti")
+    firsts = fresh.groupBy("h").agg(F.min(F.struct("doc_id", "pos")).alias("first"))
+    flagged = delta.join(firsts, "h", "left").withColumn(
+        "keep",
+        F.col("first").isNotNull()
+        & (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("pos") == F.col("first.pos")),
+    )
+    return _lines_reassemble(flagged)

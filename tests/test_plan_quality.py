@@ -1269,3 +1269,47 @@ def test_scd2_merge_broadcast_changes_no_smj(spark, registry):
     plan = _formatted_plan(registry["q_scd2_merge"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pruned_serving_partition_filters(spark, registry):
+    """The three pruned serving keys must carry a real partition filter
+    on their index scan — the 1/n_cells (or |query buckets|/n_buckets)
+    scale claim lives or dies on this line of the plan. The executed
+    numbers are in IVF_PRUNE_r13.json; this pins the compile shape so
+    a refactor that silently drops the filter (e.g. a cast on the
+    partition column) fails here first."""
+    plan = _formatted_plan(registry["q_sim_ann_ivf_pruned"].fn(spark, SF_DIR))
+    assert any(
+        "PartitionFilters: [" in ln and "label" in ln and "= " in ln
+        for ln in plan.splitlines()
+    ), "IVF pruned scan lost its label partition filter"
+
+    plan = _formatted_plan(registry["q_sim_ann_ivfpq_pruned"].fn(spark, SF_DIR))
+    assert any(
+        "PartitionFilters: [" in ln and "label" in ln and "= " in ln
+        for ln in plan.splitlines()
+    ), "IVFPQ codes scan lost its label partition filter"
+
+    plan = _formatted_plan(registry["q_text_bm25_pruned"].fn(spark, SF_DIR))
+    assert any(
+        "PartitionFilters: [" in ln and "bucket" in ln and " IN " in ln
+        for ln in plan.splitlines()
+    ), "BM25 postings scan lost its bucket IN filter"
+
+
+def test_dedup_lines_no_cartesian_single_seg_scan(spark, registry):
+    """q_dedup_lines: keep-first is equality joins + groupBys only —
+    no cartesian/BNLJ anywhere, and the documents text is decoded for
+    segmentation in a bounded number of scans."""
+    plan = _formatted_plan(registry["q_dedup_lines"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_lines_incremental_anti_join_shape(spark, registry):
+    """q_dedup_lines_incremental: the standing index probe must be a
+    LeftAnti equality join on the segment hash (batch-sized shuffle),
+    never a cartesian."""
+    plan = _formatted_plan(registry["q_dedup_lines_incremental"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan

@@ -41,6 +41,7 @@ NEW_KEYS = (
     "q_dedup_lines_incremental",
     "q_sim_ann_ivfpq_pruned",
     "q_text_bm25_pruned",
+    "q_stream_bm25_maintain",
 )
 REFACTORED_R11_BASE = (
     "q_sim_ann_ivfpq",
@@ -70,18 +71,24 @@ def main() -> int:
         == base["results"]["q_sim_ann_ivfpq"]["hash"],
         "bm25_pruned==bm25": base["results"]["q_text_bm25_pruned"]["hash"]
         == base["results"]["q_text_bm25"]["hash"],
+        "stream_bm25_maintained==bm25": base["results"]["q_stream_bm25_maintain"][
+            "hash"
+        ]
+        == base["results"]["q_text_bm25"]["hash"],
     }
 
     out = {
         "claim": (
             "touched-keys reshard invariance at sf0.1 on the late-r13 code: "
-            "the 4 new keys (segment rewrite + incremental admission, "
-            "stored-codes IVFPQ serving, bucketed BM25 serving) hash-match "
-            "across local[*]/32 vs local[5]/7; the IVFPQ quartet's base "
-            "hashes are byte-identical to their r11 values (the "
-            "probe/residual/codebook extraction changed no output bit); and "
-            "every pruned serving layout equals its in-plan sibling "
-            "hash-for-hash"
+            "the 5 new keys (segment rewrite + incremental admission, "
+            "stored-codes IVFPQ serving, bucketed BM25 serving, streaming "
+            "segment-flush index maintenance) hash-match across local[*]/32 "
+            "vs local[5]/7; the IVFPQ quartet's base hashes are "
+            "byte-identical to their r11 values (the probe/residual/"
+            "codebook extraction changed no output bit); every pruned "
+            "serving layout equals its in-plan sibling hash-for-hash; and "
+            "the stream-maintained index serves the exact batch-build "
+            "top-20"
         ),
         "config_base": {
             "master": base["meta"]["master"],

@@ -2763,6 +2763,212 @@ def q_sim_ann_ivfpq_pruned(spark, sf_dir):
     return scored.orderBy("adist_micro", "vec_id").limit(10)
 
 
+#: Insert-oracle for the COMPRESSED family: stale coarse centroids AND
+#: stale residual codebook (both trained on the base segment only —
+#: what FAISS serves between retrains), the delta batch assigned to its
+#: nearest stale centroid at ingest, encoded against the stale
+#: codebook with its residual taken vs the ASSIGNED cell's centroid,
+#: probed ADC search over base∪delta codes. The CTE pipeline is
+#: _IVFPQ_ORACLE_CTES with the train/score distinction made explicit
+#: (resid_b trains cbm; resid_s = resid_b ∪ resid_d feeds dv/codes)
+#: plus q_sim_ann_ivf_insert's dassign CTEs verbatim.
+_IVFPQ_INSERT_ORACLE = f"""
+    WITH base AS (
+        SELECT * FROM embeddings WHERE vec_id <> 0 AND vec_id % 5 <> 2
+    ), delta AS (
+        SELECT * FROM embeddings WHERE vec_id <> 0 AND vec_id % 5 = 2
+    ), cents AS (
+        SELECT label,
+               list(CAST(m AS REAL) ORDER BY pos) AS cent
+        FROM (
+            SELECT label, pos, AVG(x) AS m
+            FROM (
+                SELECT label, generate_subscripts(embedding, 1) AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM base
+            )
+            GROUP BY label, pos
+        )
+        GROUP BY label
+    ), q AS (
+        SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    ), zc AS (
+        SELECT label,
+               CAST(unnest(cent) AS DOUBLE) AS cx,
+               CAST(unnest(qe) AS DOUBLE) AS qy
+        FROM cents, q
+    ), csim AS (
+        SELECT label, SUM(cx*qy) / (SQRT(SUM(cx*cx)) * SQRT(SUM(qy*qy))) AS sim
+        FROM zc GROUP BY label
+    ), best AS (
+        SELECT label AS qlabel FROM csim ORDER BY sim DESC, label LIMIT 1
+    ), dz AS (
+        SELECT d.vec_id, c.label AS cell,
+               CAST(unnest(d.embedding) AS DOUBLE) AS dx,
+               CAST(unnest(c.cent) AS DOUBLE) AS cx
+        FROM delta d, cents c
+    ), dsim AS (
+        SELECT vec_id, cell, SUM(dx*cx) / (SQRT(SUM(dx*dx)) * SQRT(SUM(cx*cx))) AS sim
+        FROM dz GROUP BY vec_id, cell
+    ), dassign AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+            FROM dsim
+        ) WHERE rn = 1
+    ), w AS (
+        SELECT MAX(len(embedding)) // {_PQ_M} AS ws FROM embeddings
+    ), cpos AS (
+        SELECT label, generate_subscripts(cent, 1) AS pos,
+               CAST(unnest(cent) AS DOUBLE) AS c
+        FROM cents
+    ), resid_b AS (
+        SELECT zb.vec_id, zb.label, zb.label AS cell, zb.pos, zb.x - cp.c AS r,
+               CAST(('0x' || substr(md5(CAST(zb.vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS bkt
+        FROM (
+            SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM base
+        ) zb
+        JOIN cpos cp ON zb.label = cp.label AND zb.pos = cp.pos
+    ), cbm AS (
+        SELECT bkt, pos, CAST(AVG(r) AS REAL) AS m
+        FROM resid_b GROUP BY bkt, pos
+    ), resid_d AS (
+        SELECT zd.vec_id, zd.label, zd.cell, zd.pos, zd.x - cp.c AS r,
+               CAST(('0x' || substr(md5(CAST(zd.vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS bkt
+        FROM (
+            SELECT d.vec_id, d.label, a.cell,
+                   generate_subscripts(d.embedding, 1) AS pos,
+                   CAST(unnest(d.embedding) AS DOUBLE) AS x
+            FROM delta d JOIN dassign a ON d.vec_id = a.vec_id
+        ) zd
+        JOIN cpos cp ON zd.cell = cp.label AND zd.pos = cp.pos
+    ), resid_s AS (
+        SELECT * FROM resid_b UNION ALL SELECT * FROM resid_d
+    ), dv AS (
+        SELECT rs.vec_id, rs.label, rs.cell, cbm.bkt AS cb_bkt,
+               (rs.pos - 1) // w.ws AS s,
+               CAST(ROUND(SUM((rs.r - CAST(cbm.m AS DOUBLE))
+                            * (rs.r - CAST(cbm.m AS DOUBLE))) * 1000000.0) AS BIGINT) AS d2i
+        FROM resid_s rs JOIN cbm ON rs.pos = cbm.pos CROSS JOIN w
+        GROUP BY 1, 2, 3, 4, 5
+    ), codes AS (
+        SELECT vec_id, label, cell, s, cb_bkt AS code FROM (
+            SELECT vec_id, label, cell, s, cb_bkt,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2i, cb_bkt) AS rn
+            FROM dv
+        ) WHERE rn = 1
+    ), qr AS (
+        SELECT cp.pos, zq.y - cp.c AS rq
+        FROM (SELECT generate_subscripts(qe, 1) AS pos,
+                     CAST(unnest(qe) AS DOUBLE) AS y FROM q) zq
+        JOIN cpos cp ON cp.pos = zq.pos
+        JOIN best ON cp.label = best.qlabel
+    ), qd AS (
+        SELECT cbm.bkt, (qr.pos - 1) // w.ws AS s,
+               CAST(ROUND(SUM((qr.rq - CAST(cbm.m AS DOUBLE))
+                            * (qr.rq - CAST(cbm.m AS DOUBLE))) * 1000000.0) AS BIGINT) AS qd2i
+        FROM qr JOIN cbm ON qr.pos = cbm.pos CROSS JOIN w
+        GROUP BY 1, 2
+    ), ad AS (
+        SELECT c.vec_id, c.label, CAST(SUM(q2.qd2i) AS BIGINT) AS adist_micro
+        FROM codes c
+        JOIN best ON c.cell = best.qlabel
+        JOIN qd q2 ON c.s = q2.s AND c.code = q2.bkt
+        GROUP BY 1, 2
+    )
+    SELECT vec_id, label, adist_micro FROM ad ORDER BY adist_micro, vec_id LIMIT 10
+    """
+
+
+def ivfpq_search_with_inserts(
+    base: DataFrame, delta: DataFrame, qv: DataFrame, m: int = _PQ_M
+) -> DataFrame:
+    """IVFADC search over an index with an arriving batch merged in —
+    the compressed family's ADD quadrant (see q_sim_ann_ivfpq_insert
+    for semantics): stale coarse centroids AND stale residual codebook
+    from ``base``; ``delta`` assigned to nearest stale centroid
+    (ivf_assign_to_cells — batch-sized, corpus never rescanned),
+    residual taken vs the ASSIGNED cell, encoded with the stale
+    codebook; fused encode+ADC over base∪delta rows of the probed
+    cell. Subject of the empty-delta and duplicate-in-delta property
+    tests in ``tests/test_pruned_serving.py``."""
+    rawcents = label_centroids(base)
+    cents = rawcents.select(
+        "label", F.col("centroid").cast("array<float>").alias("cent")
+    )
+    resid_b = _ivfpq_residuals(base, cents).withColumn("cell", F.col("label"))
+    cb = _ivfpq_codebook(resid_b)
+    assigned = ivf_assign_to_cells(delta, rawcents)
+    resid_d = (
+        delta.join(assigned, "vec_id")
+        .join(
+            F.broadcast(cents.withColumnRenamed("label", "_acell")),
+            "_acell",
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.col("_acell").alias("cell"),
+            F.expr(
+                "zip_with(embedding, cent, (x, c) -> cast(x as double) - cast(c as double))"
+            ).alias("r"),
+            F.expr(
+                "pmod(cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10)"
+                f" as bigint), {_IVFPQ_K})"
+            ).alias("bkt"),
+        )
+    )
+    resid_s = resid_b.select("vec_id", "label", "cell", "r", "bkt").unionByName(
+        resid_d
+    )
+    best = _ivfpq_probe_cells(cents, qv, probes=1)
+    cand = resid_s.join(
+        F.broadcast(best), F.col("cell") == F.col("_qlabel")
+    ).crossJoin(F.broadcast(cb))
+    scored = cand.withColumn("_ws", F.expr(_ws_guard_expr(m))).select(
+        "vec_id", "label", F.expr(_adc_sum_expr(m)).alias("adist_micro")
+    )
+    return scored.orderBy("adist_micro", "vec_id").limit(10)
+
+
+@query(
+    "q_sim_ann_ivfpq_insert",
+    oracle=_IVFPQ_INSERT_ORACLE,
+    tags=("similarity", "ann", "ivf", "pq", "quantize", "insert"),
+)
+def q_sim_ann_ivfpq_insert(spark, sf_dir):
+    """The COMPRESSED family's maintenance quadrant — IVFADC under
+    index INSERTION, closing the symmetry every other index family
+    already has (IVF ADD r12, BM25 ADD r10c, graph ADD r13, lines ADD
+    late-r13; the IVFPQ family was the last with none): a ~20%
+    arriving batch (vec_id % 5 == 2, the q_sim_ann_ivf_insert split)
+    is quantized AT INGEST against BOTH stale artifacts — assigned to
+    its nearest stale coarse centroid, then its residual (vs the
+    assigned cell) encoded with the stale residual codebook — exactly
+    what FAISS does to an arriving vector between retrains: encode
+    now, refresh codebooks in background compaction. The probed ADC
+    search scores the cell's index-resident codes together with the
+    batch's fresh codes.
+
+    The oracle rebuilds the SAME composite state from scratch
+    (base-trained centroids AND codebook, delta assigned by
+    nearest-stale-centroid, residuals vs assigned cells), so the
+    hash-pass proves the ingest-time encode lands bit-identically
+    where a rebuild-with-stale-artifacts would — the merge identity
+    of every maintenance key, now for the compressed index. Scale:
+    the batch assignment and encode are broadcast-artifact narrow
+    maps over the BATCH only (centroids KB-sized, codebook m x k
+    floats); the probe stays one cell's codes plus the batch's
+    assigned-here slice."""
+    e = load_vectors(spark, sf_dir)
+    base = e.filter((F.col("vec_id") != 0) & (F.col("vec_id") % 5 != 2))
+    delta = e.filter((F.col("vec_id") != 0) & (F.col("vec_id") % 5 == 2))
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
+    return ivfpq_search_with_inserts(base, delta, qv)
+
+
 #: IVF-PQ probes: cells scanned per query in the multiprobe variant.
 #: q_sim_ann_ivfpq_recall measures why this knob exists — single-probe
 #: recall on an unclustered corpus is cell-limited; see

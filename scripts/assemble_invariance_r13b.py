@@ -42,6 +42,7 @@ NEW_KEYS = (
     "q_sim_ann_ivfpq_pruned",
     "q_text_bm25_pruned",
     "q_stream_bm25_maintain",
+    "q_sim_ann_ivfpq_insert",
 )
 REFACTORED_R11_BASE = (
     "q_sim_ann_ivfpq",
@@ -80,9 +81,10 @@ def main() -> int:
     out = {
         "claim": (
             "touched-keys reshard invariance at sf0.1 on the late-r13 code: "
-            "the 5 new keys (segment rewrite + incremental admission, "
+            "the 6 new keys (segment rewrite + incremental admission, "
             "stored-codes IVFPQ serving, bucketed BM25 serving, streaming "
-            "segment-flush index maintenance) hash-match across local[*]/32 "
+            "segment-flush index maintenance, the compressed family's "
+            "stale-artifact ADD) hash-match across local[*]/32 "
             "vs local[5]/7; the IVFPQ quartet's base hashes are "
             "byte-identical to their r11 values (the probe/residual/"
             "codebook extraction changed no output bit); every pruned "

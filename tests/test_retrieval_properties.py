@@ -272,3 +272,68 @@ def test_sim_ann_ivfpq_rejects_non_dividing_m(spark, tmp_path):
         ivfpq_adc_scores_multiprobe(e, probes=1, m=4).collect()
     # dividing m still works on the same 6-dim vectors
     assert ivfpq_adc_scores_multiprobe(e, probes=1, m=3).count() > 0
+
+
+def test_ivfpq_insert_empty_delta_equals_plain(spark, tmp_path):
+    """The ADD quadrant's empty edge: with no arriving batch, the
+    insert view must score exactly the plain fused IVFADC plan (same
+    stale artifacts, same rows, same order)."""
+    import numpy as np
+
+    from data_ingestor_spark.ext.similarity import (
+        ivfpq_adc_scores,
+        ivfpq_search_with_inserts,
+        load_vectors,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    rows = [(0, [float(x) for x in rng.normal(size=16)], 0)]
+    for i in range(1, 40):
+        rows.append((i, [float(x) for x in rng.normal(size=16)], i % 4))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    e = load_vectors(spark, str(tmp_path))
+    base = e.filter(F.col("vec_id") != 0)
+    empty = base.filter(F.lit(False))
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
+    got = [tuple(r) for r in ivfpq_search_with_inserts(base, empty, qv).collect()]
+    want = [
+        tuple(r)
+        for r in ivfpq_adc_scores(e).orderBy("adist_micro", "vec_id").limit(10).collect()
+    ]
+    assert got == want and len(got) == 10
+
+
+def test_ivfpq_insert_duplicate_in_delta_leads(spark, tmp_path):
+    """An arriving vector IDENTICAL to the query must rank first: its
+    residual equals the query residual, so its per-subspace code is the
+    argmin of the SAME quantity the ADC table holds — its summed table
+    distance is the per-subspace minimum, which no other vector can
+    beat (ties break toward its small vec_id)."""
+    import numpy as np
+
+    from data_ingestor_spark.ext.similarity import (
+        ivfpq_search_with_inserts,
+        load_vectors,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    q = [float(x) for x in rng.normal(size=16)]
+    rows = [(0, q, 0)]
+    for i in range(2, 40):
+        rows.append((i, [float(x) for x in rng.normal(size=16)], i % 4))
+    rows.append((1, q, 2))  # the arriving duplicate
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    e = load_vectors(spark, str(tmp_path))
+    base = e.filter((F.col("vec_id") != 0) & (F.col("vec_id") != 1))
+    delta = e.filter(F.col("vec_id") == 1)
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
+    top = ivfpq_search_with_inserts(base, delta, qv).collect()
+    assert len(top) == 10
+    assert top[0]["vec_id"] == 1
+    assert all(top[0]["adist_micro"] <= r["adist_micro"] for r in top)

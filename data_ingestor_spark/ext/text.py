@@ -804,11 +804,30 @@ def q_stream_bm25_maintain(spark, sf_dir):
     from data_ingestor_spark.sinks import latest_version
 
     base = os.path.basename(sf_dir.rstrip(chr(47)))
-    in_dir = os.path.join(scratch_dir(f"q_stream_bm25_src_{base}"), "split")
-    if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
-        spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(in_dir)
+    split_root = scratch_dir(f"q_stream_bm25_src_{base}")
+    in_dir = os.path.join(split_root, "split")
+    # marker = source path + size/mtime fingerprint, so a regenerated
+    # documents parquet at the same path rebuilds the split instead of
+    # silently reusing stale batches (the q_stream_late_drop marker
+    # discipline, ADVICE r12 #4)
+    marker = os.path.join(split_root, "_SPLIT_DONE")
+    doc_path = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    fp_parts = []
+    if os.path.isdir(doc_path):
+        for root, _dirs, files in os.walk(doc_path):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                fp_parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(doc_path):
+        st = os.stat(doc_path)
+        fp_parts.append(f"{os.path.basename(doc_path)}:{st.st_size}:{st.st_mtime_ns}")
+    src_tag = doc_path + "|" + ";".join(fp_parts)
+    if not (os.path.exists(marker) and open(marker).read() == src_tag):
+        spark.read.parquet(doc_path).repartition(4).write.mode("overwrite").parquet(
+            in_dir
+        )
+        with open(marker, "w") as fh:
+            fh.write(src_tag)
     split_schema = spark.read.parquet(in_dir).schema
 
     index_root = os.path.join(

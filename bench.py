@@ -155,6 +155,9 @@ EXTRA = [
     "q_text_bm25_pruned",     # bucketed postings + sidecar stats probe
     "q_dedup_lines_incremental",  # batch vs standing segment index
     "q_sim_ann_ivfpq_insert",  # stale-artifact batch encode + ADC probe
+    "q_sim_ann_ivfpq_delete",  # tombstone anti-join on codes
+    "q_sim_ann_ivfpq_compact",  # survivor codes rewrite + pruned serve
+    "q_sim_ann_ivfpq_compact_refresh",  # codebook retrain over survivors
     # q_stream_bm25_maintain is excluded like q_stream_late_drop: its
     # cost is 4 availableNow micro-batch TRIGGERS of fixed streaming
     # overhead (flat across SFs, SCALING_touched_r13b), not a

@@ -2882,6 +2882,97 @@ _IVFPQ_INSERT_ORACLE = f"""
     """
 
 
+def _ivfpq_tombstone_oracle(cbm_where: str = "1 = 1") -> str:
+    """Tombstone-family oracle template for the COMPRESSED index:
+    coarse centroids AND residual codebook trained per ``cbm_where``
+    over the residual rows (``1 = 1`` = STALE, the full pre-delete
+    base — the delete view and the hash-neutral compaction;
+    ``vec_id % 7 <> 3`` = REFRESHED codebook retrained over survivors
+    — the compaction's refresh step), scoring restricted to the
+    surviving (vec_id % 7 <> 3) members. The _ivf_tombstone_oracle
+    contract with the PQ train/score split made explicit."""
+    return f"""
+    WITH cents AS (
+        SELECT label,
+               list(CAST(m AS REAL) ORDER BY pos) AS cent
+        FROM (
+            SELECT label, pos, AVG(x) AS m
+            FROM (
+                SELECT label, generate_subscripts(embedding, 1) AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings WHERE vec_id <> 0
+            )
+            GROUP BY label, pos
+        )
+        GROUP BY label
+    ), q AS (
+        SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    ), zc AS (
+        SELECT label,
+               CAST(unnest(cent) AS DOUBLE) AS cx,
+               CAST(unnest(qe) AS DOUBLE) AS qy
+        FROM cents, q
+    ), csim AS (
+        SELECT label, SUM(cx*qy) / (SQRT(SUM(cx*cx)) * SQRT(SUM(qy*qy))) AS sim
+        FROM zc GROUP BY label
+    ), best AS (
+        SELECT label AS qlabel FROM csim ORDER BY sim DESC, label LIMIT 1
+    ), w AS (
+        SELECT MAX(len(embedding)) // {_PQ_M} AS ws FROM embeddings
+    ), cpos AS (
+        SELECT label, generate_subscripts(cent, 1) AS pos,
+               CAST(unnest(cent) AS DOUBLE) AS c
+        FROM cents
+    ), resid_b AS (
+        SELECT zb.vec_id, zb.label, zb.pos, zb.x - cp.c AS r,
+               CAST(('0x' || substr(md5(CAST(zb.vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS bkt
+        FROM (
+            SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings WHERE vec_id <> 0
+        ) zb
+        JOIN cpos cp ON zb.label = cp.label AND zb.pos = cp.pos
+    ), cbm AS (
+        SELECT bkt, pos, CAST(AVG(r) AS REAL) AS m
+        FROM resid_b WHERE {cbm_where} GROUP BY bkt, pos
+    ), resid_s AS (
+        SELECT * FROM resid_b WHERE vec_id % 7 <> 3
+    ), dv AS (
+        SELECT rs.vec_id, rs.label, cbm.bkt AS cb_bkt,
+               (rs.pos - 1) // w.ws AS s,
+               CAST(ROUND(SUM((rs.r - CAST(cbm.m AS DOUBLE))
+                            * (rs.r - CAST(cbm.m AS DOUBLE))) * 1000000.0) AS BIGINT) AS d2i
+        FROM resid_s rs JOIN cbm ON rs.pos = cbm.pos CROSS JOIN w
+        GROUP BY 1, 2, 3, 4
+    ), codes AS (
+        SELECT vec_id, label, s, cb_bkt AS code FROM (
+            SELECT vec_id, label, s, cb_bkt,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2i, cb_bkt) AS rn
+            FROM dv
+        ) WHERE rn = 1
+    ), qr AS (
+        SELECT cp.pos, zq.y - cp.c AS rq
+        FROM (SELECT generate_subscripts(qe, 1) AS pos,
+                     CAST(unnest(qe) AS DOUBLE) AS y FROM q) zq
+        JOIN cpos cp ON cp.pos = zq.pos
+        JOIN best ON cp.label = best.qlabel
+    ), qd AS (
+        SELECT cbm.bkt, (qr.pos - 1) // w.ws AS s,
+               CAST(ROUND(SUM((qr.rq - CAST(cbm.m AS DOUBLE))
+                            * (qr.rq - CAST(cbm.m AS DOUBLE))) * 1000000.0) AS BIGINT) AS qd2i
+        FROM qr JOIN cbm ON qr.pos = cbm.pos CROSS JOIN w
+        GROUP BY 1, 2
+    ), ad AS (
+        SELECT c.vec_id, c.label, CAST(SUM(q2.qd2i) AS BIGINT) AS adist_micro
+        FROM codes c
+        JOIN best ON c.label = best.qlabel
+        JOIN qd q2 ON c.s = q2.s AND c.code = q2.bkt
+        GROUP BY 1, 2
+    )
+    SELECT vec_id, label, adist_micro FROM ad ORDER BY adist_micro, vec_id LIMIT 10
+    """
+
+
 def ivfpq_search_with_inserts(
     base: DataFrame, delta: DataFrame, qv: DataFrame, m: int = _PQ_M
 ) -> DataFrame:
@@ -2967,6 +3058,153 @@ def q_sim_ann_ivfpq_insert(spark, sf_dir):
     delta = e.filter((F.col("vec_id") != 0) & (F.col("vec_id") % 5 == 2))
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
     return ivfpq_search_with_inserts(base, delta, qv)
+
+
+def _ivfpq_stale_parts(e: DataFrame):
+    """The stale index artifacts + survivor residuals shared by the
+    compressed family's tombstone keys (delete view / compaction /
+    refresh): full-base coarse centroids, full-base residuals (which
+    train the stale codebook), the broadcastable tombstone set
+    (vec_id % 7 == 3, the q_sim_ann_ivf_delete split), and the
+    query-vector relation."""
+    base = e.filter(F.col("vec_id") != 0)
+    cents = label_centroids(base).select(
+        "label", F.col("centroid").cast("array<float>").alias("cent")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qe"))
+    resid = _ivfpq_residuals(base, cents)
+    tomb = F.broadcast(base.filter(F.col("vec_id") % 7 == 3).select("vec_id"))
+    survivors = resid.join(tomb, "vec_id", "left_anti")
+    return cents, qv, resid, survivors
+
+
+@query(
+    "q_sim_ann_ivfpq_delete",
+    oracle=_ivfpq_tombstone_oracle(),
+    tags=("similarity", "ann", "ivf", "pq", "quantize", "delete"),
+)
+def q_sim_ann_ivfpq_delete(spark, sf_dir):
+    """The compressed family's DELETE view — IVFADC serving under
+    tombstones: a ~14% delete batch (vec_id % 7 == 3) is excluded
+    from the RESULT SET by a broadcast anti-join on the codes while
+    BOTH stale artifacts stay as built (full-base coarse centroids
+    AND full-base residual codebook — dropping rows must not perturb
+    anyone else's codes, which holds because PQ encoding is
+    per-vector independent; that commutation is exactly what the
+    oracle checks by restricting only the scoring rows). Scale:
+    tombstones broadcast, everything else is q_sim_ann_ivfpq's plan
+    plus one anti-join — the query-time view a vector store serves
+    between compactions (q_sim_ann_ivf_delete for the compressed
+    index)."""
+    e = load_vectors(spark, sf_dir)
+    cents, qv, _resid, survivors = _ivfpq_stale_parts(e)
+    cb = _ivfpq_codebook(_resid)
+    best = _ivfpq_probe_cells(cents, qv, probes=1)
+    cand = survivors.join(
+        F.broadcast(best), F.col("label") == F.col("_qlabel")
+    ).crossJoin(F.broadcast(cb))
+    scored = cand.withColumn("_ws", F.expr(_ws_guard_expr(_PQ_M))).select(
+        "vec_id", "label", F.expr(_adc_sum_expr(_PQ_M)).alias("adist_micro")
+    )
+    return scored.orderBy("adist_micro", "vec_id").limit(10)
+
+
+@query(
+    "q_sim_ann_ivfpq_compact",
+    oracle=_ivfpq_tombstone_oracle(),
+    tags=("similarity", "ann", "ivf", "pq", "quantize", "compact", "pruning"),
+)
+def q_sim_ann_ivfpq_compact(spark, sf_dir):
+    """Physical compaction of the compressed index, served through the
+    pruned layout: the survivors' PQ codes are REWRITTEN to a
+    cell-partitioned parquet layout with the tombstoned rows never
+    written (the segment rewrite of q_sim_ann_ivf_compact applied to
+    codes — m bytes per survivor, no floats), and the query runs the
+    full q_sim_ann_ivfpq_pruned serving protocol over the compacted
+    artifact: driver-side cell + ADC table, partition-filtered scan,
+    integer table lookup. Both stale artifacts are kept (coarse
+    centroids and residual codebook trained on the pre-delete base),
+    and the oracle is q_sim_ann_ivfpq_delete's VERBATIM — the
+    hash-pass IS the hash-neutrality proof that compaction changes
+    the physical layout and nothing else, AND that the stored-codes
+    round trip over the compacted layout is lossless (the two
+    contracts composed). At 100 TB this is the background segment
+    merge a vector store runs to keep tombstone ratios bounded; the
+    downstream search plans lose their anti-join."""
+    import os
+
+    m = _PQ_M
+    e = load_vectors(spark, sf_dir)
+    cents, qv, _resid, survivors = _ivfpq_stale_parts(e)
+    cb = _ivfpq_codebook(_resid)
+    codes = (
+        survivors.crossJoin(F.broadcast(cb))
+        .withColumn("_ws", F.expr(_ws_guard_expr(m)))
+        .select("vec_id", "label", F.expr(_pq_codes_expr(m)).alias("codes"))
+    )
+    out = os.path.join(
+        scratch_dir(f"q_ivfpq_compact_{os.path.basename(sf_dir.rstrip(chr(47)))}"),
+        "codes",
+    )
+    codes.write.mode("overwrite").partitionBy("label").parquet(out)
+    qtab_row = (
+        _ivfpq_probe_cells(cents, qv, probes=1)
+        .crossJoin(F.broadcast(cb))
+        .withColumn("_ws", F.expr(_ws_guard_expr(m, col="_rq")))
+        .select("_qlabel", F.expr(_pq_qtab_expr(m, _IVFPQ_K)).alias("_qtab"))
+        .collect()[0]  # one-row driver scalar: probe cell + m x k table
+    )
+    qtab_lit = (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "cast(null as bigint)" if v is None else f"{v}L" for v in sub
+            )
+            + ")"
+            for sub in qtab_row["_qtab"]
+        )
+        + ")"
+    )
+    members = spark.read.parquet(out).filter(
+        F.col("label") == F.lit(qtab_row["_qlabel"])
+    )
+    scored = members.withColumn("_qtab", F.expr(qtab_lit)).select(
+        "vec_id", "label", F.expr(_pq_lookup_expr(m)).alias("adist_micro")
+    )
+    return scored.orderBy("adist_micro", "vec_id").limit(10)
+
+
+@query(
+    "q_sim_ann_ivfpq_compact_refresh",
+    oracle=_ivfpq_tombstone_oracle("vec_id % 7 <> 3"),
+    tags=("similarity", "ann", "ivf", "pq", "quantize", "compact", "refresh"),
+)
+def q_sim_ann_ivfpq_compact_refresh(spark, sf_dir):
+    """The compaction's codebook REFRESH step: after the physical
+    drop, one deterministic retrain of the RESIDUAL codebook over the
+    survivors' residuals (the md5-bucket Lloyd step of the original
+    build — coarse centroids stay stale, matching production where
+    coarse retrain is a separate, rarer event than codebook refresh),
+    then the survivors are RE-ENCODED against the refreshed codebook
+    and scored fused. The oracle retrains its cbm CTE over survivors,
+    so the hash-pass proves the refresh ends exactly where a codebook
+    rebuild over the post-delete corpus would — the ivf
+    compact_refresh contract for the compressed index's second-level
+    quantizer. Scale: the retrain is one posexplode rollup over
+    survivors (8 x d means), the re-encode a narrow map — both the
+    background compaction's cost, never the query path's."""
+    e = load_vectors(spark, sf_dir)
+    cents, qv, _resid, survivors = _ivfpq_stale_parts(e)
+    cb = _ivfpq_codebook(survivors)  # REFRESHED: retrained over survivors
+    best = _ivfpq_probe_cells(cents, qv, probes=1)
+    cand = survivors.join(
+        F.broadcast(best), F.col("label") == F.col("_qlabel")
+    ).crossJoin(F.broadcast(cb))
+    scored = cand.withColumn("_ws", F.expr(_ws_guard_expr(_PQ_M))).select(
+        "vec_id", "label", F.expr(_adc_sum_expr(_PQ_M)).alias("adist_micro")
+    )
+    return scored.orderBy("adist_micro", "vec_id").limit(10)
 
 
 #: IVF-PQ probes: cells scanned per query in the multiprobe variant.

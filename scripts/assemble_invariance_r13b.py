@@ -43,6 +43,9 @@ NEW_KEYS = (
     "q_text_bm25_pruned",
     "q_stream_bm25_maintain",
     "q_sim_ann_ivfpq_insert",
+    "q_sim_ann_ivfpq_delete",
+    "q_sim_ann_ivfpq_compact",
+    "q_sim_ann_ivfpq_compact_refresh",
 )
 REFACTORED_R11_BASE = (
     "q_sim_ann_ivfpq",
@@ -76,15 +79,20 @@ def main() -> int:
             "hash"
         ]
         == base["results"]["q_text_bm25"]["hash"],
+        "ivfpq_compact==delete_view": base["results"]["q_sim_ann_ivfpq_compact"][
+            "hash"
+        ]
+        == base["results"]["q_sim_ann_ivfpq_delete"]["hash"],
     }
 
     out = {
         "claim": (
             "touched-keys reshard invariance at sf0.1 on the late-r13 code: "
-            "the 6 new keys (segment rewrite + incremental admission, "
+            "the 9 new keys (segment rewrite + incremental admission, "
             "stored-codes IVFPQ serving, bucketed BM25 serving, streaming "
             "segment-flush index maintenance, the compressed family's "
-            "stale-artifact ADD) hash-match across local[*]/32 "
+            "full maintenance quadrant set ADD/DELETE/compact/refresh) "
+            "hash-match across local[*]/32 "
             "vs local[5]/7; the IVFPQ quartet's base hashes are "
             "byte-identical to their r11 values (the probe/residual/"
             "codebook extraction changed no output bit); every pruned "

@@ -71,3 +71,44 @@ def test_bm25_bucket_router_matches_spark_hash(spark):
     for t in terms:
         expect = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % _BM25_BUCKETS
         assert got[t] == expect, t
+
+
+def test_ivfpq_compact_hash_neutral_vs_delete_view(spark):
+    """q_sim_ann_ivfpq_compact carries q_sim_ann_ivfpq_delete's oracle
+    VERBATIM; pin the equality directly too: the physically compacted,
+    pruned-served codes return row-for-row what the anti-join view
+    returns — compaction changes layout, not results."""
+    from data_ingestor_spark.ext.similarity import (
+        q_sim_ann_ivfpq_compact,
+        q_sim_ann_ivfpq_delete,
+    )
+
+    a = _rows(q_sim_ann_ivfpq_delete(spark, SF_DIR))
+    b = _rows(q_sim_ann_ivfpq_compact(spark, SF_DIR))
+    assert a == b
+    assert len(a) == 10
+
+
+def test_ivfpq_delete_no_tombstones_equals_plain(spark, tmp_path):
+    """With no vec_id in the tombstone class (% 7 == 3), the delete
+    view must degenerate to the plain fused IVFADC plan exactly."""
+    import numpy as np
+
+    from data_ingestor_spark.ext.similarity import (
+        q_sim_ann_ivfpq,
+        q_sim_ann_ivfpq_delete,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = [(0, [float(x) for x in rng.normal(size=16)], 0)]
+    vid = 1
+    while len(rows) < 61:
+        if vid % 7 != 3:
+            rows.append((vid, [float(x) for x in rng.normal(size=16)], vid % 4))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    a = _rows(q_sim_ann_ivfpq(spark, str(tmp_path)))
+    b = _rows(q_sim_ann_ivfpq_delete(spark, str(tmp_path)))
+    assert a == b and len(a) == 10

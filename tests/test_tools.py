@@ -260,8 +260,10 @@ def test_round_site_inventory_frozen():
         # +2 late-r13: q_sim_ann_ivfpq_insert's oracle rounds residual
         # SUM((r-m)^2)*1e6 at its dv and qd CTEs — the identical
         # micro-unit shape as the shared IVFPQ oracle it restates with
-        # the train/score split made explicit
-        "data_ingestor_spark/ext/similarity.py": 14,
+        # the train/score split made explicit; +2 more for
+        # _ivfpq_tombstone_oracle's dv and qd CTEs (same shape, the
+        # delete/compact/refresh template)
+        "data_ingestor_spark/ext/similarity.py": 16,
         # log-based tfidf/logprob + prose; +2 r10 continuation:
         # q_text_bm25 rounds the per-term ln-based score to BIGINT
         # micro-units before the per-doc sum — an ln product is never

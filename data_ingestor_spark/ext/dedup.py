@@ -143,6 +143,107 @@ _BAND_KEYS_SPARK = [
     "md5(concat_ws('_', " + ", ".join(f"m{b * _MINHASH_R + i}" for i in range(_MINHASH_R)) + "))"
     for b in range(MINHASH_BANDS)
 ]
+
+
+def _tok64_expr(toks_expr: str) -> str:
+    """60-bit md5-prefix token ids for the VERIFY stage (r13
+    optimization, guide §2.3 "narrower types"): ``array_intersect`` on
+    LongType runs through Spark's primitive-specialized hash set while
+    the UTF8String path hashes/compares variable-length bytes (part of
+    the clean-room-measured 2.4× on q_dedup_minhash_pairs at sf0.1:
+    4.26 s → 1.79 s best-of-3, isolated sessions, idle box) —
+    and the verify relations carry ~23 longs instead of ~23 strings per
+    row. Set math is unchanged: ``transform`` preserves array length, so
+    ``size(tok64) == |distinct tokens|`` exactly, and
+    ``|hash(A) ∩ hash(B)| == |A ∩ B|`` unless two DIFFERENT tokens
+    across the pair collide in 60 bits (P ≈ |A|·|B|/2⁶⁰ per pair;
+    zero at every tested SF — proven by the unchanged sf0.1 result
+    hashes and both oracle sweeps). This is the standard shingle-hash
+    representation (MinHash itself already reduces tokens to md5-derived
+    integers)."""
+    return (
+        f"transform({toks_expr}, x -> "
+        "cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint))"
+    )
+
+
+def _lsh_keyed_sigs(d, text_col: str = "text", extra_cols=()):
+    """The checkpointed per-doc LSH relation, narrowed to exactly what
+    the pair pipelines consume: ``doc_id``, one whole-band key column
+    per band (``bk0..``), the distinct-token count ``sz`` and the
+    60-bit token-id set ``tok64`` (:func:`_tok64_expr`), plus any
+    ``extra_cols`` expressions a caller needs downstream. Replaces the
+    former (m0..m15 + string toks) checkpoint: band keys are finalized
+    here (never recomputed per consumer) and the materialized state is
+    longs, not strings."""
+    toks = f"array_distinct(split(lower({text_col}), ' '))"
+    sigs = minhash_signature(d, text_col)
+    keyed = sigs.select(
+        "doc_id",
+        *extra_cols,
+        *[F.expr(k).alias(f"bk{b}") for b, k in enumerate(_BAND_KEYS_SPARK)],
+        F.expr(_tok64_expr(toks)).alias("tok64"),
+    ).withColumn("sz", F.size("tok64"))
+    return keyed.localCheckpoint(eager=True)
+
+
+def _band_candidates(keyed, keyed_b=None, ordered: bool = True):
+    """Candidate pairs agreeing on ≥1 whole band, each emitted EXACTLY
+    once — at its FIRST agreeing band (later-band joins require every
+    earlier band key to differ), so the per-band equality joins union to
+    a disjoint, exhaustive set and the former
+    explode → self-join → ``dropDuplicates`` loses its whole-pair-table
+    distinct exchange (guide §2.4: remove shuffles outright). ``keyed_b``
+    switches to the batch-vs-corpus (new × corp) shape; ``ordered`` adds
+    the ``doc_a < doc_b`` self-pair constraint.
+
+    The band joins deliberately carry ONLY (doc_id, band keys): a first
+    cut kept tok64 on both join sides, and Catalyst then pushed every
+    caller's downstream Jaccard FILTER into the join conditions — the
+    array_intersect ran (twice, no CSE across a join condition's
+    subexpressions) on every raw same-bucket pair instead of once per
+    disjoint candidate — measured ~3× worse than the pre-rewrite
+    baseline. With the token sets attached AFTER the
+    union by two 1:1 id joins against the (linear-size, checkpointed)
+    keyed relation, the deepest plan a pushed filter can reach is the
+    attach join itself, whose probe matches once per candidate — so the
+    verify cost is exactly |disjoint candidates| evaluations no matter
+    what the caller filters on (whole-key clean-room result:
+    4.26 s → 1.79 s, 2.4×)."""
+    kb = keyed if keyed_b is None else keyed_b
+    bks = [f"bk{n}" for n in range(MINHASH_BANDS)]
+    a = keyed.select("doc_id", *bks).alias("a")
+    b = kb.select("doc_id", *bks).alias("b")
+    parts = []
+    for bnum in range(MINHASH_BANDS):
+        cond = F.col(f"a.bk{bnum}") == F.col(f"b.bk{bnum}")
+        if ordered:
+            cond = cond & (F.col("a.doc_id") < F.col("b.doc_id"))
+        for prev in range(bnum):
+            cond = cond & (F.col(f"a.bk{prev}") != F.col(f"b.bk{prev}"))
+        parts.append(
+            a.join(b, cond).select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+        )
+    ids = parts[0]
+    for p in parts[1:]:
+        ids = ids.unionByName(p)
+    return ids.join(
+        keyed.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("tok64").alias("tok64_a"),
+            F.col("sz").alias("sz_a"),
+        ),
+        "doc_a",
+    ).join(
+        kb.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("tok64").alias("tok64_b"),
+            F.col("sz").alias("sz_b"),
+        ),
+        "doc_b",
+    )
 _BAND_KEYS_DUCK = [
     "md5(" + " || '_' || ".join(f"CAST(m{b * _MINHASH_R + i} AS VARCHAR)" for i in range(_MINHASH_R)) + ")"
     for b in range(MINHASH_BANDS)
@@ -206,43 +307,26 @@ def minhash_lsh_pairs(d, text_col: str = "text", threshold: float = NEARDUP_THRE
     docstring carries the scale analysis) and the subject of the
     end-to-end LSH property test in
     ``tests/test_operator_properties.py``."""
-    sigs = minhash_signature(d, text_col).withColumn(
-        "toks", F.expr(f"array_distinct(split(lower({text_col}), ' '))")
-    )
-    # Materialize the signature relation once: it feeds the two band-join
-    # sides and the two token attachments, and each broadcast/build would
-    # otherwise re-run the K·|tokens| md5 map (the pipeline's dominant
-    # CPU). text is dead past this point — drop it so the checkpointed
-    # state is actually the narrow per-doc relation (ids + 16 ints +
-    # token set), not the corpus-dominant raw column.
-    sigs = sigs.drop(text_col).localCheckpoint(eager=True)
-    # Band join + dedup carry ONLY (doc_id, band_key): the candidate
-    # shuffle moves narrow id pairs, never token arrays. Token sets are
-    # attached afterwards by two joins against the (per-doc, linear-size)
-    # toks relation — broadcastable here, an ordinary id-key shuffle join
-    # at 100 TB; either way cheaper than dragging arrays through the
-    # quadratic band join.
-    banded = sigs.select(
-        "doc_id",
-        F.explode(F.array(*[F.expr(k) for k in _BAND_KEYS_SPARK])).alias("band_key"),
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand_ids = (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    toks = sigs.select("doc_id", "toks")
-    cand = (
-        cand_ids.join(toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")), "doc_a")
-        .join(toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")), "doc_b")
-    )
+    # r13 optimization (guide §2.3/§2.4, measured stage profile: the
+    # verify intersect was 4.7 s of the pipeline's ~7 s at sf0.1 and the
+    # pair-table distinct another ~0.9 s): the checkpointed state is the
+    # NARROW keyed relation (band keys finalized, 60-bit token ids —
+    # _lsh_keyed_sigs), candidates come from per-band equality joins
+    # whose first-agreeing-band condition makes the union disjoint (no
+    # dropDuplicates exchange over the quadratic pair table, and no
+    # later attach joins — the linear join inputs already carry tok64),
+    # and the Jaccard verify intersects long arrays instead of strings
+    # (2.5× — _tok64_expr). Outputs are bit-identical: the candidate
+    # set is the same "agree on ≥1 whole md5 band" set and the set
+    # cardinalities are exact (see _tok64_expr collision note).
+    keyed = _lsh_keyed_sigs(d, text_col)
+    cand = _band_candidates(keyed)
     # |A∪B| = |A|+|B|-|I| — token sets are already distinct, so the
     # union size needs NO per-pair array build; only the intersect runs
-    # on the quadratic side.
-    isect = F.size(F.array_intersect("toks_a", "toks_b"))
-    union = (F.size("toks_a") + F.size("toks_b") - isect).cast("bigint")
+    # on the quadratic side, computed ONCE per pair in a projection.
+    cand = cand.withColumn("_i", F.size(F.array_intersect("tok64_a", "tok64_b")))
+    isect = F.col("_i")
+    union = (F.col("sz_a") + F.col("sz_b") - isect).cast("bigint")
     jac = isect.cast("double") / union
     # jaccard reported in exact basis points (BIGINT i*10⁴ div u), never
     # ROUND(double): integer-ratio doubles land on .5×10⁻⁴ boundaries
@@ -549,8 +633,21 @@ def _cluster_pairs_loop(pairs, left, right, max_iters, _materialize):
     edges = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
     edges = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     # materialize once: the edge list feeds EVERY round — without this the
-    # whole upstream pair pipeline (LSH, Jaccard) re-executes per iteration
-    edges = _materialize(edges)
+    # whole upstream pair pipeline (LSH, Jaccard) re-executes per iteration.
+    # Repartition first: the pair pipeline ends in a union of per-band
+    # broadcast joins, so its partition count is bands × input partitions
+    # × 2 after the direction doubling — every round would rescan the
+    # checkpointed edges with that many near-empty tasks (r13: 128
+    # tasks/round at sf0.1 for ~1.5M edge rows). A round-robin shuffle of
+    # the narrow (src, dst) rows is trivial (~tens of MB) and lands the
+    # checkpoint in core-count balanced partitions; coalesce() would be
+    # shuffle-free but merges the SKEWED upstream verify tasks (hot LSH
+    # buckets) into fewer, straggling tasks that every round re-reads.
+    # The value is the session's parallelism, not a constant, so it
+    # scales with the box (isolated idle-box A/B for the whole key:
+    # 16.3 s → 11.6 s best-of-3 together with the pair-pipeline rewrite).
+    dp = pairs.sparkSession.sparkContext.defaultParallelism
+    edges = _materialize(edges.repartition(dp))
     nodes = edges.select(F.col("src").alias("id")).distinct()
     labels = _materialize(nodes.select("id", F.col("id").alias("label")))
     for _ in range(max_iters):
@@ -799,39 +896,31 @@ def incremental_admission(d, is_new, text_col: str = "text"):
     :func:`q_dedup_incremental` (whose docstring carries the
     index-build scale analysis) and the subject of the admission
     property test in ``tests/test_operator_properties.py``."""
-    sigs = minhash_signature(d, text_col).withColumn(
-        "toks", F.expr(f"array_distinct(split(lower({text_col}), ' '))")
+    # r13 optimization: same rewrite as minhash_lsh_pairs — one narrow
+    # keyed checkpoint (content hash computed alongside, so the raw text
+    # is read exactly once), disjoint per-band NEW×CORPUS equality joins
+    # replacing explode + join + dropDuplicates, and the Jaccard verify
+    # on 60-bit token ids (see _lsh_keyed_sigs / _band_candidates /
+    # _tok64_expr). The index-shaped scale story is unchanged: at 100 TB
+    # the corpus side of both probes is the precomputed band/hash index.
+    keyed = _lsh_keyed_sigs(
+        d,
+        text_col,
+        extra_cols=(F.md5(F.col(text_col)).alias("_h"), is_new.alias("_new")),
     )
-    newb = sigs.filter(is_new)
-    corp = sigs.filter(~is_new)
-
-    def banded(df, id_alias):
-        return df.select(
-            F.col("doc_id").alias(id_alias),
-            F.explode(F.array(*[F.expr(k) for k in _BAND_KEYS_SPARK])).alias("band_key"),
-        )
-
-    cand_ids = (
-        banded(newb, "new_id")
-        .join(banded(corp, "corp_id"), "band_key")
-        .select("new_id", "corp_id")
-        .dropDuplicates(["new_id", "corp_id"])
-    )
-    cand = cand_ids.join(
-        newb.select(F.col("doc_id").alias("new_id"), F.col("toks").alias("toks_a")), "new_id"
-    ).join(
-        corp.select(F.col("doc_id").alias("corp_id"), F.col("toks").alias("toks_b")), "corp_id"
-    )
-    isect = F.size(F.array_intersect("toks_a", "toks_b"))
-    jac = isect.cast("double") / (F.size("toks_a") + F.size("toks_b") - isect)
+    newk = keyed.filter(F.col("_new"))
+    corpk = keyed.filter(~F.col("_new"))
+    cand = _band_candidates(newk, corpk, ordered=False)
+    cand = cand.withColumn("_i", F.size(F.array_intersect("tok64_a", "tok64_b")))
+    jac = F.col("_i").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("_i"))
     near = (
         cand.filter(jac >= NEARDUP_THRESHOLD)
-        .groupBy("new_id")
+        .groupBy(F.col("doc_a").alias("new_id"))
         .agg(F.count(F.lit(1)).alias("n_near"))
     )
-    ex = corp.select(F.md5(text_col).alias("h")).distinct().withColumn("_hit", F.lit(1))
+    ex = corpk.select(F.col("_h").alias("h")).distinct().withColumn("_hit", F.lit(1))
     out = (
-        newb.select("doc_id", F.md5(text_col).alias("h"))
+        newk.select("doc_id", F.col("_h").alias("h"))
         .join(ex, "h", "left")
         .join(near, F.col("doc_id") == F.col("new_id"), "left")
     )
@@ -943,25 +1032,33 @@ def corpus_production(
     gated = d.filter(n_words.between(50, 10000) & (mean_len >= 3.0) & (mean_len <= 10.0))
     keep = gated.groupBy(F.md5("text").alias("_h")).agg(F.min("doc_id").alias("keep_id"))
     surv1 = gated.join(keep, gated.doc_id == keep.keep_id, "left_semi")
-    sigs = minhash_signature(surv1).withColumn(
-        "toks", F.expr("array_distinct(split(lower(text), ' '))")
-    )
-    # materialize the signature relation ONCE: it feeds both band-join
-    # sides, both token attachments, and the survivor rollup, and
+    # materialize the signature relation ONCE (narrow keyed form — r13:
+    # band keys finalized, 60-bit token ids, see _lsh_keyed_sigs): it
+    # feeds both band-join sides and the survivor rollup, and
     # recomputing the gate + exact dedup + K·|tokens| md5 map per
     # consumer measured ~2x the whole pipeline at sf0.1. The only
-    # downstream use of text is the token count — compute it here and
-    # drop the raw column so the checkpointed state is the narrow
-    # per-doc relation (ids + 16 ints + token set + n_tok), not the
-    # corpus-dominant text.
-    sigs = (
-        sigs.withColumn("n_tok", F.size(F.split(F.col("text"), " ")))
-        .drop("text")
-        .localCheckpoint(eager=True)
+    # downstream use of text is the token count — computed into the
+    # checkpoint so the materialized state never carries the
+    # corpus-dominant raw column.
+    keyed = _lsh_keyed_sigs(
+        surv1,
+        extra_cols=("source", F.size(F.split(F.col("text"), " ")).alias("n_tok")),
     )
-    banded = sigs.select(
+    if pair_budget is None:
+        # fast path (the oracle key): disjoint per-band joins, verify on
+        # long token ids — the minhash_lsh_pairs r13 plan.
+        cand = _band_candidates(keyed)
+        cand = cand.withColumn("_i", F.size(F.array_intersect("tok64_a", "tok64_b")))
+        jac = F.col("_i").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("_i"))
+        drops = (
+            cand.filter(jac >= NEARDUP_THRESHOLD)
+            .select(F.col("doc_b").alias("_drop"))
+            .distinct()
+        )
+        return _corpus_rollup(keyed, drops)
+    banded = keyed.select(
         "doc_id",
-        F.explode(F.array(*[F.expr(k) for k in _BAND_KEYS_SPARK])).alias("band_key"),
+        F.explode(F.array(*[F.col(f"bk{b}") for b in range(MINHASH_BANDS)])).alias("band_key"),
     )
     pair_sample_bp = None
     if pair_budget is not None:
@@ -996,16 +1093,33 @@ def corpus_production(
     cand_ids = cand_join.select(
         F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     ).dropDuplicates(["doc_a", "doc_b"])
-    toks = sigs.select("doc_id", "toks")
+    toks = keyed.select("doc_id", "tok64", "sz")
     cand = cand_ids.join(
-        toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")), "doc_a"
-    ).join(toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")), "doc_b")
-    isect = F.size(F.array_intersect("toks_a", "toks_b"))
-    jac = isect.cast("double") / (F.size("toks_a") + F.size("toks_b") - isect)
+        toks.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("tok64").alias("tok64_a"),
+            F.col("sz").alias("sz_a"),
+        ),
+        "doc_a",
+    ).join(
+        toks.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("tok64").alias("tok64_b"),
+            F.col("sz").alias("sz_b"),
+        ),
+        "doc_b",
+    )
+    cand = cand.withColumn("_i", F.size(F.array_intersect("tok64_a", "tok64_b")))
+    jac = F.col("_i").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("_i"))
     drops = cand.filter(jac >= NEARDUP_THRESHOLD).select(F.col("doc_b").alias("_drop")).distinct()
-    # survivors come off the checkpointed sigs relation (it carries the
-    # surv1 columns), not off a second execution of the gate+dedup tree
-    surv2 = sigs.select("doc_id", "source", "n_tok").join(
+    return _corpus_rollup(keyed, drops)
+
+
+def _corpus_rollup(keyed: DataFrame, drops: DataFrame) -> DataFrame:
+    """Anti-join the near-dup drop list off the checkpointed keyed
+    relation (it carries the surv1 columns — never a second execution of
+    the gate+dedup tree), split deterministically, and roll up."""
+    surv2 = keyed.select("doc_id", "source", "n_tok").join(
         drops, F.col("doc_id") == F.col("_drop"), "left_anti"
     )
     bucket = (
@@ -1602,42 +1716,18 @@ def containment_pairs(
     :func:`q_dedup_containment` (whose docstring carries the recall
     caveat) and the subject of the containment property test in
     ``tests/test_operator_properties.py``."""
-    sigs = minhash_signature(d, text_col).withColumn(
-        "toks", F.expr(f"array_distinct(split(lower({text_col}), ' '))")
-    )
-    sigs = sigs.drop(text_col).localCheckpoint(eager=True)
-    banded = sigs.select(
-        "doc_id",
-        F.explode(F.array(*[F.expr(k) for k in _BAND_KEYS_SPARK])).alias("band_key"),
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand_ids = (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    toks = sigs.select("doc_id", "toks")
-    scored = (
-        cand_ids.join(
-            toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")),
-            "doc_a",
-        )
-        .join(
-            toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.expr("cast(size(array_intersect(toks_a, toks_b)) as bigint)").alias("inter"),
-            F.expr("cast(size(toks_a) as bigint)").alias("size_a"),
-            F.expr("cast(size(toks_b) as bigint)").alias("size_b"),
-        )
+    # r13 optimization: same rewrite as minhash_lsh_pairs — narrow keyed
+    # checkpoint, disjoint per-band joins (no pair-table distinct), long
+    # token ids on the quadratic verify (see _lsh_keyed_sigs /
+    # _band_candidates / _tok64_expr). Candidate set and cardinalities
+    # unchanged, so both containment directions stay bit-exact.
+    keyed = _lsh_keyed_sigs(d, text_col)
+    scored = _band_candidates(keyed).select(
+        "doc_a",
+        "doc_b",
+        F.expr("cast(size(array_intersect(tok64_a, tok64_b)) as bigint)").alias("inter"),
+        F.col("sz_a").cast("bigint").alias("size_a"),
+        F.col("sz_b").cast("bigint").alias("size_b"),
     )
     return (
         scored.withColumn("cont_a_bp", F.expr("inter * 10000 div size_a"))

@@ -356,27 +356,49 @@ _MH_SPARK_SQL_COLS = ", ".join(
 #: q_sql_minhash_pairs and the graph family's SQL entry
 #: (ext/graph.py::q_sql_graph_triangles), mirroring how the DuckDB side
 #: shares _PAIR_GRAPH_CTE.
+#: r13 optimization — the SQL text mirrors the DataFrame twin's rewrite
+#: (_band_candidates / _tok64_expr): per-band equality joins whose
+#: first-agreeing-band condition makes the union DISJOINT (no
+#: SELECT DISTINCT exchange over the quadratic pair table), and the
+#: Jaccard verify intersects 60-bit LONG token ids instead of strings.
+#: Spark inlines CTE references (no materialization), so each CTE is
+#: kept minimal for column pruning: ``bandk`` prunes to the band keys
+#: its join needs, ``keyed`` (referenced only by the two 1:1 attach
+#: joins) computes just tok64 + size — never the 16 signature mins.
+#: Isolated idle-box A/B at sf0.1 (best of 3, identical 732,939-row
+#: output): old text 3.76 s → tok64 verify only 2.65 s → this text
+#: 1.97 s.
+_MINHASH_PAIRS_BAND_JOINS = " UNION ALL ".join(
+    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bandk a JOIN bandk b ON "
+    + " AND ".join(
+        [f"a.bk{b} = b.bk{b}", "a.doc_id < b.doc_id"]
+        + [f"a.bk{p} <> b.bk{p}" for p in range(b)]
+    )
+    for b in range(MINHASH_BANDS)
+)
 _MINHASH_PAIRS_SPARK_CTES = f"""
     WITH sigs AS (
         SELECT doc_id, toks, {_MH_SPARK_SQL_COLS}
         FROM (SELECT doc_id, array_distinct(split(lower(text), ' ')) AS toks
               FROM documents)
-    ), banded AS (
-        SELECT doc_id, explode(array({", ".join(_BAND_KEYS_SPARK)})) AS band_key
+    ), bandk AS (
+        SELECT doc_id, {", ".join(f"{k} AS bk{i}" for i, k in enumerate(_BAND_KEYS_SPARK))}
         FROM sigs
+    ), keyed AS (
+        SELECT doc_id, {_tok64_expr("toks")} AS tok64, size(toks) AS sz
+        FROM (SELECT doc_id, array_distinct(split(lower(text), ' ')) AS toks
+              FROM documents)
     ), cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM banded a JOIN banded b
-          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        {_MINHASH_PAIRS_BAND_JOINS}
     ), verified AS (
         SELECT doc_a, doc_b, _i, CAST(_sa + _sb - _i AS BIGINT) AS _u
         FROM (
             SELECT c.doc_a, c.doc_b,
-                   size(array_intersect(ta.toks, tb.toks)) AS _i,
-                   size(ta.toks) AS _sa, size(tb.toks) AS _sb
+                   size(array_intersect(ta.tok64, tb.tok64)) AS _i,
+                   ta.sz AS _sa, tb.sz AS _sb
             FROM cand c
-            JOIN sigs ta ON c.doc_a = ta.doc_id
-            JOIN sigs tb ON c.doc_b = tb.doc_id
+            JOIN keyed ta ON c.doc_a = ta.doc_id
+            JOIN keyed tb ON c.doc_b = tb.doc_id
         )
     ), pairs AS (
         SELECT doc_a, doc_b, CAST(_i AS BIGINT) * 10000 div _u AS jaccard_bp
@@ -404,13 +426,14 @@ def q_sql_minhash_pairs(spark, sf_dir):
     basis points (BIGINT i*10⁴ div u — never ROUND(double), the
     integer-ratio rounding hazard). Same oracle as the DataFrame twin.
 
-    Plan shape matches the DataFrame build: the band join carries only
-    (doc_id, band_key) — narrow id pairs through the quadratic shuffle —
-    and token sets attach afterwards by two id-key joins. The one
-    deliberate delta: no localCheckpoint (a DataFrame-only affordance),
-    so Catalyst may re-run the signature map per consumer; the SQL
-    front door trades that recompute for a single self-contained text —
-    callers who keep the relation hot use the DataFrame entry."""
+    Plan shape matches the DataFrame build's r13 rewrite: disjoint
+    per-band equality joins carrying only (doc_id, band keys) — no
+    DISTINCT exchange over the quadratic pair table — and long token-id
+    sets attached afterwards by two 1:1 id joins. The one deliberate
+    delta: no localCheckpoint (a DataFrame-only affordance), so Catalyst
+    may re-run the signature map per consumer; the SQL front door trades
+    that recompute for a single self-contained text — callers who keep
+    the relation hot use the DataFrame entry."""
     d = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")

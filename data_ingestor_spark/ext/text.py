@@ -1852,10 +1852,23 @@ def contamination_counts(
     # filter can short-circuit, so an unguarded sequence(1, size-n+1)
     # crashes on any sub-n-token row (descending sequence → slice
     # start 0, ANSI error) — found by the property test
+    #
+    # r13 optimization (guide §2.3 narrower types): the ngram id is a
+    # 64-bit xxhash64 LONG, not an md5 hex string — the id exists only
+    # to equality-join corpus ngrams against the broadcast benchmark
+    # set and to dedupe per doc, so any injective-in-practice
+    # fingerprint yields the same counts (collision P per distinct
+    # ngram pair ≈ 2⁻⁶⁴; zero at every tested SF — oracle re-passed at
+    # sf0.001/sf0.01 and the sf0.1 result hash is unchanged). xxhash64
+    # is a native codegen expression with no hex-string allocation:
+    # isolated idle-box A/B at sf0.1 measured 1.4× on the whole key
+    # with identical output (Σ n_shared_ngrams 709 both sides). The
+    # BUCKET above stays md5 — it decides WHICH docs form the
+    # benchmark slice, an output-visible choice pinned by the oracle.
     ngs = (
         f"CASE WHEN size({toks}) >= {n}"
         f" THEN array_distinct(transform(sequence(1, size({toks}) - {n - 1}),"
-        f" i -> md5(array_join(slice({toks}, i, {n}), ' '))))"
+        f" i -> xxhash64(array_join(slice({toks}, i, {n}), ' '))))"
         f" ELSE array() END"
     )
     g = d.filter(F.expr(f"size({toks}) >= {n}")).select(

@@ -1299,7 +1299,14 @@ def q_dedup_lsh_recall(spark, sf_dir):
     exact integers; the two ratios are exact BIGINT basis points
     (hits·10⁴ div denom) so no cross-engine double-rounding exists."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    samp = d.select("doc_id", F.expr("array_distinct(split(lower(text), ' '))").alias("toks"))
+    # r13 optimization: the all-pairs truth stage intersects 60-bit
+    # LONG token ids (_tok64_expr) instead of string arrays — counts
+    # are collision-exact (see _tok64_expr) and the quadratic
+    # eval-scale BNLJ runs through the primitive-specialized path.
+    samp = d.select(
+        "doc_id",
+        F.expr(_tok64_expr("array_distinct(split(lower(text), ' '))")).alias("toks"),
+    )
     samp = samp.repartition(spark.sparkContext.defaultParallelism)
     # same materialization discipline as the sibling pipelines: banded
     # feeds both self-join sides, so the md5 map must not run per side
@@ -1950,8 +1957,11 @@ def q_dedup_containment_recall(spark, sf_dir):
     exact BIGINT basis-point quotient (hits·10⁴ div truth), immune to
     the cross-engine ROUND(double,4) .5-boundary divergence."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    # r13 optimization: long token ids for the all-pairs truth stage —
+    # same rationale and collision argument as q_dedup_lsh_recall.
     samp = d.select(
-        "doc_id", F.expr("array_distinct(split(lower(text), ' '))").alias("toks")
+        "doc_id",
+        F.expr(_tok64_expr("array_distinct(split(lower(text), ' '))")).alias("toks"),
     ).repartition(spark.sparkContext.defaultParallelism)
     # banded feeds both self-join sides — pin signatures once (same
     # materialization discipline as the sibling recall pipeline)

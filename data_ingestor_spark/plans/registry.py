@@ -68,6 +68,21 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+#: (applicationId, sf_dir, name) -> DataFrame handle. Metadata-only
+#: memo (r13 optimization, guide §5/§7.3 driver-side work): each
+#: ``spark.read.parquet`` call re-resolves the DataSource and re-reads
+#: the parquet footer for schema — measured ~120-150 ms per call on
+#: EVERY call (Spark caches the file LISTING session-wide, not the
+#: reader), and the bench's 16 headline keys make ~40 such calls. The
+#: memo holds the immutable DataFrame HANDLE (unresolved scan + schema)
+#: — the catalog-registration shape every warehouse session has — so
+#: every action still scans the parquet files; no rows, no results, no
+#: computed state are cached. Keyed by applicationId so a new session
+#: (different reader configs) never reuses a stale handle; cleared on
+#: app change like ext/graph._EDGE_CACHE.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (TESTDATA.md layout).
 
@@ -76,11 +91,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``nanosAsLong``) and micros TIMESTAMP_NTZ in others; both layouts are
     normalized to a session-timezone TIMESTAMP by
     :func:`normalize_event_ts`.
+
+    The returned handle is memoized per (session, sf_dir, table) —
+    see :data:`_TABLE_CACHE`; DataFrames are immutable so sharing the
+    handle across queries is safe, and the underlying files are
+    re-scanned by every action exactly as before.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    if key[0] not in {k[0] for k in _TABLE_CACHE}:
+        _TABLE_CACHE.clear()  # at most one live session's handles
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _TABLE_CACHE[key] = df
+    return df
 
 
 def scratch_dir(*parts: str) -> str:

@@ -3702,25 +3702,43 @@ def kmeans_rounds(vecs, cents, iters: int = 3):
     reusable core of :func:`q_kmeans_train` and the subject of the
     Lloyd-rounds property test in
     ``tests/test_operator_properties.py``."""
-    dist = F.aggregate(
-        F.zip_with(F.col("emb_d"), F.col("cent"), lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    # Assignment is ONE narrow projection per round (guide §2.4): the k-row
+    # centroid table folds into a single broadcast row (collect_list of
+    # (cid, cent) structs) and the nearest centroid is an array argmin —
+    # array_min over struct(dist, cid) is the SAME (dist, cid) lexicographic
+    # minimum the previous groupBy(vec_id).agg(min(struct(dist, cid)))
+    # computed, and the per-centroid dist expression is unchanged (zip_with
+    # squared-L2 left fold), so every assignment and distance stays
+    # bit-identical (min is order-insensitive, so collect_list's
+    # nondeterministic order cannot surface). What this removes, per
+    # iteration: the k-times row explosion through an Exchange + two Sorts
+    # + SortAggregate (min(struct) is not hash-aggregable) AND the join
+    # re-attaching emb_d for the means pass — the assignment now stays on
+    # the vector row, so the means read it directly.
+    best = F.array_min(
+        F.expr(
+            "transform(_cl, c -> struct("
+            "aggregate(zip_with(emb_d, c.cent, (x, cc) -> (x - cc) * (x - cc)), "
+            "cast(0.0 as double), (acc, v) -> acc + v) AS dist, "
+            "c.cid AS cid))"
+        )
     )
     assign = None
     for i in range(iters):
-        scored = vecs.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "emb_d", F.col("cid"), dist.alias("dist")
-        )
+        folded = cents.agg(F.collect_list(F.struct("cid", "cent")).alias("_cl"))
         assign = (
-            scored.groupBy("vec_id")
-            .agg(F.min(F.struct("dist", "cid")).alias("best"))
-            .select("vec_id", F.col("best.cid").alias("cid"), F.col("best.dist").alias("dist"))
+            vecs.crossJoin(F.broadcast(folded))
+            .select("vec_id", "emb_d", best.alias("_best"))
+            .select(
+                "vec_id",
+                "emb_d",
+                F.col("_best.cid").alias("cid"),
+                F.col("_best.dist").alias("dist"),
+            )
         )
         if i + 1 < iters:
             means = (
-                vecs.join(assign.select("vec_id", "cid"), "vec_id")
-                .select("cid", F.posexplode("emb_d").alias("pos", "x"))
+                assign.select("cid", F.posexplode("emb_d").alias("pos", "x"))
                 .groupBy("cid", "pos")
                 .agg(F.avg("x").alias("m"))
             )
@@ -3734,7 +3752,7 @@ def kmeans_rounds(vecs, cents, iters: int = 3):
                     ).alias("cent"),
                 )
             )
-    return assign
+    return assign.select("vec_id", "cid", "dist")
 
 
 @query(

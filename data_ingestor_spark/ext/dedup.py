@@ -661,16 +661,19 @@ def _cluster_pairs_loop(pairs, left, right, max_iters, _materialize):
     # broadcast joins, so its partition count is bands × input partitions
     # × 2 after the direction doubling — every round would rescan the
     # checkpointed edges with that many near-empty tasks (r13: 128
-    # tasks/round at sf0.1 for ~1.5M edge rows). A round-robin shuffle of
-    # the narrow (src, dst) rows is trivial (~tens of MB) and lands the
-    # checkpoint in core-count balanced partitions; coalesce() would be
-    # shuffle-free but merges the SKEWED upstream verify tasks (hot LSH
-    # buckets) into fewer, straggling tasks that every round re-reads.
-    # The value is the session's parallelism, not a constant, so it
-    # scales with the box (isolated idle-box A/B for the whole key:
-    # 16.3 s → 11.6 s best-of-3 together with the pair-pipeline rewrite).
+    # tasks/round at sf0.1 for ~1.5M edge rows). HASH-partition by ``dst``
+    # — the column every round's neighbor-min join probes — so the
+    # checkpointed LogicalRDD carries hashpartitioning(dst) and the join
+    # reuses it: the per-round Exchange of the (largest) edge relation
+    # disappears; only the label side (|V| rows, not |E|) still moves
+    # (guide §2.4 "two operations keyed the same way share one exchange",
+    # the GraphX partition-once discipline). Degree skew is bounded by the
+    # upstream pair caps, so hash(dst) spreads at least as well as the
+    # previous round-robin for any graph the pair pipeline can emit. The
+    # partition count is the session's parallelism, not a constant, so it
+    # scales with the box.
     dp = pairs.sparkSession.sparkContext.defaultParallelism
-    edges = _materialize(edges.repartition(dp))
+    edges = _materialize(edges.repartition(dp, "dst"))
     nodes = edges.select(F.col("src").alias("id")).distinct()
     labels = _materialize(nodes.select("id", F.col("id").alias("label")))
     for _ in range(max_iters):
@@ -690,6 +693,12 @@ def _cluster_pairs_loop(pairs, left, right, max_iters, _materialize):
         # pointer jumping: also adopt the label OF my label (one hop up the
         # label forest) — halves the remaining diameter each round, so a
         # depth-d chain settles in O(log d) rounds instead of d.
+        # Materialize the propagated labels first: the self-join below
+        # references them TWICE, and exchange reuse only dedupes the
+        # subtree up to the neighbor-min exchanges — the post-shuffle
+        # label join and projection would still run twice per round on
+        # the unmaterialized plan.
+        propagated = _materialize(propagated)
         x = propagated.alias("x")
         y = propagated.select(F.col("id").alias("yid"), F.col("label").alias("ylabel")).alias("y")
         new_labels = _materialize(

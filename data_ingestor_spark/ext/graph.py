@@ -684,6 +684,18 @@ def pagerank_ranks(pairs, iters: int = 3):
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    # materialize the doubled edges ONCE, hash-partitioned by src — the
+    # key every iteration's contribution join probes. The checkpointed
+    # LogicalRDD carries hashpartitioning(src), so the per-iteration
+    # Exchange of |E| rows disappears (guide §2.4): the degree rollup
+    # below needs no shuffle, state_0 inherits hashpartitioning(v) from
+    # it, the contribution join is co-partitioned on both sides, and the
+    # receiver join preserves the state side's partitioning through the
+    # next checkpoint — leaving the groupBy(dst) of partially-aggregated
+    # contributions as the only exchange per iteration (the GraphX
+    # partition-once discipline; same move as _cluster_pairs_loop).
+    dp = pairs.sparkSession.sparkContext.defaultParallelism
+    edges = edges.repartition(dp, "src").localCheckpoint(eager=True)
     deg = edges.groupBy(F.col("src").alias("v")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )

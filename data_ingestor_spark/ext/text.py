@@ -1853,26 +1853,38 @@ def contamination_counts(
     # crashes on any sub-n-token row (descending sequence → slice
     # start 0, ANSI error) — found by the property test
     #
-    # r13 optimization (guide §2.3 narrower types): the ngram id is a
-    # 64-bit xxhash64 LONG, not an md5 hex string — the id exists only
-    # to equality-join corpus ngrams against the broadcast benchmark
-    # set and to dedupe per doc, so any injective-in-practice
-    # fingerprint yields the same counts (collision P per distinct
-    # ngram pair ≈ 2⁻⁶⁴; zero at every tested SF — oracle re-passed at
-    # sf0.001/sf0.01 and the sf0.1 result hash is unchanged). xxhash64
-    # is a native codegen expression with no hex-string allocation:
-    # isolated idle-box A/B at sf0.1 measured 1.4× on the whole key
-    # with identical output (Σ n_shared_ngrams 709 both sides). The
-    # BUCKET above stays md5 — it decides WHICH docs form the
+    # r13 optimization (guide §2.3 narrower types, §2.4 shared work):
+    # the ngram id is a 64-bit LONG fingerprint, not an md5 hex string —
+    # the id exists only to equality-join corpus ngrams against the
+    # broadcast benchmark set and to dedupe per doc, so any
+    # injective-in-practice fingerprint yields the same counts
+    # (collision P per distinct ngram pair ≈ 2⁻⁶⁴; zero at every tested
+    # SF — oracle re-passed at sf0.001/sf0.01 and the sf0.1 result hash
+    # is unchanged). Two refinements over the md5-hex original:
+    # 1. each TOKEN is hashed to a long exactly once per doc (one
+    #    transform), and each ngram id is xxhash64 over the 8-long
+    #    slice — the per-ngram joined-string allocation
+    #    (array_join ≈ ngram bytes copied L times per doc) is gone;
+    # 2. g is localCheckpoint-ed: it feeds BOTH the bench and corpus
+    #    branches, and without materialization the whole
+    #    split+hash+distinct build ran twice (once per branch).
+    # The BUCKET above stays md5 — it decides WHICH docs form the
     # benchmark slice, an output-visible choice pinned by the oracle.
     ngs = (
-        f"CASE WHEN size({toks}) >= {n}"
-        f" THEN array_distinct(transform(sequence(1, size({toks}) - {n - 1}),"
-        f" i -> xxhash64(array_join(slice({toks}, i, {n}), ' '))))"
+        f"CASE WHEN size(th) >= {n}"
+        f" THEN array_distinct(transform(sequence(1, size(th) - {n - 1}),"
+        f" i -> xxhash64(slice(th, i, {n}))))"
         f" ELSE array() END"
     )
-    g = d.filter(F.expr(f"size({toks}) >= {n}")).select(
-        "doc_id", bucket.alias("bucket"), F.expr(ngs).alias("ngs")
+    g = (
+        d.filter(F.expr(f"size({toks}) >= {n}"))
+        .select(
+            "doc_id",
+            bucket.alias("bucket"),
+            F.expr(f"transform({toks}, t -> xxhash64(t))").alias("th"),
+        )
+        .select("doc_id", "bucket", F.expr(ngs).alias("ngs"))
+        .localCheckpoint(eager=True)
     )
     bench = (
         g.filter(F.col("bucket") < bench_pct)

@@ -2232,11 +2232,28 @@ def frequent_pairs(items: DataFrame, top_n: int = 20, cap: int = BASKET_CAP) -> 
     )
     capped = capped_basket_items(items, cap=cap, sizes=sizes)
     counts = items.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
-    a = capped.alias("a")
-    b = capped.alias("b")
+    # r13 optimization (guide §2.4/§3): pair generation was a self-join
+    # on the basket key — two shuffles of the capped relation feeding a
+    # join that materialized sz² candidate rows per basket before the
+    # a.p < b.p filter kept half. One groupBy(o) instead collects each
+    # basket into a SORTED distinct-item array and a single projection
+    # emits exactly the C(sz, 2) ordered combinations (ps is ascending,
+    # so ps[i] < ps[j] for i < j — the same pa < pb pair set, each pair
+    # exactly once per basket). Pair fan-out stays bounded by C(cap, 2)
+    # per basket; the join and one Exchange of the capped relation are
+    # gone, and no intermediate row ever exceeds the capped array size.
+    baskets = capped.groupBy("o").agg(F.sort_array(F.collect_list("p")).alias("ps"))
     pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)), y ->"
+                    " struct(x AS pa, y AS pb))))"
+                )
+            ).alias("pr")
+        )
+        .groupBy(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
     top = pairs.orderBy(F.desc("n_ab"), "pa", "pb").limit(top_n)

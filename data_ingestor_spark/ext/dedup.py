@@ -24,7 +24,7 @@ prefix, so every signature is oracle-checkable bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from data_ingestor_spark.plans.registry import load_table, query
 
@@ -652,6 +652,14 @@ def cluster_pairs(
             pairs.sparkSession.sparkContext.setCheckpointDir(_restore_ckpt_dir)
 
 
+#: Label-side broadcast bound for the CC loop: a label row is two longs
+#: (~16 B framed), so 500k rows is well under the classic 10 MB
+#: broadcast ballpark on every deployment — an absolute data-size bound,
+#: not a local-core-count tunable. Above it the loop keeps the
+#: partitioned shuffle-join path (the 100 TB shape).
+_CC_BROADCAST_MAX_LABELS = 500_000
+
+
 def _cluster_pairs_loop(pairs, left, right, max_iters, _materialize):
     edges = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
     edges = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -676,16 +684,34 @@ def _cluster_pairs_loop(pairs, left, right, max_iters, _materialize):
     edges = _materialize(edges.repartition(dp, "dst"))
     nodes = edges.select(F.col("src").alias("id")).distinct()
     labels = _materialize(nodes.select("id", F.col("id").alias("label")))
+    # r13 optimization (guide §3.1): the label relation is |V| rows of
+    # two longs; when it fits a broadcast comfortably, every per-round
+    # join (neighbor-min probe, propagate, pointer jump) hash-joins a
+    # broadcast label side instead of shuffling it — the checkpointed
+    # LogicalRDD carries no stats, so the planner would otherwise pick
+    # a shuffle join no matter how small the labels are. One count job
+    # on the already-materialized labels decides the strategy for the
+    # whole loop (the capped_basket_items existence-probe discipline:
+    # runtime-adaptive plan SHAPE, not output values); above the
+    # threshold the loop keeps the partitioned-join path unchanged —
+    # the 100 TB shape. The threshold is an absolute broadcast-size
+    # bound (~16 B/row → well under the classic 10 MB ballpark), not a
+    # core-count tunable.
+    small_labels = labels.count() <= _CC_BROADCAST_MAX_LABELS
+
+    def _b(df):
+        return F.broadcast(df) if small_labels else df
+
     for _ in range(max_iters):
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
+            edges.join(_b(labels), edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
         # carry the pre-round label through the whole round so the
         # convergence check is a column compare on the checkpointed
         # result — no extra join-with-old-labels pass per round.
-        propagated = labels.join(neighbor_min, labels.id == neighbor_min.src, "left").select(
+        propagated = labels.join(_b(neighbor_min), labels.id == neighbor_min.src, "left").select(
             "id",
             F.col("label").alias("old_label"),
             F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
@@ -701,16 +727,26 @@ def _cluster_pairs_loop(pairs, left, right, max_iters, _materialize):
         propagated = _materialize(propagated)
         x = propagated.alias("x")
         y = propagated.select(F.col("id").alias("yid"), F.col("label").alias("ylabel")).alias("y")
+        # the convergence signal rides the materialization job itself
+        # (observe metrics fire during the eager checkpoint), so the
+        # separate changed-count job per round is gone (guide §1/§5:
+        # don't pay an extra action for a statistic the job already
+        # computes).
+        obs = Observation()
         new_labels = _materialize(
-            x.join(y, F.col("x.label") == F.col("y.yid"), "left").select(
+            x.join(_b(y), F.col("x.label") == F.col("y.yid"), "left")
+            .select(
                 F.col("x.id").alias("id"),
                 F.col("x.old_label").alias("old_label"),
                 F.least(F.col("x.label"), F.coalesce(F.col("ylabel"), F.col("x.label"))).alias("label"),
             )
+            .observe(
+                obs,
+                F.sum((F.col("label") != F.col("old_label")).cast("long")).alias("n_changed"),
+            )
         )
-        changed = new_labels.filter(F.col("label") != F.col("old_label")).limit(1).count()
         labels = new_labels.select("id", "label")
-        if changed == 0:
+        if (obs.get["n_changed"] or 0) == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 

@@ -702,16 +702,17 @@ def _cluster_pairs_loop(pairs, left, right, max_iters, _materialize):
     def _b(df):
         return F.broadcast(df) if small_labels else df
 
-    for _ in range(max_iters):
+    def _round(e, lab):
+        """One propagate + pointer-jump round; returns (labels, n_changed)."""
         neighbor_min = (
-            edges.join(_b(labels), edges.dst == labels.id)
+            e.join(_b(lab), e.dst == lab.id)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
         # carry the pre-round label through the whole round so the
         # convergence check is a column compare on the checkpointed
         # result — no extra join-with-old-labels pass per round.
-        propagated = labels.join(_b(neighbor_min), labels.id == neighbor_min.src, "left").select(
+        propagated = lab.join(_b(neighbor_min), lab.id == neighbor_min.src, "left").select(
             "id",
             F.col("label").alias("old_label"),
             F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
@@ -745,9 +746,57 @@ def _cluster_pairs_loop(pairs, left, right, max_iters, _materialize):
                 F.sum((F.col("label") != F.col("old_label")).cast("long")).alias("n_changed"),
             )
         )
-        labels = new_labels.select("id", "label")
-        if (obs.get["n_changed"] or 0) == 0:
-            break
+        return new_labels.select("id", "label"), (obs.get["n_changed"] or 0)
+
+    # r13 optimization (star contraction): one round over the full edge
+    # relation collapses each node onto a representative inside its
+    # component (l0(v) = min over v, its neighbors, and one pointer
+    # jump; the component minimum m keeps l0(m) = m). Every subsequent
+    # round only needs the graph BETWEEN representatives, so the edges
+    # are relabeled through l0 once, intra-star edges (the vast
+    # majority — near-dup components are cliques/stars) drop as
+    # self-loops BEFORE the dedup exchange, and the loop iterates on
+    # the contracted remnant instead of rescanning |E| rows per round
+    # (measured at sf0.1: rounds 2-5 of the uncontracted loop moved
+    # 1.47M edge rows each to settle 208/57/0 remaining label changes).
+    # The final assignment maps each node through its representative:
+    # label(v) = component-min of l0(v), exactly the uncontracted
+    # fixpoint. Relabeling is symmetric (the doubled relation stays
+    # doubled) and inner joins lose nothing (l0 covers every node), so
+    # the result is identical — re-proven by the py-oracle at two SFs
+    # and the sf0.1 hash invariance on all six downstream keys.
+    labels, changed = _round(edges, labels)
+    if changed:
+        l0 = labels
+        relabeled = (
+            edges.join(_b(l0), edges.dst == l0.id)
+            .select("src", F.col("label").alias("dst2"))
+            .join(
+                _b(l0.select(F.col("id").alias("sid"), F.col("label").alias("src2"))),
+                F.col("src") == F.col("sid"),
+            )
+            .select("src2", "dst2")
+        )
+        cobs = Observation()
+        cedges = _materialize(
+            relabeled.filter(F.col("src2") != F.col("dst2"))
+            .distinct()
+            .select(F.col("src2").alias("src"), F.col("dst2").alias("dst"))
+            .observe(cobs, F.count(F.lit(1)).alias("n"))
+            .repartition(dp, "dst")
+        )
+        if (cobs.get["n"] or 0) > 0:
+            cnodes = cedges.select(F.col("src").alias("id")).distinct()
+            clabels = _materialize(cnodes.select("id", F.col("id").alias("label")))
+            for _ in range(max_iters - 1):
+                clabels, changed = _round(cedges, clabels)
+                if changed == 0:
+                    break
+            labels = l0.join(
+                _b(clabels.select(F.col("id").alias("cid0"), F.col("label").alias("clabel"))),
+                l0.label == F.col("cid0"),
+                "left",
+            ).select("id", F.coalesce("clabel", "label").alias("label"))
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -3780,8 +3780,8 @@ def kmeans_rounds(vecs, cents, iters: int = 3):
         )
     )
     assign = None
+    folded = cents.agg(F.collect_list(F.struct("cid", "cent")).alias("_cl"))
     for i in range(iters):
-        folded = cents.agg(F.collect_list(F.struct("cid", "cent")).alias("_cl"))
         assign = (
             vecs.crossJoin(F.broadcast(folded))
             .select("vec_id", "emb_d", best.alias("_best"))
@@ -3793,20 +3793,43 @@ def kmeans_rounds(vecs, cents, iters: int = 3):
             )
         )
         if i + 1 < iters:
+            # r13 optimization (guide §2.4): the next round's broadcast row
+            # is assembled in ONE aggregate — the (cid, pos) means collapse
+            # straight into the single (cid, cent)-structs row, with the
+            # per-cid regrouping done by an expression over that one row
+            # instead of a second groupBy(cid) exchange plus a third
+            # fold-to-one-row aggregate (two whole stage barriers per
+            # rebuild round, each over at most k×dims rows). Semantics are
+            # unchanged: array_sort over (cid, pos, m) structs orders each
+            # cid's dims by pos exactly as the old sort did, surviving cids
+            # come from the observed groups (an emptied cluster still
+            # disappears), and each mean passes through the same
+            # float32-snap cast, so every centroid element is bit-identical.
             means = (
                 assign.select("cid", F.posexplode("emb_d").alias("pos", "x"))
                 .groupBy("cid", "pos")
                 .agg(F.avg("x").alias("m"))
             )
-            cents = (
-                means.groupBy("cid")
-                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-                .select(
-                    "cid",
-                    F.expr(
-                        "transform(pm, s -> cast(cast(s.m as float) as double))"
-                    ).alias("cent"),
-                )
+            # the reshape lives in the aggregate's RESULT expression, not a
+            # Project above it: a trailing .select would collapse through
+            # the downstream crossJoin into the per-vector projection and
+            # re-evaluate the O(k²·d) regrouping once per vector row
+            # (measured: 2.8 → 5.0 s — worse than the two-stage shape it
+            # replaces); inside the aggregate it runs once per rebuild.
+            # the regrouping lambda variable must NOT be named like an
+            # input column: inside an aggregate's result expression the
+            # name `cid` resolves to the means column, not the lambda
+            # variable, and the filter silently compares each struct
+            # against itself-per-row (every cent comes out NULL — caught
+            # by the sf0.1 hash gate).
+            _t = "collect_list(struct(cid, pos, m))"
+            folded = means.agg(
+                F.expr(
+                    f"transform(array_sort(array_distinct(transform({_t}, s -> s.cid))),"
+                    f" c_ -> struct(c_ AS cid,"
+                    f" transform(array_sort(filter({_t}, s -> s.cid = c_)),"
+                    f" s -> cast(cast(s.m as float) as double)) AS cent))"
+                ).alias("_cl")
             )
     return assign.select("vec_id", "cid", "dist")
 

@@ -249,6 +249,24 @@ def q_sample_stratified(spark, sf_dir):
     return o.select("o_orderkey", "o_orderstatus").filter(bucket < rate)
 
 
+def _revenue_units() -> F.Column:
+    """``SUM(extendedprice · (1 − discount))`` as an exact long
+    multiply-add per row instead of per-row decimal casts plus a
+    128-bit Decimal accumulator (r13, guide §2.3 — the q_agg_basic /
+    q_tpch_q9 integer-units discipline). Both columns are 2-decimal
+    values, so ``round(x·100)`` is the exact cent count and the product
+    is exact in 10⁻⁴ units; ONE decimal rescale per group reconstructs
+    the exact rational before the double cast, so the output double is
+    bit-identical to the decimal pipeline's (sf0.1 hashes unchanged on
+    both headline consumers). ANSI mode turns any overflow of the
+    ~2⁶³ long headroom into an error, never a silent wrap."""
+    units = F.expr(
+        "cast(round(l_extendedprice * 100) as bigint)"
+        " * (100 - cast(round(l_discount * 100) as bigint))"
+    )
+    return (F.sum(units).cast("decimal(38,0)") / F.lit(10000)).cast("double")
+
+
 @query(
     "q_tpch_q3",
     oracle="""
@@ -285,10 +303,9 @@ def q_tpch_q3(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
     )
-    rev = F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double")
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(rev.alias("revenue"))
+        .agg(_revenue_units().alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(20)
@@ -339,8 +356,7 @@ def q_tpch_q5(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
-    rev = F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double")
-    return joined.groupBy("n_name").agg(rev.alias("revenue"))
+    return joined.groupBy("n_name").agg(_revenue_units().alias("revenue"))
 
 
 @query(

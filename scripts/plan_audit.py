@@ -85,6 +85,14 @@ def run_audit(sf_dir: str, out_path: str | None) -> int:
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
+        # same driver-memory knob as bench.py: the audit's accepted
+        # eager-build cost includes output-bound materializations
+        # (q_sql_graph_triangles' 208M-triangle rollup), which need the
+        # repo-standard heap — the r13-opt LSH pair rewrite's attach
+        # joins pushed that key's eager build past the old 1g default
+        # at local[4] (passes at 2g; OOM diagnosis in
+        # OPTIMIZATION_r13.md)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()

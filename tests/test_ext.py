@@ -273,6 +273,32 @@ def test_cluster_pairs_reliable_checkpoint_mode(spark, tmp_path):
     assert any(files for _, _, files in os.walk(ckpt))
 
 
+def test_cluster_pairs_partitioned_path_matches_broadcast(spark, monkeypatch):
+    """The r13 broadcast-when-small loop strategy must be output-
+    invariant: forcing the partitioned shuffle-join path (the 100 TB
+    shape, chosen when |labels| exceeds _CC_BROADCAST_MAX_LABELS) on a
+    graph that would normally broadcast yields byte-identical labels —
+    chains (pointer jumping + contraction), cliques (pure star
+    collapse), and cross-star bridges (a non-empty contracted graph)."""
+    from data_ingestor_spark.ext import dedup
+    from data_ingestor_spark.ext.dedup import cluster_pairs
+
+    edges = (
+        [(i, i + 1) for i in range(1, 9)]  # chain 1..9
+        + [(100 + a, 100 + b) for a in range(5) for b in range(a + 1, 5)]  # clique
+        + [(9, 104), (200, 201), (201, 300), (300, 5)]  # bridges
+    )
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a bigint, doc_b bigint"
+    )
+    broadcast = {r["doc_id"]: r["cluster_id"] for r in cluster_pairs(pairs).collect()}
+    monkeypatch.setattr(dedup, "_CC_BROADCAST_MAX_LABELS", 0)
+    partitioned = {r["doc_id"]: r["cluster_id"] for r in cluster_pairs(pairs).collect()}
+    assert partitioned == broadcast
+    # everything bridges into one component whose min doc_id is 1
+    assert set(broadcast.values()) == {1}
+
+
 def test_resize_payloads(spark):
     from data_ingestor_spark.ext.multimodal import resize_payloads, with_binary_payload
 

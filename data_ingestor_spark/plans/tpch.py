@@ -63,22 +63,49 @@ def _rev_col():
 def q_tpch_q1(spark, sf_dir):
     """TPC-H Q1 (pricing summary): the canonical wide scan-aggregate —
     one pass, map-side partial aggregation into a 6-group shuffle.
-    Averages are computed as exact-decimal-sum / count in double (one
-    identical division per engine) rather than engine AVG, which would
-    round differently."""
+    Averages are computed as exact-sum-as-double / count (one identical
+    division per engine) rather than engine AVG, which would round
+    differently.
+
+    r13 optimization (guide §2.3; the q_agg_basic / q_tpch_q9
+    integer-units discipline): all eight aggregates accumulate exact
+    long units instead of per-row decimal casts + 128-bit Decimal adds
+    — 2-decimal columns are exact in cents, the discounted price in
+    10⁻⁴ units, and the taxed charge in 10⁻⁶ units. The charge sum is
+    split into (div 10⁶, mod 10⁶) long halves re-joined exactly in ONE
+    per-group decimal expression, so its long headroom scales to
+    ~10⁸ × TPC-H sf1000 instead of overflowing near sf150; every
+    output double is the correctly-rounded value of the same exact
+    rational the decimal pipeline produced (sf0.1 hash unchanged,
+    oracle re-pass at two SFs)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp")
     )
     cnt = F.count(F.lit(1))
-    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    c = lambda col: f"cast(round({col} * 100) as bigint)"  # noqa: E731
+    u4 = f"{c('l_extendedprice')} * (100 - {c('l_discount')})"
+    u6 = f"({u4}) * (100 + {c('l_tax')})"
+    as_dbl = lambda s, scale, name: (  # noqa: E731
+        (s.cast("decimal(38,0)") / F.lit(scale)).cast("double").alias(name)
+    )
+    sum_qty = F.sum(F.expr(c("l_quantity")))
+    sum_price = F.sum(F.expr(c("l_extendedprice")))
+    sum_disc = F.sum(F.expr(c("l_discount")))
+    charge = (
+        (
+            F.sum(F.expr(f"({u6}) div 1000000")).cast("decimal(38,0)") * F.lit(1000000)
+            + F.sum(F.expr(f"({u6}) % 1000000")).cast("decimal(38,0)")
+        )
+        / F.lit(1000000)
+    ).cast("double")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-        F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-        F.sum(disc_price).cast("double").alias("sum_disc_price"),
-        F.sum(disc_price * (F.lit(1) + dec("l_tax"))).cast("double").alias("sum_charge"),
-        (F.sum(dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
-        (F.sum(dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
-        (F.sum(dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
+        as_dbl(sum_qty, 100, "sum_qty"),
+        as_dbl(sum_price, 100, "sum_base_price"),
+        as_dbl(F.sum(F.expr(u4)), 10000, "sum_disc_price"),
+        charge.alias("sum_charge"),
+        (as_dbl(sum_qty, 100, "_q") / cnt).alias("avg_qty"),
+        (as_dbl(sum_price, 100, "_p") / cnt).alias("avg_price"),
+        (as_dbl(sum_disc, 100, "_d") / cnt).alias("avg_disc"),
         cnt.alias("count_order"),
     )
 

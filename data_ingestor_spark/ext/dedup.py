@@ -682,25 +682,71 @@ def _cluster_pairs_loop(pairs, left, right, max_iters, _materialize):
     # scales with the box.
     dp = pairs.sparkSession.sparkContext.defaultParallelism
     edges = _materialize(edges.repartition(dp, "dst"))
-    nodes = edges.select(F.col("src").alias("id")).distinct()
-    labels = _materialize(nodes.select("id", F.col("id").alias("label")))
-    # r13 optimization (guide §3.1): the label relation is |V| rows of
-    # two longs; when it fits a broadcast comfortably, every per-round
-    # join (neighbor-min probe, propagate, pointer jump) hash-joins a
-    # broadcast label side instead of shuffling it — the checkpointed
-    # LogicalRDD carries no stats, so the planner would otherwise pick
-    # a shuffle join no matter how small the labels are. One count job
-    # on the already-materialized labels decides the strategy for the
-    # whole loop (the capped_basket_items existence-probe discipline:
-    # runtime-adaptive plan SHAPE, not output values); above the
+    # r13 optimization: the first propagate round runs against IDENTITY
+    # labels (label(v) = v), so joining a labels relation is algebra
+    # for nothing — min(label(dst)) ≡ min(dst) — and the whole round
+    # reduces to ONE aggregate over the edges. That also deletes the
+    # labels-init materialization (a full distinct pass over |E| rows)
+    # and lets |V| (the group count) ride the same job via observe, so
+    # the broadcast-strategy probe costs no extra action. Node set ≡
+    # distinct src of the doubled relation, exactly what the groupBy
+    # emits; nbr_min is never null (every node has ≥ 1 edge by
+    # construction).
+    obs0 = Observation()
+    propagated0 = _materialize(
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_nbr"))
+        .select(
+            F.col("src").alias("id"),
+            F.col("src").alias("old_label"),
+            F.least(F.col("src"), F.col("_nbr")).alias("label"),
+        )
+        .observe(obs0, F.count(F.lit(1)).alias("n_nodes"))
+    )
+    # guide §3.1: the label relation is |V| rows of two longs; when it
+    # fits a broadcast comfortably, every per-round join (neighbor-min
+    # probe, propagate, pointer jump) hash-joins a broadcast label side
+    # instead of shuffling it — the checkpointed LogicalRDD carries no
+    # stats, so the planner would otherwise pick a shuffle join no
+    # matter how small the labels are (runtime-adaptive plan SHAPE,
+    # the capped_basket_items existence-probe discipline); above the
     # threshold the loop keeps the partitioned-join path unchanged —
     # the 100 TB shape. The threshold is an absolute broadcast-size
     # bound (~16 B/row → well under the classic 10 MB ballpark), not a
     # core-count tunable.
-    small_labels = labels.count() <= _CC_BROADCAST_MAX_LABELS
+    small_labels = (obs0.get["n_nodes"] or 0) <= _CC_BROADCAST_MAX_LABELS
 
     def _b(df):
         return F.broadcast(df) if small_labels else df
+
+    def _jump(propagated):
+        """Pointer jumping over a materialized propagate result: also
+        adopt the label OF my label (one hop up the label forest) —
+        halves the remaining diameter each round, so a depth-d chain
+        settles in O(log d) rounds instead of d. The propagate result
+        must be materialized because the self-join references it TWICE
+        (exchange reuse only dedupes the subtree up to the neighbor-min
+        exchanges). The convergence signal rides the materialization
+        job itself (observe metrics fire during the eager checkpoint),
+        so no separate changed-count action runs per round (guide §1/§5:
+        don't pay an extra action for a statistic the job already
+        computes). Returns (labels, n_changed vs the pre-round labels)."""
+        x = propagated.alias("x")
+        y = propagated.select(F.col("id").alias("yid"), F.col("label").alias("ylabel")).alias("y")
+        obs = Observation()
+        new_labels = _materialize(
+            x.join(_b(y), F.col("x.label") == F.col("y.yid"), "left")
+            .select(
+                F.col("x.id").alias("id"),
+                F.col("x.old_label").alias("old_label"),
+                F.least(F.col("x.label"), F.coalesce(F.col("ylabel"), F.col("x.label"))).alias("label"),
+            )
+            .observe(
+                obs,
+                F.sum((F.col("label") != F.col("old_label")).cast("long")).alias("n_changed"),
+            )
+        )
+        return new_labels.select("id", "label"), (obs.get["n_changed"] or 0)
 
     def _round(e, lab):
         """One propagate + pointer-jump round; returns (labels, n_changed)."""
@@ -717,36 +763,7 @@ def _cluster_pairs_loop(pairs, left, right, max_iters, _materialize):
             F.col("label").alias("old_label"),
             F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
         )
-        # pointer jumping: also adopt the label OF my label (one hop up the
-        # label forest) — halves the remaining diameter each round, so a
-        # depth-d chain settles in O(log d) rounds instead of d.
-        # Materialize the propagated labels first: the self-join below
-        # references them TWICE, and exchange reuse only dedupes the
-        # subtree up to the neighbor-min exchanges — the post-shuffle
-        # label join and projection would still run twice per round on
-        # the unmaterialized plan.
-        propagated = _materialize(propagated)
-        x = propagated.alias("x")
-        y = propagated.select(F.col("id").alias("yid"), F.col("label").alias("ylabel")).alias("y")
-        # the convergence signal rides the materialization job itself
-        # (observe metrics fire during the eager checkpoint), so the
-        # separate changed-count job per round is gone (guide §1/§5:
-        # don't pay an extra action for a statistic the job already
-        # computes).
-        obs = Observation()
-        new_labels = _materialize(
-            x.join(_b(y), F.col("x.label") == F.col("y.yid"), "left")
-            .select(
-                F.col("x.id").alias("id"),
-                F.col("x.old_label").alias("old_label"),
-                F.least(F.col("x.label"), F.coalesce(F.col("ylabel"), F.col("x.label"))).alias("label"),
-            )
-            .observe(
-                obs,
-                F.sum((F.col("label") != F.col("old_label")).cast("long")).alias("n_changed"),
-            )
-        )
-        return new_labels.select("id", "label"), (obs.get["n_changed"] or 0)
+        return _jump(_materialize(propagated))
 
     # r13 optimization (star contraction): one round over the full edge
     # relation collapses each node onto a representative inside its
@@ -765,7 +782,7 @@ def _cluster_pairs_loop(pairs, left, right, max_iters, _materialize):
     # doubled) and inner joins lose nothing (l0 covers every node), so
     # the result is identical — re-proven by the py-oracle at two SFs
     # and the sf0.1 hash invariance on all six downstream keys.
-    labels, changed = _round(edges, labels)
+    labels, changed = _jump(propagated0)
     if changed:
         l0 = labels
         relabeled = (
@@ -786,12 +803,23 @@ def _cluster_pairs_loop(pairs, left, right, max_iters, _materialize):
             .repartition(dp, "dst")
         )
         if (cobs.get["n"] or 0) > 0:
-            cnodes = cedges.select(F.col("src").alias("id")).distinct()
-            clabels = _materialize(cnodes.select("id", F.col("id").alias("label")))
-            for _ in range(max_iters - 1):
-                clabels, changed = _round(cedges, clabels)
+            # the contracted loop's first round is identity-labeled too,
+            # so it takes the same aggregate-only form — no clabels init
+            # materialization, no join.
+            cprop = _materialize(
+                cedges.groupBy("src")
+                .agg(F.min("dst").alias("_nbr"))
+                .select(
+                    F.col("src").alias("id"),
+                    F.col("src").alias("old_label"),
+                    F.least(F.col("src"), F.col("_nbr")).alias("label"),
+                )
+            )
+            clabels, changed = _jump(cprop)
+            for _ in range(max_iters - 2):
                 if changed == 0:
                     break
+                clabels, changed = _round(cedges, clabels)
             labels = l0.join(
                 _b(clabels.select(F.col("id").alias("cid0"), F.col("label").alias("clabel"))),
                 l0.label == F.col("cid0"),

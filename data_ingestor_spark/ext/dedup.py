@@ -43,6 +43,28 @@ _MINHASH_R = MINHASH_K // MINHASH_BANDS
 NEARDUP_THRESHOLD = 0.9
 
 
+def _eval_once(col: F.Column) -> F.Column:
+    """Push-down barrier: evaluate ``col`` exactly once per row, in the
+    projection where it is defined. Catalyst substitutes filter
+    predicates through deterministic projections and (for predicates
+    referencing both sides) into the join CONDITION — so a Jaccard
+    threshold over a projected ``array_intersect`` re-evaluates the
+    intersect 2-3× per candidate (once or twice in the condition, again
+    in the output projection; r13 after-plans, VERDICT r13 item 1).
+    Wrapping the value in a nondeterministic-conditioned CASE stops the
+    substitution (``PushPredicateThroughNonJoin`` requires every
+    projected field it rewrites through to be deterministic) — the same
+    duplicate-eval fix the optimization guide §4.4 prescribes for
+    expensive UDFs, applied to a built-in. ``spark_partition_id() >= 0``
+    is always true (partition ids are non-negative ints), so the value
+    and result set are unchanged; ``rand(seed) > -1`` is NOT used
+    because Spark 4 range-folds rand comparisons and erases the
+    barrier (verified: the CASE survives optimization, rand's doesn't).
+    The filter then runs against the single projected column, directly
+    above the join inside the same WholeStageCodegen span."""
+    return F.when(F.spark_partition_id() >= 0, col)
+
+
 def _mh_spark(k: int, token_expr: str = "x") -> str:
     """SQL text for one md5-derived 32-bit hash of a token (Spark side)."""
     return f"cast(conv(substring(md5(concat('{k}:', {token_expr})), 1, 8), 16, 10) as bigint)"
@@ -323,8 +345,11 @@ def minhash_lsh_pairs(d, text_col: str = "text", threshold: float = NEARDUP_THRE
     cand = _band_candidates(keyed)
     # |A∪B| = |A|+|B|-|I| — token sets are already distinct, so the
     # union size needs NO per-pair array build; only the intersect runs
-    # on the quadratic side, computed ONCE per pair in a projection.
-    cand = cand.withColumn("_i", F.size(F.array_intersect("tok64_a", "tok64_b")))
+    # on the quadratic side, computed ONCE per pair in a projection
+    # (_eval_once barrier — r14: without it the threshold filter lands
+    # in the attach-join condition and the intersect runs 2-3× per
+    # candidate).
+    cand = cand.withColumn("_i", _eval_once(F.size(F.array_intersect("tok64_a", "tok64_b"))))
     isect = F.col("_i")
     union = (F.col("sz_a") + F.col("sz_b") - isect).cast("bigint")
     jac = isect.cast("double") / union
@@ -391,10 +416,15 @@ _MINHASH_PAIRS_SPARK_CTES = f"""
     ), cand AS (
         {_MINHASH_PAIRS_BAND_JOINS}
     ), verified AS (
+        -- CASE WHEN spark_partition_id() >= 0 (always true) is the
+        -- _eval_once push-down barrier: without it the threshold
+        -- filter is substituted into the attach-join condition and the
+        -- intersect runs 2-3x per candidate (see _eval_once).
         SELECT doc_a, doc_b, _i, CAST(_sa + _sb - _i AS BIGINT) AS _u
         FROM (
             SELECT c.doc_a, c.doc_b,
-                   size(array_intersect(ta.tok64, tb.tok64)) AS _i,
+                   CASE WHEN spark_partition_id() >= 0
+                        THEN size(array_intersect(ta.tok64, tb.tok64)) END AS _i,
                    ta.sz AS _sa, tb.sz AS _sb
             FROM cand c
             JOIN keyed ta ON c.doc_a = ta.doc_id
@@ -582,7 +612,11 @@ def ngram_jaccard_pairs(
     pairs = pair_ids.join(
         g.select(F.col("doc_id").alias("doc_a"), F.col("g3").alias("g3_a")), "doc_a"
     ).join(g.select(F.col("doc_id").alias("doc_b"), F.col("g3").alias("g3_b")), "doc_b")
-    isect = F.size(F.array_intersect("g3_a", "g3_b"))
+    # one intersect per pair behind the _eval_once barrier (r14): the
+    # threshold filter would otherwise be pushed into the g3 attach-join
+    # condition and re-evaluated in the output projection.
+    pairs = pairs.withColumn("_isect", _eval_once(F.size(F.array_intersect("g3_a", "g3_b"))))
+    isect = F.col("_isect")
     union = (F.size("g3_a") + F.size("g3_b") - isect).cast("bigint")
     jac = isect.cast("double") / union
     # exact basis points, not ROUND(double,4): see q_dedup_minhash_pairs
@@ -1056,7 +1090,7 @@ def incremental_admission(d, is_new, text_col: str = "text"):
     newk = keyed.filter(F.col("_new"))
     corpk = keyed.filter(~F.col("_new"))
     cand = _band_candidates(newk, corpk, ordered=False)
-    cand = cand.withColumn("_i", F.size(F.array_intersect("tok64_a", "tok64_b")))
+    cand = cand.withColumn("_i", _eval_once(F.size(F.array_intersect("tok64_a", "tok64_b"))))
     jac = F.col("_i").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("_i"))
     near = (
         cand.filter(jac >= NEARDUP_THRESHOLD)
@@ -1193,7 +1227,7 @@ def corpus_production(
         # fast path (the oracle key): disjoint per-band joins, verify on
         # long token ids — the minhash_lsh_pairs r13 plan.
         cand = _band_candidates(keyed)
-        cand = cand.withColumn("_i", F.size(F.array_intersect("tok64_a", "tok64_b")))
+        cand = cand.withColumn("_i", _eval_once(F.size(F.array_intersect("tok64_a", "tok64_b"))))
         jac = F.col("_i").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("_i"))
         drops = (
             cand.filter(jac >= NEARDUP_THRESHOLD)
@@ -1254,7 +1288,7 @@ def corpus_production(
         ),
         "doc_b",
     )
-    cand = cand.withColumn("_i", F.size(F.array_intersect("tok64_a", "tok64_b")))
+    cand = cand.withColumn("_i", _eval_once(F.size(F.array_intersect("tok64_a", "tok64_b"))))
     jac = F.col("_i").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("_i"))
     drops = cand.filter(jac >= NEARDUP_THRESHOLD).select(F.col("doc_b").alias("_drop")).distinct()
     return _corpus_rollup(keyed, drops)
@@ -1438,10 +1472,15 @@ def q_dedup_lsh_recall(spark, sf_dir):
         F.explode(F.array(*[F.expr(k) for k in _BAND_KEYS_SPARK])).alias("band_key"),
     )
     a, b = samp.alias("a"), samp.alias("b")
-    isect = F.size(F.array_intersect("a.toks", "b.toks"))
+    # the deliberate all-pairs truth stage intersects once per pair
+    # behind the _eval_once barrier (r14): inside the BNLJ condition the
+    # jaccard predicate would evaluate the intersect twice per pair
+    # (numerator + union term, no CSE across a condition's subtrees).
+    isect = F.col("_isect")
     jac = isect.cast("double") / (F.size("a.toks") + F.size("b.toks") - isect)
     truth = (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("_isect", _eval_once(F.size(F.array_intersect("a.toks", "b.toks"))))
         .filter(jac >= NEARDUP_THRESHOLD)
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     )
@@ -1884,7 +1923,7 @@ def containment_pairs(
     scored = _band_candidates(keyed).select(
         "doc_a",
         "doc_b",
-        F.expr("cast(size(array_intersect(tok64_a, tok64_b)) as bigint)").alias("inter"),
+        _eval_once(F.expr("cast(size(array_intersect(tok64_a, tok64_b)) as bigint)")).alias("inter"),
         F.col("sz_a").cast("bigint").alias("size_a"),
         F.col("sz_b").cast("bigint").alias("size_b"),
     )
@@ -2103,7 +2142,11 @@ def q_dedup_containment_recall(spark, sf_dir):
         .dropDuplicates(["id_a", "id_b"])
     )
     a, b = samp.alias("a"), samp.alias("b")
-    inter = F.size(F.array_intersect("a.toks", "b.toks")).cast("bigint")
+    # one intersect per pair behind the _eval_once barrier (r14): the
+    # containment/ceiling filter below references `inter` three times
+    # and would otherwise re-evaluate the intersect per reference once
+    # pushed into the BNLJ condition.
+    inter = _eval_once(F.size(F.array_intersect("a.toks", "b.toks")).cast("bigint"))
     truth = (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
         .select(

@@ -1313,3 +1313,20 @@ def test_dedup_lines_incremental_anti_join_shape(spark, registry):
     plan = _formatted_plan(registry["q_dedup_lines_incremental"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan
+
+
+def test_lsh_verify_intersect_evaluated_once(spark, registry):
+    """The Jaccard verify's array_intersect must appear exactly once in
+    the optimized plan — in a projection, never substituted into the
+    attach-join condition (where it would run 2-3x per candidate).
+    Guards the _eval_once push-down barrier (ext/dedup.py): if a future
+    Spark folds the spark_partition_id() condition the way Spark 4
+    folds rand() comparisons, this fails before any benchmark does."""
+    for key in ("q_dedup_minhash_pairs", "q_sql_minhash_pairs", "q_dedup_containment"):
+        plan = _formatted_plan(registry[key].fn(spark, SF_DIR))
+        n = plan.count("array_intersect")
+        assert n == 1, f"{key}: expected 1 array_intersect in plan, found {n}"
+        cond_lines = [ln for ln in plan.splitlines() if "Join condition" in ln]
+        assert not any("array_intersect" in ln for ln in cond_lines), (
+            f"{key}: Jaccard verify pushed back into a join condition"
+        )

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation, functions as F
 
+from data_ingestor_spark.ext import free_local_checkpoint
 from data_ingestor_spark.plans.registry import load_table, query
 
 #: number of minhash functions (signature length)
@@ -780,7 +781,10 @@ def _cluster_pairs_loop(pairs, left, right, max_iters, _materialize):
                 F.sum((F.col("label") != F.col("old_label")).cast("long")).alias("n_changed"),
             )
         )
-        return new_labels.select("id", "label"), (obs.get["n_changed"] or 0)
+        # the input checkpoint is superseded the moment new_labels is
+        # eagerly materialized — free its |V|-row blocks (r14, guide §5)
+        free_local_checkpoint(propagated)
+        return new_labels, (obs.get["n_changed"] or 0)
 
     def _round(e, lab):
         """One propagate + pointer-jump round; returns (labels, n_changed)."""
@@ -836,6 +840,10 @@ def _cluster_pairs_loop(pairs, left, right, max_iters, _materialize):
             .observe(cobs, F.count(F.lit(1)).alias("n"))
             .repartition(dp, "dst")
         )
+        # the contracted remnant replaces the full |E|-row relation for
+        # every later round — the dominant block of the whole loop is
+        # dead from here on (r14, guide §5)
+        free_local_checkpoint(edges)
         if (cobs.get["n"] or 0) > 0:
             # the contracted loop's first round is identity-labeled too,
             # so it takes the same aggregate-only form — no clabels init
@@ -853,12 +861,22 @@ def _cluster_pairs_loop(pairs, left, right, max_iters, _materialize):
             for _ in range(max_iters - 2):
                 if changed == 0:
                     break
+                _prev = clabels
                 clabels, changed = _round(cedges, clabels)
+                # _round consumed the pre-round labels into its own
+                # materialized propagate — the old checkpoint is dead
+                # (only the latest clabels feeds the final mapping)
+                free_local_checkpoint(_prev)
             labels = l0.join(
                 _b(clabels.select(F.col("id").alias("cid0"), F.col("label").alias("clabel"))),
                 l0.label == F.col("cid0"),
                 "left",
             ).select("id", F.coalesce("clabel", "label").alias("label"))
+        # the returned plan references only l0 and the final clabels
+        # checkpoints (both |V|-row); the contracted edges are dead
+        free_local_checkpoint(cedges)
+    else:
+        free_local_checkpoint(edges)
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

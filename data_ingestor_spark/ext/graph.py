@@ -28,6 +28,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import functions as F
 
+from data_ingestor_spark.ext import free_local_checkpoint
 from data_ingestor_spark.ext.dedup import (
     _BAND_KEYS_DUCK,
     _MH_DUCK_COLS,
@@ -715,6 +716,7 @@ def pagerank_ranks(pairs, iters: int = 3):
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
+        prev_state = state
         state = (
             state.drop("rank")
             .join(contrib, state.v == contrib.dst, "left")
@@ -729,6 +731,13 @@ def pagerank_ranks(pairs, iters: int = 3):
             )
             .localCheckpoint(eager=True)
         )
+        # the previous iteration's rank state is superseded the moment
+        # the new eager checkpoint exists (r14, guide §5)
+        free_local_checkpoint(prev_state)
+    # the returned plan reads only the final state checkpoint; the
+    # |E|-row doubled edge relation is dead once the last iteration's
+    # checkpoint has been materialized
+    free_local_checkpoint(edges)
     return state.select(
         F.col("v").alias("doc_id"), F.col("rank").cast("bigint").alias("rank_scaled")
     )

@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import DoubleType
 
+from data_ingestor_spark.ext import free_local_checkpoint
 from data_ingestor_spark.plans.registry import load_table, query, scratch_dir
 
 
@@ -766,6 +767,9 @@ def nsw_search(
         beam_df = (
             scored.orderBy(F.col("cos_sim").desc(), "vid").limit(beam).select("vid")
         )
+    # every round's scored checkpoint has been materialized; the result
+    # reads only those — the per-call edge checkpoint is dead (r14, §5)
+    free_local_checkpoint(graph)
     visited = visited.dropDuplicates(["vid"])
     if exclude is not None:
         visited = visited.join(
@@ -852,12 +856,19 @@ def nsw_descend(
             .crossJoin(F.broadcast(qv))
             .select("vid", cosine("embedding", "_qe").alias("cos_sim"))
         )
+        prev_beam = beam_df
         beam_df = (
             scored.orderBy(F.col("cos_sim").desc(), "vid")
             .limit(beam)
             .select("vid")
             .localCheckpoint(eager=True)  # tiny; truncates round lineage
         )
+        # the previous round's beam checkpoint is superseded (a
+        # caller-supplied entry frame is not a LogicalRDD → no-op)
+        free_local_checkpoint(prev_beam)
+    # the returned final beam is materialized; the layer's per-call
+    # edge checkpoint is dead (r14, guide §5)
+    free_local_checkpoint(graph)
     return beam_df
 
 

@@ -804,10 +804,31 @@ def phash_candidate_pairs(
         ).cast("bigint")
         joined = joined.filter((h % 10000) < F.lit(pair_sample_bp))
     cand = joined.select(
+        F.col("a.band").alias("_band"),
         F.col("a.doc_id").alias("id_a"), F.col("c.doc_id").alias("id_b"),
         *[F.col(f"a.b{i}").alias(f"a{i}") for i in range(_PHASH_BANDS)],
         *[F.col(f"c.b{i}").alias(f"c{i}") for i in range(_PHASH_BANDS)],
-    ).dropDuplicates(["id_a", "id_b"])
+    )
+    if max_band_members is None:
+        # r14 (guide §2.4, the _band_candidates discipline): emit each
+        # pair EXACTLY once — at its FIRST agreeing band — instead of
+        # dedup-exchanging the whole candidate pair table. The joined
+        # row already carries every band of both sides, so "every
+        # earlier band differs" is a row-local predicate (no extra
+        # joins, unlike the MinHash twin): the per-band matches
+        # partition the "agree on >= 1 band" set and the union of
+        # survivors is the exact DISTINCT candidate set. Under a
+        # member cap this is NOT equivalent (a pair can be pruned from
+        # its first agreeing band's bucket yet survive a later one),
+        # so the capped path keeps the dropDuplicates.
+        no_earlier_match = F.lit(True)
+        for p in range(_PHASH_BANDS - 1):
+            no_earlier_match = no_earlier_match & (
+                (F.col("_band") <= p) | (F.col(f"a{p}") != F.col(f"c{p}"))
+            )
+        cand = cand.filter(no_earlier_match)
+    else:
+        cand = cand.dropDuplicates(["id_a", "id_b"])
     ham = sum(
         F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}"))) for i in range(_PHASH_BANDS)
     ).cast("bigint")

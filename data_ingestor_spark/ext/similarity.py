@@ -3756,6 +3756,61 @@ def q_kmeans_train(spark, sf_dir):
     )
 
 
+#: Upper bound on centroid cells (k × dims doubles, ~8 B each → ~32 MB
+#: framed at the bound) for the one-row collect_list broadcast in
+#: :func:`kmeans_rounds`. Like _CC_BROADCAST_MAX_LABELS this is an
+#: absolute data-size bound, not a core-count tunable: below it the
+#: folded single-row broadcast is a trivial ship; above it (a
+#: 100k-centroid IVF quantizer at 64+ dims) building the row would
+#: concentrate the whole codebook in one driver/executor allocation, so
+#: the loop degrades to the exploded per-centroid path instead of an
+#: OOM. Both paths produce bit-identical assignments (pinned by
+#: tests/test_ext.py::test_kmeans_exploded_path_matches_broadcast).
+_KM_BROADCAST_MAX_CELLS = 4_000_000
+
+
+def _kmeans_rounds_exploded(vecs, cents, iters: int = 3):
+    """The pre-fold kmeans shape kept as :func:`kmeans_rounds`' large-k
+    regime: centroids broadcast as a k-row TABLE (never collected into
+    one row), assignment via crossJoin + groupBy(vec_id) min-by-struct
+    — k× the rows through an exchange, but no single allocation holds
+    the codebook. Distance expression, tie-break, float32 snap, and
+    emptied-cluster semantics are identical to the folded path."""
+    dist = F.aggregate(
+        F.zip_with(F.col("emb_d"), F.col("cent"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    assign = None
+    for i in range(iters):
+        scored = vecs.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "emb_d", F.col("cid"), dist.alias("dist")
+        )
+        assign = (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid")).alias("best"))
+            .select("vec_id", F.col("best.cid").alias("cid"), F.col("best.dist").alias("dist"))
+        )
+        if i + 1 < iters:
+            means = (
+                vecs.join(assign.select("vec_id", "cid"), "vec_id")
+                .select("cid", F.posexplode("emb_d").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(F.avg("x").alias("m"))
+            )
+            cents = (
+                means.groupBy("cid")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+                .select(
+                    "cid",
+                    F.expr(
+                        "transform(pm, s -> cast(cast(s.m as float) as double))"
+                    ).alias("cent"),
+                )
+            )
+    return assign
+
+
 def kmeans_rounds(vecs, cents, iters: int = 3):
     """Lloyd's algorithm unrolled into one DAG over (vec_id, emb_d)
     vectors and seed (cid, cent) centroids, both array<double>: each
@@ -3768,7 +3823,20 @@ def kmeans_rounds(vecs, cents, iters: int = 3):
     next round's centroid table. Returns (vec_id, cid, dist). The
     reusable core of :func:`q_kmeans_train` and the subject of the
     Lloyd-rounds property test in
-    ``tests/test_operator_properties.py``."""
+    ``tests/test_operator_properties.py``.
+
+    r14 guard (guide §5): the folded one-row broadcast below holds
+    k × dims doubles in a single allocation; a seed table past
+    :data:`_KM_BROADCAST_MAX_CELLS` routes to
+    :func:`_kmeans_rounds_exploded` (identical output) instead of
+    risking a driver OOM. The probe is one tiny aggregate over the
+    k-row seed relation, run once at plan build."""
+    kd = cents.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.coalesce(F.max(F.size("cent")), F.lit(1)).alias("d"),
+    ).first()
+    if kd["k"] * max(kd["d"], 1) > _KM_BROADCAST_MAX_CELLS:
+        return _kmeans_rounds_exploded(vecs, cents, iters)
     # Assignment is ONE narrow projection per round (guide §2.4): the k-row
     # centroid table folds into a single broadcast row (collect_list of
     # (cid, cent) structs) and the nearest centroid is an array argmin —

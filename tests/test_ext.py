@@ -1464,3 +1464,33 @@ def test_text_bm25_incremental_equals_scratch(spark):
         for r in q_text_bm25_incremental(spark, SF_DIR).collect()
     )
     assert merged == scratch
+
+
+def test_kmeans_exploded_path_matches_broadcast(spark, monkeypatch):
+    """The r14 kmeans broadcast guard must be output-invariant: forcing
+    the exploded per-centroid path (the large-k regime, chosen when
+    k × dims exceeds _KM_BROADCAST_MAX_CELLS) on a seed table that
+    would normally fold into the one-row broadcast yields byte-identical
+    (vec_id, cid, dist) assignments — including an emptied cluster
+    (cid 2 seeds on an outlier that defects round 1) disappearing from
+    later rounds on both paths."""
+    from pyspark.sql import functions as F
+
+    from data_ingestor_spark.ext import similarity
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11), float((i * 5 + j) % 13), float(i % 4)])
+        for i in range(40)
+        for j in (0,)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, emb_d array<double>")
+    cents = vecs.filter(F.col("vec_id") % 16 == 0).select(
+        (F.col("vec_id") / 16).cast("int").alias("cid"), F.col("emb_d").alias("cent")
+    )
+    folded = {r["vec_id"]: (r["cid"], r["dist"]) for r in
+              similarity.kmeans_rounds(vecs, cents, iters=3).collect()}
+    monkeypatch.setattr(similarity, "_KM_BROADCAST_MAX_CELLS", 0)
+    exploded = {r["vec_id"]: (r["cid"], r["dist"]) for r in
+                similarity.kmeans_rounds(vecs, cents, iters=3).collect()}
+    assert exploded == folded
+    assert len(folded) == 40

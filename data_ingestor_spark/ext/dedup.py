@@ -833,12 +833,19 @@ def _cluster_pairs_loop(pairs, left, right, max_iters, _materialize):
             .select("src2", "dst2")
         )
         cobs = Observation()
+        # r14 (guide §2.4): repartition by dst BEFORE the dedup — a
+        # hashpartitioning(dst) child satisfies the distinct aggregate's
+        # ClusteredDistribution(src, dst) (subset rule: equal (src, dst)
+        # implies equal dst implies same partition), so the dedup runs
+        # in place and its output already carries the dst partitioning
+        # the checkpoint needs — one Exchange of the contracted relation
+        # instead of two (distinct's + the repartition's).
         cedges = _materialize(
             relabeled.filter(F.col("src2") != F.col("dst2"))
-            .distinct()
             .select(F.col("src2").alias("src"), F.col("dst2").alias("dst"))
-            .observe(cobs, F.count(F.lit(1)).alias("n"))
             .repartition(dp, "dst")
+            .dropDuplicates(["src", "dst"])
+            .observe(cobs, F.count(F.lit(1)).alias("n"))
         )
         # the contracted remnant replaces the full |E|-row relation for
         # every later round — the dominant block of the whole loop is

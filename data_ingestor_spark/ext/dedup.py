@@ -1426,14 +1426,25 @@ def substring_dup_profile(docs, span: int, text_col: str = "text"):
             )
         ).alias("h"),
     )
-    hstats = wins.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
-    return (
-        wins.join(hstats, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup_windows"),
-        )
+    # r14 (guide §2.3/§2.4): the former shape computed
+    # groupBy(h).countDistinct(doc_id) and then re-joined the verdict
+    # onto the FULL window relation — two window-scale exchanges of
+    # 32-hex-char keys. Collapsing windows to (h, doc_id, c) first
+    # makes everything after the single window-scale exchange run on
+    # the deduplicated relation: nd (# distinct docs per hash) is a
+    # plain count over those rows via a window by h, and the per-doc
+    # rollup sums the carried multiplicities. Bit-identical outputs
+    # (n_windows = Σc; a window counts as dup iff its hash occurs in
+    # ≥ 2 distinct docs, c-fold like the join produced). Isolated A/B
+    # at sf0.1: 1.00 → 0.85 s, the removed exchange scales with
+    # |windows|.
+    from pyspark.sql import Window as W
+
+    g = wins.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    gg = g.withColumn("nd", F.count(F.lit(1)).over(W.partitionBy("h")))
+    return gg.groupBy("doc_id").agg(
+        F.sum("c").alias("n_windows"),
+        F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0)).alias("n_dup_windows"),
     )
 
 
